@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-expression library — the reference's scalar semantics re-expressed
+  * as compositions of codegen'd Spark built-ins (no UDFs; SURVEY.md §2 K).
+  *
+  * Sessions run with `spark.sql.ansi.enabled=false` so `cast` of a malformed
+  * string yields null (the reference's `try: float(...) except: fallback`
+  * semantics — reference `data_transformation/sales_to_bq/main.py:120-132`).
+  */
+object Exprs {
+
+  /** Deterministic 4-decimal rounding used on every float column that is
+    * hash-compared against the DuckDB oracle. `floor(x*1e4+0.5)/1e4` is the
+    * same pure-double formula on both engines, so it cannot diverge the way
+    * engine-native `round()` (HALF_UP vs HALF_EVEN) can.
+    */
+  def r4(c: Column): Column = floor(c * lit(10000d) + lit(0.5d)) / lit(10000d)
+
+  /** F6 — dual-format pt-BR discount parse
+    * (reference `sales_to_bq/main.py:120-132,142-154`):
+    * `'x%'` → pct/100 × base; else `','→'.'` decimal taken as an absolute
+    * amount; parse failure → 0.0; clamped at `max(0, ·)`.
+    */
+  def parseDesconto(c: Column, base: Column): Column = {
+    val pct = regexp_replace(c, "%", "").cast("double") / lit(100d) * base
+    val dec = regexp_replace(c, ",", ".").cast("double")
+    greatest(lit(0d), coalesce(when(c.contains("%"), pct).otherwise(dec), lit(0d)))
+  }
+
+  /** D6 — `dd/MM/yyyy` → `yyyy-MM-dd`, returning the INPUT UNCHANGED on
+    * parse failure (reference quirk, `gcs_to_bq/main.py:213-221`).
+    */
+  def brDate(c: Column): Column =
+    coalesce(date_format(to_date(c, "dd/MM/yyyy"), "yyyy-MM-dd"), c)
+
+  /** D13 — category split on `' >> '` into (principal, secundaria);
+    * secundaria is `''` when absent (reference `sales_to_bq/main.py:177-184`).
+    */
+  def categoriaPrincipal(c: Column): Column = trim(substring_index(c, " >> ", 1))
+  def categoriaSecundaria(c: Column): Column =
+    when(c.contains(" >> "), trim(substring_index(c, " >> ", -1))).otherwise(lit(""))
+
+  /** D10 — extract keys from the reference's blob-name convention
+    * `{dados_id}-{type}[-{produto_id}]-{timestamp}-{uuid}.json`
+    * (reference `backfill/gcs_to_pupsub.py:10,19-31`).
+    */
+  private val FilenameRe =
+    "z316-tiny-api-(\\d+)-(pdv|pesquisa|produto)(?:-(\\d+))?-(\\d{8}T\\d{6})-([0-9a-f-]{36})\\.json$"
+  def fileDadosId(c: Column): Column = regexp_extract(c, FilenameRe, 1)
+  def fileDataType(c: Column): Column = regexp_extract(c, FilenameRe, 2)
+  def fileProdutoId(c: Column): Column = regexp_extract(c, FilenameRe, 3)
+  def fileTimestamp(c: Column): Column = regexp_extract(c, FilenameRe, 4)
+  def fileUuid(c: Column): Column = regexp_extract(c, FilenameRe, 5)
+
+  /** D12 — canonical checksum. The reference MD5s `json.dumps(data,
+    * sort_keys=True)` (`api_to_gcs/main.py:234-236`); we get key-order
+    * canonicalisation by feeding fields in caller-sorted name order through
+    * a `'|'`-separated concat (codegen'd, oracle-expressible as
+    * `md5(concat_ws('|', ...))` in DuckDB).
+    */
+  def canonicalChecksum(cols: Column*): Column = md5(concat_ws("|", cols: _*))
+
+  /** Synthetic `T000000` timestamps mark backfilled data
+    * (`backfill/api_to_gcs-backfill.py:138-140`); duplicate resolution
+    * prefers live captures (`api_to_gcs-checker.py:145-150`).
+    */
+  def isSyntheticTs(c: Column): Column = c.endsWith("T000000")
+}
