@@ -28,8 +28,32 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F. analytical core (sales_to_bq)
     "itens_fact" -> ((s, dir) => Facts.itensFact(tune(s), dir)),
     "pedidos_fact" -> ((s, dir) => Facts.pedidosFact(tune(s), dir)),
+    // E/G/C/F11. quality + reconciliation (data_validation, backfill)
+    "ids_distinct" -> ((s, dir) => Quality.idsDistinct(tune(s), dir)),
+    "recon_sets" -> ((s, dir) => Quality.reconSets(tune(s), dir)),
+    "set_equality" -> ((s, dir) => Quality.setEquality(tune(s), dir)),
+    "dup_resolution" -> ((s, dir) => Quality.dupResolution(tune(s), dir)),
+    "anti_join_dedupe" -> ((s, dir) => Quality.antiJoinDedupe(tune(s), dir)),
+    "file_groups" -> ((s, dir) => Quality.fileGroups(tune(s), dir)),
+    "count_verify" -> ((s, dir) => Quality.countVerify(tune(s), dir)),
+    // B/D. raw-zone load transforms (gcs_to_bq, webhook_handler)
+    "raw_unwrap" -> ((s, dir) => RawLoad.rawUnwrap(tune(s), dir)),
+    "raw_explode" -> ((s, dir) => RawLoad.rawExplode(tune(s), dir)),
+    "br_dates" -> ((s, dir) => RawLoad.brDates(tune(s), dir)),
+    "filename_keys" -> ((s, dir) => RawLoad.filenameKeys(tune(s), dir)),
+    "categoria" -> ((s, dir) => RawLoad.categoria(tune(s), dir)),
+    "validate_route" -> ((s, dir) => RawLoad.validateRoute(tune(s), dir)),
+    // A4/E1/J5 + C1-C3. dimension path + enrichment joins
+    "contatos_dim" -> ((s, dir) => Dimensions.contatosDim(tune(s), dir)),
+    "enrich_join" -> ((s, dir) => Dimensions.enrichJoin(tune(s), dir)),
+    "first_match" -> ((s, dir) => Dimensions.firstMatch(tune(s), dir)),
+    // I. event-stream analytics (batch form of the streaming path)
+    "events_window" -> ((s, dir) => EventsOps.eventsWindow(tune(s), dir)),
+    "events_session" -> ((s, dir) => EventsOps.eventsSession(tune(s), dir)),
+    "events_dedupe" -> ((s, dir) => EventsOps.eventsDedupe(tune(s), dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +61,24 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "itens_fact" -> Facts.itensFactSql,
     "pedidos_fact" -> Facts.pedidosFactSql,
+    "ids_distinct" -> Quality.idsDistinctSql,
+    "recon_sets" -> Quality.reconSetsSql,
+    "set_equality" -> Quality.setEqualitySql,
+    "dup_resolution" -> Quality.dupResolutionSql,
+    "anti_join_dedupe" -> Quality.antiJoinDedupeSql,
+    "file_groups" -> Quality.fileGroupsSql,
+    "count_verify" -> Quality.countVerifySql,
+    "raw_unwrap" -> RawLoad.rawUnwrapSql,
+    "raw_explode" -> RawLoad.rawExplodeSql,
+    "br_dates" -> RawLoad.brDatesSql,
+    "filename_keys" -> RawLoad.filenameKeysSql,
+    "categoria" -> RawLoad.categoriaSql,
+    "validate_route" -> RawLoad.validateRouteSql,
+    "contatos_dim" -> Dimensions.contatosDimSql,
+    "enrich_join" -> Dimensions.enrichJoinSql,
+    "first_match" -> Dimensions.firstMatchSql,
+    "events_window" -> EventsOps.eventsWindowSql,
+    "events_session" -> EventsOps.eventsSessionSql,
+    "events_dedupe" -> EventsOps.eventsDedupeSql,
   )
 }

@@ -26,7 +26,18 @@ object Tables {
   def supplier(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "supplier")
   def nation(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright. Read nanos as raw long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to micros —
+    * identical to DuckDB's `CAST(ts AS TIMESTAMP)` ns→µs truncation, which
+    * every events oracle mirrors.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, sfDir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "embeddings")
 }

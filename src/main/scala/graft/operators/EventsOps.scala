@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.{Exprs, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics in their batch form — tumbling windows, session
+  * windows, and exactly-once dedupe (SURVEY.md §2 I4/I6, G2). The same
+  * transformations run under Structured Streaming in
+  * [[graft.streaming.Streaming]]; keeping them here as batch queries gives
+  * them a DuckDB oracle (batch/streaming unification — one code path).
+  *
+  * Scale notes: windowed aggregation shuffles once on (window, key);
+  * `session_window` uses Spark's native session-merge aggregation (one
+  * shuffle on user_id) rather than a driver-side gaps-and-islands pass.
+  */
+object EventsOps {
+
+  /** I6 — tumbling 1-hour window aggregate over the event stream. */
+  def eventsWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exprs.r4(sum(col("value"))).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  val eventsWindowSql: String =
+    """SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS window_start,
+      |  event_type, count(*) AS n,
+      |  floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** I6 — session windows (30-minute inactivity gap) per user. Session end =
+    * last event + gap, matching Spark `session_window` semantics. */
+  def eventsSession(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Exprs.r4(sum(col("value"))).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("session_start"),
+        unix_timestamp(col("sw.end")).as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  val eventsSessionSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                      >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |s AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id,
+      |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+      |  CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end,
+      |  count(*) AS n_events,
+      |  floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  /** I4/G2 — exactly-once dedupe on the event id after a double-delivery
+    * (`dropDuplicates` is what the streaming path uses with a watermark). */
+  def eventsDedupe(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.unionByName(ev) // simulate at-least-once double delivery
+      .dropDuplicates(Seq("event_id"))
+      .select(col("event_id"), col("event_type"), col("user_id"))
+      .orderBy("event_id")
+  }
+
+  val eventsDedupeSql: String =
+    """SELECT DISTINCT event_id, event_type, user_id FROM events ORDER BY event_id""".stripMargin
+}

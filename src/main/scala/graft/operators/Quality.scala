@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.{Exprs, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality / reconciliation operators — the reference's
+  * `data_validation/` + `backfill/` set-algebra semantics (SURVEY.md §2
+  * E2-E4, G1-G2, C4-C6, F11) as declarative Spark plans.
+  *
+  * Scale notes:
+  *  - `except`/`left_anti` compile to shuffle-partitioned hash anti-joins;
+  *    both sides are pre-projected to the single key column so the shuffle
+  *    moves keys only (bytes ∝ |keys|, not row width).
+  *  - G1's duplicate resolution is a single `row_number` window — one hash
+  *    shuffle on `dados_id`, no driver-side grouping (the reference loops
+  *    over folder lists in Python; `api_to_gcs-checker.py:130-173`).
+  *  - C5's file-group assembly is a conditional-aggregation pivot: one
+  *    map-side-combinable hash aggregate instead of a per-folder list scan
+  *    (`backfill/gcs_to_pupsub.py:64-83`).
+  */
+object Quality {
+
+  /** E2 — distinct key-set extraction (`backfill/api_to_gcs-backfill.py:128-136`). */
+  def idsDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("cust_id")).distinct().orderBy("cust_id")
+
+  val idsDistinctSql: String =
+    "SELECT DISTINCT o_custkey AS cust_id FROM orders ORDER BY cust_id"
+
+  /** E3/C6 — cross-store set reconciliation: ids present on only one side,
+    * tagged (`data_validation/gcs_to_bq-checker.py:37-60`). */
+  def reconSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey").as("id"))
+    val o = Tables.orders(spark, sfDir).select(col("o_custkey").as("id"))
+    c.except(o).withColumn("side", lit("customer_only"))
+      .unionByName(o.except(c).withColumn("side", lit("orders_only")))
+      .orderBy("side", "id")
+  }
+
+  val reconSetsSql: String =
+    """SELECT id, side FROM (
+      |  SELECT id, 'customer_only' AS side FROM
+      |    (SELECT c_custkey AS id FROM customer EXCEPT SELECT o_custkey AS id FROM orders)
+      |  UNION ALL
+      |  SELECT id, 'orders_only' AS side FROM
+      |    (SELECT o_custkey AS id FROM orders EXCEPT SELECT c_custkey AS id FROM customer))
+      |ORDER BY side, id""".stripMargin
+
+  /** E4 — set-equality summary between two key sets
+    * (`data_validation/api_to_gcs-checker.py:73-79`): one row with the size
+    * of each one-sided difference and the equality verdict. */
+  def setEquality(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = Tables.orders(spark, sfDir).select(col("o_orderkey").as("id"))
+      .distinct().withColumn("in_a", lit(1))
+    val b = Tables.lineitem(spark, sfDir).select(col("l_orderkey").as("id"))
+      .distinct().withColumn("in_b", lit(1))
+    a.join(b, Seq("id"), "full_outer").agg(
+      sum(when(col("in_b").isNull, 1L).otherwise(0L)).cast("long").as("only_orders"),
+      sum(when(col("in_a").isNull, 1L).otherwise(0L)).cast("long").as("only_lineitem"))
+      .withColumn("sets_equal", col("only_orders") === 0 && col("only_lineitem") === 0)
+  }
+
+  val setEqualitySql: String =
+    """SELECT
+      |  CAST(SUM(CASE WHEN b.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_orders,
+      |  CAST(SUM(CASE WHEN a.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_lineitem,
+      |  (SUM(CASE WHEN b.id IS NULL THEN 1 ELSE 0 END) = 0
+      |   AND SUM(CASE WHEN a.id IS NULL THEN 1 ELSE 0 END) = 0) AS sets_equal
+      |FROM (SELECT DISTINCT o_orderkey AS id FROM orders) a
+      |FULL OUTER JOIN (SELECT DISTINCT l_orderkey AS id FROM lineitem) b ON a.id = b.id""".stripMargin
+
+  /** G1 — duplicate-group resolution: one survivor per `dados_id`, preferring
+    * live captures over synthetic-`T000000` backfills, then earliest
+    * timestamp (`data_validation/api_to_gcs-checker.py:130-173`). Folder set
+    * synthesized from `orders` with forced key collisions. */
+  def dupResolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val folders = Tables.orders(spark, sfDir).select(
+      (col("o_orderkey") % 2000).as("dados_id"),
+      col("o_orderkey").as("folder_id"),
+      concat(date_format(col("o_orderdate"), "yyyyMMdd"),
+        when(col("o_orderkey") % 4 === 0, lit("T000000"))
+          .otherwise(concat(lit("T"),
+            lpad((col("o_orderkey") % 86400).cast("string"), 6, "0")))).as("ts"))
+    val w = Window.partitionBy("dados_id")
+      .orderBy(col("is_synth").asc, col("ts").asc, col("folder_id").asc)
+    folders
+      .withColumn("is_synth", Exprs.isSyntheticTs(col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("dados_id", "folder_id", "ts")
+      .orderBy("dados_id")
+  }
+
+  val dupResolutionSql: String =
+    """WITH folders AS (
+      |  SELECT o_orderkey % 2000 AS dados_id, o_orderkey AS folder_id,
+      |    strftime(o_orderdate, '%Y%m%d') ||
+      |      CASE WHEN o_orderkey % 4 = 0 THEN 'T000000'
+      |           ELSE 'T' || lpad(CAST(o_orderkey % 86400 AS VARCHAR), 6, '0') END AS ts
+      |  FROM orders),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY dados_id
+      |    ORDER BY (ts LIKE '%T000000') ASC, ts ASC, folder_id ASC) AS rn
+      |  FROM folders)
+      |SELECT dados_id, folder_id, ts FROM r WHERE rn = 1 ORDER BY dados_id""".stripMargin
+
+  /** C4/G2 — anti-join against an already-processed key set
+    * (`backfill/api_to_gcs-backfill.py:217-240`). */
+  def antiJoinDedupe(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val processed = orders.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("dados_id"))
+    orders.select(col("o_orderkey").as("dados_id"), col("o_totalprice"))
+      .join(processed, Seq("dados_id"), "left_anti")
+      .orderBy("dados_id")
+  }
+
+  val antiJoinDedupeSql: String =
+    """SELECT o_orderkey AS dados_id, o_totalprice FROM orders
+      |WHERE o_orderkey % 7 <> 0 ORDER BY dados_id""".stripMargin
+
+  /** C5 — per-folder file-group assembly as a conditional-agg pivot
+    * (`backfill/gcs_to_pupsub.py:64-83`): one pdv + one pesquisa file, a
+    * sorted produto file list, per folder. */
+  def fileGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val files = Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey").as("folder"),
+      when(col("l_linenumber") % 3 === 0, lit("pdv"))
+        .when(col("l_linenumber") % 3 === 1, lit("pesquisa"))
+        .otherwise(lit("produto")).as("dtype"),
+      concat(lit("f"), col("l_linenumber").cast("string")).as("content"))
+    files.groupBy("folder").agg(
+      max(when(col("dtype") === "pdv", col("content"))).as("pdv_file"),
+      max(when(col("dtype") === "pesquisa", col("content"))).as("pesquisa_file"),
+      concat_ws(",", sort_array(collect_list(
+        when(col("dtype") === "produto", col("content"))))).as("produto_files"),
+      count(lit(1)).as("n_files"))
+      .orderBy("folder")
+  }
+
+  val fileGroupsSql: String =
+    """WITH files AS (
+      |  SELECT l_orderkey AS folder,
+      |    CASE WHEN l_linenumber % 3 = 0 THEN 'pdv'
+      |         WHEN l_linenumber % 3 = 1 THEN 'pesquisa'
+      |         ELSE 'produto' END AS dtype,
+      |    'f' || CAST(l_linenumber AS VARCHAR) AS content
+      |  FROM lineitem)
+      |SELECT folder,
+      |  max(CASE WHEN dtype = 'pdv' THEN content END) AS pdv_file,
+      |  max(CASE WHEN dtype = 'pesquisa' THEN content END) AS pesquisa_file,
+      |  COALESCE(array_to_string(list_sort(list(content) FILTER (WHERE dtype = 'produto')), ','), '') AS produto_files,
+      |  count(*) AS n_files
+      |FROM files GROUP BY folder ORDER BY folder""".stripMargin
+
+  /** F11 — post-action count verification (`api_to_gcs-checker.py:121-128`). */
+  def countVerify(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).filter(col("value") > 100)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val countVerifySql: String =
+    """SELECT event_type, count(*) AS n FROM events
+      |WHERE value > 100 GROUP BY event_type ORDER BY event_type""".stripMargin
+}
