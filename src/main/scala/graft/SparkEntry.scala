@@ -54,6 +54,22 @@ object SparkEntry {
     "events_window" -> ((s, dir) => EventsOps.eventsWindow(tune(s), dir)),
     "events_session" -> ((s, dir) => EventsOps.eventsSession(tune(s), dir)),
     "events_dedupe" -> ((s, dir) => EventsOps.eventsDedupe(tune(s), dir)),
+    // Extension: text analysis over documents
+    "text_stats" -> ((s, dir) => TextOps.textStats(tune(s), dir)),
+    "lang_id" -> ((s, dir) => TextOps.langId(tune(s), dir)),
+    "token_count" -> ((s, dir) => TextOps.tokenCount(tune(s), dir)),
+    "fingerprint" -> ((s, dir) => TextOps.fingerprint(tune(s), dir)),
+    // Extension: deduplication
+    "dedup_exact" -> ((s, dir) => Dedup.dedupExact(tune(s), dir)),
+    "dedup_minhash" -> ((s, dir) => Dedup.dedupMinhash(tune(s), dir)),
+    "dedup_jaccard" -> ((s, dir) => Dedup.dedupJaccard(tune(s), dir)),
+    "dedup_simhash" -> ((s, dir) => Dedup.dedupSimhash(tune(s), dir)),
+    "dedup_embedding" -> ((s, dir) => Dedup.dedupEmbedding(tune(s), dir)),
+    // Extension: similarity search
+    "ann_topk" -> ((s, dir) => Similarity.annTopk(tune(s), dir)),
+    "ann_ivf" -> ((s, dir) => Similarity.annIvf(tune(s), dir)),
+    // Extension: multimodal column plumbing (decode stubbed)
+    "multimodal_features" -> ((s, dir) => Multimodal.multimodalFeatures(tune(s), dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -80,5 +96,17 @@ object SparkEntry {
     "events_window" -> EventsOps.eventsWindowSql,
     "events_session" -> EventsOps.eventsSessionSql,
     "events_dedupe" -> EventsOps.eventsDedupeSql,
+    "text_stats" -> TextOps.textStatsSql,
+    "lang_id" -> TextOps.langIdSql,
+    "token_count" -> TextOps.tokenCountSql,
+    "fingerprint" -> TextOps.fingerprintSql,
+    "dedup_exact" -> Dedup.dedupExactSql,
+    "dedup_minhash" -> Dedup.dedupMinhashSql,
+    "dedup_jaccard" -> Dedup.dedupJaccardSql,
+    "dedup_simhash" -> Dedup.dedupSimhashSql,
+    "dedup_embedding" -> Dedup.dedupEmbeddingSql,
+    "ann_topk" -> Similarity.annTopkSql,
+    "ann_ivf" -> Similarity.annIvfSql,
+    "multimodal_features" -> Multimodal.multimodalFeaturesSql,
   )
 }

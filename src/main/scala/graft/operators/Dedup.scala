@@ -1,0 +1,209 @@
+package graft.operators
+
+import graft.{Exprs, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline — exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup (BASELINE.json
+  * extension surface).
+  *
+  * Scale notes — these are the operators where naive designs die at 100 TB:
+  *  - exact dedupe is a hash aggregate on `md5(text)` — one shuffle of
+  *    (hash, id), never of the text payload.
+  *  - MinHash candidates come from an equi-join on LSH band signatures —
+  *    cost ∝ Σ bucket², never the all-pairs O(n²) cross join.
+  *  - Jaccard verification runs ONLY on LSH candidates (the classic
+  *    generate-then-verify shape).
+  *  - the embedding near-dup self-join is blocked on the cluster label
+  *    (IVF-style coarse quantization) so each partition compares ~n/k rows.
+  *  - all hashes are md5-derived integer arithmetic — portable, so the
+  *    DuckDB oracle replays bit-identical signatures.
+  */
+object Dedup {
+
+  /** Exact dedupe: group by content hash, keep the lowest id as canonical. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("h", md5(col("text")))
+      .groupBy("h")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select("canonical_id", "h", "n_copies")
+      .orderBy("canonical_id")
+
+  val dedupExactSql: String =
+    """SELECT min(doc_id) AS canonical_id, md5(text) AS h, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin
+
+  /** 3-word shingles of the text (whole text if shorter than 3 words). */
+  private val shinglesExpr =
+    "transform(sequence(1, greatest(size(words) - 2, 1)), i -> concat_ws(' ', slice(words, i, 3)))"
+
+  /** 16 minhash signatures, computed relationally: shingles exploded to
+    * rows, ONE md5 per shingle row, then all 16 affine hashes
+    * h_k(s) = (a_k·m(s) + b_k) mod 2^31-1 (a_k = 12582917k+1,
+    * b_k = 4256249k) as map-side-combinable `min` aggregates in a single
+    * groupBy. A nested-lambda formulation (transform over k × transform
+    * over shingles) recomputes the md5 16× per shingle after Catalyst
+    * inlines the hash array into the lambda — measured 20× slower. One
+    * shuffle of (doc_id, 16 longs); at 100 TB this is the standard
+    * distributed minhash shape. */
+  private def minhashSignatures(docs: DataFrame): DataFrame = {
+    val shingleRows = docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", expr(shinglesExpr))
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("h"))
+    val minAggs = (0 until 16).map { k =>
+      min(pmod(col("h") * lit(12582917L * k + 1) + lit(4256249L * k),
+        lit(2147483647L))).as(s"mh$k")
+    }
+    shingleRows.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 16).map(k => col(s"mh$k")): _*).as("mh"))
+  }
+
+  /** 4 LSH bands of 4 minhash rows each, md5-compressed to a band signature. */
+  private val bandsExpr =
+    """transform(sequence(0, 3), j -> md5(concat_ws(',',
+      |  transform(slice(mh, j * 4 + 1, 4), x -> cast(x as string)))))""".stripMargin
+
+  /** MinHash + LSH banding → candidate near-dup pairs. The join key is
+    * (band index, band signature): only documents colliding in some band are
+    * ever paired. */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = minhashSignatures(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), posexplode(expr(bandsExpr)).as(Seq("band", "sig")))
+    bands.as("a").join(bands.as("b"),
+      col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val minhashOracleCte: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |sh AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+      |         i -> array_to_string(list_slice(words, i, i + 2), ' ')) AS shingles FROM w),
+      |sg AS (SELECT doc_id, list_transform(generate_series(0, 15),
+      |         k -> list_min(list_transform(shingles,
+      |           s -> (CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)
+      |                 * (12582917 * k + 1) + 4256249 * k) % 2147483647))) AS mh FROM sh),
+      |bands AS (SELECT doc_id, j.j AS band,
+      |            md5(array_to_string(list_transform(list_slice(mh, j.j * 4 + 1, j.j * 4 + 4),
+      |              x -> CAST(x AS VARCHAR)), ',')) AS sig
+      |          FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j)""".stripMargin
+
+  val dedupMinhashSql: String =
+    s"""WITH $minhashOracleCte
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Exact n-gram Jaccard verification over the MinHash candidate pairs
+    * (generate-then-verify): J = |A∩B| / |A∪B| on distinct-shingle sets. */
+  def dedupJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = Tables.documents(spark, sfDir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", expr(shinglesExpr))
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sset"))
+    val jac = Exprs.r4(
+      size(array_intersect(col("a.sset"), col("b.sset"))).cast("double")
+        / size(array_union(col("a.sset"), col("b.sset"))))
+    dedupMinhash(spark, sfDir)
+      .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupJaccardSql: String =
+    s"""WITH $minhashOracleCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    floor(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.sset, sb.sset))) * 10000 + 0.5) / 10000 AS jaccard
+       |  FROM cand JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** 32-bit SimHash: per-word md5-derived hash, signed bit votes, sign →
+    * signature bit. Near-dups then differ in few bits (hamming). */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("hs", expr(
+        "transform(words, w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"))
+      .select(col("doc_id"),
+        expr(
+          """aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) -> acc +
+            |  CASE WHEN aggregate(hs, cast(0 as bigint),
+            |    (a, h) -> a + CASE WHEN (h div cast(pow(2, j) as bigint)) % 2 = 1
+            |                       THEN 1 ELSE -1 END) > 0
+            |  THEN cast(pow(2, j) as bigint) ELSE 0 END)""".stripMargin).as("simhash"),
+        size(col("words")).cast("long").as("n_words"))
+      .orderBy("doc_id")
+
+  val dedupSimhashSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words,
+      |    list_transform(string_split(text, ' '),
+      |      w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)) AS hs
+      |  FROM documents)
+      |SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(0, 31), j ->
+      |      CASE WHEN list_sum(list_transform(hs,
+      |             h -> CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+      |                       THEN 1 ELSE -1 END)) > 0
+      |           THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)),
+      |    (acc, x) -> acc + x) AS simhash,
+      |  CAST(len(words) AS BIGINT) AS n_words
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Embedding-cosine near-dup: self-join blocked on the cluster label
+    * (coarse IVF cell), exact cosine inside each block. */
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    // norm precomputed per vector BEFORE the pair join — it crosses the
+    // shuffle materialized, so each ||v|| is one fold total, not one per pair
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0d), (acc, x) => acc + x)))
+    val dot = aggregate(
+      zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+    e.as("a").join(e.as("b"),
+      col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Exprs.r4(dot / (col("a.n") * col("b.n"))).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val dedupEmbeddingSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64),
+      |      i -> a.v[i] * b.v[i])), (acc, x) -> acc + x) AS dot,
+      |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(a.v, x -> x * x)),
+      |      (acc, x) -> acc + x)) AS na,
+      |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(b.v, x -> x * x)),
+      |      (acc, x) -> acc + x)) AS nb
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, floor(dot / (na * nb) * 10000 + 0.5) / 10000 AS cos
+      |FROM p WHERE floor(dot / (na * nb) * 10000 + 0.5) / 10000 >= 0.35
+      |ORDER BY vec_a, vec_b""".stripMargin
+}

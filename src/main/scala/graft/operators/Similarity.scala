@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.{Exprs, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (BASELINE.json extension surface): brute-force cosine top-k as the exact
+  * baseline, and an IVF-style two-stage search as the scale path.
+  *
+  * Scale notes:
+  *  - brute force broadcasts the (small) query set and streams the corpus —
+  *    a BroadcastNestedLoopJoin whose cost is |corpus|·|queries|, fully
+  *    parallel over corpus partitions, no shuffle of the corpus.
+  *  - IVF first routes each query to its nearest coarse cell (label
+  *    centroid), then scans ONLY that cell: per-query cost drops from n to
+  *    ~n/k. At 100 TB the cells are parquet partitions and routing becomes
+  *    partition pruning.
+  *  - dot/norm are `aggregate`/`zip_with` left folds over array<double> —
+  *    codegen'd, deterministic evaluation order (the DuckDB oracle replays
+  *    the identical fold).
+  */
+object Similarity {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0d), (acc, x) => acc + x))
+  private def cos(a: Column, b: Column): Column =
+    Exprs.r4(dot(a, b) / (norm(a) * norm(b)))
+
+  /** Brute-force exact cosine top-5 for each query vector (every 200th id).
+    * Norms are precomputed per side so each ||v|| is one fold total, not one
+    * per (query, target) pair. */
+  def annTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", norm(col("v")))
+    val q = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Exprs.r4(dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("target_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val cosSqlFragment =
+    """floor(
+      |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64),
+      |    i -> QV[i] * TV[i])), (acc, x) -> acc + x)
+      |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(QV, x -> x * x)),
+      |       (acc, x) -> acc + x))
+      |     * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(TV, x -> x * x)),
+      |       (acc, x) -> acc + x))) * 10000 + 0.5) / 10000""".stripMargin
+
+  val annTopkSql: String = {
+    val c = cosSqlFragment.replace("QV", "q.v").replace("TV", "t.v")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, t.vec_id,
+       |    $c AS cos
+       |  FROM e t JOIN e q ON q.vec_id % 200 = 0 AND t.vec_id <> q.vec_id),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS target_id, cos
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF two-stage ANN: (1) build per-label centroids, (2) route each query
+    * to its nearest centroid, (3) exact top-3 inside that cell only. */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", norm(col("v")))
+    // (1) coarse centroids: per-dimension mean, rounded for determinism
+    val centroids = e
+      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(Exprs.r4(avg(col("x"))).as("cx"))
+      .groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(i, cx))), p -> p.cx)").as("cv"))
+    // (2) route queries
+    val q = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wRoute = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("label").asc)
+    val routed = q.join(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("label"),
+        cos(col("qv"), col("cv")).as("ccos"))
+      .withColumn("rr", row_number().over(wRoute))
+      .filter(col("rr") === 1)
+      .select(col("query_id"), col("qv"), norm(col("qv")).as("qn"),
+        col("label").as("cell"))
+    // (3) exact search inside the routed cell
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(routed),
+      col("label") === col("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("cell"), col("vec_id"),
+        Exprs.r4(dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("cell").cast("long").as("cell"),
+        col("rank").cast("long").as("rank"), col("vec_id").as("target_id"),
+        col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfSql: String = {
+    val routeCos = cosSqlFragment.replace("QV", "q.qv").replace("TV", "c.cv")
+    val cellCos = cosSqlFragment.replace("QV", "r.qv").replace("TV", "t.v")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cd AS (
+       |  SELECT label, i.i AS i, floor(avg(v[i.i]) * 10000 + 0.5) / 10000 AS cx
+       |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+       |  GROUP BY label, i.i),
+       |cent AS (SELECT label, list(cx ORDER BY i) AS cv FROM cd GROUP BY label),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 200 = 0),
+       |routed0 AS (
+       |  SELECT q.query_id, q.qv, c.label,
+       |    $routeCos AS ccos
+       |  FROM q CROSS JOIN cent c),
+       |routed AS (
+       |  SELECT query_id, qv, label AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ccos DESC, label ASC) AS rr
+       |    FROM routed0) WHERE rr = 1),
+       |scored AS (
+       |  SELECT r.query_id, r.cell, t.vec_id,
+       |    $cellCos AS cos
+       |  FROM e t JOIN routed r ON t.label = r.cell AND t.vec_id <> r.query_id),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(cell AS BIGINT) AS cell, CAST(rank AS BIGINT) AS rank,
+       |  vec_id AS target_id, cos
+       |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+}

@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.{Exprs, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline (the
+  * BASELINE.json extension surface, beyond the reference's own operators):
+  * quality scoring, language identification, token counting, and document
+  * fingerprinting over the `documents` table.
+  *
+  * Scale notes: every operator is a narrow per-row map over codegen'd
+  * built-ins (split / filter / aggregate / regexp) — no UDFs, no shuffle
+  * except the presentation sort. At 100 TB these run at scan speed with
+  * full column pruning (only `doc_id`, `text` are read).
+  */
+object TextOps {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Portable 32-bit numeric hash: first 8 hex chars of md5, as a long.
+    * Identical in DuckDB as `CAST(('0x' || substr(md5(s),1,8)) AS BIGINT)`. */
+  def md5num(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Quality scoring — length / punctuation / stopword / vocabulary-diversity
+    * signals plus a composite score, one pass over the text. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w).cast("long")
+    val stop = array(Seq("the", "a", "of", "and", "is").map(lit): _*)
+    val nStop = size(filter(w, x => array_contains(stop, x))).cast("long")
+    val punct = (length(col("text"))
+      - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast("long")
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      nWords.as("n_words"),
+      size(array_distinct(w)).cast("long").as("n_distinct_words"),
+      Exprs.r4(length(regexp_replace(col("text"), " ", "")).cast("double") / nWords)
+        .as("avg_word_len"),
+      Exprs.r4(nStop.cast("double") / nWords).as("stopword_ratio"),
+      Exprs.r4(punct.cast("double") / length(col("text"))).as("punct_ratio"),
+      Exprs.r4(
+        least(lit(1d), nWords.cast("double") / 50)
+          * (lit(1d) - punct.cast("double") / length(col("text")))
+          * (lit(0.5) + lit(0.5) * size(array_distinct(w)).cast("double") / nWords))
+        .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val textStatsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS w,
+      |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS punct
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(w) AS BIGINT) AS n_words,
+      |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+      |  floor(CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / len(w) * 10000 + 0.5) / 10000 AS avg_word_len,
+      |  floor(CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) AS DOUBLE) / len(w) * 10000 + 0.5) / 10000 AS stopword_ratio,
+      |  floor(CAST(punct AS DOUBLE) / length(text) * 10000 + 0.5) / 10000 AS punct_ratio,
+      |  floor(least(1.0, CAST(len(w) AS DOUBLE) / 50)
+      |    * (1.0 - CAST(punct AS DOUBLE) / length(text))
+      |    * (0.5 + 0.5 * CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 10000 + 0.5) / 10000 AS quality_score
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Language ID — stopword-signature heuristic: count hits against per-
+    * language function-word lists, argmax with deterministic alphabetical
+    * tie-break. (An n-gram variant over 100 TB would sample; signature
+    * lookup is the same per-row map.) */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = words(col("text"))
+    def score(sig: Seq[String]): Column =
+      size(filter(w, x => array_contains(array(sig.map(lit): _*), x))).cast("long")
+    val sDe = score(Seq("der", "die", "das", "und", "ist"))
+    val sEn = score(Seq("the", "a", "and", "of", "is"))
+    val sEs = score(Seq("el", "la", "de", "que", "y"))
+    val sFr = score(Seq("le", "la", "de", "et", "les"))
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("lang").as("lang_declared"),
+      sDe.as("s_de"), sEn.as("s_en"), sEs.as("s_es"), sFr.as("s_fr"))
+      .withColumn("lang_pred",
+        when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es")
+          && col("s_de") >= col("s_fr"), lit("de"))
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), lit("en"))
+          .when(col("s_es") >= col("s_fr"), lit("es"))
+          .otherwise(lit("fr")))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang AS lang_declared, string_split(text, ' ') AS w FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang_declared,
+      |    CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS s_de,
+      |    CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS s_en,
+      |    CAST(len(list_filter(w, x -> list_contains(['el','la','de','que','y'], x))) AS BIGINT) AS s_es,
+      |    CAST(len(list_filter(w, x -> list_contains(['le','la','de','et','les'], x))) AS BIGINT) AS s_fr
+      |  FROM t)
+      |SELECT doc_id, lang_declared, s_de, s_en, s_es, s_fr,
+      |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |       WHEN s_es >= s_fr THEN 'es'
+      |       ELSE 'fr' END AS lang_pred
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Token counting — whitespace tokens plus a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single punctuation). */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
+        .as("n_re_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_re_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting — an order-insensitive normalized fingerprint
+    * (md5 of the sorted distinct vocabulary) and an order-sensitive rolling
+    * polynomial hash over per-word 32-bit hashes, mod 1e9+7. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = words(col("text"))
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(w)))).as("fp_norm"),
+      aggregate(
+        transform(w, x => conv(substring(md5(x), 1, 8), 16, 10).cast("long")),
+        lit(0L),
+        (acc, x) => pmod(acc * 31 + x, lit(1000000007L))).as("fp_roll"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_norm,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ' '),
+      |        x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_roll
+      |FROM documents ORDER BY doc_id""".stripMargin
+}
