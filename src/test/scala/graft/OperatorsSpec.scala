@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Invariant tests over the operator outputs on sf0.001 (SURVEY.md §5
+  * layer 2 — the reference's `data_validation/` semantics as assertions). */
+class OperatorsSpec extends SparkSuite {
+
+  test("F7: per-order allocated discounts sum to the header discount") {
+    val itens = Facts.itensFact(spark, sfDir)
+    val hdr = Tables.orders(spark, sfDir).select(
+      col("o_orderkey"),
+      Exprs.parseDesconto(Facts.descontoPedidoStr, col("o_totalprice")).as("dp"))
+    val sums = itens.groupBy("l_orderkey")
+      .agg(sum("desconto_alocado").as("alloc"))
+      .join(hdr, col("l_orderkey") === col("o_orderkey"))
+      // r4 rounds each item to 1e-4, so a 7-item order can drift ~4e-4
+    val bad = sums.filter(abs(col("alloc") - col("dp")) > 0.01).count()
+    assert(bad == 0)
+  }
+
+  test("itens fact preserves lineitem grain (C2 inner join, full part coverage)") {
+    val n = Facts.itensFact(spark, sfDir).count()
+    assert(n == Tables.lineitem(spark, sfDir).count())
+  }
+
+  test("F10: valor_lucro == valor_faturado - custo_total rowwise") {
+    val bad = Facts.pedidosFact(spark, sfDir)
+      .filter(abs(col("valor_lucro") - (col("valor_faturado") - col("custo_total"))) > 1e-3)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("G1: exactly one survivor per dados_id, live beats synthetic") {
+    val res = Quality.dupResolution(spark, sfDir)
+    assert(res.groupBy("dados_id").count().filter(col("count") > 1).count() == 0)
+    // every group that contains a live capture must elect a live survivor
+    val folders = Tables.orders(spark, sfDir).select(
+      (col("o_orderkey") % 2000).as("dados_id"),
+      (col("o_orderkey") % 4 === 0).as("synth"))
+    val liveGroups = folders.filter(!col("synth")).select("dados_id").distinct()
+    val syntheticSurvivors = res.filter(Exprs.isSyntheticTs(col("ts")))
+      .join(liveGroups, "dados_id")
+    assert(syntheticSurvivors.count() == 0)
+  }
+
+  test("C4: anti-join removes every processed key") {
+    assert(Quality.antiJoinDedupe(spark, sfDir)
+      .filter(col("dados_id") % 7 === 0).count() == 0)
+  }
+
+  test("E4: set-equality verdict matches except-based recount") {
+    val row = Quality.setEquality(spark, sfDir).collect()(0)
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey").as("id"))
+    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey").as("id"))
+    assert(row.getAs[Long]("only_orders") == o.except(l).count())
+    assert(row.getAs[Long]("only_lineitem") == l.except(o).count())
+  }
+
+  test("dedup_exact partitions the corpus: copies sum to doc count") {
+    val res = Dedup.dedupExact(spark, sfDir)
+    val total = res.agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total == Tables.documents(spark, sfDir).count())
+  }
+
+  test("dedup_jaccard pairs are ordered, thresholded minhash candidates") {
+    val jac = Dedup.dedupJaccard(spark, sfDir)
+    assert(jac.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(jac.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).count() == 0)
+    val cand = Dedup.dedupMinhash(spark, sfDir)
+    assert(jac.join(cand, Seq("doc_a", "doc_b"), "left_anti").count() == 0)
+  }
+
+  test("simhash is deterministic across plans") {
+    val a = Dedup.dedupSimhash(spark, sfDir).collect()
+    val b = Dedup.dedupSimhash(spark, sfDir).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("ann_topk: 5 ranked neighbors per query, cosine within [-1,1], no self") {
+    val res = Similarity.annTopk(spark, sfDir)
+    val perQuery = res.groupBy("query_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) == 5))
+    assert(res.filter(col("cos") > 1.0 || col("cos") < -1.0).count() == 0)
+    assert(res.filter(col("query_id") === col("target_id")).count() == 0)
+  }
+
+  test("ann_ivf returns a subset of cells consistent with routing") {
+    val res = Similarity.annIvf(spark, sfDir).collect()
+    assert(res.nonEmpty)
+    // each query searches exactly one cell
+    assert(res.groupBy(_.getAs[Long]("query_id"))
+      .forall { case (_, rows) => rows.map(_.getAs[Long]("cell")).distinct.size == 1 })
+  }
+
+  test("multimodal: features are a deterministic function of payload bytes") {
+    val res = Multimodal.multimodalFeatures(spark, sfDir)
+    val bad = res.join(Tables.documents(spark, sfDir), "doc_id")
+      .filter(col("n_bytes") =!= length(col("text")) ||
+        col("width") =!= col("n_bytes") % 640).count()
+    assert(bad == 0)
+    assert(res.count() == Tables.documents(spark, sfDir).count())
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** Streaming-layer spec: validation routing in batch (the function is
+  * source-agnostic) and the watermarked dedupe + fan-out path over a real
+  * file-source stream with `Trigger.AvailableNow` (SURVEY.md §5; the e2e
+  * run is `graft.StreamDemo`). */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("B1/B2 routing: corrupt, missing-field, wrong-tipo, ok") {
+    val rows = Seq(
+      """{"versao":"1.0","cnpj":"1","tipo":"inclusao_pedido","dados":{"id":1,"uuid":"u1","valor":10.0,"event_ts":"2024-01-01 10:00:00"}}""",
+      """{"cnpj":"1","tipo":"inclusao_pedido","dados":{"id":2,"uuid":"u2","valor":10.0,"event_ts":"2024-01-01 10:00:00"}}""",
+      """{"versao":"1.0","cnpj":"1","tipo":"cancelamento","dados":{"id":3,"uuid":"u3","valor":10.0,"event_ts":"2024-01-01 10:00:00"}}""",
+      """not json at all""")
+    val dir = Files.createTempDirectory("route").toString
+    rows.toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val parsed = spark.read.schema(Streaming.webhookSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record").json(dir)
+    val routes = Streaming.withRoute(parsed)
+      .groupBy("route").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(routes == Map("ok" -> 1L, "rejected_400" -> 1L,
+      "ignored" -> 1L, "corrupt" -> 1L))
+  }
+
+  test("streaming dedupe drops duplicate uuids within the watermark") {
+    val work = Files.createTempDirectory("dedupe").toString
+    val payload = (1 to 50).map { i =>
+      s"""{"versao":"1.0","cnpj":"1","tipo":"inclusao_pedido","dados":{"id":$i,"uuid":"u${i % 25}","valor":1.0,"event_ts":"2024-01-01 10:${f"${i % 60}%02d"}:00"}}"""
+    }
+    payload.toDF("value").coalesce(1).write.mode("overwrite").text(s"$work/drop")
+    val q = Streaming.fanOut(
+      Streaming.dedupedValid(Streaming.readWebhookStream(spark, s"$work/drop")),
+      s"$work/raw", s"$work/fact", s"$work/ck")
+    q.awaitTermination()
+    // 50 events over 25 distinct uuids -> 25 survivors
+    assert(spark.read.parquet(s"$work/raw").count() == 25)
+  }
+
+  test("windowed counts equal the batch computation on closed windows") {
+    val ev = Seq(
+      ("2024-01-01 00:10:00", "a", 1.0), ("2024-01-01 00:20:00", "a", 2.0),
+      ("2024-01-01 01:10:00", "b", 3.0), ("2024-01-01 09:00:00", "a", 4.0))
+      .toDF("ts_s", "event_type", "value")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("event_type"), col("value"))
+    // batch mode: windowedCounts is the same code path, no watermark cutoff
+    val res = Streaming.windowedCounts(ev).orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(res.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", "a", 2L, 3.0),
+      ("2024-01-01 01:00:00.0", "b", 1L, 3.0),
+      ("2024-01-01 09:00:00.0", "a", 1L, 4.0)))
+  }
+}
