@@ -70,6 +70,8 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(tune(s), dir)),
     // Extension: multimodal column plumbing (decode stubbed)
     "multimodal_features" -> ((s, dir) => Multimodal.multimodalFeatures(tune(s), dir)),
+    // K/D12: custom Catalyst expression via SparkSessionExtensions
+    "checksum_sorted" -> ((s, dir) => Checksums.checksumSorted(tune(s), dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,5 +110,6 @@ object SparkEntry {
     "ann_topk" -> Similarity.annTopkSql,
     "ann_ivf" -> Similarity.annIvfSql,
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,
+    "checksum_sorted" -> Checksums.checksumSortedSql,
   )
 }

@@ -1,0 +1,21 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** Engine extension point, wired via
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  * Registers the engine's custom expressions with the function registry so
+  * they are usable from both the Column API and SQL text. Everything else
+  * in the engine is stock Catalyst on purpose (SURVEY.md §4: no custom
+  * Rule/Strategy is warranted by the reference's semantics).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("sorted_to_json"),
+      SortedToJson.info,
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedToJson(args.head)))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.{Ingest, Writers}
+import graft.streaming.Streaming
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Specs for the custom expression (D12), sinks (J2/J3/J5/J6), and batch
+  * ingest provenance (A2/D10). */
+class PlansSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("sorted_to_json canonicalises key order at every nesting level") {
+    val r = spark.sql(
+      """SELECT sorted_to_json(named_struct(
+        |  'z', 1L, 'a', 'x"q', 'm', named_struct('y', 2L, 'b', 'v'),
+        |  'arr', array(named_struct('q', 1L, 'p', 2L))))""".stripMargin)
+      .collect()(0).getString(0)
+    assert(r == """{"a":"x\"q","arr":[{"p":2,"q":1}],"m":{"b":"v","y":2},"z":1}""")
+  }
+
+  test("sorted_to_json null field renders as JSON null") {
+    val r = spark.sql("SELECT sorted_to_json(named_struct('b', cast(null as string), 'a', 1L))")
+      .collect()(0).getString(0)
+    assert(r == """{"a":1,"b":null}""")
+  }
+
+  test("J3: clustered write produces day partitions, sorted row groups") {
+    val out = Files.createTempDirectory("clustered").toString + "/t"
+    val df = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    Writers.writeClustered(df, "o_orderdate", Seq("o_custkey", "o_orderkey"), out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("p_date=")))
+    assert(spark.read.parquet(out).count() == df.count())
+  }
+
+  test("J5/J6: overwrite dim then keyed delete with count-verify") {
+    val out = Files.createTempDirectory("dim").toString + "/t"
+    val dim = Tables.customer(spark, sfDir).limit(100)
+    Writers.overwriteDim(dim, out)
+    Writers.overwriteDim(dim, out) // idempotent full refresh
+    assert(spark.read.parquet(out).count() == 100)
+    val doomed = spark.read.parquet(out).select("c_custkey")
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    val remaining = Writers.deleteByKey(spark, out, "c_custkey", doomed)
+    assert(remaining == 0)
+    assert(spark.read.parquet(out).count() == 97)
+  }
+
+  test("A2/D10: raw-zone scan extracts filename keys and processed-id set") {
+    val zone = Files.createTempDirectory("zone").toString
+    val uuid = "0123abcd-0123-abcd-0123-0123456789ab"
+    Seq(101L, 102L, 102L).zipWithIndex.foreach { case (id, i) =>
+      Files.writeString(
+        Paths.get(s"$zone/z316-tiny-api-$id-pdv-2024010${i + 1}T120000-$uuid.json"),
+        s"""{"versao":"1.0","cnpj":"1","tipo":"inclusao_pedido","dados":{"id":$id,"uuid":"u$i","valor":1.0,"event_ts":"2024-01-01 00:00:00"}}""")
+    }
+    val df = Ingest.readRawZone(spark, zone, Streaming.webhookSchema)
+    val keys = Ingest.withFilenameKeys(df)
+    assert(keys.filter(col("dados_id") === "" || col("data_type") =!= "pdv").count() == 0)
+    assert(Ingest.processedIdSet(df).count() == 2)
+  }
+}
