@@ -74,6 +74,14 @@ object StreamDemo {
     wq.awaitTermination()
     val winRows = spark.read.parquet(winDir).count()
 
+    // --- custom keyed state: running totals must equal the batch groupBy
+    val sq = Streaming.statefulQuery(
+      Streaming.dedupedValid(Streaming.readWebhookStream(spark, dropDir)),
+      s"$work/state", s"$work/stateck")
+    sq.awaitTermination()
+    val stateTotal = spark.read.parquet(s"$work/state")
+      .agg(sum("n_events")).collect()(0).getLong(0)
+
     var failed = false
     def check(name: String, cond: Boolean, detail: String): Unit = {
       println(s"[stream-verify] ${if (cond) "OK  " else "FAIL"} $name ($detail)")
@@ -84,6 +92,8 @@ object StreamDemo {
     check("notify uuid count", gotUuids == expected, s"uuids=$gotUuids")
     check("fact event total", factTotal == expected, s"fact=$factTotal")
     check("windowed append emitted", winRows > 0, s"windows=$winRows")
+    check("stateful totals cover all events", stateTotal == expected,
+      s"state=$stateTotal expected=$expected")
     check("raw is day-partitioned",
       new java.io.File(rawDir).listFiles().exists(_.getName.startsWith("event_date=")),
       "partitionBy(event_date)")

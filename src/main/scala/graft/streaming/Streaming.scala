@@ -1,9 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
+
+/** Running per-order accumulator carried across micro-batches. */
+case class OrderState(n: Long, total: Double)
+
+/** Emitted after each micro-batch touches an order. */
+case class OrderUpdate(pedido_id: Long, n_events: Long, valor_total: Double)
 
 /** The reference's event-driven dataflow (SURVEY.md §2 I1-I8, §3.1) as one
   * Structured Streaming pipeline: a JSON drop directory models the webhook/
@@ -91,6 +97,44 @@ object Streaming {
         // conditional downstream notify (I3)
         notifyDir.foreach(d => rows.select("uuid").write.mode("append").parquet(d))
         rows.unpersist()
+        ()
+      }
+      .start()
+
+  /** Custom keyed state beyond what windows/dedupe express
+    * (`mapGroupsWithState` over a `KeyValueGroupedDataset`): a running
+    * per-order total that survives micro-batch boundaries AND query
+    * restarts (state lives in the checkpoint). The reference accumulates
+    * the same totals imperatively per message
+    * (`sales_to_bq/main.py:344-359`); here state is partitioned by order
+    * across executors and recovered from the state store.
+    */
+  def statefulOrderTotals(validated: DataFrame): Dataset[OrderUpdate] = {
+    val spark = validated.sparkSession
+    import spark.implicits._
+    validated
+      .select(col("dados.id").as("pedido_id"), col("dados.valor").as("valor"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[OrderState, OrderUpdate](GroupStateTimeout.NoTimeout) {
+        (id, rows, state) =>
+          var (n, t) = state.getOption.map(s => (s.n, s.total)).getOrElse((0L, 0.0))
+          rows.foreach { r => n += 1; t += r._2 }
+          state.update(OrderState(n, t))
+          OrderUpdate(id, n, t)
+      }
+  }
+
+  /** Runs [[statefulOrderTotals]] to a parquet sink via foreachBatch in
+    * Update mode; each batch appends the refreshed totals for touched keys. */
+  def statefulQuery(validated: DataFrame, outDir: String,
+    checkpointDir: String): StreamingQuery =
+    statefulOrderTotals(validated).writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[OrderUpdate], _: Long) =>
+        batch.write.mode("append").parquet(outDir)
         ()
       }
       .start()

@@ -44,6 +44,30 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$work/raw").count() == 25)
   }
 
+  test("mapGroupsWithState: totals accumulate across query restarts via checkpoint") {
+    val work = Files.createTempDirectory("state").toString
+    def envelope(id: Long, uuid: String, valor: Double): String =
+      s"""{"versao":"1.0","cnpj":"1","tipo":"inclusao_pedido","dados":{"id":$id,"uuid":"$uuid","valor":$valor,"event_ts":"2024-01-01 10:00:00"}}"""
+    // batch 1: order 1 gets 10.0 + 20.0, order 2 gets 5.0
+    Seq(envelope(1, "a", 10.0), envelope(1, "b", 20.0), envelope(2, "c", 5.0))
+      .toDF("value").coalesce(1).write.mode("append").text(s"$work/drop")
+    Streaming.statefulQuery(
+      Streaming.dedupedValid(Streaming.readWebhookStream(spark, s"$work/drop")),
+      s"$work/out", s"$work/ck").awaitTermination()
+    // batch 2 (new files, SAME checkpoint): order 1 gets 30.0 more
+    Seq(envelope(1, "d", 30.0)).toDF("value").coalesce(1)
+      .write.mode("append").text(s"$work/drop")
+    Streaming.statefulQuery(
+      Streaming.dedupedValid(Streaming.readWebhookStream(spark, s"$work/drop")),
+      s"$work/out", s"$work/ck").awaitTermination()
+    val finals = spark.read.parquet(s"$work/out")
+      .groupBy("pedido_id").agg(max("n_events").as("n"), max("valor_total").as("t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // state recovered: order 1 totals 3 events / 60.0 despite the restart
+    assert(finals(1L) == (3L, 60.0))
+    assert(finals(2L) == (1L, 5.0))
+  }
+
   test("windowed counts equal the batch computation on closed windows") {
     val ev = Seq(
       ("2024-01-01 00:10:00", "a", 1.0), ("2024-01-01 00:20:00", "a", 2.0),
