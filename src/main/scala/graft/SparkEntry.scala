@@ -72,6 +72,8 @@ object SparkEntry {
     "multimodal_features" -> ((s, dir) => Multimodal.multimodalFeatures(tune(s), dir)),
     // K/D12: custom Catalyst expression via SparkSessionExtensions
     "checksum_sorted" -> ((s, dir) => Checksums.checksumSorted(tune(s), dir)),
+    // §1.1-2 typed-nested path: fixture-shaped JSON through RawTables + FactsFromRaw
+    "typed_itens_fact" -> ((s, dir) => Typed.typedItensFact(tune(s), dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -111,5 +113,6 @@ object SparkEntry {
     "ann_ivf" -> Similarity.annIvfSql,
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,
     "checksum_sorted" -> Checksums.checksumSortedSql,
+    "typed_itens_fact" -> Typed.typedItensFactSql,
   )
 }
