@@ -74,6 +74,8 @@ object SparkEntry {
     "checksum_sorted" -> ((s, dir) => Checksums.checksumSorted(tune(s), dir)),
     // §1.1-2 typed-nested path: fixture-shaped JSON through RawTables + FactsFromRaw
     "typed_itens_fact" -> ((s, dir) => Typed.typedItensFact(tune(s), dir)),
+    // Scale pattern: salted two-stage aggregation for hot keys
+    "events_salted_agg" -> ((s, dir) => Skew.eventsSaltedAgg(tune(s), dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -114,5 +116,6 @@ object SparkEntry {
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,
     "checksum_sorted" -> Checksums.checksumSortedSql,
     "typed_itens_fact" -> Typed.typedItensFactSql,
+    "events_salted_agg" -> Skew.eventsSaltedAggSql,
   )
 }

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Scale-pattern specs: salting preserves semantics; bucketed co-located
+  * joins eliminate the shuffle entirely (the 100 TB join strategy for
+  * repeatedly-joined fact/dim pairs). */
+class ScaleSpec extends SparkSuite {
+
+  test("salted aggregation equals the direct aggregate on a skewed key") {
+    val ev = Tables.events(spark, sfDir)
+    val salted = Skew.saltedCountSum(ev, col("event_type"), col("event_id"),
+      col("value"), nSalts = 16)
+    val direct = ev.groupBy(col("event_type").as("k"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+    val joined = salted.as("s").join(direct.as("d"), "k")
+      .filter(col("s.n") =!= col("d.n")
+        || abs(col("s.sum_value") - col("d.sum_value")) > 1e-6)
+    assert(joined.count() == 0)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = Files.createTempDirectory("warehouse").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    s2.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    val db = s"b${System.nanoTime()}"
+    s2.sql(s"CREATE DATABASE $db LOCATION '$wh/$db'")
+    s2.sql(s"USE $db")
+    Tables.orders(s2, sfDir).write.format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
+    Tables.lineitem(s2, sfDir).write.format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
+    val joined = s2.table("lineitem_b")
+      .join(s2.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located bucketed join: no Exchange on either side
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free bucketed join, got:\n$plan")
+    assert(joined.count() == Tables.lineitem(s2, sfDir).count())
+  }
+}
