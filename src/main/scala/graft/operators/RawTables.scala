@@ -21,13 +21,26 @@ object RawTables {
       .withColumn("update_timestamp", date_format(current_timestamp(),
         "yyyy-MM-dd'T'HH:mm:ss"))
 
+  /** B3 status gate on a MINIMAL-schema parse. Filtering on a field of the
+    * full-envelope `from_json` gets the whole parse duplicated into the
+    * pushed-down filter condition (measured 2× JSON cost); parsing just the
+    * status for the gate keeps the full parse single, in the projection. */
+  private val statusOnly = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("retorno",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("status_processamento",
+          org.apache.spark.sql.types.StringType))))))
+
+  private def statusGate(raw: DataFrame): DataFrame =
+    raw.filter(from_json(col("json"), statusOnly)
+      .getField("retorno").getField("status_processamento") === "3")
+
   /** `pdv` load: envelope unwrap (D1), top-level date normalize (D6),
     * nested `parcelas[].dataVencimento` normalize via `transform` (D7),
     * lineage (D5). Reference `gcs_to_bq/main.py:258-290`. */
   def pdv(raw: DataFrame): DataFrame = {
-    val p = raw
+    val p = statusGate(raw)
       .withColumn("r", from_json(col("json"), Schemas.pdvEnvelope))
-      .filter(col("r.retorno.status_processamento") === "3")
       .select(col("uuid"), col("file_ts"), col("r.retorno.pedido.*"))
     lineage(p, "pdv")
       .withColumn("data", Exprs.brDate(col("data")))
@@ -39,9 +52,8 @@ object RawTables {
     * empty `data_prevista` dropped to null (D8). Reference
     * `gcs_to_bq/main.py:294-316`. */
   def pesquisa(raw: DataFrame): DataFrame = {
-    val p = raw
+    val p = statusGate(raw)
       .withColumn("r", from_json(col("json"), Schemas.pesquisaEnvelope))
-      .filter(col("r.retorno.status_processamento") === "3")
       .select(col("uuid"), col("file_ts"),
         explode(col("r.retorno.pedidos")).as("p"))
       .select(col("uuid"), col("file_ts"), col("p.pedido.*"))
@@ -53,11 +65,23 @@ object RawTables {
 
   /** `produto` load: envelope unwrap + lineage; empty payloads skipped (B4).
     * Reference `gcs_to_bq/main.py:320-348`. */
+  /** Gate schema for produto adds the B4 empty-payload guard field. */
+  private val produtoGateSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("retorno",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("status_processamento",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("produto",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType)))))))))
+
   def produto(raw: DataFrame): DataFrame = {
+    val gate = from_json(col("json"), produtoGateSchema).getField("retorno")
     val p = raw
+      .filter(gate.getField("status_processamento") === "3"
+        && gate.getField("produto").getField("id").isNotNull)
       .withColumn("r", from_json(col("json"), Schemas.produtoEnvelope))
-      .filter(col("r.retorno.status_processamento") === "3"
-        && col("r.retorno.produto.id").isNotNull)
       .select(col("uuid"), col("file_ts"), col("r.retorno.produto.*"))
     lineage(p, "produto")
   }

@@ -59,7 +59,12 @@ object Typed {
 
   /** Line-item fact through the full typed path. */
   def typedItensFact(spark: SparkSession, sfDir: String): DataFrame = {
-    val pdv = RawTables.pdv(pdvRaw(spark, sfDir))
+    // Exchange barrier after the parse: projection collapse would otherwise
+    // inline the full-envelope from_json into every downstream consumer
+    // (join keys included — measured 3× the JSON cost). The shuffle
+    // materializes parsed rows once, both fact branches read the SAME
+    // reused exchange, and it co-partitions the header⋈items join.
+    val pdv = RawTables.pdv(pdvRaw(spark, sfDir)).repartition(col("id"))
     val produto = RawTables.produto(produtoRaw(spark, sfDir))
     FactsFromRaw.itensPedido(pdv, produto)
       .select(
