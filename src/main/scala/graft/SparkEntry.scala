@@ -65,6 +65,8 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, dir) => Dedup.dedupJaccard(tune(s), dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.dedupSimhash(tune(s), dir)),
     "dedup_embedding" -> ((s, dir) => Dedup.dedupEmbedding(tune(s), dir)),
+    "dedup_embedding_lsh" -> ((s, dir) => Dedup.dedupEmbeddingLsh(tune(s), dir)),
+    "vocab_topk" -> ((s, dir) => TextOps.vocabTopk(tune(s), dir)),
     // Extension: similarity search
     "ann_topk" -> ((s, dir) => Similarity.annTopk(tune(s), dir)),
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(tune(s), dir)),
@@ -111,6 +113,8 @@ object SparkEntry {
     "dedup_jaccard" -> Dedup.dedupJaccardSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
+    "dedup_embedding_lsh" -> Dedup.dedupEmbeddingLshSql,
+    "vocab_topk" -> TextOps.vocabTopkSql,
     "ann_topk" -> Similarity.annTopkSql,
     "ann_ivf" -> Similarity.annIvfSql,
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,

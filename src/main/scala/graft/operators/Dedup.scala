@@ -190,6 +190,71 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Deterministic hyperplane matrix for cosine LSH: plane(j,i) =
+    * (md5num(s"${j}_${i}") % 2001 − 1000)/1000 — reproducible in SQL with
+    * the same md5 arithmetic, so the oracle derives identical buckets. */
+  private[operators] def lshPlanes: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (0 until 8).map(j => (1 to 64).map(i => (h(s"${j}_$i") % 2001 - 1000).toDouble / 1000.0))
+  }
+
+  /** Embedding near-dup WITHOUT labels — the unlabeled-corpus scale path:
+    * 8-bit random-hyperplane LSH bucket per vector (sign of dot with each
+    * plane), candidates from an equi-join on the bucket, exact cosine
+    * verify. Bucket join cost ∝ Σ bucket², never all-pairs. */
+  def dedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0d), (acc, x) => acc + x)))
+      .withColumn("planes", typedLit(lshPlanes))
+      .withColumn("bucket", expr(
+        """aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) -> acc +
+          |  CASE WHEN aggregate(sequence(1, 64), cast(0.0 as double),
+          |    (s, i) -> s + element_at(v, i) * element_at(element_at(planes, j + 1), i)) > 0
+          |  THEN cast(pow(2, j) as bigint) ELSE 0 END)""".stripMargin))
+      .drop("planes")
+    val dot = aggregate(
+      zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+    e.as("a").join(e.as("b"),
+      col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.bucket").as("bucket"),
+        Exprs.r4(dot / (col("a.n") * col("b.n"))).as("cos"))
+      .filter(col("cos") >= 0.2)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val dedupEmbeddingLshSql: String =
+    """WITH e0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(v, x -> x * x)),
+      |      (acc, x) -> acc + x)) AS n,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(0, 7), j ->
+      |        CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+      |          list_transform(generate_series(1, 64), i ->
+      |            v[i] * ((CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0))),
+      |          (s, x) -> s + x) > 0
+      |        THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)),
+      |      (acc, x) -> acc + x) AS bucket
+      |  FROM e0),
+      |p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64),
+      |      i -> a.v[i] * b.v[i])), (acc, x) -> acc + x) / (a.n * b.n) AS c
+      |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, bucket, floor(c * 10000 + 0.5) / 10000 AS cos
+      |FROM p WHERE floor(c * 10000 + 0.5) / 10000 >= 0.2
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   val dedupEmbeddingSql: String =
     """WITH e AS (
       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -125,6 +125,21 @@ object TextOps {
       |  CAST(length(text) AS BIGINT) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary build — corpus-wide token frequencies, top 100 (the first
+    * step of tokenizer training / frequency filtering over a 100 TB corpus;
+    * explode + hash-agg with map-side combine, one shuffle of (token, n)). */
+  def vocabTopk(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(words(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(100)
+
+  val vocabTopkSql: String =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin
+
   /** Document fingerprinting — an order-insensitive normalized fingerprint
     * (md5 of the sorted distinct vocabulary) and an order-sensitive rolling
     * polynomial hash over per-word 32-bit hashes, mod 1e9+7. */
