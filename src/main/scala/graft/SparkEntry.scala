@@ -54,6 +54,7 @@ object SparkEntry {
     "events_window" -> ((s, dir) => EventsOps.eventsWindow(tune(s), dir)),
     "events_session" -> ((s, dir) => EventsOps.eventsSession(tune(s), dir)),
     "events_dedupe" -> ((s, dir) => EventsOps.eventsDedupe(tune(s), dir)),
+    "events_props" -> ((s, dir) => EventsOps.eventsProps(tune(s), dir)),
     // Extension: text analysis over documents
     "text_stats" -> ((s, dir) => TextOps.textStats(tune(s), dir)),
     "lang_id" -> ((s, dir) => TextOps.langId(tune(s), dir)),
@@ -104,6 +105,7 @@ object SparkEntry {
     "events_window" -> EventsOps.eventsWindowSql,
     "events_session" -> EventsOps.eventsSessionSql,
     "events_dedupe" -> EventsOps.eventsDedupeSql,
+    "events_props" -> EventsOps.eventsPropsSql,
     "text_stats" -> TextOps.textStatsSql,
     "lang_id" -> TextOps.langIdSql,
     "token_count" -> TextOps.tokenCountSql,

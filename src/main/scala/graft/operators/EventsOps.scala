@@ -60,6 +60,26 @@ object EventsOps {
       |  floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  /** H (json decode) — per-event JSON field extraction from the `props`
+    * column (`get_json_object`, codegen'd) aggregated by event type; the
+    * reference decodes payload JSON at every stage boundary
+    * (`gcs_to_bq/main.py:354-355`). */
+  def eventsProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val eventsPropsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** I4/G2 — exactly-once dedupe on the event id after a double-delivery
     * (`dropDuplicates` is what the streaming path uses with a watermark). */
   def eventsDedupe(spark: SparkSession, sfDir: String): DataFrame = {

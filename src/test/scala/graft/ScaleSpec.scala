@@ -21,6 +21,18 @@ class ScaleSpec extends SparkSuite {
     assert(joined.count() == 0)
   }
 
+  test("approximate aggregates land within tolerance of exact (HLL / t-digest)") {
+    val li = Tables.lineitem(spark, sfDir)
+    val r = li.agg(
+      approx_count_distinct("l_partkey", 0.02).as("approx_d"),
+      countDistinct("l_partkey").as("exact_d"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"),
+      expr("percentile(l_extendedprice, 0.5)").as("p50_exact")).collect()(0)
+    val (ad, ed) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(ad - ed) / ed < 0.05, s"approx distinct $ad vs exact $ed")
+    assert(math.abs(r.getDouble(2) - r.getDouble(3)) / r.getDouble(3) < 0.05)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = Files.createTempDirectory("warehouse").toString
     val s2 = spark.newSession()
