@@ -39,6 +39,7 @@ object SparkEntry {
     "anti_join_dedupe" -> ((s, dir) => Quality.antiJoinDedupe(tune(s), dir)),
     "file_groups" -> ((s, dir) => Quality.fileGroups(tune(s), dir)),
     "count_verify" -> ((s, dir) => Quality.countVerify(tune(s), dir)),
+    "folder_completeness" -> ((s, dir) => Quality.folderCompleteness(tune(s), dir)),
     // B/D. raw-zone load transforms (gcs_to_bq, webhook_handler)
     "raw_unwrap" -> ((s, dir) => RawLoad.rawUnwrap(tune(s), dir)),
     "raw_explode" -> ((s, dir) => RawLoad.rawExplode(tune(s), dir)),
@@ -93,6 +94,7 @@ object SparkEntry {
     "anti_join_dedupe" -> Quality.antiJoinDedupeSql,
     "file_groups" -> Quality.fileGroupsSql,
     "count_verify" -> Quality.countVerifySql,
+    "folder_completeness" -> Quality.folderCompletenessSql,
     "raw_unwrap" -> RawLoad.rawUnwrapSql,
     "raw_explode" -> RawLoad.rawExplodeSql,
     "br_dates" -> RawLoad.brDatesSql,

@@ -156,6 +156,42 @@ object Quality {
       |  count(*) AS n_files
       |FROM files GROUP BY folder ORDER BY folder""".stripMargin
 
+  /** Folder-completeness audit (`data_validation/api_to_gcs-checker.py:
+    * 59-89`): per folder, a pdv file and a pesquisa file must exist plus at
+    * least one produto file; flags incomplete folders. */
+  def folderCompleteness(spark: SparkSession, sfDir: String): DataFrame = {
+    val files = Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey").as("folder"),
+      when(col("l_linenumber") % 3 === 0, lit("pdv"))
+        .when(col("l_linenumber") % 3 === 1, lit("pesquisa"))
+        .otherwise(lit("produto")).as("dtype"),
+      concat(lit("f"), col("l_linenumber").cast("string")).as("content"))
+    files.groupBy("folder").agg(
+      (sum(when(col("dtype") === "pdv", 1).otherwise(0)) > 0).as("has_pdv"),
+      (sum(when(col("dtype") === "pesquisa", 1).otherwise(0)) > 0).as("has_pesquisa"),
+      countDistinct(when(col("dtype") === "produto", col("content"))).as("n_produto"))
+      .withColumn("complete",
+        col("has_pdv") && col("has_pesquisa") && col("n_produto") > 0)
+      .orderBy("folder")
+  }
+
+  val folderCompletenessSql: String =
+    """WITH files AS (
+      |  SELECT l_orderkey AS folder,
+      |    CASE WHEN l_linenumber % 3 = 0 THEN 'pdv'
+      |         WHEN l_linenumber % 3 = 1 THEN 'pesquisa'
+      |         ELSE 'produto' END AS dtype,
+      |    'f' || CAST(l_linenumber AS VARCHAR) AS content
+      |  FROM lineitem)
+      |SELECT folder,
+      |  SUM(CASE WHEN dtype = 'pdv' THEN 1 ELSE 0 END) > 0 AS has_pdv,
+      |  SUM(CASE WHEN dtype = 'pesquisa' THEN 1 ELSE 0 END) > 0 AS has_pesquisa,
+      |  COUNT(DISTINCT CASE WHEN dtype = 'produto' THEN content END) AS n_produto,
+      |  (SUM(CASE WHEN dtype = 'pdv' THEN 1 ELSE 0 END) > 0
+      |   AND SUM(CASE WHEN dtype = 'pesquisa' THEN 1 ELSE 0 END) > 0
+      |   AND COUNT(DISTINCT CASE WHEN dtype = 'produto' THEN content END) > 0) AS complete
+      |FROM files GROUP BY folder ORDER BY folder""".stripMargin
+
   /** F11 — post-action count verification (`api_to_gcs-checker.py:121-128`). */
   def countVerify(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir).filter(col("value") > 100)

@@ -57,6 +57,13 @@ object Typed {
       md5(col("p_partkey").cast("string")).as("uuid"),
       lit("20240305T141000").as("file_ts"))
 
+  /** Stage the synthesized payloads as a JSON-lines raw zone (one payload
+    * per line) — the backfill replay input (`graft.BackfillDemo`). */
+  def stagePdvZone(spark: SparkSession, sfDir: String, out: String): Unit =
+    pdvRaw(spark, sfDir).select("json").write.mode("overwrite").text(out)
+  def stageProdutoZone(spark: SparkSession, sfDir: String, out: String): Unit =
+    produtoRaw(spark, sfDir).select("json").write.mode("overwrite").text(out)
+
   /** Line-item fact through the full typed path. */
   def typedItensFact(spark: SparkSession, sfDir: String): DataFrame = {
     // Exchange barrier after the parse: projection collapse would otherwise
