@@ -68,6 +68,38 @@ class StreamingSpec extends SparkSuite {
     assert(finals(2L) == (1L, 5.0))
   }
 
+  test("stream-stream join: clicks within 1 hour of their impression") {
+    val work = Files.createTempDirectory("ssjoin").toString
+    def js(id: Long, user: Long, ts: String) =
+      s"""{"id":$id,"user":$user,"ts":"$ts"}"""
+    Seq(js(1, 10, "2024-01-01 10:00:00"), js(2, 20, "2024-01-01 10:00:00"))
+      .toDF("value").coalesce(1).write.text(s"$work/impressions")
+    Seq(js(101, 10, "2024-01-01 10:30:00"),  // joins (30 min later)
+      js(102, 20, "2024-01-01 12:00:00"),    // too late (2 h)
+      js(103, 30, "2024-01-01 10:15:00"))    // no impression
+      .toDF("value").coalesce(1).write.text(s"$work/clicks")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.StringType)))
+    def src(dir: String, prefix: String) = spark.readStream.schema(schema).json(dir)
+      .select(col("id").as(s"${prefix}_id"), col("user").as(s"${prefix}_user"),
+        to_timestamp(col("ts")).as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "2 hours")
+    val joined = src(s"$work/impressions", "imp")
+      .join(src(s"$work/clicks", "clk"),
+        expr("""imp_user = clk_user AND
+                clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 1 hour"""))
+    val q = joined.writeStream
+      .option("checkpointLocation", s"$work/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", s"$work/out").start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(s"$work/out")
+      .select("imp_id", "clk_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 101L)))
+  }
+
   test("windowed counts equal the batch computation on closed windows") {
     val ev = Seq(
       ("2024-01-01 00:10:00", "a", 1.0), ("2024-01-01 00:20:00", "a", 2.0),
