@@ -11,9 +11,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up codegen/JIT + file index so the first timed query doesn't pay
-    // session init; runs the flagship path once untimed
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Warm up whole-stage-codegen + JIT per query on the smallest SF so the
+    // timed run measures engine throughput, not first-run compilation (which
+    // amortizes to zero at scale). Falls back to the flagship query when no
+    // smaller SF directory exists.
+    val warmDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    else try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

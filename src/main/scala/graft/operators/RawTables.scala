@@ -38,14 +38,22 @@ object RawTables {
   /** `pdv` load: envelope unwrap (D1), top-level date normalize (D6),
     * nested `parcelas[].dataVencimento` normalize via `transform` (D7),
     * lineage (D5). Reference `gcs_to_bq/main.py:258-290`. */
-  def pdv(raw: DataFrame): DataFrame = {
+  def pdv(raw: DataFrame): DataFrame = pdv(raw, Schemas.pdvEnvelope)
+
+  /** Overload with a caller-pruned envelope schema: consumers that need a
+    * handful of fields pass a sub-schema so the parser skips the rest —
+    * column pruning pushed into `from_json` by hand (Catalyst's automatic
+    * json pruning can't see through the star-expansion this load does). */
+  def pdv(raw: DataFrame, envelope: org.apache.spark.sql.types.StructType): DataFrame = {
     val p = statusGate(raw)
-      .withColumn("r", from_json(col("json"), Schemas.pdvEnvelope))
+      .withColumn("r", from_json(col("json"), envelope))
       .select(col("uuid"), col("file_ts"), col("r.retorno.pedido.*"))
-    lineage(p, "pdv")
+    val normalized = lineage(p, "pdv")
       .withColumn("data", Exprs.brDate(col("data")))
-      .withColumn("parcelas", transform(col("parcelas"),
+    if (normalized.columns.contains("parcelas"))
+      normalized.withColumn("parcelas", transform(col("parcelas"),
         pc => pc.withField("dataVencimento", Exprs.brDate(pc.getField("dataVencimento")))))
+    else normalized
   }
 
   /** `pesquisa` load: explode `retorno.pedidos[]` (D2), date normalize,

@@ -64,6 +64,28 @@ object Typed {
   def stageProdutoZone(spark: SparkSession, sfDir: String, out: String): Unit =
     produtoRaw(spark, sfDir).select("json").write.mode("overwrite").text(out)
 
+  /** Envelope schema pruned to the fields this fact build touches — the
+    * parser skips the other ~70 subtrees (measured ~2× parse time). */
+  private val prunedPdvEnvelope: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("retorno", StructType(Seq(
+      StructField("status_processamento", StringType),
+      StructField("pedido", StructType(Seq(
+        StructField("id", LongType),
+        StructField("data", StringType),
+        StructField("desconto", StringType),
+        StructField("totalVenda", DoubleType),
+        StructField("contato", StructType(Seq(
+          StructField("cpfCnpj", StringType)))),
+        StructField("itens", ArrayType(StructType(Seq(
+          StructField("id", LongType),
+          StructField("idProduto", LongType),
+          StructField("descricao", StringType),
+          StructField("valor", StringType),
+          StructField("quantidade", StringType),
+          StructField("desconto", StringType)))))))))))))
+  }
+
   /** Line-item fact through the full typed path. */
   def typedItensFact(spark: SparkSession, sfDir: String): DataFrame = {
     // Exchange barrier after the parse: projection collapse would otherwise
@@ -71,7 +93,8 @@ object Typed {
     // (join keys included — measured 3× the JSON cost). The shuffle
     // materializes parsed rows once, both fact branches read the SAME
     // reused exchange, and it co-partitions the header⋈items join.
-    val pdv = RawTables.pdv(pdvRaw(spark, sfDir)).repartition(col("id"))
+    val pdv = RawTables.pdv(pdvRaw(spark, sfDir), prunedPdvEnvelope)
+      .repartition(col("id"))
     val produto = RawTables.produto(produtoRaw(spark, sfDir))
     FactsFromRaw.itensPedido(pdv, produto)
       .select(
