@@ -178,8 +178,10 @@ object Dedup {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      .withColumn("n", sqrt(aggregate(
-        transform(col("v"), x => x * x), lit(0d), (acc, x) => acc + x)))
+      .withColumn("n", Similarity.norm(col("v")))
+    // HOF zip_with fold beats the unrolled 64-term expression here: at
+    // ~200k pairs per cell the giant per-row codegen method loses to the
+    // tight interpreted loop (the reverse holds for per-row buckets/norms)
     val dot = aggregate(
       zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0d), (acc, x) => acc + x)
     e.as("a").join(e.as("b"),
@@ -207,24 +209,25 @@ object Dedup {
     * plane), candidates from an equi-join on the bucket, exact cosine
     * verify. Bucket join cost ∝ Σ bucket², never all-pairs. */
   def dedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val planes = lshPlanes
+    // plane dots unrolled with literal coefficients (codegen'd; the HOF
+    // form re-evaluated the vector cast per plane and ran interpreted)
+    val bucket = (0 until 8).map { j =>
+      val dotJ = (1 to 64).map(i =>
+        element_at(col("v"), i) * lit(planes(j)(i - 1))).reduce(_ + _)
+      when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("n", sqrt(aggregate(
-        transform(col("v"), x => x * x), lit(0d), (acc, x) => acc + x)))
-      .withColumn("planes", typedLit(lshPlanes))
-      .withColumn("bucket", expr(
-        """aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) -> acc +
-          |  CASE WHEN aggregate(sequence(1, 64), cast(0.0 as double),
-          |    (s, i) -> s + element_at(v, i) * element_at(element_at(planes, j + 1), i)) > 0
-          |  THEN cast(pow(2, j) as bigint) ELSE 0 END)""".stripMargin))
-      .drop("planes")
-    val dot = aggregate(
-      zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+      .withColumn("n", Similarity.norm(col("v")))
+      .withColumn("bucket", bucket)
+      .repartition(col("bucket"))
     e.as("a").join(e.as("b"),
       col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.bucket").as("bucket"),
-        Exprs.r4(dot / (col("a.n") * col("b.n"))).as("cos"))
+        Exprs.r4(Similarity.dot(col("a.v"), col("b.v"))
+          / (col("a.n") * col("b.n"))).as("cos"))
       .filter(col("cos") >= 0.2)
       .orderBy("vec_a", "vec_b")
   }

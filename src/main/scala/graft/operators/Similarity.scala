@@ -23,10 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0d), (acc, x) => acc + x))
+  /** 64-dim dot/norm as UNROLLED codegen'd expressions — the higher-order
+    * `aggregate`/`zip_with` forms run interpreted per element with boxing
+    * (measured ~4× slower); a 64-term left-associated add chain keeps the
+    * exact fold order (oracle parity) and stays in whole-stage codegen. */
+  private[operators] def dot(a: Column, b: Column): Column =
+    (1 to 64).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+  private[operators] def norm(a: Column): Column =
+    sqrt((1 to 64).map(i => element_at(a, i) * element_at(a, i)).reduce(_ + _))
   private def cos(a: Column, b: Column): Column =
     Exprs.r4(dot(a, b) / (norm(a) * norm(b)))
 
