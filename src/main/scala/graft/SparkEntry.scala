@@ -71,6 +71,7 @@ object SparkEntry {
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopk(tune(s), dir)),
     // Extension: similarity search
     "ann_topk" -> ((s, dir) => Similarity.annTopk(tune(s), dir)),
+    "ann_topk_agg" -> ((s, dir) => Similarity.annTopkAgg(tune(s), dir)),
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(tune(s), dir)),
     // Extension: multimodal column plumbing (decode stubbed)
     "multimodal_features" -> ((s, dir) => Multimodal.multimodalFeatures(tune(s), dir)),
@@ -120,6 +121,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> Dedup.dedupEmbeddingLshSql,
     "vocab_topk" -> TextOps.vocabTopkSql,
     "ann_topk" -> Similarity.annTopkSql,
+    "ann_topk_agg" -> Similarity.annTopkSql, // same contract as ann_topk
     "ann_ivf" -> Similarity.annIvfSql,
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,
     "checksum_sorted" -> Checksums.checksumSortedSql,

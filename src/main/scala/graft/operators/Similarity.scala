@@ -5,6 +5,31 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** A scored (query, target) pair. */
+case class Scored(query_id: Long, target_id: Long, cos: Double)
+
+/** Typed `Aggregator` keeping the top-k scored pairs per group WITHOUT a
+  * full per-partition sort: partial top-k buffers combine map-side, so the
+  * shuffle carries k rows per (partition, key) instead of every scored row
+  * — the scale-correct top-k (SURVEY.md §7.4's one custom Aggregator).
+  * Ordering: cos desc, then target_id asc (deterministic ties).
+  */
+class TopKAggregator(k: Int)
+  extends org.apache.spark.sql.expressions.Aggregator[Scored, Seq[(Long, Double)], Seq[(Long, Double)]] {
+  private def trim(s: Seq[(Long, Double)]): Seq[(Long, Double)] =
+    s.sortBy { case (id, c) => (-c, id) }.take(k)
+  def zero: Seq[(Long, Double)] = Nil
+  def reduce(b: Seq[(Long, Double)], a: Scored): Seq[(Long, Double)] =
+    trim(b :+ (a.target_id, a.cos))
+  def merge(x: Seq[(Long, Double)], y: Seq[(Long, Double)]): Seq[(Long, Double)] =
+    trim(x ++ y)
+  def finish(b: Seq[(Long, Double)]): Seq[(Long, Double)] = b
+  def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+}
+
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (BASELINE.json extension surface): brute-force cosine top-k as the exact
   * baseline, and an IVF-style two-stage search as the scale path.
@@ -63,6 +88,28 @@ object Similarity {
       |       (acc, x) -> acc + x))
       |     * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(TV, x -> x * x)),
       |       (acc, x) -> acc + x))) * 10000 + 0.5) / 10000""".stripMargin
+
+  /** Same contract as [[annTopk]], via the typed [[TopKAggregator]]:
+    * map-side partial top-k means the shuffle moves ≤ k rows per partition
+    * per query instead of the whole scored set. */
+  def annTopkAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", norm(col("v")))
+    val q = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("target_id"),
+        Exprs.r4(dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
+      .as[Scored]
+    val topk = new TopKAggregator(5).toColumn.name("top")
+    scored.groupByKey(_.query_id).agg(topk).toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
+        col("t._1").as("target_id"), col("t._2").as("cos"))
+      .orderBy("query_id", "rank")
+  }
 
   val annTopkSql: String = {
     val c = cosSqlFragment.replace("QV", "q.v").replace("TV", "t.v")

@@ -86,6 +86,12 @@ class OperatorsSpec extends SparkSuite {
     assert(res.filter(col("query_id") === col("target_id")).count() == 0)
   }
 
+  test("typed Aggregator top-k equals the window-ranked top-k exactly") {
+    val a = Similarity.annTopk(spark, sfDir).collect()
+    val b = Similarity.annTopkAgg(spark, sfDir).collect()
+    assert(a.sameElements(b))
+  }
+
   test("ann_ivf returns a subset of cells consistent with routing") {
     val res = Similarity.annIvf(spark, sfDir).collect()
     assert(res.nonEmpty)
