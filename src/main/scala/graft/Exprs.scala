@@ -19,6 +19,17 @@ object Exprs {
     */
   def r4(c: Column): Column = floor(c * lit(10000d) + lit(0.5d)) / lit(10000d)
 
+  /** Order-independent exact float sum: each term is rounded onto a
+    * 1/scale grid and summed as a LONG (integer addition commutes), then
+    * scaled back. Plain `sum(double)` differs between engines in the last
+    * ulp because partial-sum order differs — at large row counts some group
+    * eventually lands exactly on an r4 boundary and breaks the hash compare
+    * (observed at sf0.1). DuckDB mirror:
+    * `CAST(SUM(CAST(floor(x*scale+0.5) AS BIGINT)) AS DOUBLE)/scale`. */
+  def gsum(c: Column, scale: Double = 1e4): Column =
+    org.apache.spark.sql.functions.sum(
+      floor(c * lit(scale) + lit(0.5d)).cast("long")).cast("double") / lit(scale)
+
   /** F6 — dual-format pt-BR discount parse
     * (reference `sales_to_bq/main.py:120-132,142-154`):
     * `'x%'` → pct/100 × base; else `','→'.'` decimal taken as an absolute

@@ -20,7 +20,7 @@ object EventsOps {
   def eventsWindow(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), Exprs.r4(sum(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Exprs.gsum(col("value")).as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("window_start", "event_type")
@@ -28,7 +28,7 @@ object EventsOps {
   val eventsWindowSql: String =
     """SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS window_start,
       |  event_type, count(*) AS n,
-      |  floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
+      |  CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
   /** I6 — session windows (30-minute inactivity gap) per user. Session end =
@@ -36,7 +36,7 @@ object EventsOps {
   def eventsSession(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), Exprs.r4(sum(col("value"))).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), Exprs.gsum(col("value")).as("sum_value"))
       .select(col("user_id"),
         unix_timestamp(col("sw.start")).as("session_start"),
         unix_timestamp(col("sw.end")).as("session_end"),
@@ -57,7 +57,7 @@ object EventsOps {
       |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
       |  CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end,
       |  count(*) AS n_events,
-      |  floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
+      |  CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_value
       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
   /** H (json decode) — per-event JSON field extraction from the `props`

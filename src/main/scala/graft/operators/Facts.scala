@@ -71,8 +71,13 @@ object Facts {
     val wOrder = Window.partitionBy(col("l_orderkey"))
     val descontoItem = Exprs.parseDesconto(col("desconto_str"), col("valor_total"))
     val descontoPedido = Exprs.parseDesconto(col("desconto_pedido_str"), col("o_totalprice"))
-    // F7: pro-rata share of the header discount by pre-discount value
-    val share = col("valor_total") / sum(col("valor_total")).over(wOrder)
+    // F7: pro-rata share of the header discount by pre-discount value.
+    // Denominator is an order-independent integer-grid sum (Exprs.gsum
+    // rationale): plain windowed sum(double) drifts in the last ulp vs the
+    // oracle's summation order.
+    val share = col("valor_total") /
+      (sum(floor(col("valor_total") * 1e4 + 0.5).cast("long")).over(wOrder)
+        .cast("double") / 1e4)
 
     items
       .withColumn("desconto_item", descontoItem)
@@ -123,7 +128,8 @@ object Facts {
       |    GREATEST(0, COALESCE(CASE WHEN contains(desconto_pedido_str, '%')
       |        THEN TRY_CAST(replace(desconto_pedido_str, '%', '') AS DOUBLE) / 100 * o_totalprice
       |        ELSE TRY_CAST(replace(desconto_pedido_str, ',', '.') AS DOUBLE) END, 0))
-      |      * (valor_total / SUM(valor_total) OVER (PARTITION BY it.l_orderkey)) AS desconto_alocado
+      |      * (valor_total / (CAST(SUM(CAST(floor(valor_total * 10000 + 0.5) AS BIGINT))
+      |          OVER (PARTITION BY it.l_orderkey) AS DOUBLE) / 10000)) AS desconto_alocado
       |  FROM it JOIN part p ON it.l_partkey = p.p_partkey
       |          JOIN hdr ON it.l_orderkey = hdr.o_orderkey)
       |SELECT l_orderkey, l_linenumber,
@@ -158,13 +164,15 @@ object Facts {
       .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
       .withColumn("desconto_item", Exprs.parseDesconto(col("desconto_str"), col("l_extendedprice")))
 
-    // F1-F5: one hash aggregation, partial map-side combine for free
+    // F1-F5: one hash aggregation, partial map-side combine for free.
+    // Float sums go through the integer grid (Exprs.gsum) so partial-sum
+    // order can never flip an r4 rounding boundary vs the oracle.
     val aggs = items.groupBy(col("l_orderkey")).agg(
-      sum(col("p_retailprice") * col("l_quantity")).as("custo_total"),
-      sum(col("valor_unitario") / (lit(1d) - col("l_discount"))).as("valor_sem_desconto"),
-      sum(col("valor_unitario")).as("valor_com_desconto"),
-      sum(col("l_extendedprice")).as("base_pre_desconto"),
-      sum(col("desconto_item")).as("total_desconto_produtos"),
+      Exprs.gsum(col("p_retailprice") * col("l_quantity")).as("custo_total"),
+      Exprs.gsum(col("valor_unitario") / (lit(1d) - col("l_discount"))).as("valor_sem_desconto"),
+      Exprs.gsum(col("valor_unitario")).as("valor_com_desconto"),
+      Exprs.gsum(col("l_extendedprice")).as("base_pre_desconto"),
+      Exprs.gsum(col("desconto_item")).as("total_desconto_produtos"),
       count(lit(1)).as("n_itens"))
 
     hdr.join(aggs, col("o_orderkey") === col("l_orderkey"))
@@ -196,13 +204,13 @@ object Facts {
       |  FROM lineitem JOIN part p ON l_partkey = p.p_partkey),
       |ag AS (
       |  SELECT l_orderkey,
-      |    SUM(p_retailprice * l_quantity) AS custo_total,
-      |    SUM(valor_unitario / (1 - l_discount)) AS valor_sem_desconto,
-      |    SUM(valor_unitario) AS valor_com_desconto,
-      |    SUM(l_extendedprice) AS base_pre_desconto,
-      |    SUM(GREATEST(0, COALESCE(CASE WHEN contains(desconto_str, '%')
+      |    CAST(SUM(CAST(floor(p_retailprice * l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS custo_total,
+      |    CAST(SUM(CAST(floor(valor_unitario / (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS valor_sem_desconto,
+      |    CAST(SUM(CAST(floor(valor_unitario * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS valor_com_desconto,
+      |    CAST(SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS base_pre_desconto,
+      |    CAST(SUM(CAST(floor(GREATEST(0, COALESCE(CASE WHEN contains(desconto_str, '%')
       |        THEN TRY_CAST(replace(desconto_str, '%', '') AS DOUBLE) / 100 * l_extendedprice
-      |        ELSE TRY_CAST(replace(desconto_str, ',', '.') AS DOUBLE) END, 0))) AS total_desconto_produtos,
+      |        ELSE TRY_CAST(replace(desconto_str, ',', '.') AS DOUBLE) END, 0)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS total_desconto_produtos,
       |    COUNT(*) AS n_itens
       |  FROM it GROUP BY l_orderkey),
       |hdr0 AS (

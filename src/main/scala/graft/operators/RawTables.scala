@@ -135,9 +135,12 @@ object FactsFromRaw {
     // `itens` needs no shuffle at all.
     val headerDiscount = pdv.select(col("id").as("pedido_id"),
       Exprs.parseDesconto(col("desconto"), col("totalVenda")).as("desconto_pedido"),
-      aggregate(transform(col("itens"),
-        i => i.getField("valor").cast("double") * i.getField("quantidade").cast("double")),
-        lit(0d), (acc, x) => acc + x).as("total_pre"))
+      // integer-grid fold: order-independent, matches the oracle's grouped
+      // grid sum regardless of array vs row ordering
+      (aggregate(transform(col("itens"),
+        i => floor(i.getField("valor").cast("double")
+          * i.getField("quantidade").cast("double") * 1e4 + 0.5).cast("long")),
+        lit(0L), (acc, x) => acc + x).cast("double") / 1e4).as("total_pre"))
     it.join(prod, col("item.idProduto") === col("idProduto"))         // inner: unmatched dropped
       .join(headerDiscount, "pedido_id")
       .withColumn("valor_total", valorUnit * qtd)

@@ -138,11 +138,14 @@ object Similarity {
     // (1) coarse centroids: per-dimension mean, rounded for determinism —
     // 64 avg-aggregates in ONE map-side-combinable groupBy (a posexplode +
     // re-collect costs an extra shuffle and was ~2× slower)
-    val dimAvgs = (1 to 64).map(i =>
-      Exprs.r4(avg(element_at(col("v"), i))).as(s"c$i"))
+    // per-dimension mean via 1e-6 integer-grid sums (order-independent),
+    // r4-rounded — plain avg() partial-sum order can flip the r4 boundary
+    val dimSums = (1 to 64).map(i =>
+      sum(floor(element_at(col("v"), i) * 1e6 + 0.5).cast("long")).as(s"s$i"))
     val centroids = e.groupBy("label")
-      .agg(dimAvgs.head, dimAvgs.tail: _*)
-      .select(col("label"), array((1 to 64).map(i => col(s"c$i")): _*).as("cv"))
+      .agg(count(lit(1)).as("cnt"), dimSums: _*)
+      .select(col("label"), array((1 to 64).map(i =>
+        Exprs.r4(col(s"s$i").cast("double") / 1e6 / col("cnt"))): _*).as("cv"))
     // (2) route queries
     val q = e.filter(col("vec_id") % 200 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -177,7 +180,9 @@ object Similarity {
        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |cd AS (
-       |  SELECT label, i.i AS i, floor(avg(v[i.i]) * 10000 + 0.5) / 10000 AS cx
+       |  SELECT label, i.i AS i,
+       |    floor(CAST(SUM(CAST(floor(v[i.i] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+       |          / 1000000 / COUNT(*) * 10000 + 0.5) / 10000 AS cx
        |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
        |  GROUP BY label, i.i),
        |cent AS (SELECT label, list(cx ORDER BY i) AS cv FROM cd GROUP BY label),

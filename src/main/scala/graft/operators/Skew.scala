@@ -21,22 +21,23 @@ object Skew {
     df.select(key.as("k"), pmod(hash(saltSource), lit(nSalts)).as("salt"),
       value.as("v"))
       .groupBy("k", "salt")
-      .agg(count(lit(1)).as("pn"), sum(col("v")).as("ps"))
+      .agg(count(lit(1)).as("pn"),
+        sum(floor(col("v") * 1e4 + 0.5).cast("long")).as("ps")) // integer grid
       .groupBy("k")
-      .agg(sum(col("pn")).cast("long").as("n"), sum(col("ps")).as("sum_value"))
+      .agg(sum(col("pn")).cast("long").as("n"),
+        (sum(col("ps")).cast("double") / 1e4).as("sum_value"))
 
   /** Salted aggregation over the event stream by (skewed) event type. */
   def eventsSaltedAgg(spark: SparkSession, sfDir: String): DataFrame =
     saltedCountSum(Tables.events(spark, sfDir),
       col("event_type"), col("event_id"), col("value"), nSalts = 16)
-      .select(col("k").as("event_type"), col("n"),
-        Exprs.r4(col("sum_value")).as("sum_value"))
+      .select(col("k").as("event_type"), col("n"), col("sum_value"))
       .orderBy("event_type")
 
   /** The oracle is the UNsalted aggregate — proving the two-stage plan is
     * semantics-preserving. */
   val eventsSaltedAggSql: String =
     """SELECT event_type, count(*) AS n,
-      |  floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
+      |  CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -132,7 +132,9 @@ object Typed {
       |    CASE WHEN o_orderkey % 3 = 0 THEN CAST((o_orderkey % 7) + 1 AS VARCHAR) || '%'
       |         WHEN o_orderkey % 3 = 1 THEN CAST(o_orderkey % 50 AS VARCHAR) || ',' || CAST(o_orderkey % 10 AS VARCHAR)
       |         ELSE 'xx' END AS ds FROM orders)),
-      |tot AS (SELECT pedido_id, SUM(valor_total) AS total_pre FROM it GROUP BY pedido_id),
+      |tot AS (SELECT pedido_id,
+      |  CAST(SUM(CAST(floor(valor_total * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS total_pre
+      |  FROM it GROUP BY pedido_id),
       |j AS (
       |  SELECT it.*, hdr.pedido_dia, CAST(hdr.o_custkey AS VARCHAR) AS cliente_cpf,
       |    trim(split_part(p.p_brand || ' >> ' || p.p_type, ' >> ', 1)) AS categoria_principal,
