@@ -179,15 +179,26 @@ object Dedup {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("n", Similarity.norm(col("v")))
-    // HOF zip_with fold beats the unrolled 64-term expression here: at
-    // ~200k pairs per cell the giant per-row codegen method loses to the
-    // tight interpreted loop (the reverse holds for per-row buckets/norms)
-    val dot = aggregate(
-      zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0d), (acc, x) => acc + x)
-    e.as("a").join(e.as("b"),
+    // The per-pair dot product is the one genuine imperative hot loop in
+    // the engine: SQL higher-order folds run interpreted (boxed) and an
+    // unrolled 64-term expression overwhelms codegen, both measured slower.
+    // A typed mapPartitions over primitive Array[Double] (UnsafeArrayData
+    // decodes via memcpy) runs the tight while-loop; fold order is the same
+    // left-to-right sum the oracle replays.
+    import spark.implicits._
+    val pairs = e.as("a").join(e.as("b"),
       col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        Exprs.r4(dot / (col("a.n") * col("b.n"))).as("cos"))
+      .select(col("a.vec_id"), col("b.vec_id"), col("a.v"), col("b.v"),
+        col("a.n"), col("b.n"))
+      .as[(Long, Long, Array[Double], Array[Double], Double, Double)]
+    pairs.mapPartitions { it =>
+      it.map { case (ia, ib, va, vb, na, nb) =>
+        var s = 0.0; var i = 0
+        while (i < va.length) { s += va(i) * vb(i); i += 1 }
+        (ia, ib, s / (na * nb))
+      }
+    }.toDF("vec_a", "vec_b", "cos_raw")
+      .select(col("vec_a"), col("vec_b"), Exprs.r4(col("cos_raw")).as("cos"))
       .filter(col("cos") >= 0.35)
       .orderBy("vec_a", "vec_b")
   }
