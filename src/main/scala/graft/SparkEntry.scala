@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.dedupSimhash(tune(s), dir)),
     "dedup_embedding" -> ((s, dir) => Dedup.dedupEmbedding(tune(s), dir)),
     "dedup_embedding_lsh" -> ((s, dir) => Dedup.dedupEmbeddingLsh(tune(s), dir)),
+    "dedup_embedding_lsh12" -> ((s, dir) => Dedup.dedupEmbeddingLsh(tune(s), dir, nBits = 12)),
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopk(tune(s), dir)),
     // Extension: similarity search
     "ann_topk" -> ((s, dir) => Similarity.annTopk(tune(s), dir)),
@@ -118,7 +119,8 @@ object SparkEntry {
     "dedup_jaccard" -> Dedup.dedupJaccardSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
-    "dedup_embedding_lsh" -> Dedup.dedupEmbeddingLshSql,
+    "dedup_embedding_lsh" -> Dedup.dedupEmbeddingLshSql(8),
+    "dedup_embedding_lsh12" -> Dedup.dedupEmbeddingLshSql(12),
     "vocab_topk" -> TextOps.vocabTopkSql,
     "ann_topk" -> Similarity.annTopkSql,
     "ann_topk_agg" -> Similarity.annTopkSql, // same contract as ann_topk

@@ -179,26 +179,15 @@ object Dedup {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("n", Similarity.norm(col("v")))
-    // The per-pair dot product is the one genuine imperative hot loop in
-    // the engine: SQL higher-order folds run interpreted (boxed) and an
-    // unrolled 64-term expression overwhelms codegen, both measured slower.
-    // A typed mapPartitions over primitive Array[Double] (UnsafeArrayData
-    // decodes via memcpy) runs the tight while-loop; fold order is the same
-    // left-to-right sum the oracle replays.
-    import spark.implicits._
-    val pairs = e.as("a").join(e.as("b"),
+    // per-pair dot via the native `array_dot` codegen loop — stays inside
+    // whole-stage codegen (no encoder round-trip to Array[Double], which a
+    // typed mapPartitions paid); fold order is the left-to-right sum the
+    // oracle replays
+    e.as("a").join(e.as("b"),
       col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id"), col("b.vec_id"), col("a.v"), col("b.v"),
-        col("a.n"), col("b.n"))
-      .as[(Long, Long, Array[Double], Array[Double], Double, Double)]
-    pairs.mapPartitions { it =>
-      it.map { case (ia, ib, va, vb, na, nb) =>
-        var s = 0.0; var i = 0
-        while (i < va.length) { s += va(i) * vb(i); i += 1 }
-        (ia, ib, s / (na * nb))
-      }
-    }.toDF("vec_a", "vec_b", "cos_raw")
-      .select(col("vec_a"), col("vec_b"), Exprs.r4(col("cos_raw")).as("cos"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Exprs.r4(Similarity.dot(col("a.v"), col("b.v"))
+          / (col("a.n") * col("b.n"))).as("cos"))
       .filter(col("cos") >= 0.35)
       .orderBy("vec_a", "vec_b")
   }
@@ -206,27 +195,35 @@ object Dedup {
   /** Deterministic hyperplane matrix for cosine LSH: plane(j,i) =
     * (md5num(s"${j}_${i}") % 2001 − 1000)/1000 — reproducible in SQL with
     * the same md5 arithmetic, so the oracle derives identical buckets. */
-  private[operators] def lshPlanes: Seq[Seq[Double]] = {
+  private[operators] def lshPlanes(nBits: Int): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def h(s: String): Long = {
       val hex = md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex, 16)
     }
-    (0 until 8).map(j => (1 to 64).map(i => (h(s"${j}_$i") % 2001 - 1000).toDouble / 1000.0))
+    (0 until nBits).map(j => (1 to 64).map(i => (h(s"${j}_$i") % 2001 - 1000).toDouble / 1000.0))
   }
 
   /** Embedding near-dup WITHOUT labels — the unlabeled-corpus scale path:
-    * 8-bit random-hyperplane LSH bucket per vector (sign of dot with each
-    * plane), candidates from an equi-join on the bucket, exact cosine
-    * verify. Bucket join cost ∝ Σ bucket², never all-pairs. */
-  def dedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val planes = lshPlanes
-    // plane dots unrolled with literal coefficients (codegen'd; the HOF
-    // form re-evaluated the vector cast per plane and ran interpreted)
-    val bucket = (0 until 8).map { j =>
-      val dotJ = (1 to 64).map(i =>
-        element_at(col("v"), i) * lit(planes(j)(i - 1))).reduce(_ + _)
-      when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
+    * `nBits`-bit random-hyperplane LSH bucket per vector (sign of dot with
+    * each plane), candidates from an equi-join on the bucket, exact cosine
+    * verify. Bucket join cost ∝ Σ bucket², never all-pairs.
+    *
+    * Sizing `nBits` at scale: expected bucket size is n / 2^nBits, and the
+    * verify join costs Σ bucket² ≈ n² / 2^nBits, so bits must GROW with the
+    * corpus — keep n / 2^nBits roughly constant (e.g. targeting ~10k-row
+    * buckets: 20 bits at 10¹⁰ vectors). Recall drops as bits grow; recover
+    * it the MinHash way, with multiple independent bucket tables (band
+    * OR-ing), each a repartition by its own bucket column. */
+  def dedupEmbeddingLsh(spark: SparkSession, sfDir: String, nBits: Int = 8): DataFrame = {
+    val planes = lshPlanes(nBits)
+    // one native array_dot per plane against a literal coefficient vector
+    // (the HOF form re-evaluated the vector cast per plane and ran
+    // interpreted; an unrolled element_at chain broke the 64 KB codegen
+    // method limit — see graft.plans.ArrayDot)
+    val bucket = (0 until nBits).map { j =>
+      when(call_function("array_dot", col("v"), typedlit(planes(j))) > 0,
+        lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -243,8 +240,8 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
-  val dedupEmbeddingLshSql: String =
-    """WITH e0 AS (
+  def dedupEmbeddingLshSql(nBits: Int): String =
+    s"""WITH e0 AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |e AS (
@@ -252,7 +249,7 @@ object Dedup {
       |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(v, x -> x * x)),
       |      (acc, x) -> acc + x)) AS n,
       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(generate_series(0, 7), j ->
+      |      list_transform(generate_series(0, ${nBits - 1}), j ->
       |        CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
       |          list_transform(generate_series(1, 64), i ->
       |            v[i] * ((CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0))),

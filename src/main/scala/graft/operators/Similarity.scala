@@ -42,20 +42,23 @@ class TopKAggregator(k: Int)
   *    centroid), then scans ONLY that cell: per-query cost drops from n to
   *    ~n/k. At 100 TB the cells are parquet partitions and routing becomes
   *    partition pruning.
-  *  - dot/norm are `aggregate`/`zip_with` left folds over array<double> —
-  *    codegen'd, deterministic evaluation order (the DuckDB oracle replays
-  *    the identical fold).
+  *  - dot/norm go through the engine's `array_dot` codegen expression
+  *    ([[graft.plans.ArrayDot]]) — a single bounded loop in generated code,
+  *    left-to-right FP fold order (the DuckDB oracle replays the identical
+  *    fold), any vector width.
   */
 object Similarity {
 
-  /** 64-dim dot/norm as UNROLLED codegen'd expressions — the higher-order
-    * `aggregate`/`zip_with` forms run interpreted per element with boxing
-    * (measured ~4× slower); a 64-term left-associated add chain keeps the
-    * exact fold order (oracle parity) and stays in whole-stage codegen. */
+  /** dot/norm via the native `array_dot` expression. The alternatives both
+    * lose: higher-order `aggregate`/`zip_with` runs interpreted per element
+    * with boxing (~4× slower at 64 dims), and an unrolled `element_at` chain
+    * blows the 64 KB generated-method limit once constraint inference
+    * duplicates it into filters, knocking the whole stage out of codegen
+    * (seen in the round-1 bench). See [[graft.plans.ArrayDot]]. */
   private[operators] def dot(a: Column, b: Column): Column =
-    (1 to 64).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+    call_function("array_dot", a, b)
   private[operators] def norm(a: Column): Column =
-    sqrt((1 to 64).map(i => element_at(a, i) * element_at(a, i)).reduce(_ + _))
+    sqrt(call_function("array_dot", a, a))
   private def cos(a: Column, b: Column): Column =
     Exprs.r4(dot(a, b) / (norm(a) * norm(b)))
 

@@ -17,5 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SortedToJson.info,
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedToJson(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("array_dot"),
+      ArrayDot.info,
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArrayDot(args(0), args(1))))
   }
 }

@@ -25,6 +25,33 @@ class PlansSpec extends SparkSuite {
     assert(r == """{"a":1,"b":null}""")
   }
 
+  test("array_dot: codegen and interpreted eval agree, left-to-right fold, null passthrough") {
+    // codegen path (whole-stage)
+    val r = spark.sql(
+      "SELECT array_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d))")
+      .collect()(0).getDouble(0)
+    assert(r == 32.0)
+    // interpreted path (eval via filter on a literal — constant folding runs eval)
+    val e = graft.plans.ArrayDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0, 2.0, 3.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(4.0, 5.0, 6.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    assert(e.eval(null) == 32.0)
+    // FP fold order is left-to-right (matches the oracle's list_reduce):
+    // (1e16 + 1) + -1e16 == 0.0 under l-t-r, 1.0 under any reassociation
+    val fp = spark.sql(
+      "SELECT array_dot(array(1e16d, 1.0d, -1e16d), array(1.0d, 1.0d, 1.0d))")
+      .collect()(0).getDouble(0)
+    assert(fp == 0.0)
+    // null array → null
+    assert(spark.sql(
+      "SELECT array_dot(cast(null as array<double>), array(1.0d))")
+      .collect()(0).isNullAt(0))
+  }
+
   test("J3: clustered write produces day partitions, sorted row groups") {
     val out = Files.createTempDirectory("clustered").toString + "/t"
     val df = Tables.orders(spark, sfDir)
