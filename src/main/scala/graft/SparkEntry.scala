@@ -80,6 +80,8 @@ object SparkEntry {
     "checksum_sorted" -> ((s, dir) => Checksums.checksumSorted(tune(s), dir)),
     // §1.1-2 typed-nested path: fixture-shaped JSON through RawTables + FactsFromRaw
     "typed_itens_fact" -> ((s, dir) => Typed.typedItensFact(tune(s), dir)),
+    "typed_pedidos_fact" -> ((s, dir) => Typed.typedPedidosFact(tune(s), dir)),
+    "typed_pesquisa" -> ((s, dir) => Typed.typedPesquisa(tune(s), dir)),
     // Scale pattern: salted two-stage aggregation for hot keys
     "events_salted_agg" -> ((s, dir) => Skew.eventsSaltedAgg(tune(s), dir)),
   )
@@ -128,6 +130,8 @@ object SparkEntry {
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,
     "checksum_sorted" -> Checksums.checksumSortedSql,
     "typed_itens_fact" -> Typed.typedItensFactSql,
+    "typed_pedidos_fact" -> Typed.typedPedidosFactSql,
+    "typed_pesquisa" -> Typed.typedPesquisaSql,
     "events_salted_agg" -> Skew.eventsSaltedAggSql,
   )
 }

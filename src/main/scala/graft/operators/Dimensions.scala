@@ -52,7 +52,13 @@ object Dimensions {
 
   /** C1/C3 — multi-dim enrichment: orders ⋈ customer ⋈ nation ⋈ region,
     * small dims broadcast (`api_to_gcs/main.py:156-179` models this as N+1
-    * point lookups; the distributed equivalent is broadcast hash join). */
+    * point lookups; the distributed equivalent is broadcast hash join).
+    *
+    * Only nation/region carry a broadcast HINT — they are fixed-cardinality
+    * (25/5 rows) at any corpus size. `customer` GROWS with the corpus
+    * (~150k rows × sf), so its join strategy is left to size statistics +
+    * AQE: broadcast while it fits `autoBroadcastJoinThreshold`, shuffle
+    * join beyond — a forced broadcast would OOM the driver at 100× scale. */
   def enrichJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
       .join(broadcast(Tables.nation(spark, sfDir)),
@@ -62,7 +68,7 @@ object Dimensions {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
         col("n_name"), col("r_name"))
     Tables.orders(spark, sfDir)
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(
         col("o_orderkey"),
         col("o_custkey"),

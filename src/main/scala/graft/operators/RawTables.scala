@@ -21,19 +21,19 @@ object RawTables {
       .withColumn("update_timestamp", date_format(current_timestamp(),
         "yyyy-MM-dd'T'HH:mm:ss"))
 
-  /** B3 status gate on a MINIMAL-schema parse. Filtering on a field of the
-    * full-envelope `from_json` gets the whole parse duplicated into the
-    * pushed-down filter condition (measured 2× JSON cost); parsing just the
-    * status for the gate keeps the full parse single, in the projection. */
-  private val statusOnly = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("retorno",
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("status_processamento",
-          org.apache.spark.sql.types.StringType))))))
-
-  private def statusGate(raw: DataFrame): DataFrame =
-    raw.filter(from_json(col("json"), statusOnly)
-      .getField("retorno").getField("status_processamento") === "3")
+  /** Parse ONCE behind the [[graft.plans.Opaque]] barrier, then gate (B3) on
+    * the materialized struct. Without the barrier, filtering on a field of
+    * the parsed struct gets the WHOLE `from_json` duplicated into the
+    * pushed-down filter condition (measured 2× JSON cost in round 1; the
+    * round-1 workaround — a second minimal-schema parse just for the gate —
+    * still tokenized the full payload text twice). `opaque` reports the
+    * parse nondeterministic, so the predicate stays above the projection
+    * and every payload string is parsed exactly once. */
+  private def parsedGate(raw: DataFrame,
+      envelope: org.apache.spark.sql.types.StructType): DataFrame =
+    raw.select(col("uuid"), col("file_ts"),
+      call_function("opaque", from_json(col("json"), envelope)).as("r"))
+      .filter(col("r.retorno.status_processamento") === "3")
 
   /** `pdv` load: envelope unwrap (D1), top-level date normalize (D6),
     * nested `parcelas[].dataVencimento` normalize via `transform` (D7),
@@ -45,8 +45,7 @@ object RawTables {
     * column pruning pushed into `from_json` by hand (Catalyst's automatic
     * json pruning can't see through the star-expansion this load does). */
   def pdv(raw: DataFrame, envelope: org.apache.spark.sql.types.StructType): DataFrame = {
-    val p = statusGate(raw)
-      .withColumn("r", from_json(col("json"), envelope))
+    val p = parsedGate(raw, envelope)
       .select(col("uuid"), col("file_ts"), col("r.retorno.pedido.*"))
     val normalized = lineage(p, "pdv")
       .withColumn("data", Exprs.brDate(col("data")))
@@ -60,8 +59,7 @@ object RawTables {
     * empty `data_prevista` dropped to null (D8). Reference
     * `gcs_to_bq/main.py:294-316`. */
   def pesquisa(raw: DataFrame): DataFrame = {
-    val p = statusGate(raw)
-      .withColumn("r", from_json(col("json"), Schemas.pesquisaEnvelope))
+    val p = parsedGate(raw, Schemas.pesquisaEnvelope)
       .select(col("uuid"), col("file_ts"),
         explode(col("r.retorno.pedidos")).as("p"))
       .select(col("uuid"), col("file_ts"), col("p.pedido.*"))
@@ -71,25 +69,12 @@ object RawTables {
         when(length(col("data_prevista")) > 0, Exprs.brDate(col("data_prevista"))))
   }
 
-  /** `produto` load: envelope unwrap + lineage; empty payloads skipped (B4).
+  /** `produto` load: envelope unwrap + lineage; empty payloads skipped (B4 —
+    * the extra `produto.id` null guard on the same materialized parse).
     * Reference `gcs_to_bq/main.py:320-348`. */
-  /** Gate schema for produto adds the B4 empty-payload guard field. */
-  private val produtoGateSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("retorno",
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("status_processamento",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("produto",
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("id",
-              org.apache.spark.sql.types.LongType)))))))))
-
   def produto(raw: DataFrame): DataFrame = {
-    val gate = from_json(col("json"), produtoGateSchema).getField("retorno")
-    val p = raw
-      .filter(gate.getField("status_processamento") === "3"
-        && gate.getField("produto").getField("id").isNotNull)
-      .withColumn("r", from_json(col("json"), Schemas.produtoEnvelope))
+    val p = parsedGate(raw, Schemas.produtoEnvelope)
+      .filter(col("r.retorno.produto.id").isNotNull)
       .select(col("uuid"), col("file_ts"), col("r.retorno.produto.*"))
     lineage(p, "produto")
   }
@@ -166,23 +151,31 @@ object FactsFromRaw {
   }
 
   /** pedidos: header grain. F2-F4 aggregate ALL items (pre-join); F1 cost
-    * and F5 item-discount totals skip unmatched items; C3 attaches the
-    * vendedor from the FIRST pesquisa row (G3). */
+    * and F5 item-discount totals aggregate MATCHED items only — the
+    * reference accumulates `total_desconto_produtos` inside the
+    * `if item_data:` branch, so items whose produto is missing contribute
+    * to F2-F4 but not F1/F5 (`sales_to_bq/main.py:346-350`). C3 attaches
+    * the vendedor from the FIRST pesquisa row (G3).
+    *
+    * Float sums go through the integer grid (`Exprs.gsum`) so partial-sum
+    * order can't flip a rounding boundary — the oracle replays the same
+    * grid sums. */
   def pedidos(pdv: DataFrame, pesquisa: DataFrame, produto: DataFrame): DataFrame = {
     val it = explodedItems(pdv)
     // pre-join sums over every item (F2, F3, F4)
     val allItemAggs = it.groupBy("pedido_id").agg(
-      sum(valorUnit / (lit(1d) - dPct / 100)).as("valor_sem_desconto"), // per-unit quirk
-      sum(valorUnit).as("valor_com_desconto"),
-      sum(valorUnit * qtd).as("base_pre_desconto"),
-      sum(descontoUnit * qtd).as("total_desconto_produtos"))            // F5
-    // post-join cost (F1) — unmatched items contribute nothing
+      Exprs.gsum(valorUnit / (lit(1d) - dPct / 100)).as("valor_sem_desconto"), // per-unit quirk
+      Exprs.gsum(valorUnit).as("valor_com_desconto"),
+      Exprs.gsum(valorUnit * qtd).as("base_pre_desconto"))
+    // post-join aggregates (F1 cost, F5 item-discount total) — unmatched
+    // items contribute nothing to either
     val prod = produto.select(col("id").as("idProduto"),
       col("preco_custo").cast("double").as("preco_custo"))
       .dropDuplicates("idProduto")
     val costAggs = it.join(prod, col("item.idProduto") === col("idProduto"))
       .groupBy("pedido_id")
-      .agg(sum(col("preco_custo") * qtd).as("custo_total"))
+      .agg(Exprs.gsum(col("preco_custo") * qtd).as("custo_total"),
+        Exprs.gsum(descontoUnit * qtd).as("total_desconto_produtos"))
     // C3/G3: first pesquisa row carries the vendedor
     val vendedor = pesquisa
       .groupBy(col("id").cast("long").as("pedido_id"))
@@ -198,8 +191,10 @@ object FactsFromRaw {
       .join(costAggs, Seq("pedido_id"), "left")
       .join(vendedor, Seq("pedido_id"), "left")
       .withColumn("custo_total", coalesce(col("custo_total"), lit(0d)))
+      .withColumn("total_desconto_produtos",
+        coalesce(col("total_desconto_produtos"), lit(0d)))
       .withColumn("desconto_total",
-        coalesce(col("total_desconto_produtos"), lit(0d)) + col("desconto_pedido"))
+        col("total_desconto_produtos") + col("desconto_pedido"))
       .withColumn("valor_lucro", col("valor_faturado") - col("custo_total")) // F10
   }
 }

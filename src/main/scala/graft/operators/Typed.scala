@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Exprs, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Oracle-gated wrappers over the typed-nested path: fixture-shaped pdv /
@@ -39,9 +39,43 @@ object Typed {
           date_format(col("o_orderdate"), "dd/MM/yyyy").as("data"),
           Facts.descontoPedidoStr.as("desconto"),
           col("o_totalprice").as("totalVenda"),
+          element_at(typedlit(Seq("credito", "boleto", "pix")),
+            (pmod(col("o_orderkey"), lit(3)) + 1).cast("int")).as("formaPagamento"),
           struct(col("o_custkey").cast("string").as("cpfCnpj")).as("contato"),
           col("itens")).as("pedido")).as("retorno"))).as("json"),
         md5(col("o_orderkey").cast("string")).as("uuid"),
+        lit("20240305T141000").as("file_ts"))
+  }
+
+  /** pesquisa envelopes — paginated search results, ~n/64 orders per page
+    * payload, matching `gcs_to_bq/main.py:294-316`'s array-of-pedidos shape:
+    *  - orders with `o_orderkey % 7 == 0` are ABSENT (C3 left-join nulls);
+    *  - orders with `o_orderkey % 5 == 0` appear TWICE with different
+    *    vendedores (G3 first-match must pick deterministically);
+    *  - `data_prevista` is the empty string for `o_orderkey % 4 == 0`
+    *    (D8 empty→null at data scale);
+    *  - ids/vendedor ids are strings, as the pesquisa payload sends them. */
+  private def pesquisaRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    def entry(vendedorId: Column) = struct(struct(
+      col("o_orderkey").cast("string").as("id"),
+      date_format(col("o_orderdate"), "dd/MM/yyyy").as("data_pedido"),
+      when(col("o_orderkey") % 4 === 0, lit(""))
+        .otherwise(date_format(date_add(col("o_orderdate"), 7), "dd/MM/yyyy"))
+        .as("data_prevista"),
+      vendedorId.cast("string").as("id_vendedor"),
+      concat(lit("vend "), vendedorId.cast("string")).as("nome_vendedor"))
+      .as("pedido"))
+    val base = Tables.orders(spark, sfDir).filter(col("o_orderkey") % 7 =!= 0)
+    val rows = base.select(col("o_orderkey"), entry(col("o_custkey") % 100).as("p"))
+      .unionByName(base.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), entry(col("o_custkey") % 100 + 1).as("p")))
+    rows.groupBy(pmod(col("o_orderkey"), lit(64)).as("page"))
+      .agg(sort_array(collect_list(col("p"))).as("pedidos"))
+      .select(to_json(struct(struct(
+        lit("3").as("status_processamento"),
+        lit(64L).as("numero_paginas"),
+        col("pedidos")).as("retorno"))).as("json"),
+        md5(concat(lit("pesq"), col("page").cast("string"))).as("uuid"),
         lit("20240305T141000").as("file_ts"))
   }
 
@@ -75,6 +109,7 @@ object Typed {
         StructField("data", StringType),
         StructField("desconto", StringType),
         StructField("totalVenda", DoubleType),
+        StructField("formaPagamento", StringType),
         StructField("contato", StructType(Seq(
           StructField("cpfCnpj", StringType)))),
         StructField("itens", ArrayType(StructType(Seq(
@@ -112,6 +147,113 @@ object Typed {
         Exprs.r4(col("lucro_item")).as("lucro_item"))
       .orderBy("pedido_id", "item_id", "produto_id", "quantidade", "valor_total")
   }
+
+  /** Raw pesquisa load through the full typed path — D2 (explode
+    * `retorno.pedidos[]`) and D8 (empty `data_prevista` → null) at data
+    * scale, not one fixture row. Lineage timestamp excluded
+    * (`current_timestamp` is nondeterministic, like the other loads). */
+  def typedPesquisa(spark: SparkSession, sfDir: String): DataFrame =
+    RawTables.pesquisa(pesquisaRaw(spark, sfDir))
+      .select(col("id"), col("data_pedido"), col("data_prevista"),
+        col("id_vendedor"), col("nome_vendedor"))
+      .orderBy("id", "id_vendedor")
+
+  val typedPesquisaSql: String =
+    """WITH rows AS (
+      |  SELECT o_orderkey, CAST(o_custkey % 100 AS VARCHAR) AS id_vendedor
+      |  FROM orders WHERE o_orderkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, CAST(o_custkey % 100 + 1 AS VARCHAR)
+      |  FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0)
+      |SELECT CAST(r.o_orderkey AS VARCHAR) AS id,
+      |  strftime(o.o_orderdate, '%Y-%m-%d') AS data_pedido,
+      |  CASE WHEN r.o_orderkey % 4 = 0 THEN NULL
+      |       ELSE strftime(o.o_orderdate + INTERVAL 7 DAY, '%Y-%m-%d') END AS data_prevista,
+      |  r.id_vendedor, 'vend ' || r.id_vendedor AS nome_vendedor
+      |FROM rows r JOIN orders o ON r.o_orderkey = o.o_orderkey
+      |ORDER BY id, id_vendedor""".stripMargin
+
+  /** Order-grain fact through the full typed path (C3 end to end): pdv +
+    * pesquisa + produto zones synthesized as JSON payloads, loaded by the
+    * real `RawTables` loads, aggregated by `FactsFromRaw.pedidos`. Produtos
+    * with `id % 17 == 0` are withheld from the produto zone so the
+    * F1/F5-vs-F2-F4 dropped-item asymmetry is exercised at data scale;
+    * orders with `o_orderkey % 7 == 0` have no pesquisa row (left-join
+    * nulls); `% 5 == 0` orders have two pesquisa rows (G3 first-match). */
+  def typedPedidosFact(spark: SparkSession, sfDir: String): DataFrame = {
+    val pdv = RawTables.pdv(pdvRaw(spark, sfDir), prunedPdvEnvelope)
+      .repartition(col("id"))
+    val pesquisa = RawTables.pesquisa(pesquisaRaw(spark, sfDir))
+    val produto = RawTables.produto(produtoRaw(spark, sfDir))
+      .filter(col("id") % 17 =!= 0)
+    FactsFromRaw.pedidos(pdv, pesquisa, produto)
+      .select(col("pedido_id"), col("pedido_dia"), col("cliente_cpf"),
+        col("forma_pagamento"), col("vendedor_id"), col("nome_vendedor"),
+        col("valor_sem_desconto"), col("valor_com_desconto"),
+        col("base_pre_desconto"), col("total_desconto_produtos"),
+        col("custo_total"),
+        Exprs.r4(col("desconto_pedido")).as("desconto_pedido"),
+        Exprs.r4(col("desconto_total")).as("desconto_total"),
+        Exprs.r4(col("valor_faturado")).as("valor_faturado"),
+        Exprs.r4(col("valor_lucro")).as("valor_lucro"))
+      .orderBy("pedido_id")
+  }
+
+  val typedPedidosFactSql: String =
+    """WITH it AS (
+      |  SELECT l_orderkey AS pedido_id, l_partkey,
+      |    l_extendedprice / l_quantity AS valor_unit,
+      |    l_quantity AS qtd,
+      |    CAST(l_partkey % 30 AS DOUBLE) AS d_pct
+      |  FROM lineitem),
+      |hdr AS (
+      |  SELECT o_orderkey AS pedido_id, o_custkey, o_totalprice,
+      |    strftime(o_orderdate, '%Y-%m-%d') AS pedido_dia,
+      |    ['credito', 'boleto', 'pix'][CAST(o_orderkey % 3 AS INT) + 1] AS forma_pagamento,
+      |    GREATEST(0, COALESCE(CASE WHEN contains(ds, '%')
+      |      THEN TRY_CAST(replace(ds, '%', '') AS DOUBLE) / 100 * o_totalprice
+      |      ELSE TRY_CAST(replace(ds, ',', '.') AS DOUBLE) END, 0)) AS desconto_pedido
+      |  FROM (SELECT *,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN CAST((o_orderkey % 7) + 1 AS VARCHAR) || '%'
+      |         WHEN o_orderkey % 3 = 1 THEN CAST(o_orderkey % 50 AS VARCHAR) || ',' || CAST(o_orderkey % 10 AS VARCHAR)
+      |         ELSE 'xx' END AS ds FROM orders
+      |    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem))),
+      |allagg AS (
+      |  SELECT pedido_id,
+      |    CAST(SUM(CAST(floor(valor_unit / (1 - d_pct / 100) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS valor_sem_desconto,
+      |    CAST(SUM(CAST(floor(valor_unit * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS valor_com_desconto,
+      |    CAST(SUM(CAST(floor(valor_unit * qtd * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS base_pre_desconto
+      |  FROM it GROUP BY pedido_id),
+      |matched AS (
+      |  SELECT pedido_id,
+      |    CAST(SUM(CAST(floor(p.p_retailprice * qtd * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS custo_total,
+      |    CAST(SUM(CAST(floor((valor_unit / (1 - d_pct / 100) - valor_unit) * qtd * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS total_desconto_produtos
+      |  FROM it JOIN part p ON it.l_partkey = p.p_partkey AND p.p_partkey % 17 <> 0
+      |  GROUP BY pedido_id),
+      |vend AS (
+      |  SELECT pedido_id, min(id_vendedor) AS vendedor_id,
+      |    'vend ' || min(id_vendedor) AS nome_vendedor
+      |  FROM (
+      |    SELECT o_orderkey AS pedido_id, CAST(o_custkey % 100 AS VARCHAR) AS id_vendedor
+      |    FROM orders WHERE o_orderkey % 7 <> 0
+      |    UNION ALL
+      |    SELECT o_orderkey, CAST(o_custkey % 100 + 1 AS VARCHAR)
+      |    FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0)
+      |  GROUP BY pedido_id)
+      |SELECT h.pedido_id, h.pedido_dia, CAST(h.o_custkey AS VARCHAR) AS cliente_cpf,
+      |  h.forma_pagamento, v.vendedor_id, v.nome_vendedor,
+      |  a.valor_sem_desconto, a.valor_com_desconto, a.base_pre_desconto,
+      |  COALESCE(m.total_desconto_produtos, 0) AS total_desconto_produtos,
+      |  COALESCE(m.custo_total, 0) AS custo_total,
+      |  floor(h.desconto_pedido * 10000 + 0.5) / 10000 AS desconto_pedido,
+      |  floor((COALESCE(m.total_desconto_produtos, 0) + h.desconto_pedido) * 10000 + 0.5) / 10000 AS desconto_total,
+      |  floor(h.o_totalprice * 10000 + 0.5) / 10000 AS valor_faturado,
+      |  floor((h.o_totalprice - COALESCE(m.custo_total, 0)) * 10000 + 0.5) / 10000 AS valor_lucro
+      |FROM hdr h
+      |LEFT JOIN allagg a USING (pedido_id)
+      |LEFT JOIN matched m USING (pedido_id)
+      |LEFT JOIN vend v USING (pedido_id)
+      |ORDER BY pedido_id""".stripMargin
 
   val typedItensFactSql: String =
     """WITH it AS (

@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ArrayDot.info,
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArrayDot(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("opaque"),
+      Opaque.info,
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Opaque(args.head)))
   }
 }

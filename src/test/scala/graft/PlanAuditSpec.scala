@@ -37,11 +37,46 @@ class PlanAuditSpec extends SparkSuite {
       || p.contains("PushedFilters: [IsNotNull(o_orderkey)"), p.take(800))
   }
 
-  test("enrichment join chain: all three dims broadcast, fact side never shuffles for the join") {
+  test("enrichment join chain: fact side never shuffles while dims are broadcast-eligible") {
+    // customer is NOT hinted (it grows with the corpus) — but at test scale
+    // it is under autoBroadcastJoinThreshold, so statistics must still pick
+    // broadcast and the fact side must not shuffle
     val p = plan(Dimensions.enrichJoin(spark, sfDir))
     assert(p.split("BroadcastHashJoin").length - 1 == 3)
     assert(p.split("Exchange hashpartitioning").length - 1 == 0,
       "fact side must not hash-shuffle for broadcast enrichment")
+  }
+
+  test("enrichment join chain: hinted tiny dims still broadcast when statistics can't") {
+    // with auto-broadcast off (the 100 TB regime where customer outgrows
+    // the threshold), nation/region keep their hints and customer falls
+    // back to a shuffle join — never a forced driver-side broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(Dimensions.enrichJoin(spark, sfDir))
+      assert(p.split("BroadcastHashJoin").length - 1 == 2, p.take(800))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "customer join must degrade to a shuffle join, not a forced broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("typed path: status gates never re-parse — no from_json in any Filter (opaque barrier)") {
+    // The round-1 shape tokenized every payload twice: a minimal-schema
+    // from_json duplicated into the pushed-down status filter plus the full
+    // parse in the projection. With the opaque barrier the gate reads the
+    // materialized struct, so no Filter condition may contain a parse.
+    val lp = Typed.typedItensFact(spark, sfDir).queryExecution.optimizedPlan
+    val filtersWithParse = lp.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.JsonToStructs]) => f
+    }
+    assert(filtersWithParse.isEmpty, filtersWithParse.mkString("\n").take(1200))
+    // and the parse count stays bounded: one per envelope subtree (the pdv
+    // subtree appears twice logically and is deduplicated by ReusedExchange
+    // physically) — regression guard against re-inlining
+    assert(lp.toString.split("from_json").length - 1 <= 3)
   }
 
   test("minhash candidates: LSH band join, not a cross join") {

@@ -25,7 +25,7 @@ class RawTablesSpec extends SparkSuite {
       |"itens":[
       |{"id":1,"idProduto":111,"descricao":"Azeite","valor":"45.00","quantidade":"2.0","desconto":"10"},
       |{"id":2,"idProduto":222,"descricao":"Massa","valor":"10.00","quantidade":"1.0","desconto":"0"},
-      |{"id":3,"idProduto":333,"descricao":"Fantasma","valor":"20.00","quantidade":"1.0","desconto":"abc"}],
+      |{"id":3,"idProduto":333,"descricao":"Fantasma","valor":"20.00","quantidade":"1.0","desconto":"50"}],
       |"parcelas":[{"formaPagamento":"credito","dataVencimento":"05/04/2024","valor":90.0,"tPag":"03"}]
       |}}}""".stripMargin.replace("\n", "")
 
@@ -81,15 +81,20 @@ class RawTablesSpec extends SparkSuite {
     assert(azeite.getAs[String]("categoria_secundaria") == "Azeites")
   }
 
-  test("pedidos fact: pre-join F2-F4 include the dropped item, F1 excludes it") {
+  test("pedidos fact: pre-join F2-F4 include the dropped item, F1/F5 exclude it") {
     val r = FactsFromRaw.pedidos(pdv, pesquisa, produto).collect()(0)
-    // F2 per-unit quirk incl. ghost item with unparseable desconto -> 0%
-    assert(math.abs(r.getAs[Double]("valor_sem_desconto") - (50.0 + 10.0 + 20.0)) < 1e-9)
+    // F2 per-unit quirk incl. ghost item: 20/(1-0.5) = 40 per unit
+    assert(math.abs(r.getAs[Double]("valor_sem_desconto") - (50.0 + 10.0 + 40.0)) < 1e-9)
     assert(math.abs(r.getAs[Double]("valor_com_desconto") - 75.0) < 1e-9)
     assert(math.abs(r.getAs[Double]("base_pre_desconto") - 120.0) < 1e-9)
     // F1 cost: only matched items (56 + 5)
     assert(math.abs(r.getAs[Double]("custo_total") - 61.0) < 1e-9)
-    // F5+F6: item discounts 10 + header 10,00 -> 20
+    // F5 matched-only: azeite 10 + massa 0 — the ghost's 20 (50% on 20.00
+    // per unit) is EXCLUDED, exactly like the reference's
+    // `total_desconto_produtos += item_data['desconto_produto']` inside the
+    // matched branch; all-items semantics would give 30 + header here
+    assert(math.abs(r.getAs[Double]("total_desconto_produtos") - 10.0) < 1e-9)
+    // F6: + header "10,00" -> 20 total
     assert(math.abs(r.getAs[Double]("desconto_total") - 20.0) < 1e-9)
     assert(math.abs(r.getAs[Double]("valor_lucro") - 29.0) < 1e-9)
     assert(r.getAs[String]("nome_vendedor") == "Bruno Lima")
