@@ -82,6 +82,8 @@ object SparkEntry {
     "typed_itens_fact" -> ((s, dir) => Typed.typedItensFact(tune(s), dir)),
     "typed_pedidos_fact" -> ((s, dir) => Typed.typedPedidosFact(tune(s), dir)),
     "typed_pesquisa" -> ((s, dir) => Typed.typedPesquisa(tune(s), dir)),
+    // A6/D4/J7: composite Pub/Sub message channel, produce → decode → dispatch
+    "message_roundtrip" -> ((s, dir) => Messages.messageRoundtrip(tune(s), dir)),
     // Scale pattern: salted two-stage aggregation for hot keys
     "events_salted_agg" -> ((s, dir) => Skew.eventsSaltedAgg(tune(s), dir)),
   )
@@ -132,6 +134,7 @@ object SparkEntry {
     "typed_itens_fact" -> Typed.typedItensFactSql,
     "typed_pedidos_fact" -> Typed.typedPedidosFactSql,
     "typed_pesquisa" -> Typed.typedPesquisaSql,
+    "message_roundtrip" -> Messages.messageRoundtripSql,
     "events_salted_agg" -> Skew.eventsSaltedAggSql,
   )
 }

@@ -17,13 +17,13 @@ import java.nio.file.Files
 object StreamDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val spark = SparkSession.builder()
+    val spark = SparkEntry.tune(SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
     val work = Files.createTempDirectory("graft-stream").toString
@@ -94,9 +94,36 @@ object StreamDemo {
     check("windowed append emitted", winRows > 0, s"windows=$winRows")
     check("stateful totals cover all events", stateTotal == expected,
       s"state=$stateTotal expected=$expected")
-    check("raw is day-partitioned",
-      new java.io.File(rawDir).listFiles().exists(_.getName.startsWith("event_date=")),
-      "partitionBy(event_date)")
+    check("raw is batch-keyed and day-partitioned",
+      new java.io.File(rawDir).listFiles().exists(b =>
+        b.getName.startsWith("ingest_batch=") && b.isDirectory &&
+          b.listFiles().exists(_.getName.startsWith("event_date="))),
+      "ingest_batch=N/event_date=D layout")
+
+    // --- A6/D4/J7: composite Pub/Sub channel — produce the serialized
+    // messages, subscribe as a stream, dispatch through the same RawTables
+    // loads, and reconcile each raw sink against the base tables.
+    val msgDir = s"$work/messages"
+    operators.Messages.syntheticMessages(spark, sfDir)
+      .write.mode("overwrite").text(msgDir)
+    val mq = Streaming.messageFanOut(
+      Streaming.readMessageStream(spark, msgDir, operators.Messages.fullMessageSchema),
+      s"$work/msg_pdv", s"$work/msg_produto", s"$work/msg_pesquisa", s"$work/msgck")
+    mq.awaitTermination()
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val nOrders = ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi").count()
+    val nItems = li.count()
+    val searched = ord.filter(col("o_orderkey") % 7 =!= 0)
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+    val nPesquisa = searched.count() + searched.filter(col("o_orderkey") % 5 === 0).count()
+    check("message pdv sink = one row per order",
+      spark.read.parquet(s"$work/msg_pdv").count() == nOrders, s"orders=$nOrders")
+    check("message produto sink = one row per item (D4 explode)",
+      spark.read.parquet(s"$work/msg_produto").count() == nItems, s"items=$nItems")
+    check("message pesquisa sink = exploded search entries",
+      spark.read.parquet(s"$work/msg_pesquisa").count() == nPesquisa,
+      s"entries=$nPesquisa")
     spark.stop()
     if (failed) sys.exit(1)
   }

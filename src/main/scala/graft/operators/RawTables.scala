@@ -29,11 +29,13 @@ object RawTables {
     * still tokenized the full payload text twice). `opaque` reports the
     * parse nondeterministic, so the predicate stays above the projection
     * and every payload string is parsed exactly once. */
-  private def parsedGate(raw: DataFrame,
+  private def parsed(raw: DataFrame,
       envelope: org.apache.spark.sql.types.StructType): DataFrame =
     raw.select(col("uuid"), col("file_ts"),
       call_function("opaque", from_json(col("json"), envelope)).as("r"))
-      .filter(col("r.retorno.status_processamento") === "3")
+
+  private def gated(parsed: DataFrame): DataFrame =
+    parsed.filter(col("r.retorno.status_processamento") === "3")
 
   /** `pdv` load: envelope unwrap (D1), top-level date normalize (D6),
     * nested `parcelas[].dataVencimento` normalize via `transform` (D7),
@@ -44,8 +46,16 @@ object RawTables {
     * handful of fields pass a sub-schema so the parser skips the rest —
     * column pruning pushed into `from_json` by hand (Catalyst's automatic
     * json pruning can't see through the star-expansion this load does). */
-  def pdv(raw: DataFrame, envelope: org.apache.spark.sql.types.StructType): DataFrame = {
-    val p = parsedGate(raw, envelope)
+  def pdv(raw: DataFrame, envelope: org.apache.spark.sql.types.StructType): DataFrame =
+    pdvFromParsed(parsed(raw, envelope))
+
+  /** Struct-input variant: the Pub/Sub consumer dispatches an
+    * already-decoded envelope subtree (`gcs_to_bq/main.py:361-363` passes
+    * the message's dict straight into the transform — in Spark terms the
+    * decoded struct IS the parsed form, so no re-serialize/re-parse).
+    * Expects columns (`uuid`, `file_ts`, `r` = envelope struct). */
+  def pdvFromParsed(parsedEnv: DataFrame): DataFrame = {
+    val p = gated(parsedEnv)
       .select(col("uuid"), col("file_ts"), col("r.retorno.pedido.*"))
     val normalized = lineage(p, "pdv")
       .withColumn("data", Exprs.brDate(col("data")))
@@ -58,8 +68,12 @@ object RawTables {
   /** `pesquisa` load: explode `retorno.pedidos[]` (D2), date normalize,
     * empty `data_prevista` dropped to null (D8). Reference
     * `gcs_to_bq/main.py:294-316`. */
-  def pesquisa(raw: DataFrame): DataFrame = {
-    val p = parsedGate(raw, Schemas.pesquisaEnvelope)
+  def pesquisa(raw: DataFrame): DataFrame =
+    pesquisaFromParsed(parsed(raw, Schemas.pesquisaEnvelope))
+
+  /** Struct-input variant for the Pub/Sub consumer (see [[pdvFromParsed]]). */
+  def pesquisaFromParsed(parsedEnv: DataFrame): DataFrame = {
+    val p = gated(parsedEnv)
       .select(col("uuid"), col("file_ts"),
         explode(col("r.retorno.pedidos")).as("p"))
       .select(col("uuid"), col("file_ts"), col("p.pedido.*"))
@@ -72,8 +86,14 @@ object RawTables {
   /** `produto` load: envelope unwrap + lineage; empty payloads skipped (B4 —
     * the extra `produto.id` null guard on the same materialized parse).
     * Reference `gcs_to_bq/main.py:320-348`. */
-  def produto(raw: DataFrame): DataFrame = {
-    val p = parsedGate(raw, Schemas.produtoEnvelope)
+  def produto(raw: DataFrame): DataFrame =
+    produtoFromParsed(parsed(raw, Schemas.produtoEnvelope))
+
+  /** Struct-input variant for the Pub/Sub consumer (see [[pdvFromParsed]]);
+    * the message channel delivers one produto envelope per order item, so
+    * the same B4 guard drops the empty ones. */
+  def produtoFromParsed(parsedEnv: DataFrame): DataFrame = {
+    val p = gated(parsedEnv)
       .filter(col("r.retorno.produto.id").isNotNull)
       .select(col("uuid"), col("file_ts"), col("r.retorno.produto.*"))
     lineage(p, "produto")

@@ -15,34 +15,41 @@ import org.apache.spark.sql.functions._
   */
 object Typed {
 
-  /** pdv envelopes: one per order, `itens[]` from lineitem (numbers as
-    * strings, per-item percent discount from `l_partkey % 30`), header
-    * dual-format discount reused from [[Facts.descontoPedidoStr]]. */
+  /** The synthesized order item struct, from lineitem columns (numbers as
+    * strings, per-item percent discount from `l_partkey % 30`). Shared with
+    * the Pub/Sub message producer ([[Messages]]). */
+  private[operators] def itemStruct: Column = struct(
+    col("l_linenumber").cast("long").as("id"),
+    col("l_partkey").as("idProduto"),
+    concat(lit("item "), col("l_partkey").cast("string")).as("descricao"),
+    (col("l_extendedprice") / col("l_quantity")).cast("string").as("valor"),
+    col("l_quantity").cast("string").as("quantidade"),
+    (col("l_partkey") % 30).cast("string").as("desconto"))
+
+  /** The pdv envelope struct, from orders columns + an assembled `itens[]`
+    * column; header dual-format discount reused from
+    * [[Facts.descontoPedidoStr]]. */
+  private[operators] def pdvEnvelope(itens: Column): Column = struct(struct(
+    lit("3").as("status_processamento"),
+    struct(
+      col("o_orderkey").as("id"),
+      date_format(col("o_orderdate"), "dd/MM/yyyy").as("data"),
+      Facts.descontoPedidoStr.as("desconto"),
+      col("o_totalprice").as("totalVenda"),
+      element_at(typedlit(Seq("credito", "boleto", "pix")),
+        (pmod(col("o_orderkey"), lit(3)) + 1).cast("int")).as("formaPagamento"),
+      struct(col("o_custkey").cast("string").as("cpfCnpj")).as("contato"),
+      itens).as("pedido")).as("retorno"))
+
+  /** pdv envelopes: one per order. */
   private def pdvRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    val itens = Tables.lineitem(spark, sfDir).select(
-      col("l_orderkey"),
-      struct(
-        col("l_linenumber").cast("long").as("id"),
-        col("l_partkey").as("idProduto"),
-        concat(lit("item "), col("l_partkey").cast("string")).as("descricao"),
-        (col("l_extendedprice") / col("l_quantity")).cast("string").as("valor"),
-        col("l_quantity").cast("string").as("quantidade"),
-        (col("l_partkey") % 30).cast("string").as("desconto")).as("item"))
+    val itens = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), itemStruct.as("item"))
       .groupBy("l_orderkey")
       .agg(sort_array(collect_list(col("item"))).as("itens"))
     Tables.orders(spark, sfDir)
       .join(itens, col("o_orderkey") === col("l_orderkey"))
-      .select(to_json(struct(struct(
-        lit("3").as("status_processamento"),
-        struct(
-          col("o_orderkey").as("id"),
-          date_format(col("o_orderdate"), "dd/MM/yyyy").as("data"),
-          Facts.descontoPedidoStr.as("desconto"),
-          col("o_totalprice").as("totalVenda"),
-          element_at(typedlit(Seq("credito", "boleto", "pix")),
-            (pmod(col("o_orderkey"), lit(3)) + 1).cast("int")).as("formaPagamento"),
-          struct(col("o_custkey").cast("string").as("cpfCnpj")).as("contato"),
-          col("itens")).as("pedido")).as("retorno"))).as("json"),
+      .select(to_json(pdvEnvelope(col("itens"))).as("json"),
         md5(col("o_orderkey").cast("string")).as("uuid"),
         lit("20240305T141000").as("file_ts"))
   }
@@ -55,16 +62,21 @@ object Typed {
     *  - `data_prevista` is the empty string for `o_orderkey % 4 == 0`
     *    (D8 empty→null at data scale);
     *  - ids/vendedor ids are strings, as the pesquisa payload sends them. */
+  /** One pesquisa search-result entry, from orders columns (ids as strings,
+    * as the pesquisa payload sends them; empty `data_prevista` for
+    * `o_orderkey % 4 == 0`). Shared with the message producer. */
+  private[operators] def pesquisaEntry(vendedorId: Column): Column = struct(struct(
+    col("o_orderkey").cast("string").as("id"),
+    date_format(col("o_orderdate"), "dd/MM/yyyy").as("data_pedido"),
+    when(col("o_orderkey") % 4 === 0, lit(""))
+      .otherwise(date_format(date_add(col("o_orderdate"), 7), "dd/MM/yyyy"))
+      .as("data_prevista"),
+    vendedorId.cast("string").as("id_vendedor"),
+    concat(lit("vend "), vendedorId.cast("string")).as("nome_vendedor"))
+    .as("pedido"))
+
   private def pesquisaRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    def entry(vendedorId: Column) = struct(struct(
-      col("o_orderkey").cast("string").as("id"),
-      date_format(col("o_orderdate"), "dd/MM/yyyy").as("data_pedido"),
-      when(col("o_orderkey") % 4 === 0, lit(""))
-        .otherwise(date_format(date_add(col("o_orderdate"), 7), "dd/MM/yyyy"))
-        .as("data_prevista"),
-      vendedorId.cast("string").as("id_vendedor"),
-      concat(lit("vend "), vendedorId.cast("string")).as("nome_vendedor"))
-      .as("pedido"))
+    def entry(vendedorId: Column) = pesquisaEntry(vendedorId)
     val base = Tables.orders(spark, sfDir).filter(col("o_orderkey") % 7 =!= 0)
     val rows = base.select(col("o_orderkey"), entry(col("o_custkey") % 100).as("p"))
       .unionByName(base.filter(col("o_orderkey") % 5 === 0)
@@ -79,15 +91,19 @@ object Typed {
         lit("20240305T141000").as("file_ts"))
   }
 
+  /** The produto envelope struct, from part columns. Shared with the
+    * message producer, which carries one envelope per order item (D4). */
+  private[operators] def produtoEnvelope: Column = struct(struct(
+    lit("3").as("status_processamento"),
+    struct(
+      col("p_partkey").as("id"),
+      col("p_name").as("nome"),
+      col("p_retailprice").cast("string").as("preco_custo"),
+      concat(col("p_brand"), lit(" >> "), col("p_type")).as("categoria")
+    ).as("produto")).as("retorno"))
+
   private def produtoRaw(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.part(spark, sfDir).select(to_json(struct(struct(
-      lit("3").as("status_processamento"),
-      struct(
-        col("p_partkey").as("id"),
-        col("p_name").as("nome"),
-        col("p_retailprice").cast("string").as("preco_custo"),
-        concat(col("p_brand"), lit(" >> "), col("p_type")).as("categoria")
-      ).as("produto")).as("retorno"))).as("json"),
+    Tables.part(spark, sfDir).select(to_json(produtoEnvelope).as("json"),
       md5(col("p_partkey").cast("string")).as("uuid"),
       lit("20240305T141000").as("file_ts"))
 

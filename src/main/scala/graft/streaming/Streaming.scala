@@ -22,9 +22,11 @@ case class OrderUpdate(pedido_id: Long, n_events: Long, valor_total: Double)
   *
   * Scale notes: the only stateful operators are dedupe (keys = uuid within
   * the watermark horizon) and the windowed aggregation — both partition by
-  * key across executors. `foreachBatch` writes are idempotent appends
-  * partitioned by event date (J2's day partitioning), so task retries don't
-  * duplicate output.
+  * key across executors. `foreachBatch` sinks write each micro-batch into a
+  * batch-keyed subdirectory with overwrite semantics, so a re-executed batch
+  * (restart after a partial failure, e.g. raw written but fact not) replaces
+  * its own previous attempt instead of appending a duplicate — exactly-once
+  * output on top of the source's at-least-once replay.
   */
 object Streaming {
 
@@ -71,33 +73,46 @@ object Streaming {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(Seq("uuid"))
 
+  /** One micro-batch of the fan-out, exposed so re-delivery is testable:
+    * every sink writes into an `ingest_batch=<id>` subdirectory with
+    * OVERWRITE mode, so running the same (batch, batchId) twice — what a
+    * foreachBatch re-execution after a partial failure does — leaves the
+    * sinks exactly as a single run would. Readers of the sink root see
+    * `ingest_batch` as a discovered partition column. */
+  def fanOutBatch(batch: DataFrame, batchId: Long, rawDir: String,
+    factDir: String, notifyDir: Option[String]): Unit = {
+    val rows = batch
+      .select(
+        col("dados.id").as("pedido_id"),
+        col("uuid"),
+        col("dados.valor").as("valor"),
+        col("event_time"),
+        to_date(col("event_time")).as("event_date"))
+      .persist()
+    // raw zone: day-partitioned within the batch dir (J2)
+    rows.write.mode("overwrite").partitionBy("event_date")
+      .parquet(s"$rawDir/ingest_batch=$batchId")
+    // fact build: per-order aggregate of this micro-batch (3b, F3)
+    rows.groupBy("pedido_id")
+      .agg(count(lit(1)).as("n_events"), sum("valor").as("valor_total"))
+      .write.mode("overwrite").parquet(s"$factDir/ingest_batch=$batchId")
+    // conditional downstream notify (I3)
+    notifyDir.foreach(d => rows.select("uuid").write.mode("overwrite")
+      .parquet(s"$d/ingest_batch=$batchId"))
+    rows.unpersist()
+    ()
+  }
+
   /** I2/J2/J4 + §3.1 3a/3b — one stream, two sinks: raw day-partitioned
-    * append + per-order fact aggregate, in a single `foreachBatch` pass.
+    * write + per-order fact aggregate, in a single `foreachBatch` pass.
     * I3's flag-gated notify channel writes the processed uuids. */
   def fanOut(validated: DataFrame, rawDir: String, factDir: String,
     checkpointDir: String, notifyDir: Option[String] = None): StreamingQuery =
     validated.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch
-          .select(
-            col("dados.id").as("pedido_id"),
-            col("uuid"),
-            col("dados.valor").as("valor"),
-            col("event_time"),
-            to_date(col("event_time")).as("event_date"))
-          .persist()
-        // raw zone: day-partitioned append (J2)
-        rows.write.mode("append").partitionBy("event_date").parquet(rawDir)
-        // fact build: per-order aggregate of this micro-batch (3b, F3)
-        rows.groupBy("pedido_id")
-          .agg(count(lit(1)).as("n_events"), sum("valor").as("valor_total"))
-          .write.mode("append").parquet(factDir)
-        // conditional downstream notify (I3)
-        notifyDir.foreach(d => rows.select("uuid").write.mode("append").parquet(d))
-        rows.unpersist()
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        fanOutBatch(batch, batchId, rawDir, factDir, notifyDir)
       }
       .start()
 
@@ -138,6 +153,45 @@ object Streaming {
         ()
       }
       .start()
+
+  /** A6 streaming form — subscribe to the composite Pub/Sub channel: a drop
+    * directory of base64 message lines (one serialized message per line,
+    * the push-delivery `message.data` form), decoded ONCE per row with the
+    * explicit message schema (`gcs_to_bq/main.py:351-355`). */
+  def readMessageStream(spark: SparkSession, dir: String,
+    schema: StructType): DataFrame =
+    spark.readStream.text(dir)
+      .select(graft.operators.Messages.decode(col("value"), schema).as("m"))
+      .select(col("m.uuid").as("uuid"), col("m.timestamp").as("file_ts"),
+        col("m.pdv_pedido_data").as("pdv_pedido_data"),
+        col("m.produto_data").as("produto_data"),
+        col("m.pedidos_pesquisa_data").as("pedidos_pesquisa_data"))
+
+  /** The raw-table subscriber as a stream (§3.1 step 3a,
+    * `gcs_to_bq/main.py:356-372`): each micro-batch dispatches the decoded
+    * message subtrees — `explode(produto_data)` included (D4) — through the
+    * SAME `RawTables` loads the file zone uses, into batch-keyed
+    * (re-execution-idempotent) sinks. The batch is persisted so the three
+    * dispatch branches read one materialized decode. */
+  def messageFanOut(messages: DataFrame, pdvDir: String, produtoDir: String,
+    pesquisaDir: String, checkpointDir: String): StreamingQuery = {
+    import graft.operators.{Messages, RawTables}
+    messages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val msg = batch.persist()
+        RawTables.pdvFromParsed(Messages.pdvDispatch(msg))
+          .write.mode("overwrite").parquet(s"$pdvDir/ingest_batch=$batchId")
+        RawTables.produtoFromParsed(Messages.produtoDispatch(msg))
+          .write.mode("overwrite").parquet(s"$produtoDir/ingest_batch=$batchId")
+        RawTables.pesquisaFromParsed(Messages.pesquisaDispatch(msg))
+          .write.mode("overwrite").parquet(s"$pesquisaDir/ingest_batch=$batchId")
+        msg.unpersist()
+        ()
+      }
+      .start()
+  }
 
   /** I6 — watermarked tumbling-window aggregation over the event stream;
     * append mode emits each window once, when the watermark passes it. */
