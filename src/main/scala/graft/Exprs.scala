@@ -30,6 +30,18 @@ object Exprs {
     org.apache.spark.sql.functions.sum(
       floor(c * lit(scale) + lit(0.5d)).cast("long")).cast("double") / lit(scale)
 
+  /** [[gsum]] over an array column, as a per-row fold (no explode, no
+    * shuffle): each element is mapped by `f`, rounded onto the grid, and
+    * integer-summed. NULL array → NULL, matching what a left join against
+    * an exploded+grouped aggregate would produce. Used to compute
+    * header-grain sums BEFORE the single item-grain explode so fact builds
+    * stay one-pass (a second aggregate branch would duplicate the whole
+    * upstream parse subtree — Spark plans are trees, and only identical
+    * exchange subtrees get reused). */
+  def gsumArray(arr: Column, f: Column => Column, scale: Double = 1e4): Column =
+    aggregate(transform(arr, x => floor(f(x) * lit(scale) + lit(0.5d)).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double") / lit(scale)
+
   /** F6 — dual-format pt-BR discount parse
     * (reference `sales_to_bq/main.py:120-132,142-154`):
     * `'x%'` → pct/100 × base; else `','→'.'` decimal taken as an absolute

@@ -27,11 +27,11 @@ import org.apache.spark.sql.types._
   *
   * Scale notes: encode/decode/dispatch are narrow per-row maps. The consumer
   * parses each message exactly ONCE (the `from_json` sits behind the same
-  * `opaque` barrier the raw loads use, and a single hash exchange on the
-  * message uuid is reused by all three subscriber branches plus both
-  * downstream aggregates and joins, which all key on that uuid — the whole
-  * [[messageRoundtrip]] plan has one shuffle of the decoded rows and one per
-  * tiny aggregate side, no matter how many subscribers attach).
+  * `opaque` barrier the raw loads use), and because the message is
+  * self-contained per order, [[messageRoundtrip]] reconciles all payloads in
+  * a single pass — one explode, one uuid aggregate, one shuffle total (see
+  * the method doc for why sibling subscriber branches would instead
+  * re-materialize the producer once per branch).
   */
 object Messages {
 
@@ -56,8 +56,14 @@ object Messages {
 
   /** J7 — produce: serialize the composite struct and base64 the bytes (the
     * wire form a Pub/Sub push delivery carries in `message.data`;
-    * `api_to_gcs/main.py:286-288` json.dumps + utf-8 encode). */
-  def encode(message: Column): Column = base64(to_json(message).cast("binary"))
+    * `api_to_gcs/main.py:286-288` json.dumps + utf-8 encode). Spark's
+    * `base64` may emit MIME-chunked output (a newline every 76 chars,
+    * `spark.sql.legacy.chunkBase64String.enabled`); the wire contract is a
+    * SINGLE line — a line-oriented stage (`.text` zone, one message per
+    * line) would otherwise split every message — so strip CR/LF with a
+    * plain char-map (`translate`, no regex). `unbase64` accepts both forms. */
+  def encode(message: Column): Column =
+    translate(base64(to_json(message).cast("binary")), "\r\n", "")
 
   /** A6 — consume: base64-decode and parse with the explicit schema, behind
     * the `opaque` planning barrier so downstream predicates never duplicate
@@ -146,44 +152,58 @@ object Messages {
         StructField("categoria", StringType)))))))))
 
   /** The full channel, produce → wire → consume → dispatch → raw loads →
-    * order-grain reconciliation, as one oracle-checked batch query:
-    * synthesize the composite messages, round them through base64 text,
-    * decode ONCE, fan out to the same three [[RawTables]] loads the file
-    * zone uses, and join the three subscriber outputs (plus the nota link)
-    * back to order grain. */
+    * order-grain reconciliation, as one oracle-checked batch query.
+    *
+    * One-pass shape: the message is SELF-CONTAINED per order, so the
+    * reconciliation never needs to join independent subscriber outputs back
+    * together — doing so as sibling plan branches would re-materialize the
+    * whole producer pipeline once per branch (Spark plans are trees; only
+    * identical exchange subtrees are reused, and per-branch column pruning
+    * below any shared exchange defeats that). Instead: decode ONCE, run the
+    * one genuinely item-grain load (D4 `explode(produto_data)` →
+    * [[RawTables.produtoFromParsed]]) with the message-grain payloads
+    * CARRIED through it, and recover them in the same aggregate that folds
+    * the produto payloads. The pdv/pesquisa payloads reconcile as per-row
+    * struct/array algebra — zero extra passes, one shuffle (the uuid
+    * aggregate) for the whole channel. The per-payload dispatch path
+    * ([[pdvDispatch]]/[[pesquisaDispatch]] → the matching raw loads) is the
+    * streaming subscriber form, exercised by `graft.StreamDemo`. */
   def messageRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = messageSchema(prunedPdvEnvelope, prunedProdutoEnvelope,
       graft.Schemas.pesquisaEnvelope)
-    // Exchange barrier after the decode (same pattern as the typed path):
-    // all three subscriber branches read the SAME reused exchange, and every
-    // downstream agg/join keys on the message uuid, so the decoded rows
-    // shuffle exactly once.
+    // G3 first-match over the pesquisa entries as an array fold (lexicographic
+    // struct min = the min(struct(...)) a grouped form computes); empty
+    // pedidos[] → element_at out of bounds → null, the left-join semantics.
+    val vend = when(
+      col("m.pedidos_pesquisa_data.retorno.status_processamento") === "3",
+      element_at(sort_array(transform(col("m.pedidos_pesquisa_data.retorno.pedidos"),
+        p => struct(p.getField("pedido").getField("id_vendedor").as("id_vendedor"),
+          p.getField("pedido").getField("nome_vendedor").as("nome_vendedor")))), 1))
+    // Message-grain fields reconcile as per-row struct/array algebra BEFORE
+    // the explode, so only slim scalars (not the payload structs) ride the
+    // item-grain pass and its shuffle.
     val msg = syntheticMessages(spark, sfDir)
       .select(decode(col("data"), schema).as("m"))
+      .filter(col("m.pdv_pedido_data.retorno.status_processamento") === "3")
       .select(col("m.uuid").as("uuid"), col("m.timestamp").as("file_ts"),
-        col("m.pdv_pedido_data").as("pdv_pedido_data"),
-        col("m.produto_data").as("produto_data"),
-        col("m.pedidos_pesquisa_data").as("pedidos_pesquisa_data"),
-        col("m.nota_fiscal_link_data.link_nfce").as("nota_link"))
-      .repartition(col("uuid"))
-    val pdv = RawTables.pdvFromParsed(pdvDispatch(msg))
-    val produto = RawTables.produtoFromParsed(produtoDispatch(msg))
-    val pesquisa = RawTables.pesquisaFromParsed(pesquisaDispatch(msg))
-    val produtoAgg = produto.groupBy("uuid").agg(
-      count(lit(1)).as("n_produto_payloads"),
-      countDistinct(col("id")).as("n_produtos"),
-      Exprs.gsum(col("preco_custo").cast("double")).as("custo_catalogo"))
-    val vendedor = pesquisa.groupBy("uuid")
-      .agg(min(struct(col("id_vendedor"), col("nome_vendedor"))).as("v"))
-      .select(col("uuid"), col("v.id_vendedor").as("vendedor_id"),
-        col("v.nome_vendedor").as("nome_vendedor"))
-    pdv.select(col("uuid").as("msg_uuid"), col("id").as("pedido_id"),
-      col("data").as("pedido_dia"), col("contato.cpfCnpj").as("cliente_cpf"),
-      col("formaPagamento").as("forma_pagamento"),
-      size(col("itens")).cast("long").as("n_itens"))
-      .join(produtoAgg.withColumnRenamed("uuid", "msg_uuid"), Seq("msg_uuid"))
-      .join(vendedor.withColumnRenamed("uuid", "msg_uuid"), Seq("msg_uuid"), "left")
-      .join(msg.select(col("uuid").as("msg_uuid"), col("nota_link")), Seq("msg_uuid"))
+        col("m.pdv_pedido_data.retorno.pedido.id").as("pedido_id"),
+        Exprs.brDate(col("m.pdv_pedido_data.retorno.pedido.data")).as("pedido_dia"),
+        col("m.pdv_pedido_data.retorno.pedido.contato.cpfCnpj").as("cliente_cpf"),
+        col("m.pdv_pedido_data.retorno.pedido.formaPagamento").as("forma_pagamento"),
+        size(col("m.pdv_pedido_data.retorno.pedido.itens")).cast("long").as("n_itens"),
+        vend.getField("id_vendedor").as("vendedor_id"),
+        vend.getField("nome_vendedor").as("nome_vendedor"),
+        col("m.nota_fiscal_link_data.link_nfce").as("nota_link"),
+        explode(col("m.produto_data")).as("r"))
+    val hdr = Seq("pedido_id", "pedido_dia", "cliente_cpf", "forma_pagamento",
+      "n_itens", "vendedor_id", "nome_vendedor", "nota_link")
+    val produto = RawTables.produtoFromParsed(msg, carry = hdr)
+    val aggs = hdr.map(c => first(col(c)).as(c)) :+
+      count(lit(1)).as("n_produto_payloads") :+
+      countDistinct(col("id")).as("n_produtos") :+
+      Exprs.gsum(col("preco_custo").cast("double")).as("custo_catalogo")
+    produto.groupBy("uuid").agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("uuid", "msg_uuid")
       .orderBy("pedido_id")
   }
 

@@ -91,11 +91,17 @@ object RawTables {
 
   /** Struct-input variant for the Pub/Sub consumer (see [[pdvFromParsed]]);
     * the message channel delivers one produto envelope per order item, so
-    * the same B4 guard drops the empty ones. */
-  def produtoFromParsed(parsedEnv: DataFrame): DataFrame = {
+    * the same B4 guard drops the empty ones.
+    *
+    * `carry` names extra input columns to thread through unchanged — the
+    * message consumer rides its message-grain payloads (pdv, pesquisa, nota
+    * link) through this item-grain load so the whole channel stays a single
+    * pass (see [[Messages.messageRoundtrip]]). */
+  def produtoFromParsed(parsedEnv: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val p = gated(parsedEnv)
       .filter(col("r.retorno.produto.id").isNotNull)
-      .select(col("uuid"), col("file_ts"), col("r.retorno.produto.*"))
+      .select(col("uuid") +: col("file_ts") +: carry.map(col) :+
+        col("r.retorno.produto.*"): _*)
     lineage(p, "produto")
   }
 }
@@ -121,33 +127,38 @@ object FactsFromRaw {
   // F8: valor/(1−d/100) − valor, per unit
   private val descontoUnit = valorUnit / (lit(1d) - dPct / 100) - valorUnit
 
-  private def explodedItems(pdv: DataFrame): DataFrame =
-    pdv.select(col("id").as("pedido_id"), col("data").as("pedido_dia"),
-      col("contato.cpfCnpj").as("cliente_cpf"),
-      posexplode(col("itens")).as(Seq("pos", "item")))
+  // Array-lambda forms of the same item metrics, for header-grain folds
+  // computed BEFORE the explode (one-pass plans: a separate aggregate branch
+  // over exploded items would duplicate the whole upstream parse subtree —
+  // Spark plans are trees and sibling branches re-materialize shared input).
+  private def iValor(i: Column): Column = i.getField("valor").cast("double")
+  private def iQtd(i: Column): Column = i.getField("quantidade").cast("double")
+  private def iDPct(i: Column): Column =
+    coalesce(i.getField("desconto").cast("double"), lit(0d))
 
   /** itens_pedido: one row per matched line item with the unit/total metric
-    * block (F8/F9) and pro-rata header-discount allocation (F7). */
+    * block (F8/F9) and pro-rata header-discount allocation (F7).
+    *
+    * One-pass shape: the header-grain values (F6 discount, F7 denominator
+    * over ALL items — the reference threads `total_pre` from the header
+    * dict, so items dropped by the produto lookup still count in the
+    * denominator, `sales_to_bq/main.py:221,326`) are per-row array folds
+    * computed BEFORE the single `posexplode`, carried on every item row.
+    * The payload parse happens exactly once; the only join is the produto
+    * lookup. */
   def itensPedido(pdv: DataFrame, produto: DataFrame): DataFrame = {
     val prod = produto.select(col("id").as("idProduto"),
       col("preco_custo").cast("double").as("preco_custo"),
       col("categoria"))
       .dropDuplicates("idProduto") // C2 first-match
-    val it = explodedItems(pdv)
-    // F7 denominator = F4 total over ALL items (computed header-side, BEFORE
-    // the produto join — reference threads total_pre from the header, so
-    // dropped items still count in the denominator). An array-aggregate over
-    // `itens` needs no shuffle at all.
-    val headerDiscount = pdv.select(col("id").as("pedido_id"),
+    val it = pdv.select(col("id").as("pedido_id"), col("data").as("pedido_dia"),
+      col("contato.cpfCnpj").as("cliente_cpf"),
       Exprs.parseDesconto(col("desconto"), col("totalVenda")).as("desconto_pedido"),
       // integer-grid fold: order-independent, matches the oracle's grouped
       // grid sum regardless of array vs row ordering
-      (aggregate(transform(col("itens"),
-        i => floor(i.getField("valor").cast("double")
-          * i.getField("quantidade").cast("double") * 1e4 + 0.5).cast("long")),
-        lit(0L), (acc, x) => acc + x).cast("double") / 1e4).as("total_pre"))
+      Exprs.gsumArray(col("itens"), i => iValor(i) * iQtd(i)).as("total_pre"),
+      posexplode(col("itens")).as(Seq("pos", "item")))
     it.join(prod, col("item.idProduto") === col("idProduto"))         // inner: unmatched dropped
-      .join(headerDiscount, "pedido_id")
       .withColumn("valor_total", valorUnit * qtd)
       .withColumn("share", col("valor_total") / col("total_pre"))
       .select(
@@ -181,34 +192,47 @@ object FactsFromRaw {
     * order can't flip a rounding boundary — the oracle replays the same
     * grid sums. */
   def pedidos(pdv: DataFrame, pesquisa: DataFrame, produto: DataFrame): DataFrame = {
-    val it = explodedItems(pdv)
-    // pre-join sums over every item (F2, F3, F4)
-    val allItemAggs = it.groupBy("pedido_id").agg(
-      Exprs.gsum(valorUnit / (lit(1d) - dPct / 100)).as("valor_sem_desconto"), // per-unit quirk
-      Exprs.gsum(valorUnit).as("valor_com_desconto"),
-      Exprs.gsum(valorUnit * qtd).as("base_pre_desconto"))
-    // post-join aggregates (F1 cost, F5 item-discount total) — unmatched
-    // items contribute nothing to either
+    // One-pass shape: F2-F4 pre-join sums are array folds ON the header row
+    // (the pre-explode projection), so the payload parse and the item
+    // explode each happen exactly once. `posexplode_outer` keeps zero-item
+    // orders alive through the cost aggregate; the left produto join plus
+    // the matched-only guards reproduce the reference's inner-lookup
+    // accumulation (F1/F5 inside `if item_data:` — unmatched items
+    // contribute nothing to either).
     val prod = produto.select(col("id").as("idProduto"),
       col("preco_custo").cast("double").as("preco_custo"))
       .dropDuplicates("idProduto")
-    val costAggs = it.join(prod, col("item.idProduto") === col("idProduto"))
-      .groupBy("pedido_id")
-      .agg(Exprs.gsum(col("preco_custo") * qtd).as("custo_total"),
-        Exprs.gsum(descontoUnit * qtd).as("total_desconto_produtos"))
+    val it = pdv.select(col("id").as("pedido_id"), col("data").as("pedido_dia"),
+      col("contato.cpfCnpj").as("cliente_cpf"),
+      col("formaPagamento").as("forma_pagamento"),
+      col("totalVenda").as("valor_faturado"),
+      Exprs.parseDesconto(col("desconto"), col("totalVenda")).as("desconto_pedido"),
+      Exprs.gsumArray(col("itens"),
+        i => iValor(i) / (lit(1d) - iDPct(i) / 100)).as("valor_sem_desconto"), // per-unit quirk
+      Exprs.gsumArray(col("itens"), iValor).as("valor_com_desconto"),
+      Exprs.gsumArray(col("itens"), i => iValor(i) * iQtd(i)).as("base_pre_desconto"),
+      posexplode_outer(col("itens")).as(Seq("pos", "item")))
     // C3/G3: first pesquisa row carries the vendedor
     val vendedor = pesquisa
       .groupBy(col("id").cast("long").as("pedido_id"))
       .agg(min(struct(col("id_vendedor"), col("nome_vendedor"))).as("v"))
       .select(col("pedido_id"), col("v.id_vendedor").as("vendedor_id"),
         col("v.nome_vendedor").as("nome_vendedor"))
-    pdv.select(col("id").as("pedido_id"), col("data").as("pedido_dia"),
-      col("contato.cpfCnpj").as("cliente_cpf"),
-      col("formaPagamento").as("forma_pagamento"),
-      col("totalVenda").as("valor_faturado"),
-      Exprs.parseDesconto(col("desconto"), col("totalVenda")).as("desconto_pedido"))
-      .join(allItemAggs, Seq("pedido_id"), "left")
-      .join(costAggs, Seq("pedido_id"), "left")
+    it.join(prod, col("item.idProduto") === col("idProduto"), "left")
+      .groupBy("pedido_id")
+      .agg(first(col("pedido_dia")).as("pedido_dia"),
+        first(col("cliente_cpf")).as("cliente_cpf"),
+        first(col("forma_pagamento")).as("forma_pagamento"),
+        first(col("valor_faturado")).as("valor_faturado"),
+        first(col("desconto_pedido")).as("desconto_pedido"),
+        first(col("valor_sem_desconto")).as("valor_sem_desconto"),
+        first(col("valor_com_desconto")).as("valor_com_desconto"),
+        first(col("base_pre_desconto")).as("base_pre_desconto"),
+        // F1/F5 matched-only: unmatched rows carry null preco_custo / are
+        // guarded out, and grid-sum skips null terms
+        Exprs.gsum(col("preco_custo") * qtd).as("custo_total"),
+        Exprs.gsum(when(col("idProduto").isNotNull, descontoUnit * qtd))
+          .as("total_desconto_produtos"))
       .join(vendedor, Seq("pedido_id"), "left")
       .withColumn("custo_total", coalesce(col("custo_total"), lit(0d)))
       .withColumn("total_desconto_produtos",

@@ -18,7 +18,7 @@ object Typed {
   /** The synthesized order item struct, from lineitem columns (numbers as
     * strings, per-item percent discount from `l_partkey % 30`). Shared with
     * the Pub/Sub message producer ([[Messages]]). */
-  private[operators] def itemStruct: Column = struct(
+  private[graft] def itemStruct: Column = struct(
     col("l_linenumber").cast("long").as("id"),
     col("l_partkey").as("idProduto"),
     concat(lit("item "), col("l_partkey").cast("string")).as("descricao"),
@@ -93,7 +93,7 @@ object Typed {
 
   /** The produto envelope struct, from part columns. Shared with the
     * message producer, which carries one envelope per order item (D4). */
-  private[operators] def produtoEnvelope: Column = struct(struct(
+  private[graft] def produtoEnvelope: Column = struct(struct(
     lit("3").as("status_processamento"),
     struct(
       col("p_partkey").as("id"),

@@ -73,10 +73,29 @@ class PlanAuditSpec extends SparkSuite {
           org.apache.spark.sql.catalyst.expressions.JsonToStructs]) => f
     }
     assert(filtersWithParse.isEmpty, filtersWithParse.mkString("\n").take(1200))
-    // and the parse count stays bounded: one per envelope subtree (the pdv
-    // subtree appears twice logically and is deduplicated by ReusedExchange
-    // physically) — regression guard against re-inlining
-    assert(lp.toString.split("from_json").length - 1 <= 3)
+    // and the parse count is exactly one per payload zone (pdv + produto):
+    // the fact builds are one-pass — header-grain sums are array folds
+    // computed before the single explode, so no sibling aggregate branch
+    // ever re-materializes the parse subtree
+    assert(lp.toString.split("from_json").length - 1 == 2, lp.toString.take(800))
+  }
+
+  test("typed order fact: one-pass — one parse per zone (pdv, pesquisa, produto)") {
+    val lp = Typed.typedPedidosFact(spark, sfDir).queryExecution.optimizedPlan
+    assert(lp.toString.split("from_json").length - 1 == 3, lp.toString.take(800))
+  }
+
+  test("message channel: one-pass — single decode, single producer materialization") {
+    // The composite message is self-contained per order; reconciliation must
+    // not fan the plan into sibling subscriber branches (each would redo the
+    // whole producer: scans, collect_list assembly, to_json/base64, decode).
+    val qe = Messages.messageRoundtrip(spark, sfDir).queryExecution
+    val lp = qe.optimizedPlan.toString
+    assert(lp.split("from_json").length - 1 == 1, lp.take(800))
+    assert(lp.split("collect_list").length - 1 == 2, // itens + produto_data, once each
+      "producer assembly must appear exactly once in the plan")
+    val scans = qe.executedPlan.toString.split("Scan parquet").length - 1
+    assert(scans == 3, s"expected one scan each of orders/lineitem/part, got $scans")
   }
 
   test("minhash candidates: LSH band join, not a cross join") {

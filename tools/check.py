@@ -1,72 +1,63 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's correctness gate.
+"""Local correctness check mirroring the driver's gate: for each query
+dumped by graft.Verify, run the oracle SQL in DuckDB over the same parquet
+tables and compare rows/schema/values (columns sorted by name, exact).
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
-
-Loads each <name>.parquet that graft.Verify wrote, runs the matching oracle
-SQL from oracle_sql.json in DuckDB (with each testdata table registered as a
-view), and compares values with columns sorted by name. NOT part of the
-shipped library — dev tooling only (driver-side python deps).
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 """
-import json
-import sys
-
+import json, sys, glob, os
 import duckdb
-import pyarrow.parquet as pq
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+
+with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+    oracles = json.load(f)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-
-def main(sf_dir: str, out_dir: str) -> int:
+fails = []
+for name in sorted(oracles):
+    if only and name not in only:
+        continue
+    spark_glob = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+    if not spark_glob:
+        print(f"{name}: MISSING spark output"); fails.append(name); continue
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    failures = 0
-    for name, sql in sorted(oracle.items()):
-        try:
-            got = pq.read_table(f"{out_dir}/{name}")
-        except Exception as e:
-            print(f"FAIL {name}: no spark output ({e})")
-            failures += 1
-            continue
-        try:
-            exp = con.execute(sql).arrow()
-        except Exception as e:
-            print(f"FAIL {name}: oracle sql error: {e}")
-            failures += 1
-            continue
-        g = got.to_pandas()[sorted(got.column_names)]
-        x = exp.to_pandas()[sorted(exp.column_names)]
-        if sorted(got.column_names) != sorted(exp.column_names):
-            print(f"FAIL {name}: columns differ\n  spark={sorted(got.column_names)}\n  duck ={sorted(exp.column_names)}")
-            failures += 1
-            continue
-        if len(g) != len(x):
-            print(f"FAIL {name}: rows {len(g)} vs {len(x)}")
-            failures += 1
-            continue
-        bad = None
-        for c in g.columns:
-            a, b = g[c], x[c]
-            try:
-                same = (a.astype(str).values == b.astype(str).values)
-            except Exception:
-                same = a.values == b.values
-            if not same.all():
-                i = int((~same).argmax())
-                bad = (c, i, a.iloc[i], b.iloc[i])
-                break
-        if bad:
-            c, i, av, bv = bad
-            print(f"FAIL {name}: col {c} row {i}: spark={av!r} duck={bv!r}")
-            failures += 1
-        else:
-            print(f"OK   {name} ({len(g)} rows)")
-    return failures
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    try:
+        odf = con.execute(oracles[name]).fetchdf()
+    except Exception as e:
+        print(f"{name}: ORACLE ERROR {e}"); fails.append(name); continue
+    sdf = con.execute(
+        f"SELECT * FROM read_parquet('{os.path.join(out_dir, name)}/*.parquet')"
+    ).fetchdf()
+    ok = True
+    if len(sdf) != len(odf):
+        print(f"{name}: rows {len(sdf)} vs {len(odf)}"); ok = False
+    scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+    if scols != ocols:
+        print(f"{name}: cols {scols} vs {ocols}"); ok = False
+    if ok and len(sdf):
+        s = sdf[scols].sort_values(scols, kind="mergesort").reset_index(drop=True)
+        o = odf[ocols].sort_values(ocols, kind="mergesort").reset_index(drop=True)
+        for c in scols:
+            sv, ov = s[c], o[c].astype(s[c].dtype, errors="ignore") \
+                if s[c].dtype != o[c].dtype else o[c]
+            neq = ~((sv == ov) | (sv.isna() & ov.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                print(f"{name}: col {c} mismatch at row {i}: "
+                      f"{sv[i]!r} vs {ov[i]!r} ({int(neq.sum())} rows)")
+                ok = False
+    print(f"{name}: {'OK' if ok else 'FAIL'}")
+    if not ok:
+        fails.append(name)
+    con.close()
 
-
-if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+print(f"\n{'ALL GREEN' if not fails else 'FAILURES: ' + ', '.join(fails)}")
+sys.exit(1 if fails else 0)
