@@ -15,13 +15,17 @@ import java.nio.file.Files
 object BackfillDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val spark = SparkSession.builder()
+    // tune() = the engine's session contract — in particular ANSI OFF: the
+    // fact builds push malformed discount strings through lenient casts
+    // (the reference's try/except float semantics); with Spark 4's ANSI
+    // default any value-level evaluation would raise CAST_INVALID_INPUT.
+    val spark = SparkEntry.tune(SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     val work = Files.createTempDirectory("graft-backfill").toString
 

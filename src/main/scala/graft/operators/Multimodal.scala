@@ -48,14 +48,20 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  /** Oracle parity note: Spark computes over UTF-8 BYTES (binary length,
+    * byte-wise sum); the DuckDB mirror uses `strlen` (byte length — exact
+    * for any input) and a per-character codepoint sum with the `s` regex
+    * flag (so newlines count). Codepoint == byte only for ASCII, so
+    * `sum_bytes` assumes the ASCII `documents` fixture — a non-ASCII
+    * corpus would need a byte-level oracle (e.g. unnesting the blob). */
   val multimodalFeaturesSql: String =
     """SELECT doc_id,
       |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
       |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
       |       ELSE 'video/mp4' END AS mime,
-      |  CAST(length(text) AS BIGINT) AS n_bytes,
-      |  CAST(length(text) % 640 AS BIGINT) AS width,
-      |  CAST((length(text) * 7) % 480 AS BIGINT) AS height,
-      |  CAST(list_sum(list_transform(regexp_extract_all(text, '.'), c -> ascii(c))) AS BIGINT) AS sum_bytes
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  CAST(strlen(text) % 640 AS BIGINT) AS width,
+      |  CAST((strlen(text) * 7) % 480 AS BIGINT) AS height,
+      |  CAST(list_sum(list_transform(regexp_extract_all(text, '.', 0, 's'), c -> ascii(c))) AS BIGINT) AS sum_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -38,19 +38,66 @@ object Writers {
   def overwriteDim(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
-  /** J6 — keyed delete as an anti-join rewrite + F11 count-verify
-    * (reference `api_to_gcs-checker.py:114-128`). Returns the post-delete
-    * count of matching keys (must be 0). */
+  /** J6 + B5 — keyed delete as a PARTITION-SCOPED anti-join rewrite with
+    * count-verify (reference `api_to_gcs-checker.py:114-128`), plus the
+    * checker's dry-run mode (`webhook_payload-checker.py:8,20-37`: report
+    * the doomed set, touch nothing).
+    *
+    * Scale shape: deleting k keys from a day-partitioned 100 TB table must
+    * not rewrite 100 TB. The doomed keys' partitions are located with a
+    * two-column scan (keyCol + partition value — column-pruned, so parquet
+    * reads only those columns and row-group stats/dictionaries skip most
+    * blocks); then ONLY the affected `p_date=` directories are rewritten.
+    * Swap order is write-tmp → rename-old-aside → rename-tmp-in →
+    * delete-old, so at no point is a partition (or, in the unpartitioned
+    * fallback, the table) absent: a crash leaves either the original or
+    * both copies on disk, never neither.
+    *
+    * Unpartitioned tables (the dimension sinks of [[overwriteDim]]) fall
+    * back to a whole-table rewrite with the same safe swap — for a dim
+    * that IS the minimal rewrite.
+    *
+    * Returns the post-delete count of matching keys (must be 0); with
+    * `dryRun=true`, returns the count of rows that WOULD be deleted and
+    * performs no writes. */
   def deleteByKey(spark: SparkSession, path: String, keyCol: String,
-    keys: Seq[Any]): Long = {
-    val keep = spark.read.parquet(path)
-      .filter(!col(keyCol).isInCollection(keys))
-    val tmp = path + "_rewrite"
-    keep.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    keys: Seq[Any], partitionCol: String = "p_date",
+    dryRun: Boolean = false): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df = spark.read.parquet(path)
+    val doomed = df.filter(col(keyCol).isInCollection(keys))
+    if (dryRun) return doomed.count()
+
+    // tmp/old live OUTSIDE the table root: a crash must never leave a
+    // directory inside it that partition discovery would pick up
+    val tableRoot = new Path(path)
+    def swapIn(target: Path, tag: String, writeKeep: String => Unit): Unit = {
+      val scratch = new Path(tableRoot.getParent,
+        tableRoot.getName + "._rewrite_" + tag)
+      val old = new Path(tableRoot.getParent, tableRoot.getName + "._old_" + tag)
+      fs.delete(scratch, true); fs.delete(old, true)
+      writeKeep(scratch.toString)
+      fs.rename(target, old)
+      fs.rename(scratch, target)
+      fs.delete(old, true)
+    }
+
+    if (df.columns.contains(partitionCol)) {
+      // locate: column-pruned scan → the small set of affected partitions
+      val affected = doomed.select(col(partitionCol).cast("string"))
+        .distinct().collect().map(_.getString(0))
+      affected.foreach { pv =>
+        val dir = new Path(path, s"$partitionCol=$pv")
+        swapIn(dir, pv, tmp =>
+          spark.read.parquet(dir.toString)
+            .filter(!col(keyCol).isInCollection(keys))
+            .write.parquet(tmp))
+      }
+    } else {
+      swapIn(tableRoot, "full", tmp =>
+        df.filter(!col(keyCol).isInCollection(keys)).write.parquet(tmp))
+    }
     spark.read.parquet(path).filter(col(keyCol).isInCollection(keys)).count()
   }
 }

@@ -75,6 +75,44 @@ class PlansSpec extends SparkSuite {
     assert(spark.read.parquet(out).count() == 97)
   }
 
+  test("J6/B5: keyed delete rewrites ONLY affected partitions; dry-run touches nothing") {
+    val out = Files.createTempDirectory("fact").toString + "/t"
+    val df = Tables.orders(spark, sfDir).limit(500)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    Writers.writeDayPartitioned(df, "o_orderdate", out)
+    // file → (size, mtime) for every data file under the table root
+    def snapshot(): Map[String, (Long, Long)] = {
+      val root = Paths.get(out)
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => (root.relativize(p).toString,
+          (Files.size(p), Files.getLastModifiedTime(p).toMillis))).toMap
+    }
+    val all = spark.read.parquet(out)
+    val someDate = all.select(col("p_date").cast("string")).distinct()
+      .orderBy("p_date").limit(1).collect()(0).getString(0)
+    val doomed = all.filter(col("p_date").cast("string") === someDate)
+      .select("o_orderkey").limit(3).collect().map(_.getLong(0)).toSeq
+    val before = snapshot()
+    // B5 dry run: reports the doomed set, writes nothing
+    assert(Writers.deleteByKey(spark, out, "o_orderkey", doomed,
+      dryRun = true) == doomed.size)
+    assert(snapshot() == before, "dry run must not touch any file")
+    // real delete: count-verify 0, untouched partitions byte-identical
+    assert(Writers.deleteByKey(spark, out, "o_orderkey", doomed) == 0)
+    val after = snapshot()
+    val affected = s"p_date=$someDate"
+    before.filterNot(_._1.startsWith(affected)).foreach { case (f, meta) =>
+      assert(after.get(f).contains(meta), s"untouched file changed: $f")
+    }
+    assert(after.keys.exists(_.startsWith(affected)), "affected partition rewritten")
+    assert(spark.read.parquet(out).count() == 500 - doomed.size)
+    assert(new java.io.File(out).getParentFile.listFiles()
+      .forall(f => !f.getName.contains("._rewrite_") && !f.getName.contains("._old_")),
+      "no scratch dirs left behind")
+  }
+
   test("A2/D10: raw-zone scan extracts filename keys and processed-id set") {
     val zone = Files.createTempDirectory("zone").toString
     val uuid = "0123abcd-0123-abcd-0123-0123456789ab"
