@@ -84,6 +84,8 @@ object SparkEntry {
     "typed_pesquisa" -> ((s, dir) => Typed.typedPesquisa(tune(s), dir)),
     // A6/D4/J7: composite Pub/Sub message channel, produce → decode → dispatch
     "message_roundtrip" -> ((s, dir) => Messages.messageRoundtrip(tune(s), dir)),
+    // A2/D10: real staged blob zone scanned with input_file_name provenance
+    "zone_scan" -> ((s, dir) => Ingest.zoneScan(tune(s), dir)),
     // Scale pattern: salted two-stage aggregation for hot keys
     "events_salted_agg" -> ((s, dir) => Skew.eventsSaltedAgg(tune(s), dir)),
   )
@@ -135,6 +137,7 @@ object SparkEntry {
     "typed_pedidos_fact" -> Typed.typedPedidosFactSql,
     "typed_pesquisa" -> Typed.typedPesquisaSql,
     "message_roundtrip" -> Messages.messageRoundtripSql,
+    "zone_scan" -> Ingest.zoneScanSql,
     "events_salted_agg" -> Skew.eventsSaltedAggSql,
   )
 }

@@ -35,4 +35,62 @@ object Ingest {
     * zone listing (`backfill/api_to_gcs-backfill.py:128-136`). */
   def processedIdSet(df: DataFrame): DataFrame =
     withFilenameKeys(df).select("dados_id").where(col("dados_id") =!= "").distinct()
+
+  /** Fixed staging path shared with [[zoneScanSql]] — the oracle must read
+    * the SAME files DuckDB-side (`read_json(..., filename=true)`). */
+  val zoneDir = "/tmp/graft_rawzone"
+
+  /** A2/D10 end to end over a REAL file zone (not a synthesized filename
+    * column): one JSON blob per order, named by the reference's blob
+    * convention (`api_to_gcs/main.py:229-233`), scanned with
+    * `input_file_name()` provenance and the filename keys cross-checked
+    * against the payload. Staging is deterministic from the orders table
+    * (first 500 keys), so Spark and the DuckDB oracle read identical
+    * bytes. */
+  def zoneScan(spark: SparkSession, sfDir: String): DataFrame = {
+    stageZone(spark, sfDir)
+    val df = withFilenameKeys(
+      readRawZone(spark, zoneDir, graft.streaming.Streaming.webhookSchema))
+    df.select(col("dados_id").cast("long").as("dados_id"), col("data_type"),
+      col("file_ts"), col("file_uuid"),
+      col("dados.id").as("payload_id"), col("dados.uuid").as("payload_uuid"),
+      col("dados.valor").as("valor"),
+      (col("dados_id") === col("dados.id").cast("string")).as("key_matches_payload"))
+      .orderBy("dados_id")
+  }
+
+  private def stageZone(spark: SparkSession, sfDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(zoneDir)
+    if (Files.exists(root))
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    Files.createDirectories(root)
+    val rows = graft.Tables.orders(spark, sfDir)
+      .orderBy("o_orderkey").limit(500)
+      .select("o_orderkey", "o_totalprice").collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val uuid = s"${h.substring(0, 8)}-${h.substring(8, 12)}-" +
+        s"${h.substring(12, 16)}-${h.substring(16, 20)}-${h.substring(20, 32)}"
+      Files.writeString(root.resolve(s"z316-tiny-api-$id-pdv-20240305T141000-$uuid.json"),
+        s"""{"versao":"1.0","cnpj":"1","tipo":"inclusao_pedido","dados":{"id":$id,"uuid":"u$id","valor":${r.getDouble(1)},"event_ts":"2024-01-01 00:00:00"}}""")
+    }
+  }
+
+  val zoneScanSql: String =
+    s"""SELECT CAST(regexp_extract(filename, 'z316-tiny-api-(\\d+)-', 1) AS BIGINT) AS dados_id,
+      |  regexp_extract(filename, '-(pdv|pesquisa|produto)-', 1) AS data_type,
+      |  regexp_extract(filename, '-(\\d{8}T\\d{6})-', 1) AS file_ts,
+      |  regexp_extract(filename, '-([0-9a-f-]{36})\\.json$$', 1) AS file_uuid,
+      |  dados.id AS payload_id, dados.uuid AS payload_uuid,
+      |  dados.valor AS valor,
+      |  CAST(regexp_extract(filename, 'z316-tiny-api-(\\d+)-', 1) AS BIGINT) = dados.id
+      |    AS key_matches_payload
+      |FROM read_json('$zoneDir/*.json', filename=true,
+      |  columns={'versao': 'VARCHAR', 'cnpj': 'VARCHAR', 'tipo': 'VARCHAR',
+      |    'dados': 'STRUCT(id BIGINT, uuid VARCHAR, valor DOUBLE, event_ts VARCHAR)'})
+      |ORDER BY dados_id""".stripMargin
 }

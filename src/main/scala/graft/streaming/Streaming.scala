@@ -45,13 +45,18 @@ object Streaming {
 
   /** A1/A3 — file-source stream over a drop directory; PERMISSIVE keeps
     * malformed payloads as `_corrupt_record` rows for the dead-letter path
-    * (I8). */
-  def readWebhookStream(spark: SparkSession, dropDir: String): DataFrame =
-    spark.readStream
+    * (I8). `maxFilesPerTrigger` caps each micro-batch (I7's ingestion
+    * pacing — `Trigger.AvailableNow` honors the limit across batches, so a
+    * backlog drains in bounded bites instead of one giant batch). */
+  def readWebhookStream(spark: SparkSession, dropDir: String,
+    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
       .schema(webhookSchema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(dropDir)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.json(dropDir)
+  }
 
   /** B1/B2 — validation routing; same semantics as the batch
     * `RawLoad.validateRoute`. */
