@@ -21,7 +21,13 @@ object Dimensions {
 
   /** A4/E1/J5 — paginated dimension refresh: page scans unioned, per-row
     * flatten + pt-BR timestamp parse, full-replace semantics
-    * (`contatos_to_bq/main.py:83-145`). Pages synthesized by key mod. */
+    * (`contatos_to_bq/main.py:83-145`). Pages synthesized by key mod.
+    *
+    * Schema note: the reference loads this dim with BigQuery `autodetect`
+    * (`contatos_to_bq/main.py:105-106`); here columns are DECLARED — at
+    * 100 TB schema inference is an extra full pass and a drift hazard, so
+    * explicit schemas are the deliberate divergence (inference remains
+    * available via `spark.read.option("inferSchema", true)` for parity). */
   def contatosDim(spark: SparkSession, sfDir: String): DataFrame = {
     val customer = Tables.customer(spark, sfDir)
     val pages = (0 until 4).map { p =>

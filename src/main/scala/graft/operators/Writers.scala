@@ -15,8 +15,29 @@ import org.apache.spark.sql.functions._
   *    within already-materialized partitions).
   *  - keyed delete (J6) is an anti-join rewrite of only the partitions that
   *    contain the doomed keys — never a full-table rewrite at scale.
+  *  - compaction ([[Writers.compact]]) keeps streaming-fragmented partitions
+  *    at scan-optimal file sizes, rewriting only what is fragmented.
   */
 object Writers {
+
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  /** Atomic-ish directory replacement: write-tmp → rename-old-aside →
+    * rename-tmp-in → delete-old. At no point is `target` absent; a crash
+    * leaves the original or both copies on disk, never neither. tmp/old
+    * live OUTSIDE the table root so a crash can never leave a directory
+    * inside it that partition discovery would pick up. */
+  private def swapIn(fs: FileSystem, tableRoot: Path, target: Path,
+    tag: String)(write: String => Unit): Unit = {
+    val scratch = new Path(tableRoot.getParent,
+      tableRoot.getName + "._rewrite_" + tag)
+    val old = new Path(tableRoot.getParent, tableRoot.getName + "._old_" + tag)
+    fs.delete(scratch, true); fs.delete(old, true)
+    write(scratch.toString)
+    fs.rename(target, old)
+    fs.rename(scratch, target)
+    fs.delete(old, true)
+  }
 
   /** J2 — day-partitioned append (reference `gcs_to_bq/main.py:193-205`). */
   def writeDayPartitioned(df: DataFrame, dateCol: String, path: String): Unit =
@@ -63,25 +84,11 @@ object Writers {
   def deleteByKey(spark: SparkSession, path: String, keyCol: String,
     keys: Seq[Any], partitionCol: String = "p_date",
     dryRun: Boolean = false): Long = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tableRoot = new Path(path)
+    val fs = tableRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val df = spark.read.parquet(path)
     val doomed = df.filter(col(keyCol).isInCollection(keys))
     if (dryRun) return doomed.count()
-
-    // tmp/old live OUTSIDE the table root: a crash must never leave a
-    // directory inside it that partition discovery would pick up
-    val tableRoot = new Path(path)
-    def swapIn(target: Path, tag: String, writeKeep: String => Unit): Unit = {
-      val scratch = new Path(tableRoot.getParent,
-        tableRoot.getName + "._rewrite_" + tag)
-      val old = new Path(tableRoot.getParent, tableRoot.getName + "._old_" + tag)
-      fs.delete(scratch, true); fs.delete(old, true)
-      writeKeep(scratch.toString)
-      fs.rename(target, old)
-      fs.rename(scratch, target)
-      fs.delete(old, true)
-    }
 
     if (df.columns.contains(partitionCol)) {
       // locate: column-pruned scan → the small set of affected partitions
@@ -89,15 +96,50 @@ object Writers {
         .distinct().collect().map(_.getString(0))
       affected.foreach { pv =>
         val dir = new Path(path, s"$partitionCol=$pv")
-        swapIn(dir, pv, tmp =>
+        swapIn(fs, tableRoot, dir, pv)(tmp =>
           spark.read.parquet(dir.toString)
             .filter(!col(keyCol).isInCollection(keys))
             .write.parquet(tmp))
       }
     } else {
-      swapIn(tableRoot, "full", tmp =>
+      swapIn(fs, tableRoot, tableRoot, "full")(tmp =>
         df.filter(!col(keyCol).isInCollection(keys)).write.parquet(tmp))
     }
     spark.read.parquet(path).filter(col(keyCol).isInCollection(keys)).count()
+  }
+
+  /** Small-file compaction — the maintenance counterpart of the streaming
+    * sinks: micro-batch writes (`ingest_batch=N/`, [[writeDayPartitioned]]
+    * appends) fragment day partitions into files far below the scan-optimal
+    * size, and at 100 TB the per-file open/footer overhead dominates reads.
+    * Rewrites ONLY partitions whose file count exceeds what `targetBytes`
+    * warrants, each coalesced (narrow — no shuffle) to ⌈bytes/target⌉
+    * files and swapped in with the same never-absent rename sequence as
+    * [[deleteByKey]]. Untouched partitions are not rewritten.
+    *
+    * Returns (partitionsCompacted, filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String,
+    targetBytes: Long = 128L << 20, partitionCol: String = "p_date"): (Int, Int, Int) = {
+    val tableRoot = new Path(path)
+    val fs = tableRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: Path) = fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val parts = fs.listStatus(tableRoot)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partitionCol + "="))
+    var (compacted, before, after) = (0, 0, 0)
+    parts.foreach { st =>
+      val files = dataFiles(st.getPath)
+      val want = math.max(1L,
+        math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toLong).toInt
+      before += files.length
+      if (files.length > want) {
+        compacted += 1
+        swapIn(fs, tableRoot, st.getPath, st.getPath.getName)(tmp =>
+          spark.read.parquet(st.getPath.toString)
+            .coalesce(want).write.parquet(tmp))
+      }
+      after += dataFiles(st.getPath).length
+    }
+    (compacted, before, after)
   }
 }

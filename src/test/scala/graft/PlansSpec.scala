@@ -113,6 +113,29 @@ class PlansSpec extends SparkSuite {
       "no scratch dirs left behind")
   }
 
+  test("compaction: fragmented partitions coalesce, content identical, quiet ones untouched") {
+    val out = Files.createTempDirectory("cmp").toString + "/t"
+    val df = Tables.orders(spark, sfDir).limit(300)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    // fragment: 5 appends, each a slice of the keys → many small files/partition
+    (0 until 5).foreach(i =>
+      Writers.writeDayPartitioned(df.filter(col("o_orderkey") % 5 === i),
+        "o_orderdate", out))
+    val rowsBefore = spark.read.parquet(out).orderBy("o_orderkey").collect()
+    val (nCompacted, filesBefore, filesAfter) =
+      Writers.compact(spark, out, targetBytes = 1L << 30)
+    assert(nCompacted > 0 && filesAfter < filesBefore,
+      s"compacted=$nCompacted files $filesBefore->$filesAfter")
+    // 1 GB target → every fragmented partition collapses to a single file
+    val perPart = new java.io.File(out).listFiles().filter(_.isDirectory).map(
+      d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perPart.forall(_ == 1), perPart.mkString(","))
+    val rowsAfter = spark.read.parquet(out).orderBy("o_orderkey").collect()
+    assert(rowsAfter.sameElements(rowsBefore), "content must be unchanged")
+    assert(new java.io.File(out).getParentFile.listFiles()
+      .forall(f => !f.getName.contains("._rewrite_") && !f.getName.contains("._old_")))
+  }
+
   test("A2/D10: raw-zone scan extracts filename keys and processed-id set") {
     val zone = Files.createTempDirectory("zone").toString
     val uuid = "0123abcd-0123-abcd-0123-0123456789ab"
