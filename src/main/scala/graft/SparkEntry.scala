@@ -69,6 +69,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) => Dedup.dedupEmbedding(tune(s), dir)),
     "dedup_embedding_lsh" -> ((s, dir) => Dedup.dedupEmbeddingLsh(tune(s), dir)),
     "dedup_embedding_lsh12" -> ((s, dir) => Dedup.dedupEmbeddingLsh(tune(s), dir, nBits = 12)),
+    "dedup_components" -> ((s, dir) => Dedup.dedupComponents(tune(s), dir)),
+    "corpus_sample" -> ((s, dir) => Sampling.corpusSample(tune(s), dir)),
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopk(tune(s), dir)),
     // Extension: similarity search
     "ann_topk" -> ((s, dir) => Similarity.annTopk(tune(s), dir)),
@@ -127,6 +129,8 @@ object SparkEntry {
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "dedup_embedding_lsh" -> Dedup.dedupEmbeddingLshSql(8),
     "dedup_embedding_lsh12" -> Dedup.dedupEmbeddingLshSql(12),
+    "dedup_components" -> Dedup.dedupComponentsSql,
+    "corpus_sample" -> Sampling.corpusSampleSql,
     "vocab_topk" -> TextOps.vocabTopkSql,
     "ann_topk" -> Similarity.annTopkSql,
     "ann_topk_agg" -> Similarity.annTopkSql, // same contract as ann_topk

@@ -136,6 +136,96 @@ object Dedup {
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Connected-component canonicalization over the VERIFIED near-dup pairs —
+    * the step a dedup pipeline needs AFTER generate-then-verify: pair lists
+    * become duplicate CLUSTERS (a≈b, b≈c ⇒ {a,b,c}), and each cluster keeps
+    * its lowest doc_id as the canonical document.
+    *
+    * Two regimes, picked by edge count. The edge list is OUTPUT-sized (the
+    * verified duplicates), not corpus-sized, so it usually fits in driver
+    * memory even for a 100 TB corpus — then a driver union-find (min-root,
+    * path-compressed) is exact and avoids paying a distributed round per
+    * cluster-diameter step. Above `distributedThreshold` edges, iterated
+    * min-label propagation runs on the cluster: each round every doc takes
+    * the min of its own and its neighbors' labels until fixpoint — one
+    * shuffle per round ∝ |edges|, rounds = cluster diameter (the
+    * large-star/small-star variant halves diameters for adversarial
+    * chains — same relational shape). Labels only ever decrease, so the
+    * Σlabel fixpoint test is exact; lineage is truncated each round
+    * (`localCheckpoint`) so the plan does not grow with iterations. Both
+    * paths converge to component = min reachable doc_id. */
+  def dedupComponents(spark: SparkSession, sfDir: String,
+    distributedThreshold: Long = 1L << 22): DataFrame = {
+    val pairs = dedupJaccard(spark, sfDir).select("doc_a", "doc_b")
+      .localCheckpoint() // one materialization of the minhash+verify chain
+    val labels: DataFrame =
+      if (pairs.count() <= distributedThreshold) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x
+          else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.collect().foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) { val lo = math.min(ra, rb)
+            parent(math.max(ra, rb)) = lo }
+        }
+        import spark.implicits._
+        parent.keys.toSeq.map(d => (d, find(d))).toDF("doc_id", "label")
+      } else {
+        val edges = pairs.unionByName(
+          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        var lab = edges.select(col("doc_a").as("doc_id")).distinct()
+          .withColumn("label", col("doc_id")).localCheckpoint()
+        def labelSum() = lab.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+        var prevSum = -1L
+        var curSum = labelSum()
+        while (curSum != prevSum) {
+          val neigh = edges.join(lab, col("doc_b") === col("doc_id"))
+            .groupBy(col("doc_a")).agg(min("label").as("nmin"))
+          lab = lab.join(neigh, col("doc_id") === col("doc_a"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+            .localCheckpoint()
+          prevSum = curSum
+          curSum = labelSum()
+        }
+        lab
+      }
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("component"))
+      .withColumn("is_canonical", col("component") === col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: reachability via a recursive CTE; component = min reachable
+    * vertex — exactly what min-label propagation converges to. */
+  val dedupComponentsSql: String =
+    s"""WITH RECURSIVE $minhashOracleCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
+       |v AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id
+       |  WHERE floor(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.sset, sb.sset))) * 10000 + 0.5) / 10000 >= 0.5),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM v
+       |          UNION ALL SELECT doc_b, doc_a FROM v),
+       |reach(vx, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, rr.r FROM edges e JOIN reach rr ON rr.vx = e.b),
+       |comp AS (SELECT vx AS doc_id, min(r) AS component FROM reach GROUP BY vx)
+       |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+       |  coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+       |FROM documents d LEFT JOIN comp c USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** 32-bit SimHash: per-word md5-derived hash, signed bit votes, sign →
     * signature bit. Near-dups then differ in few bits (hamming). */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified corpus sampling — the corpus-mixing primitive of
+  * a training-data pipeline (BASELINE.json extension surface): per-stratum
+  * keep-rates (by language here; any column works) applied via a salted
+  * content-hash threshold instead of an RNG.
+  *
+  * Why hash-threshold and not `df.sample()`: reproducibility. `sample()`
+  * draws from per-partition RNG streams, so the selected set changes with
+  * partitioning, cluster size, and row order; a training corpus must be
+  * re-derivable bit-for-bit from (corpus, seed, rates) alone. Here each doc
+  * gets a uniform draw u = first-8-hex-digits of md5(seed ‖ doc_id) ∈
+  * [0, 2³²) and survives iff u < rate·2³² — a pure per-row map: no
+  * shuffle, no state, same result on 1 core or 1000 executors, and the
+  * DuckDB oracle replays it exactly. Changing the seed re-rolls the sample;
+  * raising a rate strictly grows the kept set (nested samples — useful for
+  * scaling-law corpus ladders).
+  */
+object Sampling {
+
+  /** Per-language keep-rates; languages outside the map fall back to
+    * `defaultRate` (the long-tail bucket of a corpus mix). */
+  val rates: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.25, "fr" -> 0.75)
+  val defaultRate = 0.1
+
+  private def draw(seed: String): Column =
+    conv(substring(md5(concat(lit(seed), lit("_"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double")
+
+  def corpusSample(spark: SparkSession, sfDir: String,
+    seed: String = "g1"): DataFrame = {
+    val rate = coalesce(element_at(typedlit(rates), col("lang")),
+      lit(defaultRate))
+    Tables.documents(spark, sfDir)
+      .filter(draw(seed) < rate * lit(4294967296.0))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val corpusSampleSql: String =
+    """SELECT doc_id, lang, source
+      |FROM documents
+      |WHERE CAST(('0x' || substr(md5('g1_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'es' THEN 0.25
+      |              WHEN 'fr' THEN 0.75 ELSE 0.1 END * 4294967296.0
+      |ORDER BY doc_id""".stripMargin
+}

@@ -108,4 +108,41 @@ class OperatorsSpec extends SparkSuite {
     assert(bad == 0)
     assert(res.count() == Tables.documents(spark, sfDir).count())
   }
+
+  test("components: paired docs share a component; canonical is the cluster min") {
+    val comp = Dedup.dedupComponents(spark, sfDir)
+    val pairs = Dedup.dedupJaccard(spark, sfDir)
+    // every verified near-dup pair ends in the same component
+    val split = pairs
+      .join(comp.select(col("doc_id").as("doc_a"), col("component").as("ca")), "doc_a")
+      .join(comp.select(col("doc_id").as("doc_b"), col("component").as("cb")), "doc_b")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(split == 0, "a verified pair was split across components")
+    // each component's id IS its minimum member, and that member is canonical
+    val badMin = comp.groupBy("component").agg(min("doc_id").as("lo"))
+      .filter(col("component") =!= col("lo")).count()
+    assert(badMin == 0)
+    val canon = comp.filter(col("is_canonical"))
+    assert(canon.count() == comp.select("component").distinct().count())
+    // every document gets exactly one row (isolated docs are their own component)
+    assert(comp.count() == Tables.documents(spark, sfDir).count())
+    // the distributed label-propagation path (forced) agrees with union-find
+    val dist = Dedup.dedupComponents(spark, sfDir, distributedThreshold = 0)
+    assert(dist.collect().sameElements(comp.collect()))
+  }
+
+  test("corpus sample: deterministic, nested in the corpus, rate-1 stratum fully kept") {
+    val s1 = Sampling.corpusSample(spark, sfDir).collect()
+    val s2 = Sampling.corpusSample(spark, sfDir).collect()
+    assert(s1.sameElements(s2), "same (corpus, seed, rates) must reproduce the sample")
+    val docs = Tables.documents(spark, sfDir)
+    // de has keep-rate 1.0 → every de doc survives; sample is a corpus subset
+    val nDe = docs.filter(col("lang") === "de").count()
+    assert(s1.count(_.getString(1) == "de") == nDe)
+    assert(Sampling.corpusSample(spark, sfDir)
+      .join(docs, Seq("doc_id"), "left_anti").count() == 0)
+    // a different seed re-rolls the selection
+    val other = Sampling.corpusSample(spark, sfDir, seed = "g2").collect()
+    assert(!other.sameElements(s1))
+  }
 }
