@@ -70,6 +70,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, dir) => Dedup.dedupEmbeddingLsh(tune(s), dir)),
     "dedup_embedding_lsh12" -> ((s, dir) => Dedup.dedupEmbeddingLsh(tune(s), dir, nBits = 12)),
     "dedup_components" -> ((s, dir) => Dedup.dedupComponents(tune(s), dir)),
+    "contamination_check" -> ((s, dir) => Dedup.contaminationCheck(tune(s), dir)),
     "corpus_sample" -> ((s, dir) => Sampling.corpusSample(tune(s), dir)),
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopk(tune(s), dir)),
     // Extension: similarity search
@@ -130,6 +131,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> Dedup.dedupEmbeddingLshSql(8),
     "dedup_embedding_lsh12" -> Dedup.dedupEmbeddingLshSql(12),
     "dedup_components" -> Dedup.dedupComponentsSql,
+    "contamination_check" -> Dedup.contaminationCheckSql,
     "corpus_sample" -> Sampling.corpusSampleSql,
     "vocab_topk" -> TextOps.vocabTopkSql,
     "ann_topk" -> Similarity.annTopkSql,

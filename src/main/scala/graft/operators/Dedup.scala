@@ -226,6 +226,56 @@ object Dedup {
        |FROM documents d LEFT JOIN comp c USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Benchmark-contamination check — training-corpus hygiene: flag corpus
+    * documents sharing n-gram overlap with a held-out benchmark/eval set
+    * (here the `doc_id % 50 == 0` slice stands in for the benchmark; in
+    * production it is a separate table). The standard decontamination
+    * shape: the BENCHMARK's distinct shingle set is small and bounded (eval
+    * suites are, by construction), so it broadcasts — the 100 TB corpus
+    * side only explodes narrowly and aggregates per doc: one shuffle of
+    * (doc_id, count), no corpus self-join, no benchmark shuffle. */
+  def contaminationCheck(spark: SparkSession, sfDir: String,
+    threshold: Double = 0.2): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", array_distinct(expr(shinglesExpr)))
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select(explode(col("shingles")).as("s")).distinct()
+    val corpus = sh.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"),
+        col("shingles"))
+    val hits = corpus.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .join(broadcast(bench), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    corpus.select("doc_id", "n_shingles")
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contamination",
+        Exprs.r4(col("n_shared").cast("double") / col("n_shingles")))
+      .withColumn("is_contaminated", col("contamination") >= threshold)
+      .orderBy("doc_id")
+  }
+
+  val contaminationCheckSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         generate_series(1, greatest(len(words) - 2, 1)),
+      |         i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS shingles
+      |       FROM w),
+      |bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 50 = 0),
+      |corpus AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles, shingles
+      |           FROM sh WHERE doc_id % 50 <> 0),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM corpus),
+      |hits AS (SELECT doc_id, count(*) AS n_shared
+      |         FROM ex JOIN bench USING (s) GROUP BY doc_id)
+      |SELECT c.doc_id, c.n_shingles, coalesce(h.n_shared, 0) AS n_shared,
+      |  floor(CAST(coalesce(h.n_shared, 0) AS DOUBLE) / c.n_shingles * 10000 + 0.5) / 10000
+      |    AS contamination,
+      |  floor(CAST(coalesce(h.n_shared, 0) AS DOUBLE) / c.n_shingles * 10000 + 0.5) / 10000
+      |    >= 0.2 AS is_contaminated
+      |FROM corpus c LEFT JOIN hits h USING (doc_id)
+      |ORDER BY c.doc_id""".stripMargin
+
   /** 32-bit SimHash: per-word md5-derived hash, signed bit votes, sign →
     * signature bit. Near-dups then differ in few bits (hamming). */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =

@@ -98,6 +98,12 @@ class PlanAuditSpec extends SparkSuite {
     assert(scans == 3, s"expected one scan each of orders/lineitem/part, got $scans")
   }
 
+  test("contamination: benchmark n-gram set broadcasts, corpus never self-joins") {
+    val p = plan(Dedup.contaminationCheck(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "benchmark set must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("minhash candidates: LSH band join, not a cross join") {
     val p = plan(Dedup.dedupMinhash(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
