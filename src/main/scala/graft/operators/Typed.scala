@@ -26,6 +26,28 @@ object Typed {
     col("l_quantity").cast("string").as("quantidade"),
     (col("l_partkey") % 30).cast("string").as("desconto"))
 
+  /** [[itemStruct]] shape over a slim pre-aggregated row (fields `id`,
+    * `idProduto`, `valor`, `quantidade`) — the message producer shuffles
+    * raw fields and wraps AFTER the collect_list ([[Messages]]). */
+  private[graft] def itemStructFromRow(r: Column): Column = struct(
+    r.getField("id").as("id"),
+    r.getField("idProduto").as("idProduto"),
+    concat(lit("item "), r.getField("idProduto").cast("string")).as("descricao"),
+    r.getField("valor").as("valor"),
+    r.getField("quantidade").as("quantidade"),
+    (r.getField("idProduto") % 30).cast("string").as("desconto"))
+
+  /** [[produtoEnvelope]] shape over the same slim row (fields `idProduto`,
+    * `nome`, `preco_custo`, `brand`, `ptype`). */
+  private[graft] def produtoEnvelopeFromRow(r: Column): Column = struct(struct(
+    lit("3").as("status_processamento"),
+    struct(
+      r.getField("idProduto").as("id"),
+      r.getField("nome").as("nome"),
+      r.getField("preco_custo").as("preco_custo"),
+      concat(r.getField("brand"), lit(" >> "), r.getField("ptype")).as("categoria")
+    ).as("produto")).as("retorno"))
+
   /** The pdv envelope struct, from orders columns + an assembled `itens[]`
     * column; header dual-format discount reused from
     * [[Facts.descontoPedidoStr]]. */

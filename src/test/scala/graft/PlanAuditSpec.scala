@@ -92,7 +92,7 @@ class PlanAuditSpec extends SparkSuite {
     val qe = Messages.messageRoundtrip(spark, sfDir).queryExecution
     val lp = qe.optimizedPlan.toString
     assert(lp.split("from_json").length - 1 == 1, lp.take(800))
-    assert(lp.split("collect_list").length - 1 == 2, // itens + produto_data, once each
+    assert(lp.split("collect_list").length - 1 == 1, // ONE slim assembly aggregate
       "producer assembly must appear exactly once in the plan")
     val scans = qe.executedPlan.toString.split("Scan parquet").length - 1
     assert(scans == 3, s"expected one scan each of orders/lineitem/part, got $scans")
