@@ -108,6 +108,49 @@ object Writers {
     spark.read.parquet(path).filter(col(keyCol).isInCollection(keys)).count()
   }
 
+  /** Partition-scoped upsert — G2's idempotence at the SINK: re-delivered
+    * or corrected rows replace same-key rows instead of accumulating
+    * (the reference re-inserts and resolves duplicates downstream,
+    * `api_to_gcs-checker.py:131-150`; an engine-native sink does it on
+    * write). Affected partitions come from the UPDATES' partition values —
+    * no table scan at all; each is rewritten as (old rows minus updated
+    * keys) ∪ updates with the same never-absent swap. Keys whose partition
+    * value CHANGES in an update must be deleted from their old partition
+    * first ([[deleteByKey]]) — documented contract, same as Hive/BigQuery
+    * partition-key updates. Unpartitioned dims fall back to a whole-table
+    * rewrite (for a dim that IS the minimal rewrite). */
+  def upsertByKey(spark: SparkSession, path: String, keyCol: String,
+    updatesIn: DataFrame, partitionCol: String = "p_date"): Unit = {
+    val tableRoot = new Path(path)
+    val fs = tableRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val table = spark.read.parquet(path)
+    // materialize updates BEFORE any rewrite: a lazy `updates` derived from
+    // the target table would otherwise re-read partially-rewritten state
+    // mid-loop (updates are output-sized, so this is cheap)
+    val updates = updatesIn.localCheckpoint()
+    if (table.columns.contains(partitionCol)) {
+      val parts = updates.select(col(partitionCol).cast("string"))
+        .distinct().collect().map(_.getString(0))
+      parts.foreach { pv =>
+        val dir = new Path(path, s"$partitionCol=$pv")
+        val partUpdates = updates.filter(col(partitionCol).cast("string") === pv)
+          .drop(partitionCol)
+        if (fs.exists(dir))
+          swapIn(fs, tableRoot, dir, pv)(tmp =>
+            spark.read.parquet(dir.toString)
+              .join(partUpdates.select(keyCol), Seq(keyCol), "left_anti")
+              .unionByName(partUpdates)
+              .write.parquet(tmp))
+        else // brand-new partition: nothing to swap, plain write
+          partUpdates.write.parquet(dir.toString)
+      }
+    } else {
+      swapIn(fs, tableRoot, tableRoot, "full")(tmp =>
+        table.join(updates.select(keyCol), Seq(keyCol), "left_anti")
+          .unionByName(updates).write.parquet(tmp))
+    }
+  }
+
   /** Small-file compaction — the maintenance counterpart of the streaming
     * sinks: micro-batch writes (`ingest_batch=N/`, [[writeDayPartitioned]]
     * appends) fragment day partitions into files far below the scan-optimal

@@ -136,6 +136,32 @@ class PlansSpec extends SparkSuite {
       .forall(f => !f.getName.contains("._rewrite_") && !f.getName.contains("._old_")))
   }
 
+  test("upsert: same-key rows replaced, new keys and partitions appended, others untouched") {
+    val out = Files.createTempDirectory("ups").toString + "/t"
+    val base = Tables.orders(spark, sfDir).limit(200)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    Writers.writeDayPartitioned(base, "o_orderdate", out)
+    val before = spark.read.parquet(out)
+    val total0 = before.count()
+    // updates: 3 existing keys get a new price; 1 brand-new key in a new partition
+    val someKeys = before.orderBy("o_orderkey").limit(3)
+      .collect().map(_.getLong(0))
+    val newDate = java.sql.Date.valueOf(
+      before.agg(max("p_date")).head.getDate(0).toLocalDate.plusDays(400))
+    val upd = before.filter(col("o_orderkey").isInCollection(someKeys))
+      .withColumn("o_totalprice", lit(-1.0d))
+      .unionByName(before.limit(1).select(
+        lit(999999999L).as("o_orderkey"), lit(-2.0d).as("o_totalprice"),
+        col("o_orderdate"), lit(newDate).as("p_date")))
+    Writers.upsertByKey(spark, out, "o_orderkey", upd)
+    val after = spark.read.parquet(out)
+    assert(after.count() == total0 + 1) // replaced in place, one new row
+    assert(after.filter(col("o_totalprice") === -1.0d).count() == 3)
+    assert(after.filter(col("o_orderkey") === 999999999L).count() == 1)
+    assert(after.filter(col("o_orderkey").isInCollection(someKeys))
+      .filter(col("o_totalprice") =!= -1.0d).count() == 0, "no stale versions")
+  }
+
   test("A2/D10: raw-zone scan extracts filename keys and processed-id set") {
     val zone = Files.createTempDirectory("zone").toString
     val uuid = "0123abcd-0123-abcd-0123-0123456789ab"
