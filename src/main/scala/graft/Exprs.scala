@@ -32,15 +32,19 @@ object Exprs {
 
   /** [[gsum]] over an array column, as a per-row fold (no explode, no
     * shuffle): each element is mapped by `f`, rounded onto the grid, and
-    * integer-summed. NULL array → NULL, matching what a left join against
-    * an exploded+grouped aggregate would produce. Used to compute
-    * header-grain sums BEFORE the single item-grain explode so fact builds
-    * stay one-pass (a second aggregate branch would duplicate the whole
-    * upstream parse subtree — Spark plans are trees, and only identical
-    * exchange subtrees get reused). */
+    * integer-summed. NULL and EMPTY arrays both yield NULL — exactly what
+    * a left join against an exploded+grouped [[gsum]] aggregate produces
+    * (no rows → no group → null), so the one-pass fact builds are
+    * drop-in equivalent to the branch-per-aggregate shape they replaced
+    * (property-tested in ExprsSpec). Used to compute header-grain sums
+    * BEFORE the single item-grain explode so fact builds stay one-pass
+    * (a second aggregate branch would duplicate the whole upstream parse
+    * subtree — Spark plans are trees, and only identical exchange
+    * subtrees get reused). */
   def gsumArray(arr: Column, f: Column => Column, scale: Double = 1e4): Column =
-    aggregate(transform(arr, x => floor(f(x) * lit(scale) + lit(0.5d)).cast("long")),
-      lit(0L), (acc, x) => acc + x).cast("double") / lit(scale)
+    when(size(arr) > 0,
+      aggregate(transform(arr, x => floor(f(x) * lit(scale) + lit(0.5d)).cast("long")),
+        lit(0L), (acc, x) => acc + x).cast("double") / lit(scale))
 
   /** F6 — dual-format pt-BR discount parse
     * (reference `sales_to_bq/main.py:120-132,142-154`):

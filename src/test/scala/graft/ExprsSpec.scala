@@ -41,6 +41,25 @@ class ExprsSpec extends SparkSuite {
     assert(res.forall(r => !r.isNaN && !r.isInfinite && r >= 0.0))
   }
 
+  test("gsumArray property: equals grouped gsum over the exploded rows") {
+    // the one-pass fact builds rest on this equivalence: a per-row array
+    // fold must land on exactly the grid sum an explode+groupBy computes
+    val gen = Gen.listOfN(Gen.chooseNum(0, 12).sample.get,
+      Gen.chooseNum(-1e6, 1e6))
+    val rows = (1 to 120).map(i => (i.toLong, gen.sample.get))
+    val df = rows.toDF("id", "xs")
+      .unionByName(Seq((9998L, Seq.empty[Double]),
+        (9999L, null.asInstanceOf[Seq[Double]])).toDF("id", "xs"))
+    val folded = df.select(col("id"),
+      Exprs.gsumArray(col("xs"), x => x).as("s"))
+    val grouped = df.select(col("id"), explode_outer(col("xs")).as("x"))
+      .groupBy("id").agg(Exprs.gsum(col("x")).as("s"))
+    val joined = folded.as("f").join(grouped.as("g"), "id")
+      .filter(!(col("f.s") === col("g.s") ||
+        (col("f.s").isNull && col("g.s").isNull)))
+    assert(joined.count() == 0)
+  }
+
   test("D6: valid dd/MM/yyyy normalizes to ISO") {
     val r = Seq("25/12/2023").toDF("d").select(Exprs.brDate(col("d"))).collect()(0).getString(0)
     assert(r == "2023-12-25")
