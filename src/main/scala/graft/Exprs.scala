@@ -32,19 +32,30 @@ object Exprs {
 
   /** [[gsum]] over an array column, as a per-row fold (no explode, no
     * shuffle): each element is mapped by `f`, rounded onto the grid, and
-    * integer-summed. NULL and EMPTY arrays both yield NULL — exactly what
-    * a left join against an exploded+grouped [[gsum]] aggregate produces
-    * (no rows → no group → null), so the one-pass fact builds are
-    * drop-in equivalent to the branch-per-aggregate shape they replaced
-    * (property-tested in ExprsSpec). Used to compute header-grain sums
-    * BEFORE the single item-grain explode so fact builds stay one-pass
-    * (a second aggregate branch would duplicate the whole upstream parse
-    * subtree — Spark plans are trees, and only identical exchange
-    * subtrees get reused). */
-  def gsumArray(arr: Column, f: Column => Column, scale: Double = 1e4): Column =
-    when(size(arr) > 0,
-      aggregate(transform(arr, x => floor(f(x) * lit(scale) + lit(0.5d)).cast("long")),
-        lit(0L), (acc, x) => acc + x).cast("double") / lit(scale))
+    * integer-summed. Matches the exploded+grouped [[gsum]] on every edge:
+    * NULL terms are SKIPPED (SQL `sum` semantics — one malformed string
+    * under the engine's lenient-cast contract must not null the whole
+    * header sum, it just drops that item, like the reference's per-item
+    * try/except), and NULL / EMPTY / all-null-terms arrays yield NULL
+    * (no rows → no group → left-join null). Drop-in equivalence is
+    * property-tested in ExprsSpec including nulls. Used to compute
+    * header-grain sums BEFORE the single item-grain explode so fact
+    * builds stay one-pass (a second aggregate branch would duplicate the
+    * whole upstream parse subtree — Spark plans are trees, and only
+    * identical exchange subtrees get reused). */
+  def gsumArray(arr: Column, f: Column => Column, scale: Double = 1e4): Column = {
+    val acc = aggregate(
+      arr,
+      struct(lit(0L).as("s"), lit(0L).as("n")),
+      (a, x) => {
+        val term = floor(f(x) * lit(scale) + lit(0.5d)).cast("long")
+        struct(
+          (a.getField("s") + coalesce(term, lit(0L))).as("s"),
+          (a.getField("n") + when(term.isNotNull, lit(1L)).otherwise(lit(0L))).as("n"))
+      },
+      a => when(a.getField("n") > 0, a.getField("s").cast("double") / lit(scale)))
+    acc
+  }
 
   /** F6 — dual-format pt-BR discount parse
     * (reference `sales_to_bq/main.py:120-132,142-154`):

@@ -161,10 +161,14 @@ object Dedup {
     val labels: DataFrame =
       if (pairs.count() <= distributedThreshold) {
         val parent = scala.collection.mutable.Map[Long, Long]()
+        // iterative find + path compression: chain-shaped clusters can be
+        // deeper than the JVM stack within the driver-regime edge budget
         def find(x: Long): Long = {
-          val p = parent.getOrElse(x, x)
-          if (p == x) x
-          else { val r = find(p); parent(x) = r; r }
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (c != r) { val next = parent(c); parent(c) = r; c = next }
+          r
         }
         pairs.collect().foreach { row =>
           val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
@@ -241,15 +245,18 @@ object Dedup {
       .withColumn("shingles", array_distinct(expr(shinglesExpr)))
     val bench = sh.filter(col("doc_id") % 50 === 0)
       .select(explode(col("shingles")).as("s")).distinct()
-    val corpus = sh.filter(col("doc_id") % 50 =!= 0)
+      .withColumn("hit", lit(1L))
+    // one-pass corpus side: n_shingles rides the explode, the broadcast
+    // LEFT join marks hits, and a single per-doc aggregate recovers both —
+    // a sibling n_shingles branch would scan + shingle the corpus twice
+    // (every doc has ≥1 shingle, so zero-hit docs keep their group)
+    sh.filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"),
-        col("shingles"))
-    val hits = corpus.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .join(broadcast(bench), Seq("s"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    corpus.select("doc_id", "n_shingles")
-      .join(hits, Seq("doc_id"), "left")
-      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        explode(col("shingles")).as("s"))
+      .join(broadcast(bench), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(first(col("n_shingles")).as("n_shingles"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_shared"))
       .withColumn("contamination",
         Exprs.r4(col("n_shared").cast("double") / col("n_shingles")))
       .withColumn("is_contaminated", col("contamination") >= threshold)

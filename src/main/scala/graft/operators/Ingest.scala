@@ -40,15 +40,21 @@ object Ingest {
     * the SAME files DuckDB-side (`read_json(..., filename=true)`). */
   val zoneDir = "/tmp/graft_rawzone"
 
+  /** Number of staged blobs — fixed, so the zone content is independent of
+    * the scale factor: a Bench run at sf0.1 between a Verify dump and the
+    * driver's DuckDB compare must NOT change what the oracle reads. */
+  private val ZoneFiles = 500
+
   /** A2/D10 end to end over a REAL file zone (not a synthesized filename
-    * column): one JSON blob per order, named by the reference's blob
-    * convention (`api_to_gcs/main.py:229-233`), scanned with
+    * column): one JSON blob per synthetic order, named by the reference's
+    * blob convention (`api_to_gcs/main.py:229-233`), scanned with
     * `input_file_name()` provenance and the filename keys cross-checked
-    * against the payload. Staging is deterministic from the orders table
-    * (first 500 keys), so Spark and the DuckDB oracle read identical
-    * bytes. */
+    * against the payload. Blob content is a pure function of the blob
+    * index (no dependence on sfDir), and staging is idempotent — if the
+    * zone is already complete it is left untouched — so Spark and the
+    * DuckDB oracle always read identical bytes regardless of run order. */
   def zoneScan(spark: SparkSession, sfDir: String): DataFrame = {
-    stageZone(spark, sfDir)
+    stageZone()
     val df = withFilenameKeys(
       readRawZone(spark, zoneDir, graft.streaming.Streaming.webhookSchema))
     df.select(col("dados_id").cast("long").as("dados_id"), col("data_type"),
@@ -59,24 +65,29 @@ object Ingest {
       .orderBy("dados_id")
   }
 
-  private def stageZone(spark: SparkSession, sfDir: String): Unit = {
+  private def stageZone(): Unit = {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(zoneDir)
-    if (Files.exists(root))
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+    if (Files.isDirectory(root)) {
+      val stream = Files.list(root)
+      val complete = try stream.filter(_.toString.endsWith(".json")).count() == ZoneFiles
+      finally stream.close()
+      if (complete) return
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
+      finally walk.close()
+    }
     Files.createDirectories(root)
-    val rows = graft.Tables.orders(spark, sfDir)
-      .orderBy("o_orderkey").limit(500)
-      .select("o_orderkey", "o_totalprice").collect()
-    rows.foreach { r =>
-      val id = r.getLong(0)
+    (1 to ZoneFiles).foreach { i =>
+      val id = i * 7L // synthetic order key, content derived only from i
+      val valor = (i * 131 % 9000) / 100.0 + 1.0
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val uuid = s"${h.substring(0, 8)}-${h.substring(8, 12)}-" +
         s"${h.substring(12, 16)}-${h.substring(16, 20)}-${h.substring(20, 32)}"
       Files.writeString(root.resolve(s"z316-tiny-api-$id-pdv-20240305T141000-$uuid.json"),
-        s"""{"versao":"1.0","cnpj":"1","tipo":"inclusao_pedido","dados":{"id":$id,"uuid":"u$id","valor":${r.getDouble(1)},"event_ts":"2024-01-01 00:00:00"}}""")
+        s"""{"versao":"1.0","cnpj":"1","tipo":"inclusao_pedido","dados":{"id":$id,"uuid":"u$id","valor":$valor,"event_ts":"2024-01-01 00:00:00"}}""")
     }
   }
 

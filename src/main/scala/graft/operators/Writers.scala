@@ -24,19 +24,43 @@ object Writers {
 
   /** Atomic-ish directory replacement: write-tmp → rename-old-aside →
     * rename-tmp-in → delete-old. At no point is `target` absent; a crash
-    * leaves the original or both copies on disk, never neither. tmp/old
-    * live OUTSIDE the table root so a crash can never leave a directory
-    * inside it that partition discovery would pick up. */
+    * leaves the original or both copies on disk, never neither, and
+    * [[recoverSwap]] (run on entry) heals a half-finished previous swap by
+    * renaming the `_old_` backup back BEFORE clearing scratch space — so a
+    * re-run after any crash point sees the original data. Every rename's
+    * boolean result is CHECKED: Hadoop FileSystems report quota/permission
+    * failures as `false`, not exceptions, and an unchecked false followed
+    * by delete(old) would destroy the only copy. tmp/old live OUTSIDE the
+    * table root so a crash can never leave a directory inside it that
+    * partition discovery would pick up. */
   private def swapIn(fs: FileSystem, tableRoot: Path, target: Path,
     tag: String)(write: String => Unit): Unit = {
-    val scratch = new Path(tableRoot.getParent,
-      tableRoot.getName + "._rewrite_" + tag)
-    val old = new Path(tableRoot.getParent, tableRoot.getName + "._old_" + tag)
-    fs.delete(scratch, true); fs.delete(old, true)
+    val (scratch, old) = scratchPaths(tableRoot, tag)
+    recoverSwap(fs, tableRoot, target, tag)
+    fs.delete(scratch, true)
     write(scratch.toString)
-    fs.rename(target, old)
-    fs.rename(scratch, target)
+    def renameOrDie(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"rename $src -> $dst failed; " +
+          s"original data retained at ${if (fs.exists(old)) old else target}")
+    renameOrDie(target, old)
+    renameOrDie(scratch, target)
     fs.delete(old, true)
+  }
+
+  private def scratchPaths(tableRoot: Path, tag: String): (Path, Path) = (
+    new Path(tableRoot.getParent, tableRoot.getName + "._rewrite_" + tag),
+    new Path(tableRoot.getParent, tableRoot.getName + "._old_" + tag))
+
+  /** Heal a swap interrupted between its two renames: if the target is
+    * gone but its `_old_` backup exists, the backup IS the original —
+    * rename it back. Called before every swap and before any branch that
+    * tests `fs.exists(target)`. */
+  private def recoverSwap(fs: FileSystem, tableRoot: Path, target: Path,
+    tag: String): Unit = {
+    val (_, old) = scratchPaths(tableRoot, tag)
+    if (!fs.exists(target) && fs.exists(old) && !fs.rename(old, target))
+      throw new java.io.IOException(s"recovery rename $old -> $target failed")
   }
 
   /** J2 — day-partitioned append (reference `gcs_to_bq/main.py:193-205`). */
@@ -135,6 +159,9 @@ object Writers {
         val dir = new Path(path, s"$partitionCol=$pv")
         val partUpdates = updates.filter(col(partitionCol).cast("string") === pv)
           .drop(partitionCol)
+        // a crashed previous swap may have left this partition renamed
+        // aside — heal before deciding "new partition vs merge"
+        recoverSwap(fs, tableRoot, dir, pv)
         if (fs.exists(dir))
           swapIn(fs, tableRoot, dir, pv)(tmp =>
             spark.read.parquet(dir.toString)
@@ -152,36 +179,52 @@ object Writers {
   }
 
   /** Small-file compaction — the maintenance counterpart of the streaming
-    * sinks: micro-batch writes (`ingest_batch=N/`, [[writeDayPartitioned]]
-    * appends) fragment day partitions into files far below the scan-optimal
-    * size, and at 100 TB the per-file open/footer overhead dominates reads.
-    * Rewrites ONLY partitions whose file count exceeds what `targetBytes`
-    * warrants, each coalesced (narrow — no shuffle) to ⌈bytes/target⌉
-    * files and swapped in with the same never-absent rename sequence as
-    * [[deleteByKey]]. Untouched partitions are not rewritten.
+    * sinks: micro-batch writes (`ingest_batch=N/event_date=D/`,
+    * [[writeDayPartitioned]] appends) fragment partitions into files far
+    * below the scan-optimal size, and at 100 TB the per-file open/footer
+    * overhead dominates reads. Operates on LEAF directories (directories
+    * whose direct children include parquet files), so any partition
+    * nesting depth works — including the streaming sinks' two-level
+    * `ingest_batch=N/event_date=D` layout and unpartitioned dims (the
+    * table root itself is the leaf). Rewrites ONLY leaves whose file
+    * count exceeds what `targetBytes` warrants, each coalesced (narrow —
+    * no shuffle) to ⌈bytes/target⌉ files and swapped in with the same
+    * never-absent rename sequence as [[deleteByKey]]. Reading a single
+    * leaf sees only the data files' own columns, so nested partition
+    * values are never baked into rewritten files.
     *
-    * Returns (partitionsCompacted, filesBefore, filesAfter). */
+    * Returns (leavesCompacted, filesBefore, filesAfter). */
   def compact(spark: SparkSession, path: String,
-    targetBytes: Long = 128L << 20, partitionCol: String = "p_date"): (Int, Int, Int) = {
+    targetBytes: Long = 128L << 20): (Int, Int, Int) = {
     val tableRoot = new Path(path)
     val fs = tableRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(dir: Path) = fs.listStatus(dir)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    val parts = fs.listStatus(tableRoot)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partitionCol + "="))
+    def leaves(dir: Path): Seq[Path] = {
+      val children = fs.listStatus(dir)
+      val subdirs = children.filter(_.isDirectory).map(_.getPath)
+      val own = if (children.exists(f => f.isFile &&
+        f.getPath.getName.endsWith(".parquet"))) Seq(dir) else Nil
+      own ++ subdirs.flatMap(leaves)
+    }
     var (compacted, before, after) = (0, 0, 0)
-    parts.foreach { st =>
-      val files = dataFiles(st.getPath)
+    leaves(tableRoot).foreach { leaf =>
+      val files = dataFiles(leaf)
       val want = math.max(1L,
         math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toLong).toInt
       before += files.length
       if (files.length > want) {
         compacted += 1
-        swapIn(fs, tableRoot, st.getPath, st.getPath.getName)(tmp =>
-          spark.read.parquet(st.getPath.toString)
+        val tag = tableRoot.toUri.relativize(leaf.toUri).getPath
+          .replaceAll("[^A-Za-z0-9_=.-]", "_") match {
+          case "" => "root"
+          case t => t
+        }
+        swapIn(fs, tableRoot, leaf, tag)(tmp =>
+          spark.read.parquet(leaf.toString)
             .coalesce(want).write.parquet(tmp))
       }
-      after += dataFiles(st.getPath).length
+      after += dataFiles(leaf).length
     }
     (compacted, before, after)
   }

@@ -43,13 +43,17 @@ class ExprsSpec extends SparkSuite {
 
   test("gsumArray property: equals grouped gsum over the exploded rows") {
     // the one-pass fact builds rest on this equivalence: a per-row array
-    // fold must land on exactly the grid sum an explode+groupBy computes
+    // fold must land on exactly the grid sum an explode+groupBy computes —
+    // including null elements (lenient-cast failures), which sum() skips
     val gen = Gen.listOfN(Gen.chooseNum(0, 12).sample.get,
-      Gen.chooseNum(-1e6, 1e6))
+      Gen.frequency(4 -> Gen.chooseNum(-1e6, 1e6).map(Option(_)),
+        1 -> Gen.const(Option.empty[Double])))
     val rows = (1 to 120).map(i => (i.toLong, gen.sample.get))
     val df = rows.toDF("id", "xs")
-      .unionByName(Seq((9998L, Seq.empty[Double]),
-        (9999L, null.asInstanceOf[Seq[Double]])).toDF("id", "xs"))
+      .unionByName(Seq(
+        (9997L, Seq(Option.empty[Double], Option.empty[Double])), // all-null terms
+        (9998L, Seq.empty[Option[Double]]),
+        (9999L, null.asInstanceOf[Seq[Option[Double]]])).toDF("id", "xs"))
     val folded = df.select(col("id"),
       Exprs.gsumArray(col("xs"), x => x).as("s"))
     val grouped = df.select(col("id"), explode_outer(col("xs")).as("x"))

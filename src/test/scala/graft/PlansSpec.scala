@@ -136,6 +136,27 @@ class PlansSpec extends SparkSuite {
       .forall(f => !f.getName.contains("._rewrite_") && !f.getName.contains("._old_")))
   }
 
+  test("compaction handles the nested streaming layout (ingest_batch=N/p_date=D)") {
+    val out = Files.createTempDirectory("cmp2").toString + "/t"
+    val df = Tables.orders(spark, sfDir).limit(120)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    (0 to 1).foreach { b => // two micro-batch dirs, each fragmented by 3 appends
+      (0 until 3).foreach(i => // distinct keys per append, SAME dates → 3 files/day dir
+        Writers.writeDayPartitioned(df.withColumn("o_orderkey",
+          col("o_orderkey") + lit(1000000L * (b * 3 + i + 1))),
+          "o_orderdate", s"$out/ingest_batch=$b"))
+    }
+    val rowsBefore = spark.read.parquet(out)
+      .orderBy("ingest_batch", "o_orderkey").collect()
+    val (nCompacted, filesBefore, filesAfter) =
+      Writers.compact(spark, out, targetBytes = 1L << 30)
+    assert(nCompacted > 0 && filesAfter < filesBefore,
+      s"compacted=$nCompacted files $filesBefore->$filesAfter")
+    val rowsAfter = spark.read.parquet(out)
+      .orderBy("ingest_batch", "o_orderkey").collect()
+    assert(rowsAfter.sameElements(rowsBefore), "content must be unchanged")
+  }
+
   test("upsert: same-key rows replaced, new keys and partitions appended, others untouched") {
     val out = Files.createTempDirectory("ups").toString + "/t"
     val base = Tables.orders(spark, sfDir).limit(200)

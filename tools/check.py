@@ -43,16 +43,20 @@ for name in sorted(oracles):
     if scols != ocols:
         print(f"{name}: cols {scols} vs {ocols}"); ok = False
     if ok and len(sdf):
-        s = sdf[scols].sort_values(scols, kind="mergesort").reset_index(drop=True)
-        o = odf[ocols].sort_values(ocols, kind="mergesort").reset_index(drop=True)
+        # POSITIONAL compare (row i vs row i), columns aligned by name —
+        # the driver's gate hashes rows in order, so a broken ORDER BY
+        # must fail here too. String render avoids dtype coercion masking
+        # real mismatches (int 1 vs float 1.5 must differ).
+        s, o = sdf[scols].reset_index(drop=True), odf[scols].reset_index(drop=True)
         for c in scols:
-            sv, ov = s[c], o[c].astype(s[c].dtype, errors="ignore") \
-                if s[c].dtype != o[c].dtype else o[c]
-            neq = ~((sv == ov) | (sv.isna() & ov.isna()))
-            if neq.any():
-                i = neq.idxmax()
+            sv, ov = s[c], o[c]
+            same = (sv.astype(str).values == ov.astype(str).values) \
+                | (sv.isna() & ov.isna()).values
+            if not same.all():
+                i = int((~same).argmax())
                 print(f"{name}: col {c} mismatch at row {i}: "
-                      f"{sv[i]!r} vs {ov[i]!r} ({int(neq.sum())} rows)")
+                      f"{sv.iloc[i]!r} vs {ov.iloc[i]!r} "
+                      f"({int((~same).sum())} rows)")
                 ok = False
     print(f"{name}: {'OK' if ok else 'FAIL'}")
     if not ok:
