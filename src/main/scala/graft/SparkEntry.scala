@@ -40,6 +40,7 @@ object SparkEntry {
     "file_groups" -> ((s, dir) => Quality.fileGroups(tune(s), dir)),
     "count_verify" -> ((s, dir) => Quality.countVerify(tune(s), dir)),
     "folder_completeness" -> ((s, dir) => Quality.folderCompleteness(tune(s), dir)),
+    "table_profile" -> ((s, dir) => Quality.tableProfile(tune(s), dir)),
     // B/D. raw-zone load transforms (gcs_to_bq, webhook_handler)
     "raw_unwrap" -> ((s, dir) => RawLoad.rawUnwrap(tune(s), dir)),
     "raw_explode" -> ((s, dir) => RawLoad.rawExplode(tune(s), dir)),
@@ -106,6 +107,7 @@ object SparkEntry {
     "file_groups" -> Quality.fileGroupsSql,
     "count_verify" -> Quality.countVerifySql,
     "folder_completeness" -> Quality.folderCompletenessSql,
+    "table_profile" -> Quality.tableProfileSql,
     "raw_unwrap" -> RawLoad.rawUnwrapSql,
     "raw_explode" -> RawLoad.rawExplodeSql,
     "br_dates" -> RawLoad.brDatesSql,

@@ -201,4 +201,42 @@ object Quality {
   val countVerifySql: String =
     """SELECT event_type, count(*) AS n FROM events
       |WHERE value > 100 GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val profileCols =
+    Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+
+  /** Data profiling — per-column quality stats (row count, nulls, distinct,
+    * min/max) in ONE scan: all metrics land in a single aggregate row that
+    * is then unpivoted into one output row per column. The exact distinct
+    * counts plan as one Expand (k× the scan rows, map-side combined);
+    * at 100 TB swap `countDistinct` for `approx_count_distinct` — same
+    * single-scan shape, constant-memory sketches. */
+  def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val aggs = profileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_nonnull"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    } :+ count(lit(1)).as("n_rows")
+    val one = Tables.lineitem(spark, sfDir).agg(aggs.head, aggs.tail: _*)
+    val entries = profileCols.map { c =>
+      struct(lit(c).as("col_name"), col("n_rows"),
+        (col("n_rows") - col(s"${c}_nonnull")).as("n_nulls"),
+        col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_min").as("min_value"), col(s"${c}_max").as("max_value"))
+    }
+    one.select(explode(array(entries: _*)).as("p"))
+      .select("p.*").orderBy("col_name")
+  }
+
+  val tableProfileSql: String = {
+    val branches = profileCols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value FROM lineitem""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
 }
