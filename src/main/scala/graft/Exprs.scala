@@ -43,8 +43,8 @@ object Exprs {
     * builds stay one-pass (a second aggregate branch would duplicate the
     * whole upstream parse subtree — Spark plans are trees, and only
     * identical exchange subtrees get reused). */
-  def gsumArray(arr: Column, f: Column => Column, scale: Double = 1e4): Column = {
-    val acc = aggregate(
+  def gsumArray(arr: Column, f: Column => Column, scale: Double = 1e4): Column =
+    aggregate(
       arr,
       struct(lit(0L).as("s"), lit(0L).as("n")),
       (a, x) => {
@@ -54,8 +54,6 @@ object Exprs {
           (a.getField("n") + when(term.isNotNull, lit(1L)).otherwise(lit(0L))).as("n"))
       },
       a => when(a.getField("n") > 0, a.getField("s").cast("double") / lit(scale)))
-    acc
-  }
 
   /** F6 — dual-format pt-BR discount parse
     * (reference `sales_to_bq/main.py:120-132,142-154`):

@@ -65,13 +65,24 @@ object Ingest {
       .orderBy("dados_id")
   }
 
+  /** Content-version manifest: bump when the generator changes. The
+    * staged-zone skip checks version AND file count — a zone staged by an
+    * older generator (different content) or a partial staging restages;
+    * without the version a leftover zone from a previous code version
+    * would silently violate the pure-function-of-index invariant. */
+  private val ZoneManifest = s"graft-zone-v2:$ZoneFiles"
+
   private def stageZone(): Unit = {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(zoneDir)
+    val manifest = root.resolve("_MANIFEST")
     if (Files.isDirectory(root)) {
       val stream = Files.list(root)
-      val complete = try stream.filter(_.toString.endsWith(".json")).count() == ZoneFiles
-      finally stream.close()
+      val complete = try {
+        Files.isRegularFile(manifest) &&
+          Files.readString(manifest) == ZoneManifest &&
+          stream.filter(_.toString.endsWith(".json")).count() == ZoneFiles
+      } finally stream.close()
       if (complete) return
       val walk = Files.walk(root)
       try walk.sorted(java.util.Comparator.reverseOrder())
@@ -89,6 +100,7 @@ object Ingest {
       Files.writeString(root.resolve(s"z316-tiny-api-$id-pdv-20240305T141000-$uuid.json"),
         s"""{"versao":"1.0","cnpj":"1","tipo":"inclusao_pedido","dados":{"id":$id,"uuid":"u$id","valor":$valor,"event_ts":"2024-01-01 00:00:00"}}""")
     }
+    Files.writeString(manifest, ZoneManifest) // written LAST: marks complete
   }
 
   val zoneScanSql: String =

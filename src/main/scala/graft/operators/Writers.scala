@@ -23,21 +23,46 @@ object Writers {
   import org.apache.hadoop.fs.{FileSystem, Path}
 
   /** Atomic-ish directory replacement: write-tmp → rename-old-aside →
-    * rename-tmp-in → delete-old. At no point is `target` absent; a crash
-    * leaves the original or both copies on disk, never neither, and
-    * [[recoverSwap]] (run on entry) heals a half-finished previous swap by
-    * renaming the `_old_` backup back BEFORE clearing scratch space — so a
-    * re-run after any crash point sees the original data. Every rename's
-    * boolean result is CHECKED: Hadoop FileSystems report quota/permission
+    * rename-tmp-in → delete-old. While the process lives, `target` is
+    * absent only between the two renames; a crash ANYWHERE leaves the
+    * original either in place or intact under the `._old` backup tree,
+    * never destroyed, and [[recoverAll]] (run on entry of EVERY mutator,
+    * before the table is even read) renames backups home again — so a
+    * crashed delete/upsert/compact is fully healed by the next call, even
+    * when the lost directory is the table root itself or a partition the
+    * next operation would not otherwise visit. Every rename's boolean
+    * result is CHECKED: Hadoop FileSystems report quota/permission
     * failures as `false`, not exceptions, and an unchecked false followed
-    * by delete(old) would destroy the only copy. tmp/old live OUTSIDE the
-    * table root so a crash can never leave a directory inside it that
-    * partition discovery would pick up. */
-  private def swapIn(fs: FileSystem, tableRoot: Path, target: Path,
-    tag: String)(write: String => Unit): Unit = {
-    val (scratch, old) = scratchPaths(tableRoot, tag)
-    recoverSwap(fs, tableRoot, target, tag)
-    fs.delete(scratch, true)
+    * by delete(old) would destroy the only copy. Scratch/backup trees
+    * MIRROR the table's relative layout under sibling `._rewrite` /
+    * `._old` roots — outside the table, so partition discovery never sees
+    * them, and structure-preserving, so recovery needs no tag decoding. */
+  /** Table-relative path of a swap target, robust to scheme differences
+    * (paths from `listStatus` carry `file:`/`hdfs:` URIs, constructed ones
+    * may not — URI.relativize across schemes silently returns an ABSOLUTE
+    * path, which once resolved a scratch dir onto the target itself). */
+  private def relOf(tableRoot: Path, target: Path): String = {
+    val root = Path.getPathWithoutSchemeAndAuthority(tableRoot).toString
+    val tgt = Path.getPathWithoutSchemeAndAuthority(target).toString
+    if (tgt == root) "__root__"
+    else {
+      require(tgt.startsWith(root + "/"), s"$target is not under $tableRoot")
+      tgt.substring(root.length + 1)
+    }
+  }
+
+  private def swapIn(fs: FileSystem, tableRoot: Path, target: Path)(
+    write: String => Unit): Unit = {
+    val rel = relOf(tableRoot, target)
+    val scratch = new Path(new Path(tableRoot.getParent,
+      tableRoot.getName + "._rewrite"), rel)
+    val old = new Path(new Path(tableRoot.getParent,
+      tableRoot.getName + "._old"), rel)
+    require(Path.getPathWithoutSchemeAndAuthority(scratch).toString !=
+      Path.getPathWithoutSchemeAndAuthority(target).toString,
+      s"scratch resolved onto target: $target")
+    fs.delete(scratch, true); fs.delete(old, true)
+    fs.mkdirs(scratch.getParent); fs.mkdirs(old.getParent)
     write(scratch.toString)
     def renameOrDie(src: Path, dst: Path): Unit =
       if (!fs.rename(src, dst))
@@ -48,19 +73,37 @@ object Writers {
     fs.delete(old, true)
   }
 
-  private def scratchPaths(tableRoot: Path, tag: String): (Path, Path) = (
-    new Path(tableRoot.getParent, tableRoot.getName + "._rewrite_" + tag),
-    new Path(tableRoot.getParent, tableRoot.getName + "._old_" + tag))
-
-  /** Heal a swap interrupted between its two renames: if the target is
-    * gone but its `_old_` backup exists, the backup IS the original —
-    * rename it back. Called before every swap and before any branch that
-    * tests `fs.exists(target)`. */
-  private def recoverSwap(fs: FileSystem, tableRoot: Path, target: Path,
-    tag: String): Unit = {
-    val (_, old) = scratchPaths(tableRoot, tag)
-    if (!fs.exists(target) && fs.exists(old) && !fs.rename(old, target))
-      throw new java.io.IOException(s"recovery rename $old -> $target failed")
+  /** Heal every swap a previous crashed run left half-done, then clear
+    * scratch space. The `._old` tree mirrors the table layout, so for each
+    * backed-up swap target (a directory with data files, or `__root__`):
+    * target missing → the backup IS the original, rename it home; target
+    * present → the swap completed and only the cleanup was lost, drop the
+    * stale backup (leaving it would nest live data inside it on the next
+    * rename-aside). Runs BEFORE the mutator reads the table, so even a
+    * partition the current operation would never visit — or the table
+    * root itself — comes back. */
+  private def recoverAll(fs: FileSystem, tableRoot: Path): Unit = {
+    val oldRoot = new Path(tableRoot.getParent, tableRoot.getName + "._old")
+    def heal(backup: Path, rel: String): Unit = {
+      val isRootBackup = rel == "__root__"
+      val isSwapLeaf = isRootBackup || fs.listStatus(backup).exists(_.isFile)
+      if (isSwapLeaf) {
+        val target = if (isRootBackup) tableRoot else new Path(tableRoot, rel)
+        if (!fs.exists(target)) {
+          fs.mkdirs(target.getParent)
+          if (!fs.rename(backup, target))
+            throw new java.io.IOException(s"recovery $backup -> $target failed")
+        } else fs.delete(backup, true)
+      } else fs.listStatus(backup).filter(_.isDirectory).foreach(d =>
+        heal(d.getPath, if (rel.isEmpty) d.getPath.getName
+        else rel + "/" + d.getPath.getName))
+    }
+    if (fs.exists(oldRoot)) {
+      heal(oldRoot, "")
+      fs.delete(oldRoot, true) // only empty scaffolding remains
+    }
+    fs.delete(new Path(tableRoot.getParent, tableRoot.getName + "._rewrite"), true)
+    ()
   }
 
   /** J2 — day-partitioned append (reference `gcs_to_bq/main.py:193-205`). */
@@ -110,6 +153,7 @@ object Writers {
     dryRun: Boolean = false): Long = {
     val tableRoot = new Path(path)
     val fs = tableRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverAll(fs, tableRoot) // heal any crashed previous swap first
     val df = spark.read.parquet(path)
     val doomed = df.filter(col(keyCol).isInCollection(keys))
     if (dryRun) return doomed.count()
@@ -120,13 +164,13 @@ object Writers {
         .distinct().collect().map(_.getString(0))
       affected.foreach { pv =>
         val dir = new Path(path, s"$partitionCol=$pv")
-        swapIn(fs, tableRoot, dir, pv)(tmp =>
+        swapIn(fs, tableRoot, dir)(tmp =>
           spark.read.parquet(dir.toString)
             .filter(!col(keyCol).isInCollection(keys))
             .write.parquet(tmp))
       }
     } else {
-      swapIn(fs, tableRoot, tableRoot, "full")(tmp =>
+      swapIn(fs, tableRoot, tableRoot)(tmp =>
         df.filter(!col(keyCol).isInCollection(keys)).write.parquet(tmp))
     }
     spark.read.parquet(path).filter(col(keyCol).isInCollection(keys)).count()
@@ -147,6 +191,7 @@ object Writers {
     updatesIn: DataFrame, partitionCol: String = "p_date"): Unit = {
     val tableRoot = new Path(path)
     val fs = tableRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverAll(fs, tableRoot) // heal any crashed previous swap first
     val table = spark.read.parquet(path)
     // materialize updates BEFORE any rewrite: a lazy `updates` derived from
     // the target table would otherwise re-read partially-rewritten state
@@ -159,11 +204,8 @@ object Writers {
         val dir = new Path(path, s"$partitionCol=$pv")
         val partUpdates = updates.filter(col(partitionCol).cast("string") === pv)
           .drop(partitionCol)
-        // a crashed previous swap may have left this partition renamed
-        // aside — heal before deciding "new partition vs merge"
-        recoverSwap(fs, tableRoot, dir, pv)
         if (fs.exists(dir))
-          swapIn(fs, tableRoot, dir, pv)(tmp =>
+          swapIn(fs, tableRoot, dir)(tmp =>
             spark.read.parquet(dir.toString)
               .join(partUpdates.select(keyCol), Seq(keyCol), "left_anti")
               .unionByName(partUpdates)
@@ -172,7 +214,7 @@ object Writers {
           partUpdates.write.parquet(dir.toString)
       }
     } else {
-      swapIn(fs, tableRoot, tableRoot, "full")(tmp =>
+      swapIn(fs, tableRoot, tableRoot)(tmp =>
         table.join(updates.select(keyCol), Seq(keyCol), "left_anti")
           .unionByName(updates).write.parquet(tmp))
     }
@@ -198,6 +240,7 @@ object Writers {
     targetBytes: Long = 128L << 20): (Int, Int, Int) = {
     val tableRoot = new Path(path)
     val fs = tableRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverAll(fs, tableRoot) // heal any crashed previous swap first
     def dataFiles(dir: Path) = fs.listStatus(dir)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     def leaves(dir: Path): Seq[Path] = {
@@ -215,12 +258,7 @@ object Writers {
       before += files.length
       if (files.length > want) {
         compacted += 1
-        val tag = tableRoot.toUri.relativize(leaf.toUri).getPath
-          .replaceAll("[^A-Za-z0-9_=.-]", "_") match {
-          case "" => "root"
-          case t => t
-        }
-        swapIn(fs, tableRoot, leaf, tag)(tmp =>
+        swapIn(fs, tableRoot, leaf)(tmp =>
           spark.read.parquet(leaf.toString)
             .coalesce(want).write.parquet(tmp))
       }

@@ -136,6 +136,32 @@ class PlansSpec extends SparkSuite {
       .forall(f => !f.getName.contains("._rewrite_") && !f.getName.contains("._old_")))
   }
 
+  test("swap recovery: a partition lost mid-swap is healed by the next mutator call") {
+    val out = Files.createTempDirectory("rec").toString + "/t"
+    Writers.writeDayPartitioned(Tables.orders(spark, sfDir).limit(100)
+      .select(col("o_orderkey"), col("o_orderdate")), "o_orderdate", out)
+    val total = spark.read.parquet(out).count()
+    // simulate a crash between the two renames: partition renamed aside
+    val victim = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("p_date=")).head
+    val backup = new java.io.File(out + "._old/" + victim.getName)
+    backup.getParentFile.mkdirs()
+    assert(victim.renameTo(backup))
+    assert(spark.read.parquet(out).count() < total, "partition really lost")
+    // ANY mutator heals on entry — a dry-run delete is enough
+    Writers.deleteByKey(spark, out, "o_orderkey", Seq(-1L), dryRun = true)
+    assert(spark.read.parquet(out).count() == total, "partition restored")
+    assert(!new java.io.File(out + "._old").exists())
+    // simulate a completed swap whose cleanup was lost: stale backup while
+    // the target exists — must be dropped, never nested into live data
+    val stale = new java.io.File(out + "._old/" + victim.getName)
+    stale.mkdirs()
+    new java.io.File(stale, "stale.parquet").createNewFile()
+    Writers.compact(spark, out, targetBytes = 1L)
+    assert(!new java.io.File(out + "._old").exists(), "stale backup dropped")
+    assert(spark.read.parquet(out).count() == total)
+  }
+
   test("compaction handles the nested streaming layout (ingest_batch=N/p_date=D)") {
     val out = Files.createTempDirectory("cmp2").toString + "/t"
     val df = Tables.orders(spark, sfDir).limit(120)
