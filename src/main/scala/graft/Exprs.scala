@@ -55,6 +55,17 @@ object Exprs {
       },
       a => when(a.getField("n") > 0, a.getField("s").cast("double") / lit(scale)))
 
+  /** Portable 32-bit numeric hash: first 8 hex chars of md5, as a long in
+    * [0, 2³²). ONE definition for every hashing operator (minhash shingles,
+    * simhash word votes, vocab hashing, deterministic sampling draws) —
+    * the formula carries a DuckDB-equivalence contract
+    * (`CAST(('0x' || substr(md5(s),1,8)) AS BIGINT)`), so a single shared
+    * definition keeps Spark and every oracle in lockstep; widening or
+    * re-seeding it is a one-site edit on each side.
+    */
+  def md5num(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
   /** F6 — dual-format pt-BR discount parse
     * (reference `sales_to_bq/main.py:120-132,142-154`):
     * `'x%'` → pct/100 × base; else `','→'.'` decimal taken as an absolute

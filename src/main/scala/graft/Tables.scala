@@ -27,17 +27,18 @@ object Tables {
   def nation(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "region")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read nanos as raw long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to micros —
-    * identical to DuckDB's `CAST(ts AS TIMESTAMP)` ns→µs truncation, which
-    * every events oracle mirrors.
+    * reader rejects outright. Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (SparkEntry.tune and every
+    * session builder do) so the nanos read as raw long; this loader truncates
+    * to micros — identical to DuckDB's `CAST(ts AS TIMESTAMP)` ns→µs
+    * truncation, which every events oracle mirrors. The conf lives at session
+    * build, not here: a table loader mutating global session state would
+    * silently retype every later nanos-parquet read in the session.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "embeddings")
 }

@@ -20,7 +20,9 @@ object TimeOne {
       val fn = SparkEntry.queries(n)
       (1 to reps).foreach { i =>
         val t0 = System.nanoTime()
-        val c = fn(spark, sfDir).count()
+        // same action as Bench: execute the REAL plan (a plain .count()
+        // lets Catalyst prune the projected work and the final sort)
+        val c = fn(spark, sfDir).queryExecution.toRdd.count()
         println(f"$n run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
       }
     }

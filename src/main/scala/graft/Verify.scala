@@ -16,7 +16,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Delete the previous dump for a query BEFORE building its DataFrame:
+    // construction is eagerly analyzed, so a regression that throws during
+    // analysis would otherwise leave the prior run's parquet in place and the
+    // oracle gate would compare stale-but-matching results — a false green.
+    // After the delete, any failure leaves no directory and the gate reports
+    // the query missing, which is loud.
+    def rmTree(dir: java.nio.file.Path): Unit =
+      if (Files.exists(dir))
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
     SparkEntry.queries.foreach { case (name, fn) =>
+      rmTree(Paths.get(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -53,8 +53,7 @@ object Dedup {
       .withColumn("words", split(col("text"), " "))
       .withColumn("shingles", expr(shinglesExpr))
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("h"))
+      .select(col("doc_id"), Exprs.md5num(col("s")).as("h"))
     val minAggs = (0 until 16).map { k =>
       min(pmod(col("h") * lit(12582917L * k + 1) + lit(4256249L * k),
         lit(2147483647L))).as(s"mh$k")
@@ -284,21 +283,32 @@ object Dedup {
       |ORDER BY c.doc_id""".stripMargin
 
   /** 32-bit SimHash: per-word md5-derived hash, signed bit votes, sign →
-    * signature bit. Near-dups then differ in few bits (hamming). */
-  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    * signature bit. Near-dups then differ in few bits (hamming).
+    *
+    * Shape: explode words → 32 integer bit-sums in ONE map-side-combinable
+    * groupBy (the same distributed shape as [[minhashSignatures]]). The
+    * obvious per-row form — a nested `aggregate(sequence(0,31),
+    * aggregate(hs, ...))` higher-order fold — computes the identical result
+    * with no shuffle, but HOF lambdas run interpreted (no codegen) and it
+    * re-walks the word list once per bit: measured 16.6 s vs ~2 s for this
+    * plan at sf0.1, and the explode+agg's shuffle is just (doc_id, 32 longs
+    * + count) per doc after partial aggregation. Sign rule: vote_j > 0 ⟺
+    * 2·Σbit_j > n_words — integer compare, no float order sensitivity. */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val bitSums = (0 until 32).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
     Tables.documents(spark, sfDir)
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("hs", expr(
-        "transform(words, w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), Exprs.md5num(col("w")).as("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), bitSums: _*)
       .select(col("doc_id"),
-        expr(
-          """aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) -> acc +
-            |  CASE WHEN aggregate(hs, cast(0 as bigint),
-            |    (a, h) -> a + CASE WHEN (h div cast(pow(2, j) as bigint)) % 2 = 1
-            |                       THEN 1 ELSE -1 END) > 0
-            |  THEN cast(pow(2, j) as bigint) ELSE 0 END)""".stripMargin).as("simhash"),
-        size(col("words")).cast("long").as("n_words"))
+        (0 until 32).map(j =>
+          when(col(s"b$j") * 2 > col("n_words"), lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"),
+        col("n_words"))
       .orderBy("doc_id")
+  }
 
   val dedupSimhashSql: String =
     """WITH t AS (

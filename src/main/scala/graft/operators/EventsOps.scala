@@ -81,7 +81,17 @@ object EventsOps {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** I4/G2 — exactly-once dedupe on the event id after a double-delivery
-    * (`dropDuplicates` is what the streaming path uses with a watermark). */
+    * (`dropDuplicates` is what the streaming path uses with a watermark).
+    *
+    * Oracle-parity precondition: `dropDuplicates(event_id)` keeps ONE
+    * arbitrary row per id while the oracle's `SELECT DISTINCT` keeps every
+    * distinct (id, type, user) tuple — identical only while `event_id`
+    * functionally determines the other columns. True here by construction
+    * (the doubled delivery is byte-identical, and the fixture's event_id is
+    * unique — asserted in OperatorsSpec so a fixture change fails loudly
+    * instead of flapping the hash gate). A redelivery-with-mutated-payload
+    * scenario is the streaming path's job (watermarked dropDuplicates =
+    * first delivery wins), not this batch oracle's. */
   def eventsDedupe(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     ev.unionByName(ev) // simulate at-least-once double delivery

@@ -206,27 +206,51 @@ object Quality {
     Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
 
   /** Data profiling — per-column quality stats (row count, nulls, distinct,
-    * min/max) in ONE scan: all metrics land in a single aggregate row that
-    * is then unpivoted into one output row per column. The exact distinct
-    * counts plan as one Expand (k× the scan rows, map-side combined);
-    * at 100 TB swap `countDistinct` for `approx_count_distinct` — same
-    * single-scan shape, constant-memory sketches. */
+    * min/max), two fully-parallel scans:
+    *
+    *  1. count/min/max for every column in ONE map-side-combined aggregate
+    *     row (no shuffle of data, just partial-agg merge);
+    *  2. EXACT distinct counts via explode to (col_name, value) pairs →
+    *     keyed two-level dedupe. `k × countDistinct` in one aggregate — the
+    *     obvious single-scan form — plans as a (k+1)× Expand whose final
+    *     distinct-set merge lands on ONE ungrouped reducer (measured 7-8 s
+    *     at sf0.1 vs ~1.5 s for this plan); grouping the dedupe by
+    *     (col_name, value) keeps every stage 32-way parallel, and the shape
+    *     survives 100 TB because no task ever holds a full distinct set.
+    *     Values dedupe via their canonical string form (injective per
+    *     column type), so one pair stream serves every column type.
+    *
+    * At 100 TB the same two scans hold; if exactness can be traded,
+    * `approx_count_distinct` collapses scan 2 back into scan 1's aggregate
+    * row with constant-memory sketches. */
   def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
-    val aggs = profileCols.flatMap { c =>
+    val lt = Tables.lineitem(spark, sfDir)
+    val basicAggs = profileCols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}_nonnull"),
-        countDistinct(col(c)).as(s"${c}_distinct"),
         min(col(c)).cast("string").as(s"${c}_min"),
         max(col(c)).cast("string").as(s"${c}_max"))
     } :+ count(lit(1)).as("n_rows")
-    val one = Tables.lineitem(spark, sfDir).agg(aggs.head, aggs.tail: _*)
+    val one = lt.agg(basicAggs.head, basicAggs.tail: _*)
+    val distincts = lt.select(explode(array(profileCols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.c").as("col_name"), col("p.v").as("v"))
+      .filter(col("v").isNotNull)
+      .distinct()
+      .groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
     val entries = profileCols.map { c =>
       struct(lit(c).as("col_name"), col("n_rows"),
         (col("n_rows") - col(s"${c}_nonnull")).as("n_nulls"),
-        col(s"${c}_distinct").as("n_distinct"),
         col(s"${c}_min").as("min_value"), col(s"${c}_max").as("max_value"))
     }
     one.select(explode(array(entries: _*)).as("p"))
-      .select("p.*").orderBy("col_name")
+      .select("p.*")
+      // left join: an all-null column produces no pairs → 0 distinct,
+      // matching countDistinct. The 5-row distincts side broadcasts.
+      .join(broadcast(distincts), Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_value"), col("max_value"))
+      .orderBy("col_name")
   }
 
   val tableProfileSql: String = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Exprs, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,8 +29,8 @@ object Sampling {
   val defaultRate = 0.1
 
   private def draw(seed: String): Column =
-    conv(substring(md5(concat(lit(seed), lit("_"),
-      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double")
+    Exprs.md5num(concat(lit(seed), lit("_"),
+      col("doc_id").cast("string"))).cast("double")
 
   def corpusSample(spark: SparkSession, sfDir: String,
     seed: String = "g1"): DataFrame = {

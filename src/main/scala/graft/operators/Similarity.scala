@@ -16,11 +16,29 @@ case class Scored(query_id: Long, target_id: Long, cos: Double)
   */
 class TopKAggregator(k: Int)
   extends org.apache.spark.sql.expressions.Aggregator[Scored, Seq[(Long, Double)], Seq[(Long, Double)]] {
+  /** p ranks strictly before q (cos desc, target_id asc). */
+  private def before(p: (Long, Double), q: (Long, Double)): Boolean =
+    p._2 > q._2 || (p._2 == q._2 && p._1 < q._1)
   private def trim(s: Seq[(Long, Double)]): Seq[(Long, Double)] =
     s.sortBy { case (id, c) => (-c, id) }.take(k)
   def zero: Seq[(Long, Double)] = Nil
-  def reduce(b: Seq[(Long, Double)], a: Scored): Seq[(Long, Double)] =
-    trim(b :+ (a.target_id, a.cos))
+  /** The buffer is kept sorted, so the per-row path — the |corpus|·|queries|
+    * inner loop this class exists for — is a constant-time reject against
+    * the current k-th entry for the common below-threshold row, and an O(k)
+    * bounded insertion otherwise. A sort per row (the obvious
+    * `(b :+ x).sortBy.take(k)`) would pay O(k log k) + allocation on every
+    * scored pair. */
+  def reduce(b: Seq[(Long, Double)], a: Scored): Seq[(Long, Double)] = {
+    val x = (a.target_id, a.cos)
+    if (b.size >= k && !before(x, b.last)) b
+    else {
+      val i = b.indexWhere(before(x, _))
+      val ins = if (i < 0) b :+ x else (b.take(i) :+ x) ++ b.drop(i)
+      if (ins.size > k) ins.take(k) else ins
+    }
+  }
+  /** Combine is once per (map partition, key), not per row — the simple
+    * sort-merge is fine here. */
   def merge(x: Seq[(Long, Double)], y: Seq[(Long, Double)]): Seq[(Long, Double)] =
     trim(x ++ y)
   def finish(b: Seq[(Long, Double)]): Seq[(Long, Double)] = b
@@ -83,9 +101,15 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** DuckDB replay of `cos` above. The dot term runs over
+    * `least(len(QV), len(TV))` — the same common-prefix contract as
+    * [[graft.plans.ArrayDot]] — so nothing here assumes a vector width; on a
+    * ragged pair both engines dot the shared prefix instead of one NULLing
+    * out. Norms use each side's full length, exactly like `norm`. */
   private val cosSqlFragment =
     """floor(
-      |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64),
+      |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+      |    generate_series(1, least(len(QV), len(TV))),
       |    i -> QV[i] * TV[i])), (acc, x) -> acc + x)
       |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(QV, x -> x * x)),
       |       (acc, x) -> acc + x))

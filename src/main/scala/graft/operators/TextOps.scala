@@ -18,11 +18,6 @@ object TextOps {
 
   private def words(c: Column): Column = split(c, " ")
 
-  /** Portable 32-bit numeric hash: first 8 hex chars of md5, as a long.
-    * Identical in DuckDB as `CAST(('0x' || substr(md5(s),1,8)) AS BIGINT)`. */
-  def md5num(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
-
   /** Quality scoring — length / punctuation / stopword / vocabulary-diversity
     * signals plus a composite score, one pass over the text. */
   def textStats(spark: SparkSession, sfDir: String): DataFrame = {
@@ -149,7 +144,7 @@ object TextOps {
       col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(w)))).as("fp_norm"),
       aggregate(
-        transform(w, x => conv(substring(md5(x), 1, 8), 16, 10).cast("long")),
+        transform(w, x => Exprs.md5num(x)),
         lit(0L),
         (acc, x) => pmod(acc * 31 + x, lit(1000000007L))).as("fp_roll"))
       .orderBy("doc_id")

@@ -145,4 +145,13 @@ class OperatorsSpec extends SparkSuite {
     val other = Sampling.corpusSample(spark, sfDir, seed = "g2").collect()
     assert(!other.sameElements(s1))
   }
+
+  test("events fixture: event_id is unique (eventsDedupe oracle precondition)") {
+    // eventsDedupe's dropDuplicates(event_id) and its SELECT DISTINCT oracle
+    // agree only while event_id functionally determines the row (see the
+    // operator's scaladoc). Pin that here so a fixture change that breaks
+    // the assumption fails this spec instead of flapping the hash gate.
+    val ev = Tables.events(spark, sfDir)
+    assert(ev.select("event_id").distinct.count() == ev.count())
+  }
 }
