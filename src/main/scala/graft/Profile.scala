@@ -44,7 +44,8 @@ object Profile {
       }
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        // same action as Bench: run the REAL plan, not the count-pruned one
+        val n = fn(spark, sfDir).queryExecution.toRdd.count()
         println(f"$name pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
       }
     }

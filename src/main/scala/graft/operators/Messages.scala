@@ -215,11 +215,16 @@ object Messages {
     val hdr = Seq("pedido_id", "pedido_dia", "cliente_cpf", "forma_pagamento",
       "n_itens", "vendedor_id", "nome_vendedor", "nota_link")
     val produto = RawTables.produtoFromParsed(msg, carry = hdr)
-    val aggs = hdr.map(c => first(col(c)).as(c)) :+
-      count(lit(1)).as("n_produto_payloads") :+
-      countDistinct(col("id")).as("n_produtos") :+
-      Exprs.gsum(col("preco_custo").cast("double")).as("custo_catalogo")
-    produto.groupBy("uuid").agg(aggs.head, aggs.tail: _*)
+    // Group-constant header columns go into the GROUP KEY, not through
+    // `first()`: a string-buffered aggregate forces SortAggregate (full
+    // sort of the item-grain rows), while string group keys hash fine —
+    // same groups, same output (see FactsFromRaw.pedidos for the same
+    // pattern and measurements).
+    val aggs = Seq(count(lit(1)).as("n_produto_payloads"),
+      countDistinct(col("id")).as("n_produtos"),
+      Exprs.gsum(col("preco_custo").cast("double")).as("custo_catalogo"))
+    produto.groupBy(col("uuid") +: hdr.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("uuid", "msg_uuid")
       .orderBy("pedido_id")
   }
