@@ -98,6 +98,25 @@ class PlanAuditSpec extends SparkSuite {
     assert(scans == 3, s"expected one scan each of orders/lineitem/part, got $scans")
   }
 
+  test("item-grain aggregates hash, never sort: no string-buffered aggs") {
+    // first()/min() over a STRING column carries a string aggregation
+    // buffer, which HashAggregate cannot hold — the whole aggregate
+    // silently downgrades to SortAggregate and fully sorts the exploded
+    // item rows. Group-constant header columns belong in the GROUP KEY
+    // (string keys hash fine). Small dim-side sorts are acceptable (the
+    // produto dropDuplicates and the pesquisa vendedor min(struct) sort
+    // dim-cardinality rows before a broadcast) — what must never sort is
+    // the ITEM-grain aggregate, keyed by pedido_id / uuid.
+    val itemKeys = "SortAggregate\\(key=\\[(pedido_id|uuid)".r
+    Seq(Typed.typedItensFact(spark, sfDir),
+      Typed.typedPedidosFact(spark, sfDir),
+      Messages.messageRoundtrip(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(itemKeys.findFirstIn(p).isEmpty,
+        "item-grain aggregate fell out of hash aggregation:\n" + p.take(800))
+    }
+  }
+
   test("contamination: benchmark n-gram set broadcasts, corpus never self-joins") {
     val p = plan(Dedup.contaminationCheck(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), "benchmark set must broadcast")
