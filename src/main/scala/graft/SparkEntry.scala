@@ -80,6 +80,7 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => Similarity.annTopk(tune(s), dir)),
     "ann_topk_agg" -> ((s, dir) => Similarity.annTopkAgg(tune(s), dir)),
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(tune(s), dir)),
+    "ann_quantized" -> ((s, dir) => Similarity.annQuantized(tune(s), dir)),
     // Extension: multimodal column plumbing (decode stubbed)
     "multimodal_features" -> ((s, dir) => Multimodal.multimodalFeatures(tune(s), dir)),
     // K/D12: custom Catalyst expression via SparkSessionExtensions
@@ -141,6 +142,7 @@ object SparkEntry {
     "ann_topk" -> Similarity.annTopkSql,
     "ann_topk_agg" -> Similarity.annTopkSql, // same contract as ann_topk
     "ann_ivf" -> Similarity.annIvfSql,
+    "ann_quantized" -> Similarity.annQuantizedSql,
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,
     "checksum_sorted" -> Checksums.checksumSortedSql,
     "typed_itens_fact" -> Typed.typedItensFactSql,

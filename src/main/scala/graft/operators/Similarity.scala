@@ -155,6 +155,107 @@ object Similarity {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Quantized ANN (the 100 TB memory-scale path): per-vector symmetric
+    * int8 quantization — `s = 127 / max|v|`, `q[i] = round(v[i]·s)` — then
+    * candidate search on INTEGER dots and an exact-cosine rerank of the
+    * top-15 candidates only (generate-then-verify).
+    *
+    * Scale notes:
+    *  - int8 cuts the resident corpus 8× vs float64 (4× vs float32): the
+    *    difference between an in-memory corpus and a spilling one at 100 TB.
+    *    Here the quantized vectors are integer-valued doubles so the dot
+    *    runs through the same `array_dot` codegen loop (exact: every
+    *    partial sum is an integer ≪ 2⁵³, so the fold is order-insensitive
+    *    and bit-identical in the oracle); a production build would store
+    *    `array<tinyint>` at rest and dot in int32 SIMD — same plan shape.
+    *  - the exact rerank touches 15 rows per query, so full-precision
+    *    vectors are only ever read for a vanishing fraction of the corpus.
+    *  - composes with [[annIvf]]: quantize WITHIN cells for another 8× on
+    *    the cell scan.
+    *
+    * No clamp is needed: `|v[i]|·s ≤ 127` by construction, and
+    * `floor(±127 + 0.5)` stays in [-127, 127]. Zero vectors are guarded
+    * (`max(|v|, 1e-12)`). */
+  def annQuantized(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("s",
+        lit(127d) / greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-12)))
+      .withColumn("q",
+        transform(col("v"), x => floor(x * col("s") + lit(0.5d)).cast("double")))
+      .withColumn("n", norm(col("v")))
+    val q = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("s").as("q_s"), col("v").as("qv"), col("n").as("qn"))
+    // candidate pass: integer dot, dequantized by the two scales
+    val wCand = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val cand = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("v"), col("n"),
+        col("qv"), col("qn"),
+        (dot(col("qq"), col("q")) / (col("q_s") * col("s"))).as("approx"))
+      .withColumn("cr", row_number().over(wCand))
+      .filter(col("cr") <= 15)
+    // exact rerank of the 15 survivors per query
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand.select(col("query_id"), col("vec_id"),
+        Exprs.r4(dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"),
+        Exprs.r4(col("approx") / (col("qn") * col("n"))).as("approx_cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("target_id"), col("cos"), col("approx_cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annQuantizedSql: String = {
+    val dotQ =
+      """list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+        |  generate_series(1, least(len(q.qq), len(t.q))),
+        |  i -> q.qq[i] * t.q[i])), (acc, x) -> acc + x)""".stripMargin
+    val dotV =
+      """list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+        |  generate_series(1, least(len(c.qv), len(c.v))),
+        |  i -> c.qv[i] * c.v[i])), (acc, x) -> acc + x)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT vec_id, v,
+       |    127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 0.000000000001) AS s
+       |  FROM e),
+       |pq AS (
+       |  SELECT vec_id, v, s,
+       |    list_transform(v, x -> floor(x * s + 0.5)) AS q,
+       |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(v, x -> x * x)),
+       |      (acc, x) -> acc + x)) AS n
+       |  FROM p),
+       |qs AS (SELECT vec_id AS query_id, q AS qq, s AS q_s, v AS qv, n AS qn
+       |       FROM pq WHERE vec_id % 200 = 0),
+       |ap AS (
+       |  SELECT q.query_id, t.vec_id, t.v, t.n, q.qv, q.qn,
+       |    ($dotQ) / (q.q_s * t.s) AS approx
+       |  FROM pq t JOIN qs q ON t.vec_id <> q.query_id),
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY approx DESC, vec_id ASC) AS cr
+       |    FROM ap) WHERE cr <= 15),
+       |rr AS (
+       |  SELECT query_id, vec_id,
+       |    floor(($dotV) / (c.qn * c.n) * 10000 + 0.5) / 10000 AS cos,
+       |    floor(c.approx / (c.qn * c.n) * 10000 + 0.5) / 10000 AS approx_cos
+       |  FROM cand c),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM rr)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS target_id,
+       |  cos, approx_cos
+       |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** IVF two-stage ANN: (1) build per-label centroids, (2) route each query
     * to its nearest centroid, (3) exact top-3 inside that cell only. */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {

@@ -146,6 +146,23 @@ class OperatorsSpec extends SparkSuite {
     assert(!other.sameElements(s1))
   }
 
+  test("quantized ANN: high recall vs exact top-k, approx within the int8 bound") {
+    val exact = Similarity.annTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rows = Similarity.annQuantized(spark, sfDir).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // 15-candidate rerank over int8 dots recovers the exact top-5 almost
+    // always (measured 100% on the fixtures at sf0.001 and sf0.01)
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@5 degraded to $recall")
+    // per-vector symmetric int8: quantization error ≤ ~1/127 per dot term
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) <= 0.01,
+        s"approx_cos drifted beyond the int8 bound: $r")
+    }
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 5))
+  }
+
   test("events fixture: event_id is unique (eventsDedupe oracle precondition)") {
     // eventsDedupe's dropDuplicates(event_id) and its SELECT DISTINCT oracle
     // agree only while event_id functionally determines the row (see the
