@@ -124,6 +124,32 @@ object StreamDemo {
     check("message pesquisa sink = exploded search entries",
       spark.read.parquet(s"$work/msg_pesquisa").count() == nPesquisa,
       s"entries=$nPesquisa")
+    // --- streaming near-dup: feed the documents corpus, then re-feed the
+    // first 50 docs (exact copies) in a second run against the SAME
+    // checkpoint — copies must be flagged against the recovered state,
+    // originals must not have been.
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    docs.write.mode("overwrite").json(s"$work/docs_drop")
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def docStream() = spark.readStream.schema(docSchema).json(s"$work/docs_drop")
+    Streaming.nearDupQuery(docStream(), s"$work/nd_out", s"$work/nd_ck")
+      .awaitTermination()
+    val firstPass = spark.read.parquet(s"$work/nd_out")
+      .filter(col("is_near_dup")).count()
+    val resent = docs.orderBy("doc_id").limit(50)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    resent.write.mode("append").json(s"$work/docs_drop")
+    Streaming.nearDupQuery(docStream(), s"$work/nd_out", s"$work/nd_ck")
+      .awaitTermination()
+    val flagged = spark.read.parquet(s"$work/nd_out")
+      .filter(col("is_near_dup") && col("doc_id") >= 1000000L).count()
+    check("near-dup stream flags re-sent docs via checkpointed state",
+      flagged == 50, s"flagged=$flagged/50, first-pass dups=$firstPass")
+
     spark.stop()
     if (failed) sys.exit(1)
   }

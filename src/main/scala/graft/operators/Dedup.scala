@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Exprs, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline — exact, MinHash+LSH,
@@ -281,6 +281,26 @@ object Dedup {
       |    >= 0.2 AS is_contaminated
       |FROM corpus c LEFT JOIN hits h USING (doc_id)
       |ORDER BY c.doc_id""".stripMargin
+
+  /** Per-ROW SimHash fold — identical signature arithmetic to
+    * [[dedupSimhash]] (same word hashes, same `vote_j > 0` sign rule;
+    * equivalence pinned in OperatorsSpec) as one nested higher-order fold.
+    * This is the STREAMING form: a stateful pipeline needs the signature as
+    * a column before its keyed grouping, where the batch query's
+    * explode+groupBy shape would interpose a second shuffle. The fold runs
+    * interpreted (HOFs don't codegen), which is the right trade at
+    * micro-batch row counts and the wrong one for a full corpus scan — the
+    * batch query keeps the explode+bit-sum plan (see its scaladoc for
+    * measurements). */
+  def simhashFold(text: Column): Column = {
+    val hs = transform(split(text, " "), w => Exprs.md5num(w))
+    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) =>
+      acc + when(
+        aggregate(hs, lit(0L), (a, h) =>
+          a + when(call_function("shiftright", h, j)
+            .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))) > 0,
+        call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+  }
 
   /** 32-bit SimHash: per-word md5-derived hash, signed bit votes, sign →
     * signature bit. Near-dups then differ in few bits (hamming).

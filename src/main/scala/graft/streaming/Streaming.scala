@@ -11,6 +11,15 @@ case class OrderState(n: Long, total: Double)
 /** Emitted after each micro-batch touches an order. */
 case class OrderUpdate(pedido_id: Long, n_events: Long, valor_total: Double)
 
+/** One document entering the streaming near-dup check. */
+case class SimhashDoc(bucket: Long, doc_id: Long, simhash: Long)
+
+/** Near-dup verdict for one streamed document. */
+case class NearDupFlag(doc_id: Long, simhash: Long, is_near_dup: Boolean)
+
+/** Signatures already admitted to one simhash bucket. */
+case class BucketSigs(sigs: Array[Long])
+
 /** The reference's event-driven dataflow (SURVEY.md §2 I1-I8, §3.1) as one
   * Structured Streaming pipeline: a JSON drop directory models the webhook/
   * GCS-event source (each request = one file, A1/A3), validation routes
@@ -155,6 +164,64 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[OrderUpdate], _: Long) =>
         batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
+  /** Streaming NEAR-dup detection — the in-stream counterpart of the batch
+    * dedup family (`operators.Dedup`): every arriving document is checked
+    * against the corpus seen SO FAR, before it ever lands in the training
+    * zone. Per-row simhash ([[graft.operators.Dedup.simhashFold]], same
+    * arithmetic as the batch query), grouped by the signature's top-16
+    * bits, with the admitted signatures of each bucket held in
+    * `flatMapGroupsWithState` state: a new doc is a near-dup iff some
+    * admitted signature in its bucket is within `maxHamming` bits.
+    *
+    * Scale notes: state partitions by bucket (2¹⁶ keys) across executors
+    * and holds only DISTINCT admitted signatures (≤ 2¹⁶ longs per bucket
+    * at the theoretical limit, far fewer in practice), checkpointed — so
+    * the "seen corpus" survives query restarts, which is the property the
+    * spec asserts. Bucketing is the same LSH-style trade as the batch
+    * hyperplane buckets: only same-bucket pairs are compared, so a near-dup
+    * pair that straddles a bucket boundary (differs in the top 16 bits) is
+    * missed; tighten by also probing neighbor buckets, at state-size cost.
+    * Docs within one micro-batch are processed in doc_id order so the
+    * admit-then-compare sequence is deterministic under replay. */
+  def nearDupStream(docs: DataFrame, maxHamming: Int = 3): Dataset[NearDupFlag] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        graft.operators.Dedup.simhashFold(col("text")).as("simhash"))
+      .select(shiftright(col("simhash"), 16).as("bucket"),
+        col("doc_id"), col("simhash"))
+      .as[SimhashDoc]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketSigs, NearDupFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var sigs = state.getOption.map(_.sigs.toList).getOrElse(Nil)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val dup = sigs.exists(s =>
+              java.lang.Long.bitCount(s ^ d.simhash) <= maxHamming)
+            if (!dup) sigs = d.simhash :: sigs
+            NearDupFlag(d.doc_id, d.simhash, dup)
+          }
+          state.update(BucketSigs(sigs.toArray))
+          out.iterator
+      }
+  }
+
+  /** Runs [[nearDupStream]] to a parquet sink; batch-keyed overwrite dirs
+    * make re-executed micro-batches idempotent, like the other sinks. */
+  def nearDupQuery(docs: DataFrame, outDir: String,
+    checkpointDir: String, maxHamming: Int = 3): StreamingQuery =
+    nearDupStream(docs, maxHamming).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[NearDupFlag], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
         ()
       }
       .start()

@@ -146,6 +146,16 @@ class OperatorsSpec extends SparkSuite {
     assert(!other.sameElements(s1))
   }
 
+  test("simhashFold (streaming form) equals the batch explode+bit-sum signatures") {
+    val batch = Dedup.dedupSimhash(spark, sfDir)
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fold = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Dedup.simhashFold(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fold == batch)
+  }
+
   test("quantized ANN: high recall vs exact top-k, approx within the int8 bound") {
     val exact = Similarity.annTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

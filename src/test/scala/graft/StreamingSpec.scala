@@ -126,6 +126,45 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSeq == Seq((1L, 101L)))
   }
 
+  test("streaming near-dup: seen-corpus state survives restart, flags by hamming") {
+    val work = Files.createTempDirectory("neardup").toString
+    val textA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val textA1 = textA.replace("alpha7", "gamma7") // one-word edit of A
+    def js(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def src() = spark.readStream.schema(schema).json(s"$work/drop")
+    // expected verdicts from the SAME signature arithmetic, batch-side:
+    // a doc is a near-dup iff an ADMITTED same-bucket signature is within
+    // 3 bits (textA admitted first; textA1 only compares against it if
+    // their top-16 bucket bits agree — mirror that here)
+    val sigs = Seq(textA, textB, textA1).toDF("text")
+      .select(operators.Dedup.simhashFold(col("text"))).collect().map(_.getLong(0))
+    val Seq(sa, sb, sa1) = sigs.toSeq
+    val expectA1 = (sa >> 16) == (sa1 >> 16) &&
+      java.lang.Long.bitCount(sa ^ sa1) <= 3
+    // batch 1: A and B arrive — a fresh corpus, nothing to collide with
+    Seq(js(1, textA), js(2, textB)).toDF("value").coalesce(1)
+      .write.mode("append").text(s"$work/drop")
+    Streaming.nearDupQuery(src(), s"$work/out", s"$work/ck").awaitTermination()
+    // batch 2 (new files, SAME checkpoint): an exact copy of A, and the
+    // one-word edit — both must be judged against batch 1's ADMITTED state
+    Seq(js(3, textA), js(4, textA1)).toDF("value").coalesce(1)
+      .write.mode("append").text(s"$work/drop")
+    Streaming.nearDupQuery(src(), s"$work/out", s"$work/ck").awaitTermination()
+    val flags = spark.read.parquet(s"$work/out")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_near_dup")).toMap
+    assert(flags(1L) == false && flags(2L) == false)
+    assert(flags(3L) == true, "exact copy must hit the checkpointed state")
+    assert(flags(4L) == expectA1,
+      s"one-word edit: hamming=${java.lang.Long.bitCount(sa ^ sa1)}, " +
+        s"same bucket=${(sa >> 16) == (sa1 >> 16)}")
+    // signature parity with the batch operator's arithmetic
+    assert(flags.size == 4)
+  }
+
   test("windowed counts equal the batch computation on closed windows") {
     val ev = Seq(
       ("2024-01-01 00:10:00", "a", 1.0), ("2024-01-01 00:20:00", "a", 2.0),
