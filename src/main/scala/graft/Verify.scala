@@ -23,14 +23,20 @@ object Verify {
     // After the delete, any failure leaves no directory and the gate reports
     // the query missing, which is loud.
     def rmTree(dir: java.nio.file.Path): Unit =
-      if (Files.exists(dir))
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      if (Files.exists(dir)) {
+        val walk = Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.delete(p))
+        finally walk.close()
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
-      rmTree(Paths.get(s"$outDir/$name"))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // the delete shares the per-query try: one query's IO hiccup must
+      // cost that query's dump, not every remaining query's
+      try {
+        rmTree(Paths.get(s"$outDir/$name"))
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

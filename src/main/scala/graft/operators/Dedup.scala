@@ -317,7 +317,9 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val bitSums = (0 until 32).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
-    Tables.documents(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val sigs = docs
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), Exprs.md5num(col("w")).as("h"))
       .groupBy("doc_id")
@@ -327,6 +329,13 @@ object Dedup {
           when(col(s"b$j") * 2 > col("n_words"), lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"),
         col("n_words"))
+    // totality: explode drops null-text docs (no rows to group), but the
+    // operator's contract — like the oracle's `FROM documents` — is one row
+    // per document, with NULL simhash/n_words for null text (what the
+    // per-row fold form and DuckDB's NULL-propagating list functions both
+    // produce). The left join restores those rows.
+    docs.select(col("doc_id"))
+      .join(sigs, Seq("doc_id"), "left")
       .orderBy("doc_id")
   }
 

@@ -231,8 +231,18 @@ object Quality {
         max(col(c)).cast("string").as(s"${c}_max"))
     } :+ count(lit(1)).as("n_rows")
     val one = lt.agg(basicAggs.head, basicAggs.tail: _*)
+    // dedupe on the canonical string form — injective per column type,
+    // EXCEPT floating -0.0 vs 0.0 (distinct strings, but countDistinct and
+    // the DuckDB oracle count them as one value): adding 0 first maps
+    // -0.0 → 0.0 in IEEE arithmetic and is the identity everywhere else
+    def canon(c: String): org.apache.spark.sql.Column =
+      lt.schema(c).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => (col(c) + lit(0)).cast("string")
+        case _ => col(c).cast("string")
+      }
     val distincts = lt.select(explode(array(profileCols.map(c =>
-        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("p"))
+        struct(lit(c).as("c"), canon(c).as("v"))): _*)).as("p"))
       .select(col("p.c").as("col_name"), col("p.v").as("v"))
       .filter(col("v").isNotNull)
       .distinct()

@@ -187,19 +187,28 @@ object Similarity {
     val q = e.filter(col("vec_id") % 200 === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("s").as("q_s"), col("v").as("qv"), col("n").as("qn"))
-    // candidate pass: integer dot, dequantized by the two scales
+    // candidate pass: integer dot, dequantized by the two scales. Only the
+    // SLIM (query_id, vec_id, approx) triple rides the candidate window's
+    // exchange — carrying the full-precision vectors there would shuffle
+    // ~128 doubles per (query, corpus) pair just to discard all but 15 per
+    // query, undoing the operator's whole memory story.
     val wCand = Window.partitionBy("query_id")
       .orderBy(col("approx").desc, col("vec_id").asc)
     val cand = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("v"), col("n"),
-        col("qv"), col("qn"),
+      .select(col("query_id"), col("vec_id"),
         (dot(col("qq"), col("q")) / (col("q_s") * col("s"))).as("approx"))
       .withColumn("cr", row_number().over(wCand))
       .filter(col("cr") <= 15)
-    // exact rerank of the 15 survivors per query
+    // exact rerank: join the 15 survivors per query BACK to full precision
+    // (corpus side by vec_id, query side broadcast) — full vectors are only
+    // ever read for the survivors.
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    cand.select(col("query_id"), col("vec_id"),
+    cand
+      .join(e.select(col("vec_id"), col("v"), col("n")), Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
         Exprs.r4(dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"),
         Exprs.r4(col("approx") / (col("qn") * col("n"))).as("approx_cos"))
       .withColumn("rank", row_number().over(wRank))

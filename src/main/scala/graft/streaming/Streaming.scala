@@ -191,6 +191,12 @@ object Streaming {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
+      // null/corrupt guard: a malformed line (PERMISSIVE source) or null
+      // text would make `.as[SimhashDoc]` throw on the non-nullable Longs,
+      // killing the query — and checkpoint replay would re-read the same
+      // file and fail forever. Route-or-drop belongs before the typed
+      // boundary, like fanOut's dead-letter path.
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id").cast("long").as("doc_id"),
         graft.operators.Dedup.simhashFold(col("text")).as("simhash"))
       .select(shiftright(col("simhash"), 16).as("bucket"),

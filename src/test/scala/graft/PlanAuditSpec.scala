@@ -107,7 +107,9 @@ class PlanAuditSpec extends SparkSuite {
     // produto dropDuplicates and the pesquisa vendedor min(struct) sort
     // dim-cardinality rows before a broadcast) — what must never sort is
     // the ITEM-grain aggregate, keyed by pedido_id / uuid.
-    val itemKeys = "SortAggregate\\(key=\\[(pedido_id|uuid)".r
+    // match the item key ANYWHERE in the bracket list — anchoring on the
+    // first key would let a groupBy reorder silently disable the guard
+    val itemKeys = "SortAggregate\\(key=\\[[^\\]]*\\b(pedido_id|uuid)#".r
     Seq(Typed.typedItensFact(spark, sfDir),
       Typed.typedPedidosFact(spark, sfDir),
       Messages.messageRoundtrip(spark, sfDir)).foreach { df =>
