@@ -63,5 +63,14 @@ for name in sorted(oracles):
         fails.append(name)
     con.close()
 
+# coverage: a dumped query with no oracle entry gets only the driver's
+# weaker rows-only check — surface it so the gap is a decision, not an
+# accident (a typo'd oracleSql key would otherwise silently skip checking)
+if not only:
+    dumped = {d for d in os.listdir(out_dir)
+              if os.path.isdir(os.path.join(out_dir, d))}
+    for name in sorted(dumped - set(oracles)):
+        print(f"{name}: WARNING no oracle SQL — rows-only check at the driver")
+
 print(f"\n{'ALL GREEN' if not fails else 'FAILURES: ' + ', '.join(fails)}")
 sys.exit(1 if fails else 0)
