@@ -154,7 +154,7 @@ object Dedup {
     * (`localCheckpoint`) so the plan does not grow with iterations. Both
     * paths converge to component = min reachable doc_id. */
   def dedupComponents(spark: SparkSession, sfDir: String,
-    distributedThreshold: Long = 1L << 22): DataFrame = {
+    distributedThreshold: Long = 1L << 20): DataFrame = {
     val pairs = dedupJaccard(spark, sfDir).select("doc_a", "doc_b")
       .localCheckpoint() // one materialization of the minhash+verify chain
     val labels: DataFrame =

@@ -68,10 +68,27 @@ object Writers {
       if (!fs.rename(src, dst))
         throw new java.io.IOException(s"rename $src -> $dst failed; " +
           s"original data retained at ${if (fs.exists(old)) old else target}")
-    renameOrDie(target, old)
+    // brand-new target (e.g. an upsert creating a partition): nothing to
+    // back up — the scratch-then-rename still guarantees the target is
+    // either absent or complete, never half-written
+    if (fs.exists(target)) renameOrDie(target, old)
+    fs.mkdirs(target.getParent)
     renameOrDie(scratch, target)
     fs.delete(old, true)
+    ()
   }
+
+  /** Filesystem directory name Spark uses for a null partition value, and
+    * the null-aware filter to go with it: `cast === pv` silently drops
+    * every row when pv is null, and a constructed `p_date=null` dir never
+    * matches Spark's layout — so null partition values get explicit
+    * handling everywhere a partition value round-trips through a string. */
+  private val NullPartName = "__HIVE_DEFAULT_PARTITION__"
+  private def partDirName(pv: String): String =
+    if (pv == null) NullPartName else pv
+  private def partEq(partitionCol: String, pv: String) =
+    if (pv == null) col(partitionCol).isNull
+    else col(partitionCol).cast("string") === pv
 
   /** Heal every swap a previous crashed run left half-done, then clear
     * scratch space. The `._old` tree mirrors the table layout, so for each
@@ -163,7 +180,7 @@ object Writers {
       val affected = doomed.select(col(partitionCol).cast("string"))
         .distinct().collect().map(_.getString(0))
       affected.foreach { pv =>
-        val dir = new Path(path, s"$partitionCol=$pv")
+        val dir = new Path(path, s"$partitionCol=${partDirName(pv)}")
         swapIn(fs, tableRoot, dir)(tmp =>
           spark.read.parquet(dir.toString)
             .filter(!col(keyCol).isInCollection(keys))
@@ -201,8 +218,8 @@ object Writers {
       val parts = updates.select(col(partitionCol).cast("string"))
         .distinct().collect().map(_.getString(0))
       parts.foreach { pv =>
-        val dir = new Path(path, s"$partitionCol=$pv")
-        val partUpdates = updates.filter(col(partitionCol).cast("string") === pv)
+        val dir = new Path(path, s"$partitionCol=${partDirName(pv)}")
+        val partUpdates = updates.filter(partEq(partitionCol, pv))
           .drop(partitionCol)
         if (fs.exists(dir))
           swapIn(fs, tableRoot, dir)(tmp =>
@@ -210,8 +227,9 @@ object Writers {
               .join(partUpdates.select(keyCol), Seq(keyCol), "left_anti")
               .unionByName(partUpdates)
               .write.parquet(tmp))
-        else // brand-new partition: nothing to swap, plain write
-          partUpdates.write.parquet(dir.toString)
+        else // brand-new partition: same scratch-then-rename (no backup
+          // needed) so a crash leaves either nothing or a complete dir
+          swapIn(fs, tableRoot, dir)(tmp => partUpdates.write.parquet(tmp))
       }
     } else {
       swapIn(fs, tableRoot, tableRoot)(tmp =>

@@ -109,7 +109,7 @@ class PlansSpec extends SparkSuite {
     assert(after.keys.exists(_.startsWith(affected)), "affected partition rewritten")
     assert(spark.read.parquet(out).count() == 500 - doomed.size)
     assert(new java.io.File(out).getParentFile.listFiles()
-      .forall(f => !f.getName.contains("._rewrite_") && !f.getName.contains("._old_")),
+      .forall(f => !f.getName.endsWith("._rewrite") && !f.getName.endsWith("._old")),
       "no scratch dirs left behind")
   }
 
@@ -133,7 +133,7 @@ class PlansSpec extends SparkSuite {
     val rowsAfter = spark.read.parquet(out).orderBy("o_orderkey").collect()
     assert(rowsAfter.sameElements(rowsBefore), "content must be unchanged")
     assert(new java.io.File(out).getParentFile.listFiles()
-      .forall(f => !f.getName.contains("._rewrite_") && !f.getName.contains("._old_")))
+      .forall(f => !f.getName.endsWith("._rewrite") && !f.getName.endsWith("._old")))
   }
 
   test("swap recovery: a partition lost mid-swap is healed by the next mutator call") {

@@ -33,9 +33,14 @@ for name in sorted(oracles):
         odf = con.execute(oracles[name]).fetchdf()
     except Exception as e:
         print(f"{name}: ORACLE ERROR {e}"); fails.append(name); continue
-    sdf = con.execute(
-        f"SELECT * FROM read_parquet('{os.path.join(out_dir, name)}/*.parquet')"
-    ).fetchdf()
+    try:
+        sdf = con.execute(
+            f"SELECT * FROM read_parquet('{os.path.join(out_dir, name)}/*.parquet')"
+        ).fetchdf()
+    except Exception as e:
+        # a partial/corrupt dump from an interrupted Verify run fails this
+        # query only, not the whole gate
+        print(f"{name}: SPARK DUMP ERROR {e}"); fails.append(name); continue
     ok = True
     if len(sdf) != len(odf):
         print(f"{name}: rows {len(sdf)} vs {len(odf)}"); ok = False
