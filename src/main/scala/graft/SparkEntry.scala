@@ -95,6 +95,14 @@ object SparkEntry {
     "zone_scan" -> ((s, dir) => Ingest.zoneScan(tune(s), dir)),
     // Scale pattern: salted two-stage aggregation for hot keys
     "events_salted_agg" -> ((s, dir) => Skew.eventsSaltedAgg(tune(s), dir)),
+    // Temporal joins/state: as-of, bounded range join, SCD2 history
+    "events_asof" -> ((s, dir) => Temporal.eventsAsof(tune(s), dir)),
+    "events_range_join" -> ((s, dir) => Temporal.eventsRangeJoin(tune(s), dir)),
+    "scd2_build" -> ((s, dir) => Temporal.scd2Build(tune(s), dir)),
+    // Corpus preparation: quality rules, PII redaction, sequence packing
+    "quality_filter" -> ((s, dir) => CorpusOps.qualityFilter(tune(s), dir)),
+    "pii_scrub" -> ((s, dir) => CorpusOps.piiScrub(tune(s), dir)),
+    "seq_pack" -> ((s, dir) => CorpusOps.seqPack(tune(s), dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -151,5 +159,11 @@ object SparkEntry {
     "message_roundtrip" -> Messages.messageRoundtripSql,
     "zone_scan" -> Ingest.zoneScanSql,
     "events_salted_agg" -> Skew.eventsSaltedAggSql,
+    "events_asof" -> Temporal.eventsAsofSql,
+    "events_range_join" -> Temporal.eventsRangeJoinSql,
+    "scd2_build" -> Temporal.scd2BuildSql,
+    "quality_filter" -> CorpusOps.qualityFilterSql,
+    "pii_scrub" -> CorpusOps.piiScrubSql,
+    "seq_pack" -> CorpusOps.seqPackSql(),
   )
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.{Exprs, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for a training-data pipeline (the
+  * BASELINE.json extension surface): rule-based quality filtering, PII
+  * redaction, and sequence packing — the steps between "deduplicated text"
+  * ([[Dedup]]) and "tokenizer-ready shards".
+  *
+  * Scale notes: [[qualityFilter]] and [[piiScrub]] are narrow per-row maps
+  * over codegen'd built-ins (split/filter/regexp) — scan-speed at 100 TB
+  * with full column pruning, no shuffle but the presentation sort.
+  * [[seqPack]] shuffles once on its partition key; see its doc for why the
+  * key must be (source, shard) at scale.
+  */
+object CorpusOps {
+
+  /** Quality filtering — a Gopher-style rule chain (length band, mean word
+    * length band, must-contain-a-stopword, repetition cap), each rule a
+    * boolean column plus a combined `keep` and the FIRST violated rule as
+    * `reject_reason` (the standard corpus-curation audit shape: never drop
+    * rows silently — emit the decision and let the sink filter).
+    *
+    * Threshold comparisons are on exact integer ratios (IEEE division of
+    * two integers is correctly rounded, so both engines compute the
+    * identical double) — no epsilon games needed for oracle parity. */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val nWords = size(w).cast("long")
+    val nDistinct = size(array_distinct(w)).cast("long")
+    val stop = array(Seq("the", "a", "of", "and", "is").map(lit): _*)
+    val nStop = size(filter(w, x => array_contains(stop, x))).cast("long")
+    val awl = length(regexp_replace(col("text"), " ", "")).cast("double") / nWords
+    val dupFrac = lit(1d) - nDistinct.cast("double") / nWords
+    val rLen = nWords >= 30 && nWords <= 2000
+    val rAwl = awl >= 2d && awl <= 4.8d
+    val rStop = nStop > 0
+    val rDup = dupFrac <= 0.6d
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      Exprs.r4(awl).as("avg_word_len"),
+      Exprs.r4(dupFrac).as("dup_frac"),
+      rLen.as("r_len"), rAwl.as("r_word_len"), rStop.as("r_stopword"),
+      rDup.as("r_repetition"),
+      (rLen && rAwl && rStop && rDup).as("keep"),
+      when(!rLen, "len").when(!rAwl, "word_len").when(!rStop, "stopword")
+        .when(!rDup, "repetition").as("reject_reason"))
+      .orderBy("doc_id")
+  }
+
+  val qualityFilterSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS awl
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS n_words, awl,
+      |    1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_frac,
+      |    len(w) BETWEEN 30 AND 2000 AS r_len,
+      |    awl BETWEEN 2.0 AND 4.8 AS r_word_len,
+      |    len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) > 0 AS r_stopword,
+      |    1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.6 AS r_repetition
+      |  FROM t)
+      |SELECT doc_id, n_words,
+      |  floor(awl * 10000 + 0.5) / 10000 AS avg_word_len,
+      |  floor(dup_frac * 10000 + 0.5) / 10000 AS dup_frac,
+      |  r_len, r_word_len, r_stopword, r_repetition,
+      |  r_len AND r_word_len AND r_stopword AND r_repetition AS keep,
+      |  CASE WHEN NOT r_len THEN 'len' WHEN NOT r_word_len THEN 'word_len'
+      |       WHEN NOT r_stopword THEN 'stopword'
+      |       WHEN NOT r_repetition THEN 'repetition' END AS reject_reason
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** PII redaction — scrub emails and phone-shaped tokens to placeholder
+    * tags, reporting per-doc hit counts. The fixture corpus carries no PII,
+    * so (as [[EventsOps.eventsDedupe]] synthesizes its double delivery) a
+    * deterministic PII suffix is injected FIRST — the operator under test is
+    * the scrub, and the injection makes it provably exercised on every row.
+    * Patterns stay within the regex intersection both Java and RE2 compile
+    * identically (char classes + bounded repetition, no lookaround). */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\+[0-9][0-9\\-]{6,}[0-9]"
+    val injected = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" today"))
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      regexp_count(injected, lit(email)).cast("long").as("n_emails"),
+      regexp_count(injected, lit(phone)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(injected, email, "<EMAIL>"),
+        phone, "<PHONE>").as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  val piiScrubSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |    || '@example.com or +1-555-'
+      |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' AS injected
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(injected, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(injected, '\+[0-9][0-9\-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+      |  regexp_replace(regexp_replace(injected,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '\+[0-9][0-9\-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Sequence packing — assign documents to fixed token-budget packs
+    * (concat-and-chunk: a running token total per source; a document's pack
+    * is the budget-chunk its first token lands in). The final corpus-prep
+    * step before tokenization: packs become training sequences.
+    *
+    * Scale shape: a running sum is inherently serial per partition key, so
+    * the key must bound partition size. Per (source) is fine when sources
+    * are balanced (the fixture); at 100 TB the same code runs per
+    * (source, shard = pmod(hash(doc_id), k)) — packing quality is
+    * unaffected (packs never span shards by construction) and the window
+    * parallelizes k-fold. One shuffle on the partition key. */
+  def seqPack(spark: SparkSession, sfDir: String, budget: Int = 512): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(budget.toLong)).cast("long")
+          .as("pack_id"),
+        (col("cum") - col("n_tokens") - lit(budget.toLong)
+          * floor((col("cum") - col("n_tokens")) / lit(budget.toLong)))
+          .cast("long").as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  def seqPackSql(budget: Int = 512): String =
+    s"""WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens,
+      |  CAST(floor((cum - n_tokens) / $budget.0) AS BIGINT) AS pack_id,
+      |  CAST(cum - n_tokens - $budget * floor((cum - n_tokens) / $budget.0) AS BIGINT) AS pack_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join/state operators over the event stream — the time-dimension
+  * counterparts of the reference's enrichment joins (`api_to_gcs/main.py`
+  * joins each order to per-order lookups; an event-time engine additionally
+  * needs "join to the state AS OF this row's time"). Three operators:
+  *
+  *  - [[eventsAsof]] — as-of join (attribution): each `purchase` matched to
+  *    the same user's most recent `click` at-or-before it.
+  *  - [[eventsRangeJoin]] — bounded range join: clicks within the hour
+  *    preceding each purchase.
+  *  - [[scd2Build]] — slowly-changing-dimension (type 2) intervals from an
+  *    event log: per-user state runs with `valid_from`/`valid_to`.
+  *
+  * Scale notes (the whole point of these implementations):
+  *
+  * **As-of via union + one window pass, not a theta join.** The naive
+  * `p JOIN c ON p.user = c.user AND c.ts <= p.ts` explodes to every
+  * (purchase × earlier click) pair before the per-purchase max — O(n·m) per
+  * user — and Spark plans inequality joins without an equality residue
+  * poorly at scale. Instead both sides are union-tagged and sorted once per
+  * user; a running `last(click, ignoreNulls)` carries the newest click into
+  * each purchase row. ONE shuffle on user_id, linear work, and the sort is
+  * the shuffle's own sort-within-partition at cluster scale. Skewed users
+  * are bounded by per-user event counts, not their square.
+  *
+  * **Range join via time-bucket replication.** A window of width W joined
+  * naively is the same O(n·m) blowup. Bucketing clicks to `floor(ts/W)` and
+  * replicating each PROBE row to its two candidate buckets turns it into an
+  * equi-join on (user, bucket) — hash-partitionable, AQE-skew-splittable —
+  * with the exact range predicate as a cheap post-filter. Replication factor
+  * is exactly 2 (probe side only), independent of data size.
+  *
+  * **SCD2 as two window passes** (change detection, then interval close) —
+  * both windows share the (user_id) partitioning, so Catalyst plans a single
+  * shuffle and the second window reuses the first's sort order.
+  */
+object Temporal {
+
+  private val HourUs = 3600L * 1000000L
+
+  /** Events projected to the micros epoch — ties in `ts` are broken by the
+    * globally-unique event_id everywhere ordering matters, so every window
+    * is deterministic and engine-portable. */
+  private def ev(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"), col("props"))
+
+  /** As-of join: each purchase ← the user's latest click with
+    * `click.ts <= purchase.ts` (marketing attribution / "state as of").
+    * Clicks are first collapsed to one per (user, ts) keeping max event_id,
+    * so equal-timestamp clicks cannot make the match nondeterministic;
+    * click-before-purchase at EQUAL ts (tag 0 < tag 1) mirrors the oracle's
+    * `>=` inclusivity. Purchases with no prior click keep nulls. */
+  def eventsAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = ev(spark, sfDir)
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts_us")
+      .agg(max("event_id").as("click_event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val tagged = clicks.select(col("user_id"), col("ts_us"),
+        lit(0).as("tag"), col("click_event_id"),
+        lit(null).cast("long").as("event_id"))
+      .unionByName(purchases.select(col("user_id"), col("ts_us"),
+        lit(1).as("tag"), lit(null).cast("long").as("click_event_id"),
+        col("event_id")))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("c", last(
+        when(col("tag") === 0,
+          struct(col("click_event_id").as("cid"), col("ts_us").as("cts"))),
+        ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("c.cid").as("click_event_id"),
+        col("c.cts").as("click_ts_us"),
+        (col("ts_us") - col("c.cts")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val eventsAsofSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |c AS (SELECT user_id, ts_us, max(event_id) AS click_event_id
+      |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts_us,
+      |  c.click_event_id, c.ts_us AS click_ts_us, p.ts_us - c.ts_us AS gap_us
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+      |ORDER BY event_id""".stripMargin
+
+  /** Range join: per purchase, the same user's clicks in the preceding hour
+    * `[ts - 1h, ts)` — count and Σ of the clicks' `props.k`. Probe rows are
+    * replicated to the (at most 2) hour buckets the window can touch; the
+    * equi-join on (user, bucket) carries the exact predicate as a residual
+    * filter inside the join, and the final groupBy(event_id) folds the two
+    * bucket copies back to one row (count/sum ignore the unmatched copy's
+    * nulls), so zero-click purchases surface with n_clicks = 0. */
+  def eventsRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = ev(spark, sfDir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("bin", floor(col("c_ts") / HourUs))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+      .withColumn("bin", explode(array_distinct(array(
+        floor((col("ts_us") - HourUs) / HourUs), floor(col("ts_us") / HourUs)))))
+    purchases.join(clicks,
+        purchases("user_id") === clicks("c_user")
+          && purchases("bin") === clicks("bin")
+          && clicks("c_ts") >= purchases("ts_us") - HourUs
+          && clicks("c_ts") < purchases("ts_us"),
+        "left_outer")
+      .groupBy("event_id", "user_id", "ts_us")
+      .agg(count(col("c_ts")).as("n_clicks"),
+        sum(col("k")).cast("long").as("sum_k"))
+      .orderBy("event_id")
+  }
+
+  val eventsRangeJoinSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+      |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id AS c_user, ts_us AS c_ts, k FROM e WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.ts_us,
+      |  count(c.c_ts) AS n_clicks, CAST(sum(c.k) AS BIGINT) AS sum_k
+      |FROM p LEFT JOIN c
+      |  ON p.user_id = c.c_user
+      | AND c.c_ts >= p.ts_us - 3600000000 AND c.c_ts < p.ts_us
+      |GROUP BY 1, 2, 3 ORDER BY event_id""".stripMargin
+
+  /** SCD2 build: compress each user's event-type sequence into state runs —
+    * a row per change with `valid_from` = change time, `valid_to` = next
+    * change (null ⇒ current). The I5 "prefer live" dimension-history shape
+    * (`api_to_gcs-checker.py` resolves to the newest state; SCD2 keeps the
+    * full history a warehouse dimension needs). */
+  def scd2Build(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev(spark, sfDir)
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts_us"), col("event_id"))
+      .withColumn("prev", lag("state", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .withColumn("valid_to_us", lead("ts_us", 1).over(w))
+      .select(col("user_id"), col("state"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from_us", "state")
+  }
+
+  val scd2BuildSql: String =
+    """WITH e AS (SELECT user_id, event_type AS state,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id FROM events),
+      |m AS (SELECT *, LAG(state) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+      |chg AS (SELECT * FROM m WHERE prev IS NULL OR prev <> state),
+      |v AS (SELECT *, LEAD(ts_us) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us FROM chg)
+      |SELECT user_id, state, ts_us AS valid_from_us, valid_to_us,
+      |  valid_to_us IS NULL AS is_current
+      |FROM v ORDER BY user_id, valid_from_us, state""".stripMargin
+}

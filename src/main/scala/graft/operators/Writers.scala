@@ -78,6 +78,20 @@ object Writers {
     ()
   }
 
+  /** Drop the sibling scaffolding roots once a mutator completes: after a
+    * successful swap the `._old` leaf is already deleted and the `._rewrite`
+    * leaf renamed away, so only empty intermediate directories remain — but
+    * left in place they read as a crashed run to an operator (and to tests
+    * asserting a clean table sibling). If any FILE survives under either
+    * root, a swap did NOT complete — the tree is left intact for
+    * [[recoverAll]] to heal on the next mutator call. */
+  private def clearScaffolding(fs: FileSystem, tableRoot: Path): Unit =
+    Seq("._rewrite", "._old").foreach { suf =>
+      val root = new Path(tableRoot.getParent, tableRoot.getName + suf)
+      if (fs.exists(root) && !fs.listFiles(root, true).hasNext)
+        fs.delete(root, true)
+    }
+
   /** Filesystem directory name Spark uses for a null partition value, and
     * the null-aware filter to go with it: `cast === pv` silently drops
     * every row when pv is null, and a constructed `p_date=null` dir never
@@ -190,6 +204,7 @@ object Writers {
       swapIn(fs, tableRoot, tableRoot)(tmp =>
         df.filter(!col(keyCol).isInCollection(keys)).write.parquet(tmp))
     }
+    clearScaffolding(fs, tableRoot)
     spark.read.parquet(path).filter(col(keyCol).isInCollection(keys)).count()
   }
 
@@ -236,6 +251,7 @@ object Writers {
         table.join(updates.select(keyCol), Seq(keyCol), "left_anti")
           .unionByName(updates).write.parquet(tmp))
     }
+    clearScaffolding(fs, tableRoot)
   }
 
   /** Small-file compaction — the maintenance counterpart of the streaming
@@ -282,6 +298,7 @@ object Writers {
       }
       after += dataFiles(leaf).length
     }
+    clearScaffolding(fs, tableRoot)
     (compacted, before, after)
   }
 }
