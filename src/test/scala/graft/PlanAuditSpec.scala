@@ -130,4 +130,37 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "candidate generation must be an equi-join on band signatures")
   }
+
+  test("as-of join: linear union+window plan — zero join operators") {
+    // the whole point of the union-tag design: the plan must contain NO
+    // join at all (a theta join here is O(clicks × purchases) per user)
+    val p = plan(Temporal.eventsAsof(spark, sfDir))
+    assert(!p.contains("Join"), "as-of must be join-free:\n" + p.take(800))
+    assert(p.contains("Window"))
+    // click-dedup groupBy + window partitioning; presentation sort is range
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2, p.take(800))
+    assert(p.split("Exchange rangepartitioning").length - 1 == 1)
+  }
+
+  test("scd2 + seq_pack: stacked windows share ONE hash exchange") {
+    // both lag/lead (scd2) and the running sum (seq_pack) partition the
+    // same way — a second hash exchange would mean the window specs
+    // diverged and the plan re-shuffles per window
+    Seq(Temporal.scd2Build(spark, sfDir),
+      CorpusOps.seqPack(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(800))
+    }
+  }
+
+  test("quality filter + pii scrub: pruned scan, no shuffle but the sort") {
+    Seq(CorpusOps.qualityFilter(spark, sfDir),
+      CorpusOps.piiScrub(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        p.take(800))
+      assert(p.split("Exchange hashpartitioning").length - 1 == 0,
+        "per-row maps must not shuffle")
+    }
+  }
 }
