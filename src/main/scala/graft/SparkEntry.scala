@@ -103,6 +103,8 @@ object SparkEntry {
     "quality_filter" -> ((s, dir) => CorpusOps.qualityFilter(tune(s), dir)),
     "pii_scrub" -> ((s, dir) => CorpusOps.piiScrub(tune(s), dir)),
     "seq_pack" -> ((s, dir) => CorpusOps.seqPack(tune(s), dir)),
+    "rep_ngrams" -> ((s, dir) => CorpusOps.repNgrams(tune(s), dir)),
+    "bm25_score" -> ((s, dir) => CorpusOps.bm25Score(tune(s), dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -165,5 +167,7 @@ object SparkEntry {
     "quality_filter" -> CorpusOps.qualityFilterSql,
     "pii_scrub" -> CorpusOps.piiScrubSql,
     "seq_pack" -> CorpusOps.seqPackSql(),
+    "rep_ngrams" -> CorpusOps.repNgramsSql,
+    "bm25_score" -> CorpusOps.bm25ScoreSql,
   )
 }

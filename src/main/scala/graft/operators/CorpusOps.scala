@@ -142,6 +142,113 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Within-document repetition signals — the other half of the Gopher
+    * quality family ([[qualityFilter]] covers word-level): duplicate
+    * bigram/trigram fractions (1 − distinct/total n-grams). High values
+    * mark boilerplate/spam long before corpus-level dedup sees a pair.
+    * N-grams are per-row array transforms over 1-based `element_at`
+    * indices — narrow, codegen'd, no shuffle. */
+  def repNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    // n-grams as zipped offset slices, NOT a lambda over indices: a lambda
+    // body referencing the outer `w` re-evaluates the split PER ELEMENT in
+    // interpreted HOF eval (measured 21 s for 5k docs — O(words²) splits);
+    // slice+arrays_zip builds each array once, and struct equality inside
+    // array_distinct spares the per-gram string concat entirely (a word
+    // pair and its space-joined string dedupe identically — words cannot
+    // contain the separator they were split on). `greatest(len,0)` keeps
+    // slice lengths legal on docs shorter than the n-gram (empty arrays).
+    def ngrams(n: Int): Column = {
+      val len = greatest(size(w) - (n - 1), lit(0))
+      arrays_zip((0 until n).map(o => slice(w, lit(o + 1), len)): _*)
+    }
+    def dupFrac(g: Column): Column =
+      lit(1d) - size(array_distinct(g)).cast("double") / size(g)
+    val bg = ngrams(2)
+    val tg = ngrams(3)
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(bg).cast("long").as("n_bigrams"),
+      Exprs.r4(dupFrac(bg)).as("dup_bigram_frac"),
+      Exprs.r4(dupFrac(tg)).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val repNgramsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(w) - 1 + 1),
+      |      i -> w[i] || ' ' || w[i + 1]) AS bg,
+      |    list_transform(range(1, len(w) - 2 + 1),
+      |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS tg
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST(len(bg) AS BIGINT) AS n_bigrams,
+      |  floor((1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)) * 10000 + 0.5) / 10000 AS dup_bigram_frac,
+      |  floor((1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)) * 10000 + 0.5) / 10000 AS dup_trigram_frac
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /** BM25 relevance scoring of every document against a fixed query — the
+    * retrieval-side primitive (corpus search / data selection by query
+    * relevance). Corpus statistics (N, avgdl, per-term df) are one
+    * scalar aggregate broadcast to the scan; term frequencies are per-row
+    * array filters — so the whole query is ONE pass over the corpus plus
+    * a 1-row broadcast, at any corpus size.
+    *
+    * Oracle-parity note: every input to the arithmetic is an exact double
+    * (integer counts, halves, 0.75), so products/quotients are identical
+    * across engines; `ln` can differ by 1 ulp in theory — the 1e-4 output
+    * grid absorbs it. */
+  def bm25Score(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("spark", "table", "row"),
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val w = split(col("text"), " ")
+    def tf(t: String): Column =
+      size(filter(w, x => x === lit(t))).cast("long")
+    val docs = Tables.documents(spark, sfDir).select(
+      col("doc_id") +: size(w).cast("long").as("dl") +:
+        terms.map(t => tf(t).as(s"tf_$t")): _*)
+    val aggCols = count(lit(1)).as("n_docs") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = docs.agg(aggCols.head, aggCols.tail: _*)
+    val scored = docs.crossJoin(broadcast(stats))
+    val score = terms.map { t =>
+      val tfc = col(s"tf_$t").cast("double")
+      val idf = log(lit(1d) + (col("n_docs").cast("double") - col(s"df_$t") + 0.5)
+        / (col(s"df_$t") + 0.5))
+      idf * (tfc * (k1 + 1)) /
+        (tfc + lit(k1) * (lit(1d) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    scored.select(
+      col("doc_id") +: col("dl") +: terms.map(t => col(s"tf_$t")) :+
+        Exprs.r4(score).as("bm25"): _*)
+      .orderBy("doc_id")
+  }
+
+  val bm25ScoreSql: String = {
+    val terms = Seq("spark", "table", "row")
+    val tfs = terms.map(t =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n      |    ")
+    val dfs = terms.map(t =>
+      s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
+    val score = terms.map(t =>
+      s"ln(1.0 + (CAST(n_docs AS DOUBLE) - df_$t + 0.5) / (df_$t + 0.5))" +
+        s" * (CAST(tf_$t AS DOUBLE) * (1.2 + 1)) / (CAST(tf_$t AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))")
+      .mkString("\n      |    + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |d AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+      |    $tfs
+      |  FROM t),
+      |s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, $dfs FROM d)
+      |SELECT doc_id, dl, ${terms.map(t => s"tf_$t").mkString(", ")},
+      |  floor(($score) * 10000 + 0.5) / 10000 AS bm25
+      |FROM d, s ORDER BY doc_id""".stripMargin
+  }
+
   def seqPackSql(budget: Int = 512): String =
     s"""WITH t AS (
       |  SELECT doc_id, source,

@@ -52,37 +52,53 @@ object Temporal {
       col("event_id"), col("user_id"), col("event_type"),
       unix_micros(col("ts")).as("ts_us"), col("props"))
 
-  /** As-of join: each purchase ← the user's latest click with
+  /** Generic as-of join — the library surface behind [[eventsAsof]].
+    * Attaches `carry` columns from the latest `state` row with
+    * `state.ts <= probe.ts` per `key`; probes with no prior state carry
+    * nulls. Both frames must expose `key` and `ts` under those names, and
+    * (key, ts) must be UNIQUE on the state side (pre-aggregate otherwise —
+    * equal-timestamp state rows would make the match nondeterministic).
+    *
+    * Implementation: union-tag + one running `last(ignoreNulls)` window —
+    * one shuffle on `key`, zero join operators (see object doc). State
+    * sorts before probe at equal ts (tag 0 < 1) ⇒ `<=` inclusivity. */
+  def asofJoin(probe: DataFrame, state: DataFrame, key: String, ts: String,
+      carry: Seq[String]): DataFrame = {
+    val probeStruct = struct(probe.columns.map(col): _*)
+    val carryStruct = struct(carry.map(col): _*)
+    val probeType = probe.select(probeStruct.as("_p")).schema("_p").dataType
+    val carryType = state.select(carryStruct.as("_s")).schema("_s").dataType
+    val p2 = probe.select(col(key).as("_k"), col(ts).as("_ts"),
+      lit(1).as("_tag"), probeStruct.as("_p"),
+      lit(null).cast(carryType).as("_s"))
+    val s2 = state.select(col(key).as("_k"), col(ts).as("_ts"),
+      lit(0).as("_tag"), lit(null).cast(probeType).as("_p"),
+      carryStruct.as("_s"))
+    val w = Window.partitionBy("_k").orderBy("_ts", "_tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p2.unionByName(s2)
+      .withColumn("_m", last(col("_s"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(probe.columns.map(c => col("_p." + c).as(c))
+        ++ carry.map(c => col("_m." + c).as(c)): _*)
+  }
+
+  /** As-of join query: each purchase ← the user's latest click with
     * `click.ts <= purchase.ts` (marketing attribution / "state as of").
     * Clicks are first collapsed to one per (user, ts) keeping max event_id,
-    * so equal-timestamp clicks cannot make the match nondeterministic;
-    * click-before-purchase at EQUAL ts (tag 0 < tag 1) mirrors the oracle's
-    * `>=` inclusivity. Purchases with no prior click keep nulls. */
+    * so equal-timestamp clicks cannot make the match nondeterministic.
+    * Purchases with no prior click keep nulls. */
   def eventsAsof(spark: SparkSession, sfDir: String): DataFrame = {
     val e = ev(spark, sfDir)
     val clicks = e.filter(col("event_type") === "click")
       .groupBy("user_id", "ts_us")
       .agg(max("event_id").as("click_event_id"))
+      .withColumn("click_ts_us", col("ts_us"))
     val purchases = e.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts_us")
-    val tagged = clicks.select(col("user_id"), col("ts_us"),
-        lit(0).as("tag"), col("click_event_id"),
-        lit(null).cast("long").as("event_id"))
-      .unionByName(purchases.select(col("user_id"), col("ts_us"),
-        lit(1).as("tag"), lit(null).cast("long").as("click_event_id"),
-        col("event_id")))
-    val w = Window.partitionBy("user_id").orderBy("ts_us", "tag")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
-      .withColumn("c", last(
-        when(col("tag") === 0,
-          struct(col("click_event_id").as("cid"), col("ts_us").as("cts"))),
-        ignoreNulls = true).over(w))
-      .filter(col("tag") === 1)
-      .select(col("event_id"), col("user_id"), col("ts_us"),
-        col("c.cid").as("click_event_id"),
-        col("c.cts").as("click_ts_us"),
-        (col("ts_us") - col("c.cts")).as("gap_us"))
+    asofJoin(purchases, clicks, key = "user_id", ts = "ts_us",
+      carry = Seq("click_event_id", "click_ts_us"))
+      .withColumn("gap_us", col("ts_us") - col("click_ts_us"))
       .orderBy("event_id")
   }
 

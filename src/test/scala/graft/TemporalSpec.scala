@@ -15,7 +15,7 @@ class TemporalSpec extends SparkSuite {
     df.queryExecution.executedPlan.toString
 
   test("as-of: every matched click is the user's latest at-or-before the purchase") {
-    val res = Temporal.eventsAsof(spark, sfDir).cache()
+    val res = Temporal.eventsAsof(spark, sfDir)
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
@@ -67,7 +67,7 @@ class TemporalSpec extends SparkSuite {
   }
 
   test("SCD2 intervals tile each user's timeline with no gaps or overlaps") {
-    val res = Temporal.scd2Build(spark, sfDir).cache()
+    val res = Temporal.scd2Build(spark, sfDir)
     // adjacency: each interval's valid_to equals the next valid_from
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("valid_from_us")
@@ -85,7 +85,7 @@ class TemporalSpec extends SparkSuite {
   }
 
   test("quality filter: keep == conjunction of rules; reason iff rejected") {
-    val res = CorpusOps.qualityFilter(spark, sfDir).cache()
+    val res = CorpusOps.qualityFilter(spark, sfDir)
     assert(res.filter(col("keep") =!=
       (col("r_len") && col("r_word_len") && col("r_stopword") && col("r_repetition")))
       .count() == 0)
@@ -97,15 +97,69 @@ class TemporalSpec extends SparkSuite {
   }
 
   test("pii scrub: no email/phone pattern survives, hits were counted") {
-    val res = CorpusOps.piiScrub(spark, sfDir).cache()
+    val res = CorpusOps.piiScrub(spark, sfDir)
     assert(res.filter(col("scrubbed").rlike("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"))
       .count() == 0)
     assert(res.filter(col("scrubbed").rlike("\\+[0-9][0-9\\-]{6,}[0-9]")).count() == 0)
     assert(res.filter(col("n_emails") < 1 || col("n_phones") < 1).count() == 0)
   }
 
+  test("generic asofJoin: multi-column carry against a different state table") {
+    // orders as state (all predate every 2024 event): each event must
+    // carry the user's LATEST order — exercises the library surface with
+    // a state table and carry set unlike the canned query's
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"),
+        col("o_orderkey"), col("o_totalprice"))
+      .groupBy("user_id", "ts_us")
+      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("m"))
+      .select(col("user_id"), col("ts_us"),
+        col("m.o_orderkey").as("o_orderkey"),
+        col("m.o_totalprice").as("o_totalprice"))
+    val res = Temporal.asofJoin(ev, orders, "user_id", "ts_us",
+      Seq("o_orderkey", "o_totalprice"))
+    assert(res.count() == ev.count(), "as-of keeps probe grain")
+    assert(res.columns.toSeq ==
+      Seq("event_id", "user_id", "ts_us", "o_orderkey", "o_totalprice"))
+    // expected match = the user's max-ts order (dates all < events)
+    val expect = orders.groupBy("user_id")
+      .agg(max(struct(col("ts_us"), col("o_orderkey"))).as("x"))
+      .select(col("user_id").as("eu"), col("x.o_orderkey").as("want"))
+    val bad = res.join(expect, col("user_id") === col("eu"), "left")
+      .filter(coalesce(col("o_orderkey"), lit(-1L)) =!=
+        coalesce(col("want"), lit(-1L)))
+    assert(bad.count() == 0)
+  }
+
+  test("bm25: zero-tf docs score 0, tf-only variation is monotone") {
+    val res = CorpusOps.bm25Score(spark, sfDir)
+    assert(res.filter(col("tf_spark") === 0 && col("tf_table") === 0
+      && col("tf_row") === 0 && col("bm25") =!= 0d).count() == 0)
+    assert(res.filter(col("bm25") < 0d).count() == 0, "BM25+ idf stays positive")
+    // same dl, strictly more of one term, others equal → higher score
+    val a = res.select(col("dl"), col("tf_spark"), col("tf_table"),
+      col("tf_row"), col("bm25"))
+    val b = a.toDF("dl2", "s2", "t2", "r2", "bm2")
+    val viol = a.join(b, col("dl") === col("dl2")
+      && col("tf_table") === col("t2") && col("tf_row") === col("r2")
+      && col("tf_spark") > col("s2") && col("bm25") < col("bm2"))
+    assert(viol.count() == 0)
+  }
+
+  test("rep ngrams: fractions in [0,1], trigram count implies bigram count") {
+    val res = CorpusOps.repNgrams(spark, sfDir)
+    assert(res.filter(col("dup_bigram_frac") < 0 || col("dup_bigram_frac") > 1
+      || col("dup_trigram_frac") < 0 || col("dup_trigram_frac") > 1).count() == 0)
+    assert(res.filter(col("n_bigrams") <= 0).count() == 0,
+      "fixture docs all long enough for bigrams")
+  }
+
   test("seq pack: offsets stay inside the budget and packs fill in doc order") {
-    val res = CorpusOps.seqPack(spark, sfDir).cache()
+    val res = CorpusOps.seqPack(spark, sfDir)
     assert(res.filter(col("pack_offset") < 0 || col("pack_offset") >= 512).count() == 0)
     // within a source, pack_id is nondecreasing in doc_id
     val w = org.apache.spark.sql.expressions.Window
