@@ -53,4 +53,34 @@ class ScaleSpec extends SparkSuite {
       s"expected shuffle-free bucketed join, got:\n$plan")
     assert(joined.count() == Tables.lineitem(s2, sfDir).count())
   }
+
+  test("date filter prunes day partitions at the scan, not post-read") {
+    val out = Files.createTempDirectory("prune").toString + "/t"
+    operators.Writers.writeDayPartitioned(
+      Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate")),
+      "o_orderdate", out)
+    val nParts = new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("p_date="))
+    assert(nParts > 1, "fixture must span multiple days")
+    val someDate = spark.read.parquet(out)
+      .select(col("p_date").cast("string")).distinct()
+      .orderBy("p_date").limit(1).collect()(0).getString(0)
+    val q = spark.read.parquet(out).filter(col("p_date") === someDate)
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+    // the filter must reach the scan's PARTITION filters (directory-level
+    // skip — at 100 TB the difference between listing one day and reading
+    // the table), and the scan must actually select a single partition
+    assert(scan.partitionFilters.nonEmpty,
+      "date predicate must prune partitions, not filter rows post-read")
+    // execute, then read the scan's own metric: files actually opened must
+    // be the selected day's, not the table's
+    q.collect()
+    val filesInDay = new java.io.File(s"$out/p_date=$someDate").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(scan.metrics("numFiles").value == filesInDay,
+      s"scan read ${scan.metrics("numFiles").value} files, " +
+        s"partition holds $filesInDay")
+  }
 }
