@@ -105,6 +105,11 @@ object SparkEntry {
     "seq_pack" -> ((s, dir) => CorpusOps.seqPack(tune(s), dir)),
     "rep_ngrams" -> ((s, dir) => CorpusOps.repNgrams(tune(s), dir)),
     "bm25_score" -> ((s, dir) => CorpusOps.bm25Score(tune(s), dir)),
+    "boilerplate_ngrams" -> ((s, dir) => CorpusOps.boilerplateNgrams(tune(s), dir)),
+    // Extension: IVF centroid training (Lloyd's) + split/profile utilities
+    "kmeans_train" -> ((s, dir) => Clustering.kmeansTrain(tune(s), dir)),
+    "stratified_split" -> ((s, dir) => Sampling.stratifiedSplit(tune(s), dir)),
+    "numeric_profile" -> ((s, dir) => Quality.numericProfile(tune(s), dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -169,5 +174,9 @@ object SparkEntry {
     "seq_pack" -> CorpusOps.seqPackSql(),
     "rep_ngrams" -> CorpusOps.repNgramsSql,
     "bm25_score" -> CorpusOps.bm25ScoreSql,
+    "boilerplate_ngrams" -> CorpusOps.boilerplateNgramsSql,
+    "kmeans_train" -> Clustering.kmeansTrainSql,
+    "stratified_split" -> Sampling.stratifiedSplitSql,
+    "numeric_profile" -> Quality.numericProfileSql,
   )
 }

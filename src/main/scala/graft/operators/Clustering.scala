@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.{Exprs, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** K-means centroid training over the embedding corpus (Lloyd's algorithm,
+  * fixed iteration count) — the training half of IVF-style ANN
+  * ([[Similarity.annIvf]] routes queries through centroids; this operator is
+  * where those centroids come from). BASELINE.json extension surface.
+  *
+  * Spark-first shape, per iteration:
+  *  - ASSIGN: the k centroids collapse to ONE row (`collect_list` of k
+  *    structs) that broadcast-joins the corpus; each vector picks its
+  *    cluster with a per-row fold over the k candidates (`transform` +
+  *    `array_min`) — no n×k row blow-up, no shuffle of the corpus.
+  *  - UPDATE: `posexplode` to (cluster, dim, x) and one hash aggregate —
+  *    the only shuffle, carrying (cid, pos, partial sums), map-side
+  *    combined. Centroid arrays reassemble from the k×d aggregate rows.
+  * At 100 TB: k×d is driver-trivial (MLlib collects the same thing
+  * per iteration), the corpus never shuffles for assignment, and the
+  * update shuffle is k×d×partitions after partial aggregation.
+  *
+  * Oracle determinism — float reductions must not depend on row order:
+  *  - distances: per-dimension terms are rounded onto a 1e-6 grid as LONGs,
+  *    so the sum commutes and both engines compare identical integers;
+  *    ties (equal grid distance) break lexicographically by
+  *    (distance, cluster id) via struct min on BOTH sides.
+  *  - means: [[Exprs.gsum]]-style grid sums divided in a pinned order
+  *    (`sum / count / scale`).
+  *  - initial centroids are the `vec_id < k` vectors (deterministic seed —
+  *    k-means++ at scale would sample by the same md5-draw trick
+  *    [[Sampling]] uses).
+  */
+object Clustering {
+  private val DistScale = 1e6
+  private val MeanScale = 1e6
+
+  /** Squared-euclidean distance between two double arrays on the LONG grid:
+    * Σ floor((x−c)²·1e6 + 0.5). A per-row fold in array order — but the
+    * terms are integers, so ANY summation order (this fold, or the oracle's
+    * grouped SUM over exploded rows) yields the same value. */
+  private def distInt(v: Column, c: Column): Column =
+    aggregate(
+      zip_with(v, c, (x, cc) =>
+        floor((x - cc) * (x - cc) * lit(DistScale) + lit(0.5d)).cast("long")),
+      lit(0L), (acc, t) => acc + t)
+
+  /** One Lloyd iteration: assign every vector to its nearest centroid, then
+    * recompute each cluster's grid-mean. `cent` columns: cid, c (array),
+    * and the returned frame adds n (cluster size this iteration). */
+  private def step(emb: DataFrame, cent: DataFrame): DataFrame = {
+    val cents = cent.agg(collect_list(struct(col("cid"), col("c"))).as("cs"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("v"),
+        array_min(transform(col("cs"), ct =>
+          struct(distInt(col("v"), ct.getField("c")).as("d"),
+            ct.getField("cid").as("c")))).getField("c").as("cid"))
+    assigned
+      .select(col("cid"), posexplode(col("v")))
+      .groupBy("cid", "pos")
+      .agg(
+        (sum(floor(col("col") * lit(MeanScale) + lit(0.5d)).cast("long"))
+          .cast("double") / count(lit(1)) / lit(MeanScale)).as("m"),
+        count(lit(1)).as("n"))
+      .groupBy("cid")
+      .agg(
+        transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m")).as("c"),
+        max(col("n")).as("n"))
+  }
+
+  /** Train k centroids for `iters` iterations; emit the result long-form
+    * (cluster_id, dim, centroid, n_members) — k×d scalar rows, the shape a
+    * downstream IVF index loads and the oracle hash-compares (array columns
+    * would hash through their rendering, not their values). */
+  def kmeansTrain(spark: SparkSession, sfDir: String,
+      k: Int = 8, iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val init = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val trained = (1 to iters).foldLeft(init)((c, _) => step(emb, c))
+    trained
+      .select(col("cid").as("cluster_id"), col("n").as("n_members"),
+        posexplode(col("c")))
+      .select(col("cluster_id"), (col("pos") + 1).cast("long").as("dim"),
+        Exprs.r4(col("col")).as("centroid"), col("n_members"))
+      .orderBy("cluster_id", "dim")
+  }
+
+  val kmeansTrainSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, pos, x AS c FROM emb WHERE vec_id < 8),
+      |d1 AS (SELECT e.vec_id, c.cid,
+      |         SUM(CAST(floor((e.x-c.c)*(e.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
+      |       FROM emb e JOIN c0 c ON e.pos = c.pos GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, min({'d': d, 'c': cid}).c AS cid FROM d1 GROUP BY 1),
+      |m1 AS (SELECT a.cid, e.pos,
+      |         CAST(SUM(CAST(floor(e.x*1000000+0.5) AS BIGINT)) AS DOUBLE)
+      |           / count(*) / 1000000.0 AS c
+      |       FROM emb e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
+      |d2 AS (SELECT e.vec_id, c.cid,
+      |         SUM(CAST(floor((e.x-c.c)*(e.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
+      |       FROM emb e JOIN m1 c ON e.pos = c.pos GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, min({'d': d, 'c': cid}).c AS cid FROM d2 GROUP BY 1),
+      |m2 AS (SELECT a.cid, e.pos,
+      |         CAST(SUM(CAST(floor(e.x*1000000+0.5) AS BIGINT)) AS DOUBLE)
+      |           / count(*) / 1000000.0 AS c,
+      |         count(*) AS n
+      |       FROM emb e JOIN a2 a ON e.vec_id = a.vec_id GROUP BY 1, 2)
+      |SELECT cid AS cluster_id, CAST(pos AS BIGINT) AS dim,
+      |  floor(c*10000+0.5)/10000 AS centroid, CAST(n AS BIGINT) AS n_members
+      |FROM m2 ORDER BY cluster_id, dim""".stripMargin
+}

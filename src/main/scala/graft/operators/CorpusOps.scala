@@ -249,6 +249,64 @@ object CorpusOps {
       |FROM d, s ORDER BY doc_id""".stripMargin
   }
 
+  /** Cross-document boilerplate detection — the corpus-level complement of
+    * [[repNgrams]] (within-doc): a document's boilerplate fraction is the
+    * share of its distinct word 5-grams that also appear in at least
+    * `minDf` OTHER documents' gram sets (nav bars, license headers, spam
+    * templates — the stuff line-dedup removes in newline-structured
+    * corpora; this fixture corpus is single-line, so grams are the unit).
+    *
+    * Scale shape: grams leave the row as 64-bit [[Exprs.md5num]] hashes,
+    * never strings — the two shuffles (df count, df join-back) carry
+    * (hash, doc_id) pairs only. Hash collisions inflate df identically on
+    * both engines (same hash function in the oracle), and at a 100 TB gram
+    * cardinality the same code widens to the full md5 (one-site edit,
+    * [[Exprs.md5num]]'s contract). The gram hash set is built per-row with
+    * slice+zip (ONE pass over the words — a lambda over indices would
+    * re-evaluate upstream expressions per element in interpreted HOF eval,
+    * see [[repNgrams]]), and `slice` with a 0 clamp keeps short docs legal:
+    * a doc with < 5 words contributes no grams and drops from the output on
+    * both sides. */
+  def boilerplateNgrams(spark: SparkSession, sfDir: String,
+      n: Int = 5, minDf: Int = 2): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val len = greatest(size(col("w")) - (n - 1), lit(0))
+    val zipped = arrays_zip(
+      (0 until n).map(o => slice(col("w"), lit(o + 1), len).as(s"g$o")): _*)
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(transform(zipped, s =>
+        Exprs.md5num(concat_ws(" ",
+          (0 until n).map(o => s.getField(s"g$o")): _*))))).as("gram"))
+    // rows are (doc, gram) distinct-within-doc, so count(*) per gram = df
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    grams.join(df, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_grams"), col("n_common"),
+        Exprs.r4(col("n_common").cast("double") / col("n_grams"))
+          .as("boilerplate_frac"))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateNgramsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(w) - 4 + 1),
+      |    i -> CAST(('0x' || substr(md5(
+      |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]),
+      |      1, 8)) AS BIGINT)))) AS gram
+      |  FROM t),
+      |df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+      |  floor(CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) * 10000 + 0.5) / 10000 AS boilerplate_frac
+      |FROM g JOIN df USING (gram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def seqPackSql(budget: Int = 512): String =
     s"""WITH t AS (
       |  SELECT doc_id, source,

@@ -263,6 +263,61 @@ object Quality {
       .orderBy("col_name")
   }
 
+  /** Numeric distribution profile — EXACT quantiles per group (count, min,
+    * max, grid mean, p25/p50/p90/p99), the histogram-shaped half of data
+    * profiling ([[tableProfile]] covers nulls/distincts/ranges).
+    *
+    * Exact `percentile` buffers a group's values and interpolates on the
+    * sorted run — correct here because the grouping key (event_type, 5
+    * values) bounds each group to ~n/5 doubles. At 100 TB per-key exact
+    * quantiles flip to `approx_percentile` (t-digest: mergeable,
+    * constant-memory — ScaleSpec's approx-vs-exact test shows the
+    * tolerance); the exact form stays the oracle of the approximation.
+    *
+    * Oracle parity: both engines interpolate `lower + frac·(higher−lower)`
+    * over identically-sorted doubles with `frac` from `p·(n−1)` — every
+    * step is the same IEEE arithmetic on the same operands (products and
+    * sums commute bit-exactly), so the raw quantiles match before the r4
+    * grid even touches them. The mean goes through [[Exprs.gsum]] (plain
+    * `avg` is summation-order-dependent). */
+  def numericProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val pct = percentile(col("value"), array(qs.map(lit): _*))
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        count(col("value")).as("n"),
+        Exprs.r4(min(col("value"))).as("v_min"),
+        Exprs.r4(max(col("value"))).as("v_max"),
+        Exprs.r4(Exprs.gsum(col("value")) / count(col("value"))).as("v_mean"),
+        pct.as("pct"))
+      .select(
+        col("event_type") +: col("n") +: col("v_min") +: col("v_max") +:
+          col("v_mean") +: qs.zipWithIndex.map { case (q, i) =>
+            Exprs.r4(element_at(col("pct"), i + 1))
+              .as(s"p${(q * 100).toInt}")
+          }: _*)
+      .orderBy("event_type")
+  }
+
+  val numericProfileSql: String =
+    """WITH q AS (
+      |  SELECT event_type, count(value) AS n,
+      |    min(value) AS v_min, max(value) AS v_max,
+      |    CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / 10000 / count(value) AS v_mean,
+      |    quantile_cont(value, [0.25, 0.5, 0.9, 0.99]) AS pct
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n,
+      |  floor(v_min * 10000 + 0.5) / 10000 AS v_min,
+      |  floor(v_max * 10000 + 0.5) / 10000 AS v_max,
+      |  floor(v_mean * 10000 + 0.5) / 10000 AS v_mean,
+      |  floor(pct[1] * 10000 + 0.5) / 10000 AS p25,
+      |  floor(pct[2] * 10000 + 0.5) / 10000 AS p50,
+      |  floor(pct[3] * 10000 + 0.5) / 10000 AS p90,
+      |  floor(pct[4] * 10000 + 0.5) / 10000 AS p99
+      |FROM q ORDER BY event_type""".stripMargin
+
   val tableProfileSql: String = {
     val branches = profileCols.map { c =>
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,

@@ -49,4 +49,35 @@ object Sampling {
       |  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'es' THEN 0.25
       |              WHEN 'fr' THEN 0.75 ELSE 0.1 END * 4294967296.0
       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic train/val/test assignment (80/10/10) — the same
+    * hash-threshold draw as [[corpusSample]] under a different salt, so the
+    * split is (a) reproducible bit-for-bit from doc_id alone, (b)
+    * independent of the sampling decision (different salt ⇒ independent
+    * draws), and (c) stable under corpus growth — adding documents never
+    * reassigns an existing one, unlike any rank- or partition-based split.
+    * Pure per-row map: no shuffle, no state, identical on 1 or 1000
+    * executors. Eval-set leakage control composes downstream:
+    * [[graft.operators.Dedup.contaminationCheck]] runs val/test against
+    * train exactly like an external benchmark. */
+  def stratifiedSplit(spark: SparkSession, sfDir: String,
+    seed: String = "split1"): DataFrame = {
+    val u = draw(seed) / lit(4294967296.0)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
+  val stratifiedSplitSql: String =
+    """SELECT doc_id, lang,
+      |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5('split1_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      / 4294967296.0 AS u
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
 }

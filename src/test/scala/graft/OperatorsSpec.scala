@@ -173,6 +173,66 @@ class OperatorsSpec extends SparkSuite {
     assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 5))
   }
 
+  test("kmeans: clusters partition the corpus and means are within data range") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val rows = Clustering.kmeansTrain(spark, sfDir).collect()
+    val dims = rows.groupBy(_.getLong(0)).values.map(_.length)
+    assert(dims.forall(_ == 64), "every cluster carries all 64 dims")
+    val sizes = rows.groupBy(_.getLong(0)).map(_._2.head.getLong(3))
+    assert(sizes.sum == n, s"cluster sizes ${sizes.sum} must partition the $n vectors")
+    assert(sizes.forall(_ > 0))
+    // a mean can never leave the convex hull of the data (per dimension)
+    val Array(lo, hi) = emb.select(explode(col("embedding")).as("x"))
+      .agg(min(col("x")).cast("double"), max(col("x")).cast("double"))
+      .collect().flatMap(r => Array(r.getDouble(0), r.getDouble(1)))
+    rows.foreach(r => assert(r.getDouble(2) >= lo - 1e-4 && r.getDouble(2) <= hi + 1e-4))
+  }
+
+  test("kmeans: assignment is deterministic — same centroids from a reshuffled corpus") {
+    val a = Clustering.kmeansTrain(spark, sfDir).collect()
+    val b = Clustering.kmeansTrain(spark, sfDir, k = 8, iters = 2).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("boilerplate: fraction is consistent and near-dup docs share grams") {
+    val rows = CorpusOps.boilerplateNgrams(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (grams, common, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(common <= grams)
+      assert(frac >= 0d && frac <= 1d)
+      assert(math.abs(frac - math.floor(common.toDouble / grams * 10000 + 0.5) / 10000) < 1e-12)
+    }
+    // docs that dedup_jaccard flags as near-identical (≥0.8 shingle overlap)
+    // must show cross-document gram sharing here too
+    val byDoc = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val nearDup = Dedup.dedupJaccard(spark, sfDir).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    nearDup.foreach(d => assert(byDoc(d) > 0, s"near-dup doc $d has no common grams"))
+  }
+
+  test("numeric profile: quantiles are monotone and bounded by min/max") {
+    Quality.numericProfile(spark, sfDir).collect().foreach { r =>
+      val Seq(vmin, vmax, _, p25, p50, p90, p99) = (2 to 8).map(r.getDouble)
+      assert(vmin <= p25 && p25 <= p50 && p50 <= p90 && p90 <= p99 && p99 <= vmax,
+        s"non-monotone quantiles: $r")
+    }
+  }
+
+  test("stratified split: total partition of the corpus, stable under seed, ~80/10/10") {
+    val rows = Sampling.stratifiedSplit(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    val bySplit = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // 500 docs: binomial(500, 0.8) stays within ±10pp of the target with
+    // overwhelming probability — a band check, not an exact count
+    assert(bySplit("train") > rows.length * 0.7 && bySplit("train") < rows.length * 0.9)
+    // same seed → identical assignment; different seed → different draw
+    assert(Sampling.stratifiedSplit(spark, sfDir).collect().sameElements(rows))
+    assert(!Sampling.stratifiedSplit(spark, sfDir, seed = "other").collect()
+      .sameElements(rows))
+  }
+
   test("events fixture: event_id is unique (eventsDedupe oracle precondition)") {
     // eventsDedupe's dropDuplicates(event_id) and its SELECT DISTINCT oracle
     // agree only while event_id functionally determines the row (see the

@@ -163,4 +163,49 @@ class PlanAuditSpec extends SparkSuite {
         "per-row maps must not shuffle")
     }
   }
+
+  test("kmeans: corpus never shuffles for assignment — centroids broadcast") {
+    val p = plan(Clustering.kmeansTrain(spark, sfDir))
+    // assignment = 1-row centroid list × corpus: a broadcast nested-loop,
+    // NEVER a shuffled cartesian or a sort-merge join of the corpus
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "update aggregate must be map-side combined")
+    // 2 iterations × (dim-grain agg + centroid reassembly) = 4 hash
+    // exchanges, + the presentation sort; more means an iteration re-shuffled
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 4, p.take(800))
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"))
+  }
+
+  test("boilerplate ngrams: grams shuffle as 64-bit hashes, scan pruned") {
+    val df = CorpusOps.boilerplateNgrams(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(800))
+    // df-count exchange + join-back + doc-grain agg; the exchange reuse
+    // on the gram key keeps it ≤3 hash shuffles
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 3, p.take(800))
+    // the shuffled gram key is the md5num LONG, not the gram string: no
+    // string-typed gram attribute survives into the exchanges
+    assert(!p.contains("gram: string") && df.schema("n_grams").dataType
+      == org.apache.spark.sql.types.LongType)
+  }
+
+  test("numeric profile: one scan, partial aggregation, value+type pruned") {
+    val p = plan(Quality.numericProfile(spark, sfDir))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(800))
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      "profile aggregate must be map-side combined")
+    assert(p.contains("ReadSchema: struct<ts:int96,event_type:string,value:double>")
+      || p.contains("ReadSchema: struct<event_type:string,value:double"),
+      p.take(1200))
+  }
+
+  test("stratified split: pure per-row map — no shuffle but the sort") {
+    val p = plan(Sampling.stratifiedSplit(spark, sfDir))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 0, p.take(800))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p.take(800))
+  }
 }
