@@ -109,6 +109,7 @@ object SparkEntry {
     // Extension: IVF centroid training (Lloyd's) + split/profile utilities
     "kmeans_train" -> ((s, dir) => Clustering.kmeansTrain(tune(s), dir)),
     "stratified_split" -> ((s, dir) => Sampling.stratifiedSplit(tune(s), dir)),
+    "source_quota" -> ((s, dir) => Sampling.sourceQuota(tune(s), dir)),
     "numeric_profile" -> ((s, dir) => Quality.numericProfile(tune(s), dir)),
   )
 
@@ -177,6 +178,7 @@ object SparkEntry {
     "boilerplate_ngrams" -> CorpusOps.boilerplateNgramsSql,
     "kmeans_train" -> Clustering.kmeansTrainSql,
     "stratified_split" -> Sampling.stratifiedSplitSql,
+    "source_quota" -> Sampling.sourceQuotaSql,
     "numeric_profile" -> Quality.numericProfileSql,
   )
 }

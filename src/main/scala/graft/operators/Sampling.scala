@@ -80,4 +80,37 @@ object Sampling {
       |      / 4294967296.0 AS u
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  /** Per-source document quota — domain balancing (cap any one
+    * source/domain's share of the corpus, C4-style): within each source,
+    * rank documents by the same deterministic hash draw (salted, so quota
+    * survival is independent of the sample/split draws) and keep the first
+    * `quota`. Rank-by-hash rather than rank-by-id keeps the kept set an
+    * unbiased sample of the source; the (draw, doc_id) tiebreak makes it
+    * total. One shuffle (the per-source window). A source that outgrows a
+    * partition at 100 TB goes two-stage like every top-k here
+    * ([[Similarity.annTopkAgg]]): rank within (source, shard) and keep ≤
+    * quota per shard — sound because a doc's shard rank lower-bounds its
+    * global rank, so nothing kept globally is dropped — then re-rank the
+    * ≤ shards×quota survivors in one tiny pass. */
+  def sourceQuota(spark: SparkSession, sfDir: String,
+    quota: Int = 15, seed: String = "quota1"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("u"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), draw(seed).as("u"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= quota)
+      .select(col("doc_id"), col("source"), col("rank"))
+      .orderBy("doc_id")
+  }
+
+  val sourceQuotaSql: String =
+    """SELECT doc_id, source, rank FROM (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+      |      CAST(('0x' || substr(md5('quota1_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+      |      doc_id) AS BIGINT) AS rank
+      |  FROM documents)
+      |WHERE rank <= 15 ORDER BY doc_id""".stripMargin
 }

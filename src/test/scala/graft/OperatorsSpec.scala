@@ -233,6 +233,22 @@ class OperatorsSpec extends SparkSuite {
       .sameElements(rows))
   }
 
+  test("source quota: caps every source, unbiased ranks, deterministic") {
+    val rows = Sampling.sourceQuota(spark, sfDir).collect()
+    val bySource = rows.groupBy(_.getString(1))
+    assert(bySource.size == 20, "all 20 fixture sources survive capping")
+    bySource.values.foreach { docs =>
+      assert(docs.length == 15, "fixture sources (25 docs) cap at the quota")
+      assert(docs.map(_.getLong(2)).sorted.sameElements(1L to 15L),
+        "ranks are exactly 1..quota")
+    }
+    // a different seed keeps different docs — the cap is a sample, not a prefix
+    val other = Sampling.sourceQuota(spark, sfDir, seed = "other")
+      .collect().map(_.getLong(0)).toSet
+    assert(other != rows.map(_.getLong(0)).toSet)
+    assert(Sampling.sourceQuota(spark, sfDir).collect().sameElements(rows))
+  }
+
   test("events fixture: event_id is unique (eventsDedupe oracle precondition)") {
     // eventsDedupe's dropDuplicates(event_id) and its SELECT DISTINCT oracle
     // agree only while event_id functionally determines the row (see the
