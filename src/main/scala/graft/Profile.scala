@@ -32,6 +32,27 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("typedparts")) {
+      // decompose the typed order fact: producer vs +parse vs full build
+      import org.apache.spark.sql.functions._
+      val s = SparkEntry.tune(spark)
+      val raw = graft.operators.Typed.pdvRaw(s, sfDir)
+      val parsed = graft.operators.RawTables.pdv(raw,
+        graft.operators.Typed.prunedPdvEnvelopeHeader)
+      (1 to 2).foreach { i =>
+        var t0 = System.nanoTime()
+        raw.agg(sum(length(col("json")))).collect()
+        println(f"pdv producer+encode pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
+        parsed.agg(sum(length(col("data"))), sum(size(col("itens")))).collect()
+        println(f"+parse(header schema) pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
+        val n = SparkEntry.queries("typed_pedidos_fact")(s, sfDir)
+          .queryExecution.toRdd.count()
+        println(f"full fact pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+      spark.stop(); return
+    }
     val names = args.headOption.map(_.split(",").toSeq)
       .getOrElse(Seq("message_roundtrip"))
     val doExplain = args.length > 1 && args(1) == "explain"

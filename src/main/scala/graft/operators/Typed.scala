@@ -69,7 +69,7 @@ object Typed {
     * (`descricao`, `desconto`) are applied post-aggregation by
     * [[itemStructFromRow]]. Item order is unchanged — the sort key still
     * leads with the per-order-unique line number. */
-  private def pdvRaw(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def pdvRaw(spark: SparkSession, sfDir: String): DataFrame = {
     val itens = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), struct(
         col("l_linenumber").cast("long").as("id"),
@@ -174,7 +174,7 @@ object Typed {
     * [[FactsFromRaw.pedidos]] folds/joins on (idProduto, valor, quantidade,
     * desconto) only, so the parser also skips each item's `id` and
     * `descricao` tokens. */
-  private val prunedPdvEnvelopeHeader: org.apache.spark.sql.types.StructType = {
+  private[graft] val prunedPdvEnvelopeHeader: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(StructField("retorno", StructType(Seq(
       StructField("status_processamento", StringType),
