@@ -106,6 +106,7 @@ object SparkEntry {
     "rep_ngrams" -> ((s, dir) => CorpusOps.repNgrams(tune(s), dir)),
     "bm25_score" -> ((s, dir) => CorpusOps.bm25Score(tune(s), dir)),
     "boilerplate_ngrams" -> ((s, dir) => CorpusOps.boilerplateNgrams(tune(s), dir)),
+    "corpus_pipeline" -> ((s, dir) => CorpusOps.corpusPipeline(tune(s), dir)),
     // Extension: IVF centroid training (Lloyd's) + split/profile utilities
     "kmeans_train" -> ((s, dir) => Clustering.kmeansTrain(tune(s), dir)),
     "stratified_split" -> ((s, dir) => Sampling.stratifiedSplit(tune(s), dir)),
@@ -176,6 +177,7 @@ object SparkEntry {
     "rep_ngrams" -> CorpusOps.repNgramsSql,
     "bm25_score" -> CorpusOps.bm25ScoreSql,
     "boilerplate_ngrams" -> CorpusOps.boilerplateNgramsSql,
+    "corpus_pipeline" -> CorpusOps.corpusPipelineSql,
     "kmeans_train" -> Clustering.kmeansTrainSql,
     "stratified_split" -> Sampling.stratifiedSplitSql,
     "source_quota" -> Sampling.sourceQuotaSql,

@@ -307,6 +307,100 @@ object CorpusOps {
       |FROM g JOIN df USING (gram)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The corpus-prep operators composed END TO END as one plan — the shape
+    * an actual curation run has: quality-rule gate → PII scrub → exact
+    * dedup (first doc per content hash survives) → train/val/test split →
+    * sequence packing of the survivors, per (split, source).
+    *
+    * The point is the composition: one scan of the corpus, per-row stages
+    * fused into the same codegen span, and exactly TWO shuffles for the
+    * whole pipeline — the dedup window (content-hash key) and the pack
+    * window (split × source key) — plus the presentation sort. Filters run
+    * BEFORE both shuffles, so the exchanges carry only surviving docs. The
+    * same deterministic PII injection as [[piiScrub]] keeps the scrub stage
+    * observable (the fixture corpus carries no real PII), and the dedup
+    * hash is computed on the ORIGINAL text so injection can't mask a
+    * duplicate. */
+  def corpusPipeline(spark: SparkSession, sfDir: String,
+      budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = split(col("text"), " ")
+    val nWords = size(w).cast("long")
+    val stop = array(Seq("the", "a", "of", "and", "is").map(lit): _*)
+    val awl = length(regexp_replace(col("text"), " ", "")).cast("double") / nWords
+    val keep = nWords >= 30 && nWords <= 2000 &&
+      awl >= 2d && awl <= 4.8d &&
+      size(filter(w, x => array_contains(stop, x))) > 0 &&
+      lit(1d) - size(array_distinct(w)).cast("double") / nWords <= 0.6d
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\+[0-9][0-9\\-]{6,}[0-9]"
+    val injected = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" today"))
+    val scrubbed = regexp_replace(regexp_replace(injected, email, "<EMAIL>"),
+      phone, "<PHONE>")
+    val u = Exprs.md5num(concat(lit("split1_"), col("doc_id").cast("string")))
+      .cast("double") / lit(4294967296.0)
+    val dedupW = Window.partitionBy("content_hash").orderBy("doc_id")
+    val packW = Window.partitionBy("split", "source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .filter(keep)                                             // quality gate
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("text")).as("content_hash"),                    // pre-scrub
+        size(split(scrubbed, " ")).cast("long").as("n_tokens"), // post-scrub
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+          .as("split"))
+      .withColumn("rn", row_number().over(dedupW))
+      .filter(col("rn") === 1)                                  // exact dedup
+      .withColumn("cum", sum("n_tokens").over(packW))           // packing
+      .select(col("doc_id"), col("lang"), col("source"), col("split"),
+        col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(budget.toLong)).cast("long")
+          .as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  val corpusPipelineSql: String =
+    """WITH kept AS (
+      |  SELECT doc_id, lang, source, text,
+      |    string_split(text, ' ') AS w,
+      |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS awl
+      |  FROM documents),
+      |gated AS (
+      |  SELECT doc_id, lang, source, text FROM kept
+      |  WHERE len(w) BETWEEN 30 AND 2000 AND awl BETWEEN 2.0 AND 4.8
+      |    AND len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) > 0
+      |    AND 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.6),
+      |scrubbed AS (
+      |  SELECT doc_id, lang, source, md5(text) AS content_hash,
+      |    CAST(len(string_split(regexp_replace(regexp_replace(
+      |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |        || '@example.com or +1-555-'
+      |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today',
+      |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |      '\+[0-9][0-9\-]{6,}[0-9]', '<PHONE>', 'g'), ' ')) AS BIGINT) AS n_tokens,
+      |    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT *,
+      |    CAST(('0x' || substr(md5('split1_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      / 4294967296.0 AS u
+      |    FROM gated)),
+      |deduped AS (
+      |  SELECT * FROM (SELECT *,
+      |    row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+      |    FROM scrubbed) WHERE rn = 1),
+      |packed AS (
+      |  SELECT *, SUM(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM deduped)
+      |SELECT doc_id, lang, source, split, n_tokens,
+      |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+      |FROM packed ORDER BY doc_id""".stripMargin
+
   def seqPackSql(budget: Int = 512): String =
     s"""WITH t AS (
       |  SELECT doc_id, source,

@@ -233,6 +233,24 @@ class OperatorsSpec extends SparkSuite {
       .sameElements(rows))
   }
 
+  test("corpus pipeline: stages agree with the standalone operators") {
+    val out = CorpusOps.corpusPipeline(spark, sfDir).collect()
+    val ids = out.map(_.getLong(0)).toSet
+    // survivors = exactly the quality keeps (fixture has no exact dups here)
+    val keeps = CorpusOps.qualityFilter(spark, sfDir).collect()
+      .filter(_.getBoolean(8)).map(_.getLong(0)).toSet
+    assert(ids == keeps)
+    // split assignment matches the standalone splitter doc-for-doc
+    val split = Sampling.stratifiedSplit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    out.foreach(r => assert(r.getString(3) == split(r.getLong(0))))
+    // packs are dense from 0 within every (split, source) lane
+    out.groupBy(r => (r.getString(3), r.getString(2))).values.foreach { lane =>
+      val packs = lane.map(_.getLong(5)).distinct.sorted
+      assert(packs.head == 0 && packs.sameElements(packs.head to packs.last))
+    }
+  }
+
   test("source quota: caps every source, unbiased ranks, deterministic") {
     val rows = Sampling.sourceQuota(spark, sfDir).collect()
     val bySource = rows.groupBy(_.getString(1))

@@ -203,6 +203,16 @@ class PlanAuditSpec extends SparkSuite {
       p.take(1200))
   }
 
+  test("corpus pipeline: five stages, one scan, exactly two hash exchanges") {
+    val p = plan(CorpusOps.corpusPipeline(spark, sfDir))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 2,
+      "gate+scrub+split fuse per-row; only dedup and pack may shuffle:\n"
+        + p.take(1200))
+    assert(p.split("Scan parquet").length - 1 == 1, "one corpus scan")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>"),
+      p.take(1200))
+  }
+
   test("stratified split: pure per-row map — no shuffle but the sort") {
     val p = plan(Sampling.stratifiedSplit(spark, sfDir))
     assert(p.split("Exchange hashpartitioning").length - 1 == 0, p.take(800))
