@@ -80,6 +80,7 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => Similarity.annTopk(tune(s), dir)),
     "ann_topk_agg" -> ((s, dir) => Similarity.annTopkAgg(tune(s), dir)),
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(tune(s), dir)),
+    "ann_ivf_trained" -> ((s, dir) => Similarity.annIvfTrained(tune(s), dir)),
     "ann_quantized" -> ((s, dir) => Similarity.annQuantized(tune(s), dir)),
     // Extension: multimodal column plumbing (decode stubbed)
     "multimodal_features" -> ((s, dir) => Multimodal.multimodalFeatures(tune(s), dir)),
@@ -159,6 +160,7 @@ object SparkEntry {
     "ann_topk" -> Similarity.annTopkSql,
     "ann_topk_agg" -> Similarity.annTopkSql, // same contract as ann_topk
     "ann_ivf" -> Similarity.annIvfSql,
+    "ann_ivf_trained" -> Similarity.annIvfTrainedSql,
     "ann_quantized" -> Similarity.annQuantizedSql,
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,
     "checksum_sorted" -> Checksums.checksumSortedSql,

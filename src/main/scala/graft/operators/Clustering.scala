@@ -40,7 +40,7 @@ object Clustering {
     * Σ floor((x−c)²·1e6 + 0.5). A per-row fold in array order — but the
     * terms are integers, so ANY summation order (this fold, or the oracle's
     * grouped SUM over exploded rows) yields the same value. */
-  private def distInt(v: Column, c: Column): Column =
+  private[operators] def distInt(v: Column, c: Column): Column =
     aggregate(
       zip_with(v, c, (x, cc) =>
         floor((x - cc) * (x - cc) * lit(DistScale) + lit(0.5d)).cast("long")),
@@ -52,10 +52,7 @@ object Clustering {
   private def step(emb: DataFrame, cent: DataFrame): DataFrame = {
     val cents = cent.agg(collect_list(struct(col("cid"), col("c"))).as("cs"))
     val assigned = emb.crossJoin(broadcast(cents))
-      .select(col("v"),
-        array_min(transform(col("cs"), ct =>
-          struct(distInt(col("v"), ct.getField("c")).as("d"),
-            ct.getField("cid").as("c")))).getField("c").as("cid"))
+      .select(col("v"), nearest(col("v"), col("cs")).as("cid"))
     assigned
       .select(col("cid"), posexplode(col("v")))
       .groupBy("cid", "pos")
@@ -70,25 +67,43 @@ object Clustering {
         max(col("n")).as("n"))
   }
 
+  /** The corpus as (vec_id, v: array<double>). */
+  private[operators] def embDouble(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+
+  /** Trained centroids in array form (cid, c, n) — the coarse quantizer a
+    * downstream IVF index routes through ([[Similarity.annIvfTrained]]). */
+  private[operators] def trainedCentroids(spark: SparkSession, sfDir: String,
+      k: Int = 8, iters: Int = 2): DataFrame = {
+    val emb = embDouble(spark, sfDir)
+    val init = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    (1 to iters).foldLeft(init)((c, _) => step(emb, c))
+  }
+
+  /** Nearest-centroid id for vector `v` against a 1-row collected centroid
+    * list (`cs`: array of (cid, c) structs) — the same grid-distance
+    * lexicographic argmin the trainer uses, exposed for routing/assignment
+    * at query time. */
+  private[operators] def nearest(v: Column, cs: Column): Column =
+    array_min(transform(cs, ct =>
+      struct(distInt(v, ct.getField("c")).as("d"),
+        ct.getField("cid").as("c")))).getField("c")
+
   /** Train k centroids for `iters` iterations; emit the result long-form
     * (cluster_id, dim, centroid, n_members) — k×d scalar rows, the shape a
     * downstream IVF index loads and the oracle hash-compares (array columns
     * would hash through their rendering, not their values). */
   def kmeansTrain(spark: SparkSession, sfDir: String,
-      k: Int = 8, iters: Int = 2): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("v"))
-    val init = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("v").as("c"))
-    val trained = (1 to iters).foldLeft(init)((c, _) => step(emb, c))
-    trained
+      k: Int = 8, iters: Int = 2): DataFrame =
+    trainedCentroids(spark, sfDir, k, iters)
       .select(col("cid").as("cluster_id"), col("n").as("n_members"),
         posexplode(col("c")))
       .select(col("cluster_id"), (col("pos") + 1).cast("long").as("dim"),
         Exprs.r4(col("col")).as("centroid"), col("n_members"))
       .orderBy("cluster_id", "dim")
-  }
 
   val kmeansTrainSql: String =
     """WITH emb AS (

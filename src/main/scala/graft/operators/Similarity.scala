@@ -310,6 +310,90 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF over TRAINED cells — [[annIvf]] with the label shortcut replaced
+    * by the real thing: the [[Clustering]] coarse quantizer (Lloyd's, k=8,
+    * 2 iterations) supplies both the corpus cell assignment and the query
+    * routing, through the trainer's own grid-distance argmin
+    * ([[Clustering.nearest]]) so cells and routes can never disagree with
+    * training; the routed cell reranks by exact cosine. Queries here are
+    * corpus members, so route = own cell (the same `nearest` call serves
+    * external queries).
+    *
+    * Scale shape: training + assignment is the index BUILD — at 100 TB it
+    * runs once and persists (cells as partition values → routing becomes
+    * partition pruning, exactly like [[annIvf]]'s scale note); this
+    * oracle-checked form recomputes the build in-plan so the whole
+    * train→assign→route→scan chain is hash-verified end to end. */
+  def annIvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = Clustering.trainedCentroids(spark, sfDir)
+      .agg(collect_list(struct(col("cid"), col("c"))).as("cs"))
+    val e = Clustering.embDouble(spark, sfDir)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), norm(col("v")).as("n"),
+        Clustering.nearest(col("v"), col("cs")).as("cell"))
+    val q = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n").as("qn"), col("cell").as("qcell"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(q),
+      col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qcell").cast("long").as("cell"),
+        col("vec_id"),
+        Exprs.r4(dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("cell"),
+        col("rank").cast("long").as("rank"), col("vec_id").as("target_id"),
+        col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfTrainedSql: String = {
+    val cellCos = cosSqlFragment.replace("QV", "q.qv").replace("TV", "t.v")
+    s"""WITH emb AS (
+       |  SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, pos, x AS c FROM emb WHERE vec_id < 8),
+       |d1 AS (SELECT e.vec_id, c.cid,
+       |         SUM(CAST(floor((e.x-c.c)*(e.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
+       |       FROM emb e JOIN c0 c ON e.pos = c.pos GROUP BY 1, 2),
+       |a1 AS (SELECT vec_id, min({'d': d, 'c': cid}).c AS cid FROM d1 GROUP BY 1),
+       |m1 AS (SELECT a.cid, e.pos,
+       |         CAST(SUM(CAST(floor(e.x*1000000+0.5) AS BIGINT)) AS DOUBLE)
+       |           / count(*) / 1000000.0 AS c
+       |       FROM emb e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
+       |d2 AS (SELECT e.vec_id, c.cid,
+       |         SUM(CAST(floor((e.x-c.c)*(e.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
+       |       FROM emb e JOIN m1 c ON e.pos = c.pos GROUP BY 1, 2),
+       |a2 AS (SELECT vec_id, min({'d': d, 'c': cid}).c AS cid FROM d2 GROUP BY 1),
+       |m2 AS (SELECT a.cid, e.pos,
+       |         CAST(SUM(CAST(floor(e.x*1000000+0.5) AS BIGINT)) AS DOUBLE)
+       |           / count(*) / 1000000.0 AS c
+       |       FROM emb e JOIN a2 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
+       |d3 AS (SELECT e.vec_id, c.cid,
+       |         SUM(CAST(floor((e.x-c.c)*(e.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
+       |       FROM emb e JOIN m2 c ON e.pos = c.pos GROUP BY 1, 2),
+       |a3 AS (SELECT vec_id, min({'d': d, 'c': cid}).c AS cell FROM d3 GROUP BY 1),
+       |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |       FROM embeddings),
+       |t AS (SELECT ev.vec_id, ev.v, a3.cell FROM ev JOIN a3 USING (vec_id)),
+       |q AS (SELECT vec_id AS query_id, v AS qv, cell AS qcell
+       |      FROM t WHERE vec_id % 200 = 0),
+       |scored AS (
+       |  SELECT q.query_id, q.qcell AS cell, t.vec_id,
+       |    $cellCos AS cos
+       |  FROM t JOIN q ON t.cell = q.qcell AND t.vec_id <> q.query_id),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(cell AS BIGINT) AS cell, CAST(rank AS BIGINT) AS rank,
+       |  vec_id AS target_id, cos
+       |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val annIvfSql: String = {
     val routeCos = cosSqlFragment.replace("QV", "q.qv").replace("TV", "c.cv")
     val cellCos = cosSqlFragment.replace("QV", "r.qv").replace("TV", "t.v")

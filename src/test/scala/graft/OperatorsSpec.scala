@@ -233,6 +233,26 @@ class OperatorsSpec extends SparkSuite {
       .sameElements(rows))
   }
 
+  test("trained IVF: 3 ranked in-cell neighbors, cells from the trainer's argmin") {
+    val rows = Similarity.annIvfTrained(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.sameElements(1L to rs.length),
+        "dense ranks per query")
+      assert(rs.map(_.getLong(1)).distinct.length == 1,
+        "all hits come from the query's one routed cell")
+      rs.foreach(r => assert(r.getDouble(4) >= -1.0001 && r.getDouble(4) <= 1.0001))
+    }
+    // the routed cell restricts the candidate set: in-cell top-3 can never
+    // BEAT brute force, and overlapping hits must agree on the cosine
+    val exact = Similarity.annTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    rows.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(3)))
+        .foreach(c => assert(c == r.getDouble(4)))
+    }
+  }
+
   test("corpus pipeline: stages agree with the standalone operators") {
     val out = CorpusOps.corpusPipeline(spark, sfDir).collect()
     val ids = out.map(_.getLong(0)).toSet
