@@ -33,18 +33,18 @@ import org.apache.spark.sql.functions._
   *    [[Sampling]] uses).
   */
 object Clustering {
-  private val DistScale = 1e6
+  // distance grid (1e-6) lives in the ArrayDist2I kernel; means use the same
   private val MeanScale = 1e6
 
   /** Squared-euclidean distance between two double arrays on the LONG grid:
-    * Σ floor((x−c)²·1e6 + 0.5). A per-row fold in array order — but the
-    * terms are integers, so ANY summation order (this fold, or the oracle's
-    * grouped SUM over exploded rows) yields the same value. */
+    * Σ floor((x−c)²·1e6 + 0.5), via the native codegen'd
+    * [[graft.plans.ArrayDist2I]] kernel (assignment runs it k times per
+    * corpus row; the higher-order `zip_with`+`aggregate` form pays the ~4×
+    * interpreted-eval penalty [[graft.plans.ArrayDot]] documents). The
+    * terms are integers, so ANY summation order — the kernel's loop or the
+    * oracle's grouped SUM over exploded rows — yields the same value. */
   private[operators] def distInt(v: Column, c: Column): Column =
-    aggregate(
-      zip_with(v, c, (x, cc) =>
-        floor((x - cc) * (x - cc) * lit(DistScale) + lit(0.5d)).cast("long")),
-      lit(0L), (acc, t) => acc + t)
+    call_function("array_dist2i", v, c)
 
   /** One Lloyd iteration: assign every vector to its nearest centroid, then
     * recompute each cluster's grid-mean. `cent` columns: cid, c (array),
@@ -77,6 +77,7 @@ object Clustering {
     * downstream IVF index routes through ([[Similarity.annIvfTrained]]). */
   private[operators] def trainedCentroids(spark: SparkSession, sfDir: String,
       k: Int = 8, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "at least one Lloyd iteration (the init frame has no sizes)")
     val emb = embDouble(spark, sfDir)
     val init = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("c"))

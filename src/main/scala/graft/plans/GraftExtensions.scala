@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArrayDot(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("array_dist2i"),
+      ArrayDist2I.info,
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArrayDist2I(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("opaque"),
       Opaque.info,
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

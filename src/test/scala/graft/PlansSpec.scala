@@ -52,6 +52,42 @@ class PlansSpec extends SparkSuite {
       .collect()(0).isNullAt(0))
   }
 
+  test("array_dist2i: matches the HOF grid fold, ragged prefix, null passthrough") {
+    // codegen path vs hand-computed: (1-4)²=9, (2-5)²=9, (3-6)²=9 → 27e6
+    val r = spark.sql(
+      "SELECT array_dist2i(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d))")
+      .collect()(0).getLong(0)
+    assert(r == 27000000L)
+    // interpreted path agrees
+    val e = graft.plans.ArrayDist2I(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0, 2.0, 3.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(4.0, 5.0, 6.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    assert(e.eval(null) == 27000000L)
+    // equivalence with the higher-order form it replaced, on real vectors
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sfDir).limit(50)
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+    val both = emb.select(
+      call_function("array_dist2i", col("v"), reverse(col("v"))).as("k"),
+      aggregate(
+        zip_with(col("v"), reverse(col("v")), (x, c) =>
+          floor((x - c) * (x - c) * lit(1e6) + lit(0.5d)).cast("long")),
+        lit(0L), (a, t) => a + t).as("h")).collect()
+    both.foreach(r2 => assert(r2.getLong(0) == r2.getLong(1)))
+    // ragged pair → common prefix, like array_dot
+    assert(spark.sql(
+      "SELECT array_dist2i(array(1.0d, 9.0d), array(1.0d))")
+      .collect()(0).getLong(0) == 0L)
+    // null array → null
+    assert(spark.sql(
+      "SELECT array_dist2i(cast(null as array<double>), array(1.0d))")
+      .collect()(0).isNullAt(0))
+  }
+
   test("J3: clustered write produces day partitions, sorted row groups") {
     val out = Files.createTempDirectory("clustered").toString + "/t"
     val df = Tables.orders(spark, sfDir)
