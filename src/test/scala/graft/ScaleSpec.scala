@@ -83,4 +83,27 @@ class ScaleSpec extends SparkSuite {
       s"scan read ${scan.metrics("numFiles").value} files, " +
         s"partition holds $filesInDay")
   }
+
+  test("results are invariant to the shuffle partition count (cluster-size independence)") {
+    // The determinism contract (integer-grid sums, hash draws, pinned
+    // tiebreaks) means a query's RESULT may never depend on how the data
+    // was partitioned — the difference between 32 local threads and 1000
+    // executors. Spot-check the shapes that would break first: grid-sum
+    // aggregation (fact build), float fold + argmin (k-means), window
+    // ranking (quota), and the multi-stage pipeline.
+    val names = Seq("pedidos_fact", "kmeans_train", "source_quota",
+      "corpus_pipeline")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val at4 = names.map { n =>
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        n -> SparkEntry.queries(n)(spark, sfDir).collect()
+      }.toMap
+      names.foreach { n =>
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        val at17 = SparkEntry.queries(n)(spark, sfDir).collect()
+        assert(at17.sameElements(at4(n)), s"$n drifted with partition count")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
