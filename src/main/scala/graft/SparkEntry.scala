@@ -59,6 +59,7 @@ object SparkEntry {
     "events_session" -> ((s, dir) => EventsOps.eventsSession(tune(s), dir)),
     "events_dedupe" -> ((s, dir) => EventsOps.eventsDedupe(tune(s), dir)),
     "events_props" -> ((s, dir) => EventsOps.eventsProps(tune(s), dir)),
+    "events_funnel" -> ((s, dir) => EventsOps.eventsFunnel(tune(s), dir)),
     // Extension: text analysis over documents
     "text_stats" -> ((s, dir) => TextOps.textStats(tune(s), dir)),
     "lang_id" -> ((s, dir) => TextOps.langId(tune(s), dir)),
@@ -142,6 +143,7 @@ object SparkEntry {
     "events_session" -> EventsOps.eventsSessionSql,
     "events_dedupe" -> EventsOps.eventsDedupeSql,
     "events_props" -> EventsOps.eventsPropsSql,
+    "events_funnel" -> EventsOps.eventsFunnelSql,
     "text_stats" -> TextOps.textStatsSql,
     "lang_id" -> TextOps.langIdSql,
     "token_count" -> TextOps.tokenCountSql,

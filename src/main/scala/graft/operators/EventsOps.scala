@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Exprs, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics in their batch form — tumbling windows, session
@@ -102,4 +102,88 @@ object EventsOps {
 
   val eventsDedupeSql: String =
     """SELECT DISTINCT event_id, event_type, user_id FROM events ORDER BY event_id""".stripMargin
+
+  /** Ordered-sequence (funnel) matching — per user, how far through
+    * view → click → purchase did they get, each stage STRICTLY after the
+    * previous one (the sequential-pattern analytics shape:
+    * MATCH_RECOGNIZE-lite).
+    *
+    * Spark-first: ONE scan and ONE shuffle — events sort into a per-user
+    * array and a single left-to-right `aggregate` fold advances the stage
+    * state machine (first view; first click after it; first purchase after
+    * that). The fold is provably equal to the nested min-chain
+    * (`t_click = min click-ts > t_view`, …) because each stage takes the
+    * MINIMUM qualifying timestamp — which is exactly the first qualifying
+    * element in time order — so the DuckDB oracle can replay it as plain
+    * hierarchical aggregates. Per-user state is 3 longs regardless of
+    * event count; at 100 TB the same fold runs under
+    * `flatMapGroupsWithState` on a stream with event-time ordering per
+    * micro-batch. Tie semantics are pinned: a click at the exact first-view
+    * timestamp does NOT count (strict `>`), independent of sort order.
+    * Each stage must land within `windowSec` of the previous one (the
+    * conversion window — without a bound, any long-lived user trivially
+    * completes every funnel; 24 h splits the fixture 150/60/25 across the
+    * stages). */
+  def eventsFunnel(spark: SparkSession, sfDir: String,
+      windowSec: Long = 86400): DataFrame = {
+    val nil = lit(null).cast("long")
+    val wUs = lit(windowSec * 1000000L)
+    val seq0 = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("t"), col("event_type"))))
+        .as("es"))
+    val folded = aggregate(
+      col("es"),
+      struct(nil.as("v"), nil.as("c"), nil.as("p")),
+      (s, e) => {
+        val (t, ty) = (e.getField("t"), e.getField("event_type"))
+        def within(prev: Column) = t > prev && t <= prev + wUs
+        struct(
+          when(s.getField("v").isNull && ty === "view", t)
+            .otherwise(s.getField("v")).as("v"),
+          when(s.getField("c").isNull && s.getField("v").isNotNull
+            && ty === "click" && within(s.getField("v")), t)
+            .otherwise(s.getField("c")).as("c"),
+          when(s.getField("p").isNull && s.getField("c").isNotNull
+            && ty === "purchase" && within(s.getField("c")), t)
+            .otherwise(s.getField("p")).as("p"))
+      })
+    seq0.select(col("user_id"), folded.as("f"))
+      .select(col("user_id"),
+        col("f.v").as("t_view"), col("f.c").as("t_click"),
+        col("f.p").as("t_purchase"),
+        when(col("f.p").isNotNull, "purchase")
+          .when(col("f.c").isNotNull, "click")
+          .when(col("f.v").isNotNull, "view")
+          .otherwise("none").as("stage"))
+      .orderBy("user_id")
+  }
+
+  val eventsFunnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events),
+      |u AS (SELECT DISTINCT user_id FROM ev),
+      |v AS (SELECT user_id, min(t) AS t_view FROM ev
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.t) AS t_click
+      |      FROM ev e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.t > v.t_view
+      |        AND e.t <= v.t_view + 86400000000 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.t) AS t_purchase
+      |      FROM ev e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.t > c.t_click
+      |        AND e.t <= c.t_click + 86400000000 GROUP BY 1)
+      |SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+      |  CASE WHEN p.t_purchase IS NOT NULL THEN 'purchase'
+      |       WHEN c.t_click IS NOT NULL THEN 'click'
+      |       WHEN v.t_view IS NOT NULL THEN 'view'
+      |       ELSE 'none' END AS stage
+      |FROM u
+      |LEFT JOIN v ON u.user_id = v.user_id
+      |LEFT JOIN c ON u.user_id = c.user_id
+      |LEFT JOIN p ON u.user_id = p.user_id
+      |ORDER BY u.user_id""".stripMargin
 }

@@ -233,6 +233,42 @@ class OperatorsSpec extends SparkSuite {
       .sameElements(rows))
   }
 
+  test("funnel: fold equals the relational min-chain, stage times ordered and windowed") {
+    val wUs = 86400L * 1000000L
+    val rows = EventsOps.eventsFunnel(spark, sfDir).collect()
+    assert(rows.length == Tables.events(spark, sfDir)
+      .select("user_id").distinct.count())
+    def tOpt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    rows.foreach { r =>
+      val (v, c, p) = (tOpt(r, 1), tOpt(r, 2), tOpt(r, 3))
+      // stage label consistent with which times materialized
+      val expected = if (p.isDefined) "purchase" else if (c.isDefined) "click"
+        else if (v.isDefined) "view" else "none"
+      assert(r.getString(4) == expected)
+      // strictly increasing, each within the conversion window
+      c.foreach(tc => assert(tc > v.get && tc <= v.get + wUs))
+      p.foreach(tp => assert(tp > c.get && tp <= c.get + wUs))
+    }
+    // independent implementation: hierarchical min-chain over three scans
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t").as("tv"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("t") > col("tv") && col("t") <= col("tv") + wUs)
+      .groupBy("user_id").agg(min("t").as("tc"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("t") > col("tc") && col("t") <= col("tc") + wUs)
+      .groupBy("user_id").agg(min("t").as("tp"))
+    val chain = v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .collect().map(r => r.getLong(0) -> (tOpt(r, 1), tOpt(r, 2), tOpt(r, 3))).toMap
+    rows.filter(!_.isNullAt(1)).foreach { r =>
+      assert(chain(r.getLong(0)) == ((tOpt(r, 1), tOpt(r, 2), tOpt(r, 3))),
+        s"fold diverged from min-chain for user ${r.getLong(0)}")
+    }
+  }
+
   test("trained IVF: 3 ranked in-cell neighbors, cells from the trainer's argmin") {
     val rows = Similarity.annIvfTrained(spark, sfDir).collect()
     assert(rows.nonEmpty)
