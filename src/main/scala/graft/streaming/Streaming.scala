@@ -14,6 +14,14 @@ case class OrderUpdate(pedido_id: Long, n_events: Long, valor_total: Double)
 /** One document entering the streaming near-dup check. */
 case class SimhashDoc(bucket: Long, doc_id: Long, simhash: Long)
 
+/** Per-user funnel progress carried across micro-batches (timestamps in
+  * epoch micros; None = stage not reached yet). */
+case class FunnelState(v: Option[Long], c: Option[Long], p: Option[Long])
+
+/** Funnel position of one user after a micro-batch touched them. */
+case class FunnelUpdate(user_id: Long, t_view: Option[Long],
+  t_click: Option[Long], t_purchase: Option[Long], stage: String)
+
 /** Near-dup verdict for one streamed document. */
 case class NearDupFlag(doc_id: Long, simhash: Long, is_near_dup: Boolean)
 
@@ -227,6 +235,61 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[NearDupFlag], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** The funnel state machine ([[graft.operators.EventsOps.eventsFunnel]])
+    * as LIVE streaming state: per-user (first view, first click within the
+    * window after it, first purchase within the window after that) advanced
+    * by `mapGroupsWithState` as events arrive — the scale form the batch
+    * operator's doc promises. State is 3 longs per user, partitioned by
+    * user across executors, checkpointed (survives restarts like the
+    * near-dup corpus). Within a micro-batch events apply in (t, type)
+    * order — the batch fold's exact sort; ACROSS batches the machine
+    * assumes event-time-ordered arrival (a stage can never rewind), which
+    * is the standard streaming-funnel trade: an out-of-order straggler
+    * that would have advanced a stage earlier is missed until the next
+    * qualifying event, and the offline batch query is the reconciliation,
+    * exactly like the reference's checker pattern (G1/G2). */
+  def funnelStream(events: DataFrame, windowSec: Long = 86400): Dataset[FunnelUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wUs = windowSec * 1000000L
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull
+        && col("event_type").isNotNull) // dead-letter guard, like nearDupStream
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelUpdate](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          var s = state.getOption.getOrElse(FunnelState(None, None, None))
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, ty, t) =>
+            if (s.v.isEmpty && ty == "view") s = s.copy(v = Some(t))
+            else if (s.c.isEmpty && s.v.nonEmpty && ty == "click"
+              && t > s.v.get && t <= s.v.get + wUs) s = s.copy(c = Some(t))
+            else if (s.p.isEmpty && s.c.nonEmpty && ty == "purchase"
+              && t > s.c.get && t <= s.c.get + wUs) s = s.copy(p = Some(t))
+          }
+          state.update(s)
+          val stage = if (s.p.nonEmpty) "purchase" else if (s.c.nonEmpty) "click"
+            else if (s.v.nonEmpty) "view" else "none"
+          FunnelUpdate(uid, s.v, s.c, s.p, stage)
+      }
+  }
+
+  /** Runs [[funnelStream]] to a batch-keyed parquet sink (Update mode: each
+    * micro-batch emits the refreshed position of every touched user). */
+  def funnelQuery(events: DataFrame, outDir: String,
+    checkpointDir: String): StreamingQuery =
+    funnelStream(events).writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[FunnelUpdate], batchId: Long) =>
         batch.write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
         ()
       }

@@ -165,6 +165,50 @@ class StreamingSpec extends SparkSuite {
     assert(flags.size == 4)
   }
 
+  test("streaming funnel: state advances across micro-batches and survives restart") {
+    val work = Files.createTempDirectory("funnel").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    def src() = spark.readStream.schema(schema).json(s"$work/drop")
+    def js(u: Long, ty: String, ts: String) =
+      s"""{"user_id":$u,"event_type":"$ty","ts":"$ts"}"""
+    // batch 1: u1 views; u2 views and clicks; u3 clicks with no view
+    Seq(
+      js(1, "view", "2024-01-01T10:00:00"),
+      js(2, "view", "2024-01-01T10:00:00"),
+      js(2, "click", "2024-01-01T11:00:00"),
+      js(3, "click", "2024-01-01T10:00:00")).toDF("value").coalesce(1)
+      .write.mode("append").text(s"$work/drop")
+    Streaming.funnelQuery(src(), s"$work/out", s"$work/ck").awaitTermination()
+    // batch 2, SAME checkpoint (a restarted query): u1's click lands within
+    // the 24h window of the CHECKPOINTED view; u2's purchase falls outside
+    // the window of its click and must NOT advance; u3's late view starts
+    // its funnel fresh
+    Seq(
+      js(1, "click", "2024-01-01T20:00:00"),
+      js(2, "purchase", "2024-01-03T12:00:00"),
+      js(3, "view", "2024-01-02T09:00:00")).toDF("value").coalesce(1)
+      .write.mode("append").text(s"$work/drop")
+    Streaming.funnelQuery(src(), s"$work/out", s"$work/ck").awaitTermination()
+    // latest update per user wins (Update-mode sink, batch-keyed dirs)
+    val fin = spark.read.parquet(s"$work/out")
+      .withColumn("b", col("ingest_batch").cast("long"))
+      .collect().groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) => u -> rs.maxBy(_.getAs[Long]("b")) }
+    assert(fin(1L).getAs[String]("stage") == "click",
+      "view in batch 1 + click in batch 2 must join across the checkpoint")
+    assert(fin(2L).getAs[String]("stage") == "click",
+      "purchase outside the conversion window must not advance the stage")
+    assert(fin(3L).getAs[String]("stage") == "view",
+      "a click before any view never counts; the later view starts the funnel")
+    assert(fin(1L).getAs[Long]("t_view") < fin(1L).getAs[Long]("t_click"))
+  }
+
   test("windowed counts equal the batch computation on closed windows") {
     val ev = Seq(
       ("2024-01-01 00:10:00", "a", 1.0), ("2024-01-01 00:20:00", "a", 2.0),
