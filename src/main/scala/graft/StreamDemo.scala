@@ -150,6 +150,31 @@ object StreamDemo {
     check("near-dup stream flags re-sent docs via checkpointed state",
       flagged == 50, s"flagged=$flagged/50, first-pass dups=$firstPass")
 
+    // --- streaming funnel: drive the whole events table through the live
+    // state machine in one AvailableNow run and reconcile the final stage
+    // distribution against the batch operator (chronological within-batch
+    // apply ⇒ identical result when everything arrives in one batch).
+    ev.select("user_id", "event_type", "ts")
+      .write.mode("overwrite").json(s"$work/funnel_drop")
+    val evSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    Streaming.funnelQuery(
+      spark.readStream.schema(evSchema).json(s"$work/funnel_drop"),
+      s"$work/funnel_out", s"$work/funnel_ck").awaitTermination()
+    val streamStages = spark.read.parquet(s"$work/funnel_out")
+      .groupBy("stage").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchStages = operators.EventsOps.eventsFunnel(spark, sfDir)
+      .groupBy("stage").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    check("streaming funnel matches the batch stage distribution",
+      streamStages == batchStages, s"stream=$streamStages batch=$batchStages")
+
     spark.stop()
     if (failed) sys.exit(1)
   }
