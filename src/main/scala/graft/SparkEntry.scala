@@ -33,6 +33,7 @@ object SparkEntry {
     // F. analytical core (sales_to_bq)
     "itens_fact" -> ((s, dir) => Facts.itensFact(tune(s), dir)),
     "pedidos_fact" -> ((s, dir) => Facts.pedidosFact(tune(s), dir)),
+    "copurchase_topk" -> ((s, dir) => Facts.copurchaseTopk(tune(s), dir)),
     // E/G/C/F11. quality + reconciliation (data_validation, backfill)
     "ids_distinct" -> ((s, dir) => Quality.idsDistinct(tune(s), dir)),
     "recon_sets" -> ((s, dir) => Quality.reconSets(tune(s), dir)),
@@ -121,6 +122,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "itens_fact" -> Facts.itensFactSql,
     "pedidos_fact" -> Facts.pedidosFactSql,
+    "copurchase_topk" -> Facts.copurchaseTopkSql,
     "ids_distinct" -> Quality.idsDistinctSql,
     "recon_sets" -> Quality.reconSetsSql,
     "set_equality" -> Quality.setEqualitySql,

@@ -235,4 +235,42 @@ object Facts {
       |  floor((o_totalprice - custo_total) * 10000 + 0.5) / 10000 AS valor_lucro
       |FROM hdr JOIN ag ON o_orderkey = l_orderkey
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Co-purchase mining — the top product pairs bought together in one
+    * order (market-basket association, the sales-domain analytics none of
+    * the grain-preserving facts cover): distinct products per order,
+    * self-equi-joined on the order key under `part_a < part_b`, counted,
+    * top-k by support.
+    *
+    * Scale shape: the self-join co-partitions both sides on the order key
+    * (one exchange, reused — an order's pairs materialize in one task, no
+    * cross-order traffic), and the pair count is a map-side-combined hash
+    * agg. The intermediate is Σ m·(m−1)/2 over per-order basket sizes m —
+    * bounded by the basket, not the catalog (TPC-H m ≤ 7; a retail basket
+    * ~30 ⇒ ~450 pairs/order), which is why order-local pair generation
+    * scales where catalog-wide pair enumeration (|parts|²) never could.
+    * The final top-k is a total order (support desc, then both keys) over
+    * the pair-count table — k rows survive to the driver. */
+  def copurchaseTopk(spark: SparkSession, sfDir: String, k: Int = 25): DataFrame = {
+    val it = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey"))
+      .distinct()
+    val pairs = it.select(col("okey"), col("l_partkey").as("part_a"))
+      .join(it.select(col("okey"), col("l_partkey").as("part_b")), "okey")
+      .filter(col("part_a") < col("part_b"))
+    pairs.groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
+  val copurchaseTopkSql: String =
+    """WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      |  FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+      |   AND a.l_partkey < b.l_partkey)
+      |SELECT part_a, part_b, count(*) AS n_orders
+      |FROM p GROUP BY part_a, part_b
+      |ORDER BY n_orders DESC, part_a, part_b LIMIT 25""".stripMargin
 }

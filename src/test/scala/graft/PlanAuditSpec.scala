@@ -203,6 +203,18 @@ class PlanAuditSpec extends SparkSuite {
       p.take(1200))
   }
 
+  test("copurchase: order-local pair join, top-k never sorts the full pair table") {
+    val p = plan(Facts.copurchaseTopk(spark, sfDir))
+    // distinct + self-join co-partition on the order key (exchange reused),
+    // pair count re-shuffles on the pair — nothing else may shuffle
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 3, p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // orderBy+limit must plan as TakeOrderedAndProject (per-partition top-k
+    // + merge), not a global range-partitioned sort of every pair
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(p.split("Exchange rangepartitioning").length - 1 == 0)
+  }
+
   test("corpus pipeline: five stages, one scan, exactly two hash exchanges") {
     val p = plan(CorpusOps.corpusPipeline(spark, sfDir))
     assert(p.split("Exchange hashpartitioning").length - 1 == 2,
