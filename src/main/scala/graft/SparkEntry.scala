@@ -34,6 +34,8 @@ object SparkEntry {
     "itens_fact" -> ((s, dir) => Facts.itensFact(tune(s), dir)),
     "pedidos_fact" -> ((s, dir) => Facts.pedidosFact(tune(s), dir)),
     "copurchase_topk" -> ((s, dir) => Facts.copurchaseTopk(tune(s), dir)),
+    "retention_cohorts" -> ((s, dir) => Analytics.retentionCohorts(tune(s), dir)),
+    "rfm_segments" -> ((s, dir) => Analytics.rfmSegments(tune(s), dir)),
     // E/G/C/F11. quality + reconciliation (data_validation, backfill)
     "ids_distinct" -> ((s, dir) => Quality.idsDistinct(tune(s), dir)),
     "recon_sets" -> ((s, dir) => Quality.reconSets(tune(s), dir)),
@@ -123,6 +125,8 @@ object SparkEntry {
     "itens_fact" -> Facts.itensFactSql,
     "pedidos_fact" -> Facts.pedidosFactSql,
     "copurchase_topk" -> Facts.copurchaseTopkSql,
+    "retention_cohorts" -> Analytics.retentionCohortsSql,
+    "rfm_segments" -> Analytics.rfmSegmentsSql,
     "ids_distinct" -> Quality.idsDistinctSql,
     "recon_sets" -> Quality.reconSetsSql,
     "set_equality" -> Quality.setEqualitySql,

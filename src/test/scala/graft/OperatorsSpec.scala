@@ -233,6 +233,33 @@ class OperatorsSpec extends SparkSuite {
       .sameElements(rows))
   }
 
+  test("cohorts: week 0 covers every user exactly once, cells never exceed cohort size") {
+    val rows = Analytics.retentionCohorts(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(_._2 >= 0), "a user cannot be active before their cohort week")
+    val week0 = rows.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    assert(week0.keySet == rows.map(_._1).toSet, "every cohort has a week-0 cell")
+    // week-0 cells partition the user base
+    val nUsers = Tables.events(spark, sfDir).select("user_id").distinct.count()
+    assert(week0.values.sum == nUsers)
+    rows.foreach { case (c, _, n) => assert(n <= week0(c), "retention ≤ cohort size") }
+  }
+
+  test("rfm: quintiles are balanced, one row per customer, deterministic labels") {
+    val rows = Analytics.rfmSegments(spark, sfDir).collect()
+    val nCust = Tables.orders(spark, sfDir).select("o_custkey").distinct.count()
+    assert(rows.length == nCust)
+    Seq(4, 5, 6).foreach { i =>
+      val sizes = rows.groupBy(_.getLong(i)).view.mapValues(_.length)
+      assert(sizes.keySet == Set(1L, 2L, 3L, 4L, 5L))
+      assert(sizes.values.max - sizes.values.min <= 1, s"ntile buckets skewed: $sizes")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0)
+      assert(Set("champion", "at_risk", "new", "regular").contains(r.getString(7)))
+    }
+  }
+
   test("funnel: fold equals the relational min-chain, stage times ordered and windowed") {
     val wUs = 86400L * 1000000L
     val rows = EventsOps.eventsFunnel(spark, sfDir).collect()
