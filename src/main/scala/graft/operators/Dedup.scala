@@ -181,7 +181,7 @@ object Dedup {
           pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         var lab = edges.select(col("doc_a").as("doc_id")).distinct()
           .withColumn("label", col("doc_id")).localCheckpoint()
-        def labelSum() = lab.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+        def labelSum() = lab.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
         var prevSum = -1L
         var curSum = labelSum()
         while (curSum != prevSum) {

@@ -64,7 +64,7 @@ object Temporal {
     * sorts before probe at equal ts (tag 0 < 1) ⇒ `<=` inclusivity. */
   def asofJoin(probe: DataFrame, state: DataFrame, key: String, ts: String,
       carry: Seq[String]): DataFrame = {
-    val probeStruct = struct(probe.columns.map(col): _*)
+    val probeStruct = struct(probe.columns.toIndexedSeq.map(col): _*)
     val carryStruct = struct(carry.map(col): _*)
     val probeType = probe.select(probeStruct.as("_p")).schema("_p").dataType
     val carryType = state.select(carryStruct.as("_s")).schema("_s").dataType
@@ -79,7 +79,7 @@ object Temporal {
     p2.unionByName(s2)
       .withColumn("_m", last(col("_s"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
-      .select(probe.columns.map(c => col("_p." + c).as(c))
+      .select(probe.columns.toIndexedSeq.map(c => col("_p." + c).as(c))
         ++ carry.map(c => col("_m." + c).as(c)): _*)
   }
 
