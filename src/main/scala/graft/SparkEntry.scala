@@ -88,6 +88,7 @@ object SparkEntry {
     "ann_quantized" -> ((s, dir) => Similarity.annQuantized(tune(s), dir)),
     // Extension: multimodal column plumbing (decode stubbed)
     "multimodal_features" -> ((s, dir) => Multimodal.multimodalFeatures(tune(s), dir)),
+    "media_frames" -> ((s, dir) => Multimodal.mediaFrames(tune(s), dir)),
     // K/D12: custom Catalyst expression via SparkSessionExtensions
     "checksum_sorted" -> ((s, dir) => Checksums.checksumSorted(tune(s), dir)),
     // §1.1-2 typed-nested path: fixture-shaped JSON through RawTables + FactsFromRaw
@@ -171,6 +172,7 @@ object SparkEntry {
     "ann_ivf_trained" -> Similarity.annIvfTrainedSql,
     "ann_quantized" -> Similarity.annQuantizedSql,
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,
+    "media_frames" -> Multimodal.mediaFramesSql,
     "checksum_sorted" -> Checksums.checksumSortedSql,
     "typed_itens_fact" -> Typed.typedItensFactSql,
     "typed_pedidos_fact" -> Typed.typedPedidosFactSql,

@@ -88,6 +88,45 @@ object Analytics {
       .orderBy("custkey")
   }
 
+  /** The 100 TB form of [[rfmSegments]]'s scoring: quintile CUTS from one
+    * `approx_percentile` aggregate (t-digest — mergeable, constant memory,
+    * one map-side-combined pass) broadcast back to the customer table, each
+    * score a per-row comparison against 4 cut values. No global sort, no
+    * single-partition window — the exact/approx pair is the same
+    * trade ScaleSpec pins for count-distinct and quantiles, and the
+    * agreement bound is asserted in OperatorsSpec. */
+  def rfmSegmentsApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val base = o
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max("o_orderdate").as("last_order"),
+        count(lit(1)).as("frequency"),
+        Exprs.gsum(col("o_totalprice")).as("monetary"))
+      .join(broadcast(o.agg(max("o_orderdate").as("anchor"))))
+      .select(col("custkey"),
+        datediff(col("anchor"), col("last_order")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+    val qs = array(Seq(0.2, 0.4, 0.6, 0.8).map(lit): _*)
+    val cuts = base.agg(
+      percentile_approx(col("recency_days"), qs, lit(10000)).as("rc"),
+      percentile_approx(col("frequency"), qs, lit(10000)).as("fc"),
+      percentile_approx(col("monetary"), qs, lit(10000)).as("mc"))
+    // ascending metric (recency: smaller = better) → score 1 + #cuts below
+    // the value; descending metrics (frequency/monetary: bigger = better)
+    // → 1 + #cuts above the value
+    def asc(v: org.apache.spark.sql.Column, c: String) =
+      (lit(1) + size(filter(col(c), x => x < v))).cast("long")
+    def desc(v: org.apache.spark.sql.Column, c: String) =
+      (lit(1) + size(filter(col(c), x => x > v))).cast("long")
+    base.crossJoin(broadcast(cuts))
+      .select(col("custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        asc(col("recency_days"), "rc").as("r_score"),
+        desc(col("frequency"), "fc").as("f_score"),
+        desc(col("monetary"), "mc").as("m_score"))
+      .orderBy("custkey")
+  }
+
   val rfmSegmentsSql: String =
     """WITH base AS (
       |  SELECT o_custkey AS custkey,

@@ -7,6 +7,11 @@ import org.apache.spark.sql.functions._
 /** A media item: opaque binary payload + typed metadata. */
 case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String)
 
+/** One sampled unit out of a payload: a strided thumbnail ('thumb') or a
+  * fixed-size frame ('frame'). */
+case class MediaSample(doc_id: Long, kind: String, idx: Long, off: Long,
+  len: Long, byte_sum: Long)
+
 /** Deterministic stand-in for decoded media features. */
 case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
   width: Long, height: Long, sum_bytes: Long)
@@ -46,6 +51,85 @@ object Multimodal {
         MediaFeatures(r.doc_id, r.mime, n, n % 640, (n * 7) % 480, sum)
       }
     }.toDF().orderBy("doc_id")
+  }
+
+  /** Resize + frame-sample plumbing — the remaining two media verbs (the
+    * codec itself stays stubbed like [[multimodalFeatures]]; the sampling
+    * GEOMETRY is the real operator):
+    *  - 'thumb' = a strided downsample to ≤64 bytes (resize: pick every
+    *    ceil(n/64)-th byte), emitted as its sample count + byte sum;
+    *  - 'frame' = the payload as fixed 256-byte frames, sampling first /
+    *    middle / last (video frame-sampling's shape), each emitted with its
+    *    offset, true length, and byte sum.
+    * Same typed `mapPartitions` batch shape — payload bytes never shuffle;
+    * only (doc, kind, idx, off, len, sum) rows leave the scan partition.
+    * Every quantity is integer arithmetic over bytes, so the DuckDB oracle
+    * replays it exactly on the ASCII fixture (see parity note below). */
+  def mediaFrames(spark: SparkSession, sfDir: String,
+      thumbBytes: Int = 64, frameSize: Int = 256): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("text").cast("binary").as("payload"),
+      lit("video/mp4").as("mime")).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = r.payload.length
+        def sumRange(off: Int, len: Int): Long = {
+          var s = 0L; var i = off
+          while (i < off + len) { s += r.payload(i) & 0xff; i += 1 }
+          s
+        }
+        val stride = math.max(1, (n + thumbBytes - 1) / thumbBytes)
+        val nSamp = (n + stride - 1) / stride
+        var ts = 0L
+        var i = 0
+        while (i < n) { ts += r.payload(i) & 0xff; i += stride }
+        val thumb = MediaSample(r.doc_id, "thumb", 0L, 0L, nSamp.toLong, ts)
+        val nFrames = (n + frameSize - 1) / frameSize
+        val frames = Seq(0, nFrames / 2, nFrames - 1).distinct.map { f =>
+          val off = f * frameSize
+          val len = math.min(frameSize, n - off)
+          MediaSample(r.doc_id, "frame", f.toLong, off.toLong, len.toLong,
+            sumRange(off, len))
+        }
+        thumb +: frames
+      }
+    }.toDF().orderBy("doc_id", "kind", "idx")
+  }
+
+  /** Shares [[multimodalFeaturesSql]]'s ASCII parity contract (byte ==
+    * codepoint on this fixture). */
+  val mediaFramesSql: String = {
+    val chunkSum = (off: String, len: String) =>
+      s"CAST(list_sum(list_transform(regexp_extract_all(substr(text, $off, $len), '.', 0, 's'), c -> ascii(c))) AS BIGINT)"
+    s"""WITH d AS (
+      |  SELECT doc_id, text, strlen(text) AS n,
+      |    greatest(1, CAST(ceil(strlen(text) / 64.0) AS BIGINT)) AS stride,
+      |    CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_frames
+      |  FROM documents),
+      |thumb AS (
+      |  SELECT doc_id, 'thumb' AS kind, CAST(0 AS BIGINT) AS idx,
+      |    CAST(0 AS BIGINT) AS off,
+      |    CAST(ceil(CAST(n AS DOUBLE) / stride) AS BIGINT) AS len,
+      |    CAST(list_sum(list_transform(
+      |      range(0, CAST(ceil(CAST(n AS DOUBLE) / stride) AS BIGINT)),
+      |      i -> ascii(substr(text, CAST(1 + i * stride AS INT), 1)))) AS BIGINT)
+      |      AS byte_sum
+      |  FROM d),
+      |fidx AS (
+      |  SELECT doc_id, text, n, unnest(list_distinct(
+      |    [0, n_frames // 2, n_frames - 1])) AS f
+      |  FROM d),
+      |frames AS (
+      |  SELECT doc_id, 'frame' AS kind, CAST(f AS BIGINT) AS idx,
+      |    CAST(f * 256 AS BIGINT) AS off,
+      |    CAST(least(256, n - f * 256) AS BIGINT) AS len,
+      |    ${chunkSum("CAST(f * 256 + 1 AS INT)", "CAST(least(256, n - f * 256) AS INT)")} AS byte_sum
+      |  FROM fidx)
+      |SELECT * FROM thumb
+      |UNION ALL
+      |SELECT * FROM frames
+      |ORDER BY doc_id, kind, idx""".stripMargin
   }
 
   /** Oracle parity note: Spark computes over UTF-8 BYTES (binary length,

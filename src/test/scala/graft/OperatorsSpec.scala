@@ -100,6 +100,30 @@ class OperatorsSpec extends SparkSuite {
       .forall { case (_, rows) => rows.map(_.getAs[Long]("cell")).distinct.size == 1 })
   }
 
+  test("media frames: sampling geometry covers the payload without overrun") {
+    val n = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Multimodal.mediaFrames(spark, sfDir).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == n.keySet)
+    byDoc.foreach { case (d, rs) =>
+      val (thumbs, frames) = rs.partition(_.getString(1) == "thumb")
+      assert(thumbs.length == 1 && thumbs.head.getLong(4) <= 64,
+        "one thumbnail of at most 64 sampled bytes")
+      assert(frames.nonEmpty && frames.length <= 3)
+      frames.foreach { f =>
+        val (off, len) = (f.getLong(3), f.getLong(4))
+        assert(len > 0 && off + len <= n(d), s"frame overruns payload: $f")
+        assert(len <= 256)
+      }
+      // first and last frames are always sampled
+      assert(frames.exists(_.getLong(3) == 0))
+      val lastOff = ((n(d) + 255) / 256 - 1) * 256
+      assert(frames.exists(_.getLong(3) == lastOff))
+    }
+  }
+
   test("multimodal: features are a deterministic function of payload bytes") {
     val res = Multimodal.multimodalFeatures(spark, sfDir)
     val bad = res.join(Tables.documents(spark, sfDir), "doc_id")
@@ -258,6 +282,26 @@ class OperatorsSpec extends SparkSuite {
       assert(r.getLong(1) >= 0)
       assert(Set("champion", "at_risk", "new", "regular").contains(r.getString(7)))
     }
+  }
+
+  test("rfm: the approx-cut scoring agrees with exact quintiles off tie boundaries") {
+    val exact = Analytics.rfmSegments(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val approx = Analytics.rfmSegmentsApprox(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(approx.keySet == exact.keySet)
+    // exact ntile splits ties BY POSITION across buckets; the cut form puts
+    // equal values in one bucket — so scores may differ near boundaries
+    // (heavily tied frequency counts), but never by more than one bucket,
+    // and most customers agree outright
+    var same = 0
+    approx.foreach { case (k, (r2, f2, m2)) =>
+      val (r1, f1, m1) = exact(k)
+      assert(math.abs(r1 - r2) <= 1 && math.abs(f1 - f2) <= 1 && math.abs(m1 - m2) <= 1,
+        s"customer $k scores drifted beyond a boundary: exact=${exact(k)} approx=${(r2, f2, m2)}")
+      if ((r1, f1, m1) == ((r2, f2, m2))) same += 1
+    }
+    assert(same >= exact.size * 6 / 10, s"only $same/${exact.size} customers agree")
   }
 
   test("funnel: fold equals the relational min-chain, stage times ordered and windowed") {
