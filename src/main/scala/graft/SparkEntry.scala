@@ -35,6 +35,7 @@ object SparkEntry {
     "pedidos_fact" -> ((s, dir) => Facts.pedidosFact(tune(s), dir)),
     "copurchase_topk" -> ((s, dir) => Facts.copurchaseTopk(tune(s), dir)),
     "retention_cohorts" -> ((s, dir) => Analytics.retentionCohorts(tune(s), dir)),
+    "pagerank_parts" -> ((s, dir) => Graph.pagerankParts(tune(s), dir)),
     "rfm_segments" -> ((s, dir) => Analytics.rfmSegments(tune(s), dir)),
     // E/G/C/F11. quality + reconciliation (data_validation, backfill)
     "ids_distinct" -> ((s, dir) => Quality.idsDistinct(tune(s), dir)),
@@ -127,6 +128,7 @@ object SparkEntry {
     "pedidos_fact" -> Facts.pedidosFactSql,
     "copurchase_topk" -> Facts.copurchaseTopkSql,
     "retention_cohorts" -> Analytics.retentionCohortsSql,
+    "pagerank_parts" -> Graph.pagerankPartsSql,
     "rfm_segments" -> Analytics.rfmSegmentsSql,
     "ids_distinct" -> Quality.idsDistinctSql,
     "recon_sets" -> Quality.reconSetsSql,

@@ -257,6 +257,23 @@ class OperatorsSpec extends SparkSuite {
       .sameElements(rows))
   }
 
+  test("pagerank: probability mass conserved, positive ranks, degree correlates") {
+    val rows = Graph.pagerankParts(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, d, r) => assert(r > 0 && d > 0) }
+    // undirected graph, no dangling mass: Σ rank stays 1 up to grid error
+    val total = rows.map(_._3).sum / 1e6
+    assert(math.abs(total - 1.0) < 1e-3, s"rank mass drifted to $total")
+    // rank must track degree on average: the top-degree decile outranks
+    // the bottom decile in the mean
+    val sorted = rows.sortBy(-_._2)
+    val k = math.max(1, rows.length / 10)
+    val topMean = sorted.take(k).map(_._3).sum / k
+    val botMean = sorted.takeRight(k).map(_._3).sum / k
+    assert(topMean > botMean, s"top-degree mean $topMean ≤ bottom $botMean")
+  }
+
   test("cohorts: week 0 covers every user exactly once, cells never exceed cohort size") {
     val rows = Analytics.retentionCohorts(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
