@@ -36,7 +36,11 @@ object SparkEntry {
     "copurchase_topk" -> ((s, dir) => Facts.copurchaseTopk(tune(s), dir)),
     "retention_cohorts" -> ((s, dir) => Analytics.retentionCohorts(tune(s), dir)),
     "pagerank_parts" -> ((s, dir) => Graph.pagerankParts(tune(s), dir)),
+    "triangle_parts" -> ((s, dir) => Graph.triangleParts(tune(s), dir)),
     "rfm_segments" -> ((s, dir) => Analytics.rfmSegments(tune(s), dir)),
+    "abc_parts" -> ((s, dir) => Analytics.abcParts(tune(s), dir)),
+    "revenue_anomaly" -> ((s, dir) => Analytics.revenueAnomaly(tune(s), dir)),
+    "basket_rules" -> ((s, dir) => Analytics.basketRules(tune(s), dir)),
     // E/G/C/F11. quality + reconciliation (data_validation, backfill)
     "ids_distinct" -> ((s, dir) => Quality.idsDistinct(tune(s), dir)),
     "recon_sets" -> ((s, dir) => Quality.reconSets(tune(s), dir)),
@@ -129,7 +133,11 @@ object SparkEntry {
     "copurchase_topk" -> Facts.copurchaseTopkSql,
     "retention_cohorts" -> Analytics.retentionCohortsSql,
     "pagerank_parts" -> Graph.pagerankPartsSql,
+    "triangle_parts" -> Graph.trianglePartsSql,
     "rfm_segments" -> Analytics.rfmSegmentsSql,
+    "abc_parts" -> Analytics.abcPartsSql,
+    "revenue_anomaly" -> Analytics.revenueAnomalySql,
+    "basket_rules" -> Analytics.basketRulesSql,
     "ids_distinct" -> Quality.idsDistinctSql,
     "recon_sets" -> Quality.reconSetsSql,
     "set_equality" -> Quality.setEqualitySql,

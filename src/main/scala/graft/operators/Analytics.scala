@@ -127,6 +127,186 @@ object Analytics {
       .orderBy("custkey")
   }
 
+  /** ABC (Pareto) classification of parts by revenue: rank parts by
+    * lifetime extended-price revenue, take the running share of the total,
+    * and bucket A (first 80%), B (to 95%), C (tail) — the stock-control
+    * view every sales warehouse derives from its item fact.
+    *
+    * Determinism: revenue lives on the 1e-4 grid as a LONG, the running
+    * total is LONG window arithmetic (exact, order-fixed by the total
+    * (revenue desc, part) sort), and the single double division happens
+    * once at the end — both engines see identical operands. Scale: the
+    * window is part-grain (orders of magnitude smaller than the item
+    * fact); at 100 TB the global sort becomes range-partitioned sort +
+    * per-range offsets (the standard distributed cumulative-sum shape),
+    * which AQE sizes automatically. */
+  def abcParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("part"))
+      .agg(sum(floor(col("l_extendedprice") * lit(1e4) + lit(0.5d))
+        .cast("long")).as("rev_grid"))
+    val tot = rev.agg(sum("rev_grid").as("tot"))
+    val cum = rev.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("rev_grid").over(
+        Window.orderBy(col("rev_grid").desc, col("part"))))
+      .withColumn("cum_share", Exprs.r4(col("cum").cast("double") / col("tot")))
+    cum.select(col("part"),
+      (col("rev_grid").cast("double") / lit(1e4)).as("revenue"),
+      col("cum_share"),
+      when(col("cum_share") <= 0.80d, "A")
+        .when(col("cum_share") <= 0.95d, "B")
+        .otherwise("C").as("abc_class"))
+      .orderBy("part")
+  }
+
+  val abcPartsSql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey AS part,
+      |    SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS rev_grid
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT SUM(rev_grid) AS tot FROM rev),
+      |c AS (
+      |  SELECT part, rev_grid,
+      |    floor(CAST(SUM(rev_grid) OVER (ORDER BY rev_grid DESC, part
+      |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot.tot * 10000 + 0.5) / 10000
+      |      AS cum_share
+      |  FROM rev, tot)
+      |SELECT part, CAST(rev_grid AS DOUBLE) / 10000 AS revenue, cum_share,
+      |  CASE WHEN cum_share <= 0.80 THEN 'A'
+      |       WHEN cum_share <= 0.95 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM c ORDER BY part""".stripMargin
+
+  /** Trailing-window z-score anomaly detection on the daily revenue
+    * series: each day scored against the mean/std of the `win` days
+    * before it (the day itself excluded, so a spike can't mask itself).
+    *
+    * Determinism: daily revenue is floored onto whole currency units as a
+    * LONG; rolling Σx and Σx² are LONG window sums (exact, and Σx² stays
+    * well under 2⁶³ at warehouse scale — ~9e6-unit days square to 8e13);
+    * the mean/variance/z arithmetic then runs the textually identical
+    * double formula in both engines. At petabyte scale the unit grid for
+    * Σx² coarsens (or variance moves to Welford-in-double — anomaly
+    * thresholds tolerate approximate variance; the oracle grid does not,
+    * which is why the exact-LONG form is the checked one). Scale: the
+    * series is day-grain — thousands of rows from any corpus size; all
+    * the heavy lifting is the one map-side-combined daily aggregate. */
+  def revenueAnomaly(spark: SparkSession, sfDir: String, win: Int = 7): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(floor(col("o_totalprice") + lit(0.5d)).cast("long")).as("units"),
+        Exprs.gsum(col("o_totalprice")).as("revenue"))
+    val w = Window.orderBy("day").rowsBetween(-win, -1)
+    val stats = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum("units").over(w))
+      .withColumn("s2", sum(col("units") * col("units")).over(w))
+      .filter(col("n") === win)
+    val mean = col("s").cast("double") / col("n")
+    val variance =
+      (col("s2").cast("double") - col("s").cast("double") * col("s") / col("n")) / col("n")
+    stats.select(col("day"), col("revenue"),
+      Exprs.r4(mean).as("trail_mean"),
+      when(variance > 0d,
+        Exprs.r4((col("units").cast("double") - mean) / sqrt(variance)))
+        .as("z"),
+      when(variance > 0d,
+        when(abs((col("units").cast("double") - mean) / sqrt(variance)) > 2d,
+          lit(1L)).otherwise(lit(0L)))
+        .as("is_anomaly"))
+      .orderBy("day")
+  }
+
+  val revenueAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day,
+      |    SUM(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS units,
+      |    CAST(SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / 10000 AS revenue
+      |  FROM orders GROUP BY 1),
+      |st AS (
+      |  SELECT day, units, revenue,
+      |    count(*) OVER w AS n, SUM(units) OVER w AS s,
+      |    SUM(units * units) OVER w AS s2
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT day, revenue,
+      |    CAST(s AS DOUBLE) / n AS mean,
+      |    (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n AS variance,
+      |    CAST(units AS DOUBLE) AS x
+      |  FROM st WHERE n = 7)
+      |SELECT day, revenue,
+      |  floor(mean * 10000 + 0.5) / 10000 AS trail_mean,
+      |  CASE WHEN variance > 0
+      |    THEN floor((x - mean) / sqrt(variance) * 10000 + 0.5) / 10000 END AS z,
+      |  CASE WHEN variance > 0 THEN
+      |    CASE WHEN abs((x - mean) / sqrt(variance)) > 2 THEN 1 ELSE 0 END
+      |  END AS is_anomaly
+      |FROM z ORDER BY day""".stripMargin
+
+  /** Market-basket association rules from co-purchase pair counts:
+    * support, confidence and lift for every ordered rule A→B whose pair
+    * count clears `minPairs`, top-k by lift. The directed form of
+    * [[Facts.copurchaseTopk]] — counts come from the same
+    * distinct-(order, part) self-join, item counts and the basket total
+    * are broadcast back, so the only large shuffle is the pair count
+    * itself (bounded by the same Σ basket² analysis as the pair miner).
+    *
+    * Determinism: all counts are LONGs; each ratio is one double division
+    * (identical operands both sides) rounded onto the 1e-4 grid; the
+    * top-k order is total (lift grid desc, then rule key). */
+  def basketRules(spark: SparkSession, sfDir: String,
+                  minPairs: Long = 5, k: Int = 50): DataFrame = {
+    val it = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey")).distinct()
+    val nOrders = it.agg(countDistinct("okey").as("n_orders"))
+    val itemN = it.groupBy(col("l_partkey").as("part"))
+      .agg(count(lit(1)).as("n_item"))
+    val pairs = it.select(col("okey"), col("l_partkey").as("a"))
+      .join(it.select(col("okey"), col("l_partkey").as("b")), "okey")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairs)
+    val rules = pairs.select(col("a").as("antecedent"), col("b").as("consequent"), col("n_pair"))
+      .unionAll(pairs.select(col("b").as("antecedent"), col("a").as("consequent"), col("n_pair")))
+    rules
+      .join(broadcast(itemN.select(col("part").as("antecedent"), col("n_item").as("n_ant"))), "antecedent")
+      .join(broadcast(itemN.select(col("part").as("consequent"), col("n_item").as("n_con"))), "consequent")
+      .crossJoin(broadcast(nOrders))
+      .select(col("antecedent"), col("consequent"), col("n_pair"),
+        Exprs.r4(col("n_pair").cast("double") / col("n_orders")).as("support"),
+        Exprs.r4(col("n_pair").cast("double") / col("n_ant")).as("confidence"),
+        Exprs.r4(col("n_pair").cast("double") * col("n_orders")
+          / (col("n_ant").cast("double") * col("n_con"))).as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(k)
+  }
+
+  val basketRulesSql: String =
+    """WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM it),
+      |itn AS (SELECT l_partkey AS part, count(*) AS n_item FROM it GROUP BY 1),
+      |p AS (
+      |  SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS n_pair
+      |  FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+      |   AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 5),
+      |r AS (SELECT a AS antecedent, b AS consequent, n_pair FROM p
+      |      UNION ALL SELECT b, a, n_pair FROM p)
+      |SELECT r.antecedent, r.consequent, r.n_pair,
+      |  floor(CAST(r.n_pair AS DOUBLE) / no.n_orders * 10000 + 0.5) / 10000
+      |    AS support,
+      |  floor(CAST(r.n_pair AS DOUBLE) / ia.n_item * 10000 + 0.5) / 10000
+      |    AS confidence,
+      |  floor(CAST(r.n_pair AS DOUBLE) * no.n_orders
+      |    / (CAST(ia.n_item AS DOUBLE) * ic.n_item) * 10000 + 0.5) / 10000
+      |    AS lift
+      |FROM r
+      |JOIN itn ia ON ia.part = r.antecedent
+      |JOIN itn ic ON ic.part = r.consequent, no
+      |ORDER BY lift DESC, antecedent, consequent LIMIT 50""".stripMargin
+
   val rfmSegmentsSql: String =
     """WITH base AS (
       |  SELECT o_custkey AS custkey,

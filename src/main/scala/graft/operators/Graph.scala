@@ -72,6 +72,78 @@ object Graph {
       .orderBy("part")
   }
 
+  /** Per-part triangle participation over the co-purchase graph — how many
+    * closed part-triples each part sits in (the clustering signal behind
+    * "customers who bought these two also bought…").
+    *
+    * Scale shape (Suri–Vassilvitskii MapReduce triangle counting): orient
+    * every undirected edge from its lower-(degree, id) endpoint to the
+    * higher one, enumerate wedges by self-joining the oriented edges on
+    * their source, and close each wedge with one more equi-join back to the
+    * oriented edge set. Under degree orientation the out-degree of every
+    * node is O(√m), so the wedge count — the only intermediate — is
+    * O(m^1.5) instead of Σ deg² (which a hub node makes quadratic). All
+    * three steps are hash equi-joins; nothing is ever collected.
+    *
+    * `minSupport` prunes edges to pairs co-purchased at least that many
+    * times BEFORE the wedge phase. The default (1) is the exact count on
+    * the full graph — the checked contract. At corpus scale the threshold
+    * is not optional: singleton co-occurrences are noise edges that
+    * dominate m (and hence m^1.5) while contributing no stable structure,
+    * so a 100 TB run raises `minSupport` with corpus size exactly like
+    * the LSH band schedule — same counts on the edges that matter, wedge
+    * volume collapses by orders of magnitude.
+    *
+    * The oracle enumerates triangles in id order (a<b<c) — a different
+    * orientation of the SAME triangle set, so the per-node counts agree
+    * exactly. */
+  def triangleParts(spark: SparkSession, sfDir: String, minSupport: Long = 1): DataFrame = {
+    val it = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey")).distinct()
+    val pairs = it.select(col("okey"), col("l_partkey").as("a"))
+      .join(it.select(col("okey"), col("l_partkey").as("b")), "okey")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_cooc"))
+      .filter(col("n_cooc") >= minSupport)
+      .select(col("a"), col("b"))
+    val deg = pairs.select(col("a").as("node"))
+      .unionAll(pairs.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = pairs
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    // orient low→high in (deg, id) order; carry the destination's rank so
+    // wedge canonicalization needs no further join
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("src"), col("b").as("dst"), col("db").as("ddeg")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("ddeg")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ddeg").as("ddeg"))
+    val wedges = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+      .join(oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("dw")), "src")
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+    val tri = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    tri.select(col("src").as("part"))
+      .unionAll(tri.select(col("v").as("part")))
+      .unionAll(tri.select(col("w").as("part")))
+      .groupBy("part").agg(count(lit(1)).as("n_tri"))
+      .orderBy("part")
+  }
+
+  val trianglePartsSql: String =
+    """WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |      FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+      |       AND a.l_partkey < b.l_partkey),
+      |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |n AS (SELECT x AS part FROM t UNION ALL SELECT y FROM t
+      |      UNION ALL SELECT z FROM t)
+      |SELECT part, count(*) AS n_tri FROM n GROUP BY 1 ORDER BY part""".stripMargin
+
   val pagerankPartsSql: String =
     """WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |pr AS (

@@ -321,6 +321,92 @@ class OperatorsSpec extends SparkSuite {
     assert(same >= exact.size * 6 / 10, s"only $same/${exact.size} customers agree")
   }
 
+  test("triangles: degree-oriented count equals id-oriented brute force, mass % 3 == 0") {
+    val rows = Graph.triangleParts(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty && rows.values.forall(_ > 0))
+    // each triangle contributes exactly 3 node participations
+    assert(rows.values.sum % 3 == 0)
+    // brute force with the ORACLE's orientation (a<b<c) — a different
+    // enumeration of the same triangle set must yield identical counts
+    val it = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey")).distinct()
+    val e = it.select(col("okey"), col("l_partkey").as("a"))
+      .join(it.select(col("okey"), col("l_partkey").as("b")), "okey")
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    val t = e.select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), "y")
+      .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+    val brute = t.select(col("x").as("p")).unionAll(t.select(col("y").as("p")))
+      .unionAll(t.select(col("z").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == brute, "orientation changed the triangle counts")
+    // support-thresholding keeps an edge SUBSET → per-node counts can
+    // only shrink, never grow or appear for new nodes
+    val pruned = Graph.triangleParts(spark, sfDir, minSupport = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pruned.foreach { case (p, n) =>
+      assert(rows.contains(p) && n <= rows(p), s"pruned graph grew triangles at $p")
+    }
+  }
+
+  test("abc: classes partition parts, cumulative share monotone to 1.0") {
+    val rows = Analytics.abcParts(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getString(3)))
+    val nParts = Tables.lineitem(spark, sfDir).select("l_partkey").distinct.count()
+    assert(rows.length == nParts)
+    rows.foreach { case (_, rev, share, cls) =>
+      assert(rev > 0 && share > 0 && share <= 1.0001)
+      assert((cls == "A") == (share <= 0.80d)
+        && (cls == "B") == (share > 0.80d && share <= 0.95d)
+        && (cls == "C") == (share > 0.95d))
+    }
+    // share is monotone along the (revenue desc, part) rank order
+    val ranked = rows.sortBy(r => (-r._2, r._1)).map(_._3)
+    assert(ranked.zip(ranked.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(ranked.last - 1.0) < 1e-3)
+  }
+
+  test("anomaly: full trailing window only, flag iff |z| > 2, few anomalies") {
+    val rows = Analytics.revenueAnomaly(spark, sfDir).collect()
+    val nDays = Tables.orders(spark, sfDir).select("o_orderdate").distinct.count()
+    assert(rows.length == nDays - 7, "first 7 days lack a full trailing window")
+    var flagged = 0
+    rows.foreach { r =>
+      assert(r.isNullAt(3) == r.isNullAt(4), "z and flag must be null together")
+      if (!r.isNullAt(3)) {
+        val hit = r.getLong(4) == 1L
+        assert(hit == (math.abs(r.getDouble(3)) > 2d))
+        if (hit) flagged += 1
+      }
+    }
+    // z is standardized: >2σ days must be rare on an undoctored series
+    assert(flagged < rows.length / 4, s"$flagged/${rows.length} days flagged")
+  }
+
+  test("basket rules: confidence ≥ support, lift symmetric across rule direction") {
+    val rows = Analytics.basketRules(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { case (_, _, n, sup, conf, lift) =>
+      assert(n >= 5)
+      assert(sup > 0 && conf >= sup - 1e-9, "antecedent count ≤ basket total")
+      assert(lift > 0)
+    }
+    // lift is direction-independent: where both orientations made the
+    // top-k, they carry the same pair count and the same lift grid value
+    val byPair = rows.groupBy(r => (math.min(r._1, r._2), math.max(r._1, r._2)))
+    byPair.values.filter(_.length == 2).foreach { pair =>
+      val (r1, r2) = (pair(0), pair(1))
+      assert(r1._3 == r2._3 && math.abs(r1._6 - r2._6) <= 2e-4)
+    }
+    // ordered by lift desc
+    val lifts = rows.map(_._6)
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("funnel: fold equals the relational min-chain, stage times ordered and windowed") {
     val wUs = 86400L * 1000000L
     val rows = EventsOps.eventsFunnel(spark, sfDir).collect()
