@@ -85,6 +85,7 @@ object SparkEntry {
     "contamination_check" -> ((s, dir) => Dedup.contaminationCheck(tune(s), dir)),
     "corpus_sample" -> ((s, dir) => Sampling.corpusSample(tune(s), dir)),
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopk(tune(s), dir)),
+    "tfidf_topk" -> ((s, dir) => TextOps.tfidfTopk(tune(s), dir)),
     // Extension: similarity search
     "ann_topk" -> ((s, dir) => Similarity.annTopk(tune(s), dir)),
     "ann_topk_agg" -> ((s, dir) => Similarity.annTopkAgg(tune(s), dir)),
@@ -104,6 +105,8 @@ object SparkEntry {
     "message_roundtrip" -> ((s, dir) => Messages.messageRoundtrip(tune(s), dir)),
     // A2/D10: real staged blob zone scanned with input_file_name provenance
     "zone_scan" -> ((s, dir) => Ingest.zoneScan(tune(s), dir)),
+    // A4/E1/D6: paginated CSV export read with explicit schema + provenance
+    "csv_zone_scan" -> ((s, dir) => Ingest.csvZoneScan(tune(s), dir)),
     // Scale pattern: salted two-stage aggregation for hot keys
     "events_salted_agg" -> ((s, dir) => Skew.eventsSaltedAgg(tune(s), dir)),
     // Temporal joins/state: as-of, bounded range join, SCD2 history
@@ -176,6 +179,7 @@ object SparkEntry {
     "contamination_check" -> Dedup.contaminationCheckSql,
     "corpus_sample" -> Sampling.corpusSampleSql,
     "vocab_topk" -> TextOps.vocabTopkSql,
+    "tfidf_topk" -> TextOps.tfidfTopkSql,
     "ann_topk" -> Similarity.annTopkSql,
     "ann_topk_agg" -> Similarity.annTopkSql, // same contract as ann_topk
     "ann_ivf" -> Similarity.annIvfSql,
@@ -189,6 +193,7 @@ object SparkEntry {
     "typed_pesquisa" -> Typed.typedPesquisaSql,
     "message_roundtrip" -> Messages.messageRoundtripSql,
     "zone_scan" -> Ingest.zoneScanSql,
+    "csv_zone_scan" -> Ingest.csvZoneScanSql,
     "events_salted_agg" -> Skew.eventsSaltedAggSql,
     "events_asof" -> Temporal.eventsAsofSql,
     "events_range_join" -> Temporal.eventsRangeJoinSql,

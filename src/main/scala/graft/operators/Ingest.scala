@@ -116,4 +116,78 @@ object Ingest {
       |  columns={'versao': 'VARCHAR', 'cnpj': 'VARCHAR', 'tipo': 'VARCHAR',
       |    'dados': 'STRUCT(id BIGINT, uuid VARCHAR, valor DOUBLE, event_ts VARCHAR)'})
       |ORDER BY dados_id""".stripMargin
+
+  /** Fixed staging path shared with [[csvZoneScanSql]]. */
+  val csvZoneDir = "/tmp/graft_csvzone"
+
+  private val CsvPages = 5
+  private val CsvRowsPerPage = 100
+  private val CsvZoneManifest = s"graft-csvzone-v1:$CsvPages×$CsvRowsPerPage"
+
+  /** A4/E1/D6 over a REAL paginated CSV export — the contatos dimension's
+    * page-per-file snapshot (`contatos_to_bq/main.py:134-145` walks
+    * `pagina=1..n`; here each page is one CSV blob), read with an explicit
+    * schema (no inference — schema drift must fail loudly, not re-type a
+    * column), page provenance from `input_file_name()`, and the BR date
+    * normalization with its parse-failure pass-through applied to a csv
+    * column. Content is a pure function of the row index and staging is
+    * idempotent+versioned, exactly like the JSON zone, so both engines
+    * always read identical bytes. */
+  def csvZoneScan(spark: SparkSession, sfDir: String): DataFrame = {
+    stageCsvZone()
+    val schema = "id LONG, nome STRING, cidade STRING, data_nascimento STRING, valor DOUBLE"
+    spark.read.schema(schema).option("header", "true").csv(csvZoneDir)
+      .withColumn("page",
+        regexp_extract(input_file_name(), "contatos-page-(\\d+)\\.csv", 1).cast("long"))
+      .select(col("id"), col("nome"), col("cidade"), col("page"),
+        Exprs.brDate(col("data_nascimento")).as("data_norm"),
+        col("valor"))
+      .orderBy("id")
+  }
+
+  private def stageCsvZone(): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(csvZoneDir)
+    val manifest = root.resolve("_MANIFEST")
+    if (Files.isDirectory(root)) {
+      val stream = Files.list(root)
+      val complete = try {
+        Files.isRegularFile(manifest) &&
+          Files.readString(manifest) == CsvZoneManifest &&
+          stream.filter(_.toString.endsWith(".csv")).count() == CsvPages
+      } finally stream.close()
+      if (complete) return
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally walk.close()
+    }
+    Files.createDirectories(root)
+    val cidades = Array("Goiania", "Anapolis", "Brasilia", "Rio Verde")
+    (1 to CsvPages).foreach { page =>
+      val rows = (1 to CsvRowsPerPage).map { j =>
+        val i = (page - 1) * CsvRowsPerPage + j
+        // every 10th row carries an unparseable date → D6 pass-through
+        val data = if (i % 10 == 0) "n/d"
+        else f"${1 + i % 28}%02d/${1 + i % 12}%02d/${1970 + i % 30}%04d"
+        val valor = (i * 37 % 5000) / 100.0 + 1.0
+        s"${i * 3},Contato $i,${cidades(i % 4)},$data,$valor"
+      }
+      Files.writeString(root.resolve(s"contatos-page-$page.csv"),
+        "id,nome,cidade,data_nascimento,valor\n" + rows.mkString("\n") + "\n")
+    }
+    Files.writeString(manifest, CsvZoneManifest) // written LAST: marks complete
+  }
+
+  val csvZoneScanSql: String =
+    s"""SELECT id, nome, cidade,
+      |  CAST(regexp_extract(filename, 'contatos-page-(\\d+)\\.csv', 1) AS BIGINT)
+      |    AS page,
+      |  COALESCE(strftime(try_strptime(data_nascimento, '%d/%m/%Y'), '%Y-%m-%d'),
+      |    data_nascimento) AS data_norm,
+      |  valor
+      |FROM read_csv('$csvZoneDir/*.csv', filename=true, header=true,
+      |  columns={'id': 'BIGINT', 'nome': 'VARCHAR', 'cidade': 'VARCHAR',
+      |    'data_nascimento': 'VARCHAR', 'valor': 'DOUBLE'})
+      |ORDER BY id""".stripMargin
 }

@@ -135,6 +135,60 @@ object TextOps {
       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       |GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""".stripMargin
 
+  /** Per-document top-k characteristic terms by TF-IDF — the keyword
+    * extraction step of a corpus index/tagger, the per-document complement
+    * of the corpus-level [[CorpusOps.bm25Score]].
+    *
+    * The IDF is the RATIONAL form `N/df` (not `ln(N/df)`): the score is
+    * then `tf·N/df` — an exact integer product over one division, which
+    * both engines evaluate bit-identically. `ln` would hit libm
+    * implementation skew in the last ulp; the log damps cross-term
+    * comparisons but never reorders terms at fixed tf (both forms are
+    * monotone in tf and anti-monotone in df), and for a top-k cut the
+    * rational form is the determinism-safe choice.
+    *
+    * Scale: doc-term counts are one map-side-combined explode aggregate
+    * (shuffle = distinct (doc, term), not occurrences); df is a second
+    * small aggregate over that table; N broadcasts; the top-k window
+    * partitions by doc_id — no global sort anywhere. */
+  def tfidfTopk(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val dt = docs.select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = dt.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = dt.join(df, "token").crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("token"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
+        Exprs.r4(col("score")).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfTopkSql: String =
+    """WITH dt AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      |  FROM tf JOIN df ON tf.token = df.token, n),
+      |r AS (
+      |  SELECT doc_id, token, tf, df, score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, token) AS BIGINT) AS rank
+      |  FROM s)
+      |SELECT doc_id, rank, token, tf, df,
+      |  floor(score * 10000 + 0.5) / 10000 AS score
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   /** Document fingerprinting — an order-insensitive normalized fingerprint
     * (md5 of the sorted distinct vocabulary) and an order-sensitive rolling
     * polynomial hash over per-word 32-bit hashes, mod 1e9+7. */

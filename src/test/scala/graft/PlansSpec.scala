@@ -245,6 +245,38 @@ class PlansSpec extends SparkSuite {
       .filter(col("o_totalprice") =!= -1.0d).count() == 0, "no stale versions")
   }
 
+  test("ORC sink/source: roundtrip preserves content, scan prunes and pushes down") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("orc").toString + "/t"
+    val src = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    // content identical (set compare — file layout may reorder rows)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // column pruning + predicate pushdown reach the ORC scan exactly like
+    // the parquet path the engine standardizes on
+    val q = back.filter(col("o_custkey") === 7).select("o_orderkey")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)"),
+      s"ORC pushdown missing:\n$plan")
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"),
+      s"ORC pruning missing:\n$plan")
+  }
+
+  test("A4/D6: csv zone scan — explicit schema, page provenance, BR-date passthrough") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Ingest.csvZoneScan(spark, sfDir).collect()
+    assert(rows.length == 500)
+    // ids are the staged pure function i*3, every page represented
+    assert(rows.map(_.getLong(0)).toSeq == (1 to 500).map(_ * 3L))
+    assert(rows.map(_.getLong(3)).distinct.sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // D6: parseable dates normalized, the 'n/d' rows passed through unchanged
+    val (nd, ok) = rows.partition(r => r.getString(4) == "n/d")
+    assert(nd.length == 50 && ok.forall(_.getString(4).matches("\\d{4}-\\d{2}-\\d{2}")))
+  }
+
   test("A2/D10: raw-zone scan extracts filename keys and processed-id set") {
     val zone = Files.createTempDirectory("zone").toString
     val uuid = "0123abcd-0123-abcd-0123-0123456789ab"
