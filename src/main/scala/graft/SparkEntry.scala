@@ -113,6 +113,9 @@ object SparkEntry {
     "events_asof" -> ((s, dir) => Temporal.eventsAsof(tune(s), dir)),
     "events_range_join" -> ((s, dir) => Temporal.eventsRangeJoin(tune(s), dir)),
     "scd2_build" -> ((s, dir) => Temporal.scd2Build(tune(s), dir)),
+    "scd2_lookup" -> ((s, dir) => Temporal.scd2Lookup(tune(s), dir)),
+    // Sketch + exact-verify: bounded-memory heavy hitters
+    "heavy_hitters" -> ((s, dir) => Sketches.heavyHitters(tune(s), dir)),
     // Corpus preparation: quality rules, PII redaction, sequence packing
     "quality_filter" -> ((s, dir) => CorpusOps.qualityFilter(tune(s), dir)),
     "pii_scrub" -> ((s, dir) => CorpusOps.piiScrub(tune(s), dir)),
@@ -198,6 +201,8 @@ object SparkEntry {
     "events_asof" -> Temporal.eventsAsofSql,
     "events_range_join" -> Temporal.eventsRangeJoinSql,
     "scd2_build" -> Temporal.scd2BuildSql,
+    "scd2_lookup" -> Temporal.scd2LookupSql,
+    "heavy_hitters" -> Sketches.heavyHittersSql(),
     "quality_filter" -> CorpusOps.qualityFilterSql,
     "pii_scrub" -> CorpusOps.piiScrubSql,
     "seq_pack" -> CorpusOps.seqPackSql(),

@@ -175,6 +175,54 @@ object Temporal {
       .orderBy("user_id", "valid_from_us", "state")
   }
 
+  /** Point-in-time dimension lookup — each purchase enriched with the SCD2
+    * state interval active AT ITS EVENT TIME (the "historically correct
+    * attribute" join every warehouse needs once a dimension keeps history;
+    * joining on `is_current` instead is the classic time-travel bug).
+    *
+    * Composition, not a new join: [[scd2Build]] → drop zero-length runs
+    * (two changes at one instant leave a `[t, t)` interval that can never
+    * contain a probe; removing them ALSO makes (user, valid_from) unique,
+    * which [[asofJoin]] requires for determinism) → [[asofJoin]] on
+    * `valid_from <= ts`. Interval containment needs no upper-bound check:
+    * consecutive runs partition the timeline, so the latest start ≤ ts IS
+    * the containing interval. Same one-shuffle linear cost as every as-of
+    * here — never an inequality theta join against the interval table.
+    *
+    * The oracle states the semantics the natural way — containment join
+    * `valid_from <= ts < coalesce(valid_to, ∞)` — proving the as-of
+    * rewrite equivalent on real data. */
+  def scd2Lookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = scd2Build(spark, sfDir)
+      .filter(col("valid_to_us").isNull || col("valid_to_us") =!= col("valid_from_us"))
+      .select(col("user_id"), col("valid_from_us").as("ts_us"),
+        col("state"), col("valid_from_us"), col("valid_to_us"))
+    val purchases = ev(spark, sfDir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    asofJoin(purchases, dim, key = "user_id", ts = "ts_us",
+      carry = Seq("state", "valid_from_us", "valid_to_us"))
+      .orderBy("event_id")
+  }
+
+  val scd2LookupSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |m AS (SELECT user_id, event_type AS state, ts_us, event_id,
+      |    LAG(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+      |chg AS (SELECT * FROM m WHERE prev IS NULL OR prev <> state),
+      |v AS (SELECT *, LEAD(ts_us) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us FROM chg),
+      |d AS (SELECT user_id, state, ts_us AS valid_from_us, valid_to_us FROM v
+      |      WHERE valid_to_us IS NULL OR valid_to_us <> ts_us),
+      |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts_us,
+      |  d.state, d.valid_from_us, d.valid_to_us
+      |FROM p LEFT JOIN d
+      |  ON p.user_id = d.user_id AND p.ts_us >= d.valid_from_us
+      | AND (d.valid_to_us IS NULL OR p.ts_us < d.valid_to_us)
+      |ORDER BY event_id""".stripMargin
+
   val scd2BuildSql: String =
     """WITH e AS (SELECT user_id, event_type AS state,
       |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id FROM events),

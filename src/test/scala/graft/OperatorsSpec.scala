@@ -407,6 +407,46 @@ class OperatorsSpec extends SparkSuite {
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("misra-gries: no false negatives at the guarantee bound, undercount ≤ n/(cap+1)") {
+    // exact token counts as ground truth
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val cap = 50
+    // drive the aggregator through Spark's real partial-agg machinery
+    import spark.implicits._
+    val cand = toks.as[String].select(new MisraGries(cap).toColumn.name("c"))
+      .collect().head.toSet
+    assert(cand.size <= cap)
+    val bound = n.toDouble / (cap + 1)
+    exact.foreach { case (t, c) =>
+      if (c > bound) assert(cand.contains(t), s"heavy token '$t' ($c > $bound) missed")
+    }
+    // the exact-verify composition returns EXACTLY the true heavy hitters
+    val hh = Sketches.heavyHitters(spark, sfDir, k = 200).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = exact.filter { case (_, c) => c.toDouble > n / 200.0 }
+    assert(hh == want, "sketch+recount diverged from the exact heavy-hitter set")
+  }
+
+  test("scd2 lookup: as-of rewrite equals interval containment, state matches event") {
+    val rows = Temporal.scd2Lookup(spark, sfDir).collect()
+    val nPurch = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.length == nPurch, "one enriched row per purchase")
+    rows.foreach { r =>
+      // every purchase is itself an event, so a containing interval exists
+      assert(!r.isNullAt(3), s"purchase ${r.getLong(0)} found no interval")
+      val ts = r.getLong(2); val from = r.getLong(4)
+      assert(from <= ts, "interval must start at or before the purchase")
+      if (!r.isNullAt(5)) assert(r.getLong(5) > ts, "interval must still be open at ts")
+    }
+    // some purchases do start their own interval (state changed at ts)
+    assert(rows.exists(r => r.getLong(2) == r.getLong(4)))
+  }
+
   test("funnel: fold equals the relational min-chain, stage times ordered and windowed") {
     val wUs = 86400L * 1000000L
     val rows = EventsOps.eventsFunnel(spark, sfDir).collect()

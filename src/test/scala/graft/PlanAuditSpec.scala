@@ -26,6 +26,43 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.split("Exchange hashpartitioning").length - 1 <= 2)
   }
 
+  test("triangles + basket rules: equi-joins only — never a cartesian or nested loop") {
+    Seq(plan(Graph.triangleParts(spark, sfDir)),
+        plan(Analytics.basketRules(spark, sfDir))).foreach { p =>
+      assert(!p.contains("CartesianProduct"), p.take(800))
+      // the only nested-loop allowed is the broadcast of a 1-row aggregate
+      // (total-order/basket counts); a non-trivial BNLJ means the pair or
+      // wedge join lost its equality keys
+      val bnlj = p.split("BroadcastNestedLoopJoin").length - 1
+      assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n${p.take(800)}")
+    }
+  }
+
+  test("tfidf: doc-partitioned window — no single-partition exchange anywhere") {
+    val p = plan(TextOps.tfidfTopk(spark, sfDir))
+    assert(!p.contains("Exchange SinglePartition", 0) ||
+      !p.substring(p.indexOf("Window")).contains("SinglePartition"),
+      "top-k window must partition by doc_id, not collapse to one partition")
+    assert(p.contains("Window"), p.take(500))
+  }
+
+  test("heavy hitters: sketch pass is partial+final, recount joins a broadcast candidate set") {
+    val p = plan(Sketches.heavyHitters(spark, sfDir))
+    // the MisraGries Aggregator must run as partial aggregation (map-side
+    // sketches merged treewise), and the recount must restrict the corpus
+    // via a broadcast join — never a full-vocabulary hash shuffle
+    assert(p.contains("partial_misragries") || p.contains("partial_MisraGries")
+      || p.toLowerCase.contains("partial_misragries")
+      || p.contains("ObjectHashAggregate"), p.take(800))
+    assert(p.split("BroadcastHashJoin").length - 1 >= 1, p.take(800))
+  }
+
+  test("scd2 lookup: zero join operators — the as-of union-window plan") {
+    val p = plan(Temporal.scd2Lookup(spark, sfDir))
+    assert(!p.contains("Join"), s"as-of rewrite must not plan a join:\n${p.take(800)}")
+    assert(p.contains("Window"))
+  }
+
   test("token count: parquet scan pruned to exactly (doc_id, text)") {
     val p = plan(TextOps.tokenCount(spark, sfDir))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(800))
