@@ -68,6 +68,7 @@ object SparkEntry {
     "events_dedupe" -> ((s, dir) => EventsOps.eventsDedupe(tune(s), dir)),
     "events_props" -> ((s, dir) => EventsOps.eventsProps(tune(s), dir)),
     "events_funnel" -> ((s, dir) => EventsOps.eventsFunnel(tune(s), dir)),
+    "events_hopping" -> ((s, dir) => EventsOps.eventsHopping(tune(s), dir)),
     // Extension: text analysis over documents
     "text_stats" -> ((s, dir) => TextOps.textStats(tune(s), dir)),
     "lang_id" -> ((s, dir) => TextOps.langId(tune(s), dir)),
@@ -86,6 +87,7 @@ object SparkEntry {
     "corpus_sample" -> ((s, dir) => Sampling.corpusSample(tune(s), dir)),
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopk(tune(s), dir)),
     "tfidf_topk" -> ((s, dir) => TextOps.tfidfTopk(tune(s), dir)),
+    "inverted_index" -> ((s, dir) => TextOps.invertedIndex(tune(s), dir)),
     // Extension: similarity search
     "ann_topk" -> ((s, dir) => Similarity.annTopk(tune(s), dir)),
     "ann_topk_agg" -> ((s, dir) => Similarity.annTopkAgg(tune(s), dir)),
@@ -167,6 +169,7 @@ object SparkEntry {
     "events_dedupe" -> EventsOps.eventsDedupeSql,
     "events_props" -> EventsOps.eventsPropsSql,
     "events_funnel" -> EventsOps.eventsFunnelSql,
+    "events_hopping" -> EventsOps.eventsHoppingSql,
     "text_stats" -> TextOps.textStatsSql,
     "lang_id" -> TextOps.langIdSql,
     "token_count" -> TextOps.tokenCountSql,
@@ -183,6 +186,7 @@ object SparkEntry {
     "corpus_sample" -> Sampling.corpusSampleSql,
     "vocab_topk" -> TextOps.vocabTopkSql,
     "tfidf_topk" -> TextOps.tfidfTopkSql,
+    "inverted_index" -> TextOps.invertedIndexSql(),
     "ann_topk" -> Similarity.annTopkSql,
     "ann_topk_agg" -> Similarity.annTopkSql, // same contract as ann_topk
     "ann_ivf" -> Similarity.annIvfSql,

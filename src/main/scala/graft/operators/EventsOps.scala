@@ -43,6 +43,36 @@ object EventsOps {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
+  /** I6 — hopping (sliding) windows: 1-hour windows every 30 minutes, so
+    * each event lands in exactly 2 overlapping windows. Spark's `window`
+    * with a slide generates the per-row window copies itself (an internal
+    * explode — rows duplicate ×(size/slide), the unavoidable cost of
+    * overlap) and the aggregate stays map-side combined per (window,
+    * type); the oracle replicates each row to its two epoch-aligned
+    * starts explicitly. Completes the window-type matrix next to the
+    * tumbling [[eventsWindow]] and gap-based [[eventsSession]]. */
+  def eventsHopping(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exprs.gsum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  val eventsHoppingSql: String =
+    """WITH e AS (
+      |  SELECT event_type, value,
+      |    CAST(floor(epoch(time_bucket(INTERVAL '30 minutes',
+      |      CAST(ts AS TIMESTAMP)))) AS BIGINT) AS tb
+      |  FROM events),
+      |x AS (
+      |  SELECT event_type, value, unnest([tb, tb - 1800]) AS window_start
+      |  FROM e)
+      |SELECT window_start, event_type, count(*) AS n,
+      |  CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000
+      |    AS sum_value
+      |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   val eventsSessionSql: String =
     """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
       |m AS (

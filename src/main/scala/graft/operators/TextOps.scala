@@ -189,6 +189,61 @@ object TextOps {
       |  floor(score * 10000 + 0.5) / 10000 AS score
       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** Inverted index over the corpus: per token, document frequency, total
+    * term frequency, and a CAPPED posting list — the top-`maxPostings`
+    * doc_ids by (tf desc, doc_id), CSV-encoded. The retrieval structure a
+    * BM25 searcher probes; capping the postings is what makes the row
+    * width bounded at any corpus size (a stopword's full posting list is
+    * the corpus itself — the cap is the skip-list/impact-ordered
+    * truncation real indexes apply).
+    *
+    * Scale: doc-term counts are one explode + map-side-combined aggregate;
+    * the posting cut is a token-partitioned window (never global); the
+    * assembled list is ≤ maxPostings ids per token. The postings string
+    * is built from an `array_sort` on (rank, doc_id) structs — Spark's
+    * struct ordering and the oracle's `ORDER BY rn` agree because rank is
+    * unique within a token. */
+  def invertedIndex(spark: SparkSession, sfDir: String, maxPostings: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dt = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    val stats = dt.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+    val postings = dt
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("token").orderBy(col("tf").desc, col("doc_id"))))
+      .filter(col("rn") <= maxPostings)
+      .groupBy("token")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("doc_id")))),
+          x => x.getField("doc_id").cast("string")), ",").as("postings"))
+    stats.join(postings, "token")
+      .select(col("token"), col("df"), col("total_tf"), col("postings"))
+      .orderBy("token")
+  }
+
+  def invertedIndexSql(maxPostings: Int = 10): String =
+    s"""WITH dt AS (
+      |  SELECT token, doc_id, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT token, count(*) AS df,
+      |    CAST(SUM(tf) AS BIGINT) AS total_tf FROM dt GROUP BY 1),
+      |r AS (
+      |  SELECT token, doc_id,
+      |    row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rn
+      |  FROM dt),
+      |p AS (
+      |  SELECT token,
+      |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS postings
+      |  FROM r WHERE rn <= $maxPostings GROUP BY 1)
+      |SELECT s.token, s.df, s.total_tf, p.postings
+      |FROM stats s JOIN p ON s.token = p.token
+      |ORDER BY s.token""".stripMargin
+
   /** Document fingerprinting — an order-insensitive normalized fingerprint
     * (md5 of the sorted distinct vocabulary) and an order-sensitive rolling
     * polynomial hash over per-word 32-bit hashes, mod 1e9+7. */

@@ -176,6 +176,42 @@ object Streaming {
       }
       .start()
 
+  /** Streaming heavy-hitter sketch — the in-stream form of
+    * [[graft.operators.Sketches.heavyHitters]]: tokens shard BY VALUE
+    * (hash) across `nShards` state groups, each group folding the same
+    * mergeable Misra–Gries reduction over every micro-batch via
+    * `mapGroupsWithState`. Because sharding is by token, a token's entire
+    * stream lands in one shard, so the per-shard no-false-negative
+    * guarantee (freq > n_shard/(cap+1) ⇒ kept) holds against the token's
+    * TRUE global count — sharding only shrinks n_shard and tightens it.
+    * State is ≤ cap counters per shard, checkpointed: the sketch survives
+    * query restarts, which is what the spec asserts. Each batch emits the
+    * shard's current candidate set (Update mode); the union across shards
+    * is the corpus candidate set, to be exact-verified by the batch
+    * recount exactly like the batch operator. */
+  def streamingHeavyHitters(tokens: Dataset[String], cap: Int, nShards: Int,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    import tokens.sparkSession.implicits._
+    val mg = new graft.operators.MisraGries(cap)
+    tokens.groupByKey(t => math.floorMod(t.hashCode, nShards))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (shard: Int, it: Iterator[String],
+         st: org.apache.spark.sql.streaming.GroupState[Map[String, Long]]) =>
+          val b = it.foldLeft(st.getOption.getOrElse(Map.empty[String, Long]))(mg.reduce)
+          st.update(b)
+          (shard, b.keys.toSeq.sorted)
+      }
+      .toDF("shard", "candidates")
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming NEAR-dup detection — the in-stream counterpart of the batch
     * dedup family (`operators.Dedup`): every arriving document is checked
     * against the corpus seen SO FAR, before it ever lands in the training

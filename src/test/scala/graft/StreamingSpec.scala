@@ -126,6 +126,30 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSeq == Seq((1L, 101L)))
   }
 
+  test("streaming heavy hitters: sketch state survives restart, no false negatives") {
+    val work = Files.createTempDirectory("mg").toString
+    // batch 1: 'hot' ×60 among 120 distinct cold fillers; batch 2: 'warm'
+    // heats up only AFTER the restart — state must carry batch 1's counts
+    val b1 = Seq.fill(60)("hot") ++ (1 to 120).map(i => s"cold$i") ++ Seq.fill(10)("warm")
+    b1.toDF("value").coalesce(1).write.mode("append").text(s"$work/drop")
+    def run() = Streaming.streamingHeavyHitters(
+      spark.readStream.text(s"$work/drop").as[String],
+      cap = 20, nShards = 4, s"$work/out", s"$work/ck").awaitTermination()
+    run()
+    Seq.fill(80)("warm").toDF("value").coalesce(1)
+      .write.mode("append").text(s"$work/drop")
+    run()
+    // latest candidate set per shard (micro-batches append; take the last)
+    val out = spark.read.parquet(s"$work/out")
+    val cands = out.collect().flatMap(_.getSeq[String](1)).toSet
+    // 'hot' (60/270 ≫ n_shard/21) must survive; 'warm' reached weight only
+    // via state carried across the restart (10 then 80)
+    assert(cands.contains("hot"), s"hot missing from $cands")
+    assert(cands.contains("warm"), s"warm missing from $cands")
+    // bounded state: no shard ever emitted more than cap candidates
+    out.collect().foreach(r => assert(r.getSeq[String](1).size <= 20))
+  }
+
   test("streaming near-dup: seen-corpus state survives restart, flags by hamming") {
     val work = Files.createTempDirectory("neardup").toString
     val textA = (1 to 40).map(i => s"alpha$i").mkString(" ")
