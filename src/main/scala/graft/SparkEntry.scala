@@ -41,6 +41,8 @@ object SparkEntry {
     "abc_parts" -> ((s, dir) => Analytics.abcParts(tune(s), dir)),
     "revenue_anomaly" -> ((s, dir) => Analytics.revenueAnomaly(tune(s), dir)),
     "basket_rules" -> ((s, dir) => Analytics.basketRules(tune(s), dir)),
+    "sales_rollup" -> ((s, dir) => Analytics.salesRollup(tune(s), dir)),
+    "sales_pivot" -> ((s, dir) => Analytics.salesPivot(tune(s), dir)),
     // E/G/C/F11. quality + reconciliation (data_validation, backfill)
     "ids_distinct" -> ((s, dir) => Quality.idsDistinct(tune(s), dir)),
     "recon_sets" -> ((s, dir) => Quality.reconSets(tune(s), dir)),
@@ -88,6 +90,7 @@ object SparkEntry {
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopk(tune(s), dir)),
     "tfidf_topk" -> ((s, dir) => TextOps.tfidfTopk(tune(s), dir)),
     "inverted_index" -> ((s, dir) => TextOps.invertedIndex(tune(s), dir)),
+    "bigram_lm" -> ((s, dir) => TextOps.bigramLm(tune(s), dir)),
     // Extension: similarity search
     "ann_topk" -> ((s, dir) => Similarity.annTopk(tune(s), dir)),
     "ann_topk_agg" -> ((s, dir) => Similarity.annTopkAgg(tune(s), dir)),
@@ -146,6 +149,8 @@ object SparkEntry {
     "abc_parts" -> Analytics.abcPartsSql,
     "revenue_anomaly" -> Analytics.revenueAnomalySql,
     "basket_rules" -> Analytics.basketRulesSql,
+    "sales_rollup" -> Analytics.salesRollupSql,
+    "sales_pivot" -> Analytics.salesPivotSql,
     "ids_distinct" -> Quality.idsDistinctSql,
     "recon_sets" -> Quality.reconSetsSql,
     "set_equality" -> Quality.setEqualitySql,
@@ -187,6 +192,7 @@ object SparkEntry {
     "vocab_topk" -> TextOps.vocabTopkSql,
     "tfidf_topk" -> TextOps.tfidfTopkSql,
     "inverted_index" -> TextOps.invertedIndexSql(),
+    "bigram_lm" -> TextOps.bigramLmSql(),
     "ann_topk" -> Similarity.annTopkSql,
     "ann_topk_agg" -> Similarity.annTopkSql, // same contract as ann_topk
     "ann_ivf" -> Similarity.annIvfSql,

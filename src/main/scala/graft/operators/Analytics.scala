@@ -307,6 +307,84 @@ object Analytics {
       |JOIN itn ic ON ic.part = r.consequent, no
       |ORDER BY lift DESC, antecedent, consequent LIMIT 50""".stripMargin
 
+  /** Revenue rollup by (year, month) with subtotal rows — `ROLLUP`
+    * grouping sets, the drill-down cube slice every sales dashboard reads.
+    * Spark expands rollup into grouping sets over ONE scan with partial
+    * aggregation per set (an Expand node — rows ×3 here, the standard
+    * cost); null grouping keys mark subtotals identically in both engines,
+    * and the sort pins NULLS FIRST explicitly because the engines' default
+    * null order differs. */
+  def salesRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        col("o_totalprice"))
+    o.rollup("yr", "mo")
+      .agg(count(lit(1)).as("n_orders"), Exprs.gsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("yr").asc_nulls_first, col("mo").asc_nulls_first)
+  }
+
+  val salesRollupSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+      |  count(*) AS n_orders,
+      |  CAST(SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 10000 AS revenue
+      |FROM orders
+      |GROUP BY ROLLUP (yr, mo)
+      |ORDER BY yr ASC NULLS FIRST, mo ASC NULLS FIRST""".stripMargin
+
+  /** Region × year revenue matrix — `pivot` with a FIXED value list (the
+    * five TPC-H regions). A pivot with explicit values never scans to
+    * discover columns (the dynamic form collects distinct values to the
+    * driver first — a scale anti-pattern) and compiles to one aggregate
+    * with a conditional-sum per column, which is exactly how the oracle
+    * states it (`FILTER (WHERE ...)`) — same shape, same grid. Dims
+    * broadcast; the fact never shuffles before the aggregate. */
+  def salesPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val reg = Tables.region(spark, sfDir)
+      .select(col("r_regionkey"), col("r_name"))
+    val joined = o
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        col("r_name"), col("o_totalprice"))
+    joined.groupBy("yr")
+      .pivot("r_name", Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"))
+      .agg(Exprs.gsum(col("o_totalprice")))
+      .select(col("yr"), col("AFRICA").as("africa"), col("AMERICA").as("america"),
+        col("ASIA").as("asia"), col("EUROPE").as("europe"),
+        col("MIDDLE EAST").as("middle_east"))
+      .orderBy("yr")
+  }
+
+  val salesPivotSql: String =
+    """WITH j AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, r.r_name,
+      |    o.o_totalprice
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey)
+      |SELECT yr,
+      |  CAST(SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+      |    FILTER (WHERE r_name = 'AFRICA') AS DOUBLE) / 10000 AS africa,
+      |  CAST(SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+      |    FILTER (WHERE r_name = 'AMERICA') AS DOUBLE) / 10000 AS america,
+      |  CAST(SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+      |    FILTER (WHERE r_name = 'ASIA') AS DOUBLE) / 10000 AS asia,
+      |  CAST(SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+      |    FILTER (WHERE r_name = 'EUROPE') AS DOUBLE) / 10000 AS europe,
+      |  CAST(SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+      |    FILTER (WHERE r_name = 'MIDDLE EAST') AS DOUBLE) / 10000 AS middle_east
+      |FROM j GROUP BY yr ORDER BY yr""".stripMargin
+
   val rfmSegmentsSql: String =
     """WITH base AS (
       |  SELECT o_custkey AS custkey,

@@ -244,6 +244,46 @@ object TextOps {
       |FROM stats s JOIN p ON s.token = p.token
       |ORDER BY s.token""".stripMargin
 
+  /** Bigram language-model statistics: corpus bigram counts and the
+    * conditional probability P(w2|w1), top-k by bigram frequency — the
+    * count table behind n-gram LM training and the repetition/perplexity
+    * heuristics.
+    *
+    * Scale: bigrams are assembled PER ROW (a bounded `transform` over the
+    * token array — no positional self-join, no posexplode+window; the
+    * adjacent-pair join formulation shuffles every token twice and dies on
+    * long documents), then one map-side-combined count; prefix totals are
+    * a second aggregate of the (much smaller) bigram table. P is one
+    * LONG/LONG division on the 1e-4 grid. */
+  def bigramLm(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame = {
+    val w = words(col("text"))
+    val bigrams = Tables.documents(spark, sfDir)
+      .filter(size(w) >= 2)
+      .select(explode(transform(sequence(lit(1), size(w) - 1),
+        i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+        .as("bg"))
+    val c = bigrams.groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("n12"))
+    val prefix = c.groupBy("w1").agg(sum("n12").as("n1"))
+    c.join(prefix, "w1")
+      .select(col("w1"), col("w2"), col("n12"), col("n1"),
+        Exprs.r4(col("n12").cast("double") / col("n1")).as("p"))
+      .orderBy(col("n12").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  def bigramLmSql(k: Int = 100): String =
+    s"""WITH w AS (
+      |  SELECT string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |b AS (SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS bg FROM w),
+      |c AS (SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS n12 FROM b GROUP BY 1, 2),
+      |pr AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c GROUP BY 1)
+      |SELECT c.w1, c.w2, c.n12, pr.n1,
+      |  floor(CAST(c.n12 AS DOUBLE) / pr.n1 * 10000 + 0.5) / 10000 AS p
+      |FROM c JOIN pr ON c.w1 = pr.w1
+      |ORDER BY c.n12 DESC, c.w1, c.w2 LIMIT $k""".stripMargin
+
   /** Document fingerprinting — an order-insensitive normalized fingerprint
     * (md5 of the sorted distinct vocabulary) and an order-sensitive rolling
     * polynomial hash over per-word 32-bit hashes, mod 1e9+7. */

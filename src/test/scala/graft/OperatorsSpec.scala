@@ -447,6 +447,43 @@ class OperatorsSpec extends SparkSuite {
     assert(rows.exists(r => r.getLong(2) == r.getLong(4)))
   }
 
+  test("rollup + pivot reconcile: grand total = Σ year rows = Σ region cells") {
+    val ru = Analytics.salesRollup(spark, sfDir).collect()
+    val grand = ru.filter(_.isNullAt(0))
+    assert(grand.length == 1, "exactly one grand-total row")
+    val years = ru.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val months = ru.filter(r => !r.isNullAt(1))
+    // subtotal algebra is exact ON THE GRID: rescale to integral 1e-4
+    // units before summing (revenue = long/1e4 is not binary-exact, so
+    // summing the doubles directly drifts by ulps)
+    def g(x: Double): Long = math.round(x * 1e4)
+    assert(years.values.map(_._1).sum == grand.head.getLong(2))
+    assert(years.values.map(v => g(v._2)).sum == g(grand.head.getDouble(3)))
+    months.groupBy(_.getLong(0)).foreach { case (y, ms) =>
+      assert(ms.map(_.getLong(2)).sum == years(y)._1)
+      assert(ms.map(m => g(m.getDouble(3))).sum == g(years(y)._2))
+    }
+    // pivot cells partition each year's revenue across the 5 regions
+    Analytics.salesPivot(spark, sfDir).collect().foreach { r =>
+      val cells = (1 to 5).map(i => if (r.isNullAt(i)) 0L else g(r.getDouble(i)))
+      assert(cells.sum == g(years(r.getLong(0))._2),
+        s"year ${r.getLong(0)}: region cells ${cells.sum} != ${g(years(r.getLong(0))._2)}")
+    }
+  }
+
+  test("bigram lm: p = n12/n1 on the grid, counts consistent, ordered by frequency") {
+    val rows = TextOps.bigramLm(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, n12, n1, p) =>
+      assert(n12 > 0 && n12 <= n1)
+      assert(p == math.floor(n12.toDouble / n1 * 10000 + 0.5) / 10000)
+    }
+    val ns = rows.map(_._3)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "not ordered by n12 desc")
+  }
+
   test("funnel: fold equals the relational min-chain, stage times ordered and windowed") {
     val wUs = 86400L * 1000000L
     val rows = EventsOps.eventsFunnel(spark, sfDir).collect()
