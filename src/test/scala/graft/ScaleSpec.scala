@@ -91,8 +91,12 @@ class ScaleSpec extends SparkSuite {
     // executors. Spot-check the shapes that would break first: grid-sum
     // aggregation (fact build), float fold + argmin (k-means), window
     // ranking (quota), and the multi-stage pipeline.
+    // heavy_hitters is the sharpest case: its INTERMEDIATE (the sketch's
+    // candidate set) legitimately varies with partitioning — the exact
+    // recount must erase that variance from the result. triangle_parts
+    // re-checks join-heavy plans; bigram_lm the per-row assembly path.
     val names = Seq("pedidos_fact", "kmeans_train", "source_quota",
-      "corpus_pipeline")
+      "corpus_pipeline", "heavy_hitters", "triangle_parts", "bigram_lm")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = names.map { n =>
