@@ -71,6 +71,7 @@ object SparkEntry {
     "events_props" -> ((s, dir) => EventsOps.eventsProps(tune(s), dir)),
     "events_funnel" -> ((s, dir) => EventsOps.eventsFunnel(tune(s), dir)),
     "events_hopping" -> ((s, dir) => EventsOps.eventsHopping(tune(s), dir)),
+    "journey_topk" -> ((s, dir) => EventsOps.journeyTopk(tune(s), dir)),
     // Extension: text analysis over documents
     "text_stats" -> ((s, dir) => TextOps.textStats(tune(s), dir)),
     "lang_id" -> ((s, dir) => TextOps.langId(tune(s), dir)),
@@ -175,6 +176,7 @@ object SparkEntry {
     "events_props" -> EventsOps.eventsPropsSql,
     "events_funnel" -> EventsOps.eventsFunnelSql,
     "events_hopping" -> EventsOps.eventsHoppingSql,
+    "journey_topk" -> EventsOps.journeyTopkSql(),
     "text_stats" -> TextOps.textStatsSql,
     "lang_id" -> TextOps.langIdSql,
     "token_count" -> TextOps.tokenCountSql,

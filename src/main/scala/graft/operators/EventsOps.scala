@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Exprs, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics in their batch form — tumbling windows, session
@@ -72,6 +73,55 @@ object EventsOps {
       |  CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000
       |    AS sum_value
       |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Top session journeys — the ordered event-type path (first `maxLen`
+    * steps) of every 30-minute-gap session, counted corpus-wide: the
+    * path-analysis complement of the funnel (which checks ONE fixed
+    * sequence; this surfaces which sequences actually happen).
+    *
+    * Determinism: the per-session sequence is an `array_sort` over
+    * (ts, event_id, type) structs — event_id is globally unique, so the
+    * order is total and both engines assemble the identical string.
+    * Scale: sessionization is the same one-(user)-shuffle window pair as
+    * [[eventsSession]]; the journey string is bounded by `maxLen` (a
+    * runaway session can't blow up row width); the final count is a
+    * map-side-combined aggregate over session-grain rows. */
+  def journeyTopk(spark: SparkSession, sfDir: String,
+                  maxLen: Int = 5, k: Int = 20): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val e = Tables.events(spark, sfDir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val s = e
+      .withColumn("new_s",
+        when(col("ts_us") - lag("ts_us", 1).over(w) >= gapUs, 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    s.groupBy("user_id", "sid")
+      .agg(array_join(
+        slice(transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), 1, maxLen), ">").as("journey"))
+      .groupBy("journey").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("journey"))
+      .limit(k)
+  }
+
+  def journeyTopkSql(maxLen: Int = 5, k: Int = 20): String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |m AS (SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us, event_id) >= 1800000000
+      |    THEN 1 ELSE 0 END AS new_s FROM e),
+      |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+      |j AS (SELECT user_id, sid,
+      |    array_to_string(list_slice(
+      |      list(event_type ORDER BY ts_us, event_id), 1, $maxLen), '>') AS journey
+      |  FROM s GROUP BY 1, 2)
+      |SELECT journey, count(*) AS n_sessions
+      |FROM j GROUP BY 1 ORDER BY n_sessions DESC, journey LIMIT $k""".stripMargin
 
   val eventsSessionSql: String =
     """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

@@ -63,6 +63,26 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("Window"))
   }
 
+  test("rollup: one scan through Expand; pivot: dims broadcast, single aggregate") {
+    val pr = plan(Analytics.salesRollup(spark, sfDir))
+    assert(pr.contains("Expand"), "rollup must compile to grouping-set Expand")
+    assert(pr.split("Scan parquet").length - 1 == 1, "rollup re-scanned the fact")
+    val pp = plan(Analytics.salesPivot(spark, sfDir))
+    assert(pp.split("BroadcastHashJoin").length - 1 == 3,
+      "pivot enrichment dims must broadcast")
+    assert(!pp.contains("CartesianProduct"))
+  }
+
+  test("journeys: sessionize windows and session agg share the user partitioning") {
+    val p = plan(EventsOps.journeyTopk(spark, sfDir))
+    // one hash exchange for the (user) windows; the session-grain groupBy
+    // adds at most one more (user, sid); the journey count is the third —
+    // anything above that means a partitioning was lost
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 3, p.take(800))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be partial TakeOrdered, not a global sort")
+  }
+
   test("token count: parquet scan pruned to exactly (doc_id, text)") {
     val p = plan(TextOps.tokenCount(spark, sfDir))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(800))
