@@ -176,6 +176,79 @@ object Streaming {
       }
       .start()
 
+  /** Incrementally-maintained revenue cube — the streaming form of
+    * [[graft.operators.Analytics.salesRollup]]'s base grain: a
+    * `foreachBatch` sink folding each micro-batch's (year, month) partial
+    * aggregate into a persistent cube table with EXACTLY-ONCE semantics.
+    *
+    * Exactly-once = checkpoint (each batch delivered once per epoch) ×
+    * idempotent apply (a replayed epoch must be a no-op). The second half
+    * is the part `foreachBatch` does not give you: after a crash the last
+    * epoch replays, and naively re-merging double-counts it. The guard is
+    * a `_BATCH` epoch manifest written INSIDE the new cube directory and
+    * swapped atomically with the data (write scratch → rename live aside →
+    * rename scratch in → drop old): whatever instant the crash hits,
+    * either the old dir (old manifest → replay re-merges from the OLD
+    * state — correct) or the new dir (new manifest → replay skipped) is
+    * live, never a half-applied mix. A missing-live window (crash between
+    * the two renames) heals on entry by restoring the set-aside dir.
+    *
+    * Scale: the batch partial is a map-side-combined aggregate; the cube
+    * itself is (years × months) rows — reading and rewriting it per epoch
+    * is O(cube), not O(stream); counts/revenue stay exact LONGs on the
+    * grid, so merge order never matters. */
+  def incrementalRollup(orders: DataFrame, tableDir: String,
+      checkpointDir: String): StreamingQuery =
+    orders.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        applyRollupEpoch(batch, epoch, tableDir)
+      }
+      .start()
+
+  private[graft] def applyRollupEpoch(batch: DataFrame, epoch: Long,
+      tableDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val spark = batch.sparkSession
+    val live = Paths.get(tableDir)
+    val old = Paths.get(tableDir + "._old")
+    // heal a crash between the two renames: old set aside, no live yet
+    if (!Files.exists(live) && Files.exists(old))
+      Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
+    val manifest = live.resolve("_BATCH")
+    val applied =
+      if (Files.isRegularFile(manifest)) Files.readString(manifest).trim.toLong
+      else -1L
+    if (epoch <= applied) return // replayed epoch: already folded in
+    val part = batch
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        col("o_totalprice"))
+      .groupBy("yr", "mo")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * lit(1e4) + lit(0.5d)).cast("long"))
+          .as("rev_grid"))
+    val merged =
+      if (Files.exists(live))
+        spark.read.parquet(tableDir).unionByName(part)
+          .groupBy("yr", "mo")
+          .agg(sum("n_orders").as("n_orders"), sum("rev_grid").as("rev_grid"))
+      else part
+    val scratch = tableDir + "._rewrite"
+    merged.coalesce(1).write.mode("overwrite").parquet(scratch)
+    Files.writeString(Paths.get(scratch).resolve("_BATCH"), epoch.toString)
+    if (Files.exists(live)) Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(scratch), live, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(old)) {
+      val walk = Files.walk(old)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally walk.close()
+    }
+  }
+
   /** Streaming heavy-hitter sketch — the in-stream form of
     * [[graft.operators.Sketches.heavyHitters]]: tokens shard BY VALUE
     * (hash) across `nShards` state groups, each group folding the same

@@ -126,6 +126,35 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSeq == Seq((1L, 101L)))
   }
 
+  test("incremental rollup: cube equals batch recompute, replayed epoch is a no-op") {
+    val work = Files.createTempDirectory("cube").toString
+    val schema = "o_orderdate DATE, o_totalprice DOUBLE"
+    def js(d: String, p: Double) = s"""{"o_orderdate":"$d","o_totalprice":$p}"""
+    def src = spark.readStream.schema(schema).json(s"$work/drop")
+    def run() = Streaming.incrementalRollup(src, s"$work/cube", s"$work/ck")
+      .awaitTermination()
+    Seq(js("2024-01-05", 10.5), js("2024-01-20", 2.25), js("2024-02-01", 7.0))
+      .toDF("value").coalesce(1).write.mode("append").text(s"$work/drop")
+    run()
+    // restart from checkpoint: only the new file forms the next epoch
+    Seq(js("2024-01-31", 4.5), js("2024-03-15", 1.0))
+      .toDF("value").coalesce(1).write.mode("append").text(s"$work/drop")
+    run()
+    def cube() = spark.read.parquet(s"$work/cube")
+      .select("yr", "mo", "n_orders", "rev_grid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val got = cube()
+    assert(got == Map(
+      (2024L, 1L) -> (3L, 172500L), // 10.5 + 2.25 + 4.5 on the 1e4 grid
+      (2024L, 2L) -> (1L, 70000L),
+      (2024L, 3L) -> (1L, 10000L)))
+    // a replayed epoch (crash-recovery delivery of batch 0 again) must be
+    // a no-op: the cube's _BATCH manifest is already past it
+    Streaming.applyRollupEpoch(
+      spark.read.schema(schema).json(s"$work/drop"), 0L, s"$work/cube")
+    assert(cube() == got, "replayed epoch double-counted into the cube")
+  }
+
   test("streaming heavy hitters: sketch state survives restart, no false negatives") {
     val work = Files.createTempDirectory("mg").toString
     // batch 1: 'hot' ×60 among 120 distinct cold fillers; batch 2: 'warm'
