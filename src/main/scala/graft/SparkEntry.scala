@@ -98,6 +98,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(tune(s), dir)),
     "ann_ivf_trained" -> ((s, dir) => Similarity.annIvfTrained(tune(s), dir)),
     "ann_quantized" -> ((s, dir) => Similarity.annQuantized(tune(s), dir)),
+    "ann_pq" -> ((s, dir) => Similarity.annPq(tune(s), dir)),
     // Extension: multimodal column plumbing (decode stubbed)
     "multimodal_features" -> ((s, dir) => Multimodal.multimodalFeatures(tune(s), dir)),
     "media_frames" -> ((s, dir) => Multimodal.mediaFrames(tune(s), dir)),
@@ -200,6 +201,7 @@ object SparkEntry {
     "ann_ivf" -> Similarity.annIvfSql,
     "ann_ivf_trained" -> Similarity.annIvfTrainedSql,
     "ann_quantized" -> Similarity.annQuantizedSql,
+    "ann_pq" -> Similarity.annPqSql(),
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,
     "media_frames" -> Multimodal.mediaFramesSql,
     "checksum_sorted" -> Checksums.checksumSortedSql,

@@ -49,7 +49,7 @@ object Clustering {
   /** One Lloyd iteration: assign every vector to its nearest centroid, then
     * recompute each cluster's grid-mean. `cent` columns: cid, c (array),
     * and the returned frame adds n (cluster size this iteration). */
-  private def step(emb: DataFrame, cent: DataFrame): DataFrame = {
+  private[operators] def step(emb: DataFrame, cent: DataFrame): DataFrame = {
     val cents = cent.agg(collect_list(struct(col("cid"), col("c"))).as("cs"))
     val assigned = emb.crossJoin(broadcast(cents))
       .select(col("v"), nearest(col("v"), col("cs")).as("cid"))

@@ -429,4 +429,150 @@ object Similarity {
        |  vec_id AS target_id, cos
        |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Product-quantized ANN (PQ-ADC with exact rerank) — the FAISS-standard
+    * compression step beyond [[annQuantized]]'s scalar int8: the vector
+    * splits into `m` subspaces, each trained its own `k`-centroid codebook
+    * (the same grid-exact Lloyd's as [[Clustering.kmeansTrain]], run on the
+    * slices), and every corpus vector compresses to `m` code ids — 4 bytes
+    * here vs 256 for float32×64, a 64× resident-set cut.
+    *
+    * Search is asymmetric distance computation (ADC), relationally: the
+    * query stays uncompressed; its distance to every codebook centroid
+    * forms a (queries × m × k) lookup table — broadcast-tiny by
+    * construction — and the corpus side joins its CODES (m longs per
+    * vector) against that table and sums. The full-precision corpus is
+    * touched only by the top-15 exact-cosine rerank (generate-then-verify,
+    * like every approximate operator here). At 100 TB: training cost is
+    * the k-means analysis ×m on slices, encoding is one broadcast pass,
+    * and the scan side of a query moves ONLY code ids — never vectors.
+    *
+    * Determinism: codebooks inherit the trainer's integer-grid exactness;
+    * codes tie-break by (grid distance, cid) struct-min; ADC sums LONGs;
+    * the rerank is the shared r4 cosine. The oracle replays the whole
+    * chain — m trainings, encoding, ADC, rerank — generated per subspace
+    * from the same template as `kmeansTrainSql`. */
+  def annPq(spark: SparkSession, sfDir: String, m: Int = 8, k: Int = 16,
+            iters: Int = 2, nCand: Int = 50): DataFrame = {
+    val emb = Clustering.embDouble(spark, sfDir).withColumn("nn", norm(col("v")))
+    val dim = 64
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    // per-subspace codebooks: Lloyd's on the slice, same init rule (first-k)
+    val books: Seq[DataFrame] = (0 until m).map { s =>
+      val se = emb.select(col("vec_id"), slice(col("v"), s * sub + 1, sub).as("v"))
+      val init = se.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("v").as("c"))
+      (1 to iters).foldLeft(init)((c, _) => Clustering.step(se, c))
+    }
+    // encode: m broadcast-joined argmins — the corpus never shuffles
+    val withCodes = (0 until m).foldLeft(emb) { (df, s) =>
+      val cents = books(s).agg(collect_list(struct(col("cid"), col("c"))).as(s"cs_$s"))
+      df.crossJoin(broadcast(cents))
+        .withColumn(s"code_$s",
+          Clustering.nearest(slice(col("v"), s * sub + 1, sub), col(s"cs_$s")))
+        .drop(s"cs_$s")
+    }
+    val queries = emb.filter(col("vec_id") % 200 === 0)
+    // ADC lookup table: (query, subspace, cid) grid distance — tiny
+    val qd = (0 until m).map { s =>
+      queries.select(col("vec_id").as("query_id"),
+          slice(col("v"), s * sub + 1, sub).as("qs"))
+        .crossJoin(books(s).select(col("cid"), col("c")))
+        .select(col("query_id"), lit(s).as("sub"), col("cid"),
+          Clustering.distInt(col("qs"), col("c")).as("d"))
+    }.reduce(_ unionByName _)
+    val codesLong = (0 until m).map { s =>
+      withCodes.select(col("vec_id"), lit(s).as("sub"), col(s"code_$s").as("cid"))
+    }.reduce(_ unionByName _)
+    val approx = codesLong.join(broadcast(qd), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id").agg(sum("d").as("adc"))
+    val wCand = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id").asc)
+    val cand = approx.withColumn("cr", row_number().over(wCand)).filter(col("cr") <= nCand)
+    // exact rerank of the survivors only
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    cand
+      .join(emb.select(col("vec_id"), col("v"), col("nn")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nn").as("qn"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("adc"),
+        Exprs.r4(dot(col("qv"), col("v")) / (col("qn") * col("nn"))).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("target_id"), col("cos"), col("adc"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Oracle for [[annPq]]: the full train→encode→ADC→rerank chain, with
+    * the per-subspace CTEs generated from the `kmeansTrainSql` template. */
+  def annPqSql(m: Int = 8, k: Int = 16, nCand: Int = 50): String = {
+    val sub = 64 / m
+    val perSub = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      s"""c0_$s AS (SELECT vec_id AS cid, pos, x AS c FROM emb
+         |  WHERE vec_id < $k AND pos BETWEEN $lo AND $hi),
+         |d1_$s AS (SELECT e.vec_id, c.cid,
+         |    SUM(CAST(floor((e.x-c.c)*(e.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
+         |  FROM emb e JOIN c0_$s c ON e.pos = c.pos GROUP BY 1, 2),
+         |a1_$s AS (SELECT vec_id, min({'d': d, 'c': cid}).c AS cid
+         |  FROM d1_$s GROUP BY 1),
+         |m1_$s AS (SELECT a.cid, e.pos,
+         |    CAST(SUM(CAST(floor(e.x*1000000+0.5) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1000000.0 AS c
+         |  FROM emb e JOIN a1_$s a ON e.vec_id = a.vec_id
+         |  WHERE e.pos BETWEEN $lo AND $hi GROUP BY 1, 2),
+         |d2_$s AS (SELECT e.vec_id, c.cid,
+         |    SUM(CAST(floor((e.x-c.c)*(e.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
+         |  FROM emb e JOIN m1_$s c ON e.pos = c.pos GROUP BY 1, 2),
+         |a2_$s AS (SELECT vec_id, min({'d': d, 'c': cid}).c AS cid
+         |  FROM d2_$s GROUP BY 1),
+         |m2_$s AS (SELECT a.cid, e.pos,
+         |    CAST(SUM(CAST(floor(e.x*1000000+0.5) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1000000.0 AS c
+         |  FROM emb e JOIN a2_$s a ON e.vec_id = a.vec_id
+         |  WHERE e.pos BETWEEN $lo AND $hi GROUP BY 1, 2),
+         |d3_$s AS (SELECT e.vec_id, c.cid,
+         |    SUM(CAST(floor((e.x-c.c)*(e.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
+         |  FROM emb e JOIN m2_$s c ON e.pos = c.pos GROUP BY 1, 2),
+         |a3_$s AS (SELECT vec_id, min({'d': d, 'c': cid}).c AS cid
+         |  FROM d3_$s GROUP BY 1),
+         |qd_$s AS (SELECT q.vec_id AS query_id, c.cid,
+         |    SUM(CAST(floor((q.x-c.c)*(q.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
+         |  FROM emb q JOIN m2_$s c ON q.pos = c.pos
+         |  WHERE q.vec_id % 200 = 0 GROUP BY 1, 2),
+         |ad_$s AS (SELECT qd.query_id, a.vec_id, qd.d
+         |  FROM a3_$s a JOIN qd_$s qd ON a.cid = qd.cid)""".stripMargin
+    }.mkString(",\n")
+    val adUnion = (0 until m).map(s => s"SELECT * FROM ad_$s").mkString(" UNION ALL ")
+    val c = cosSqlFragment.replace("QV", "q.v").replace("TV", "t.v")
+    s"""WITH emb AS (
+       |  SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |$perSub,
+       |adc AS (
+       |  SELECT query_id, vec_id, CAST(SUM(d) AS BIGINT) AS adc
+       |  FROM ($adUnion)
+       |  WHERE vec_id <> query_id GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc ASC, vec_id ASC) AS cr FROM adc),
+       |e2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |rr AS (
+       |  SELECT cd.query_id, cd.vec_id, cd.adc, $c AS cos
+       |  FROM cand cd
+       |  JOIN e2 t ON cd.vec_id = t.vec_id
+       |  JOIN e2 q ON cd.query_id = q.vec_id
+       |  WHERE cd.cr <= $nCand),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id ASC) AS rank FROM rr)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS target_id,
+       |  cos, adc
+       |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 }

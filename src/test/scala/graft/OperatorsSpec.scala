@@ -484,6 +484,24 @@ class OperatorsSpec extends SparkSuite {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "not ordered by n12 desc")
   }
 
+  test("pq: codes compress 64 floats to m ids, recall@5 vs exact stays usable") {
+    val pq = Similarity.annPq(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val exact = Similarity.annTopk(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(pq.keySet == exact.keySet)
+    val hits = exact.map { case (q, e) => (e & pq(q)).size }.sum
+    val total = exact.values.map(_.size).sum
+    // deterministic on the fixtures (0.733 measured); the bound leaves
+    // room for fixture regeneration, not for a broken quantizer
+    assert(hits.toDouble / total >= 0.6,
+      s"PQ recall@5 collapsed: $hits/$total")
+    // ADC distances are nonneg LONG grid values, ranks are 1..5 per query
+    Similarity.annPq(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(4) >= 0 && r.getLong(1) >= 1 && r.getLong(1) <= 5)
+    }
+  }
+
   test("funnel: fold equals the relational min-chain, stage times ordered and windowed") {
     val wUs = 86400L * 1000000L
     val rows = EventsOps.eventsFunnel(spark, sfDir).collect()
