@@ -43,6 +43,7 @@ object SparkEntry {
     "basket_rules" -> ((s, dir) => Analytics.basketRules(tune(s), dir)),
     "sales_rollup" -> ((s, dir) => Analytics.salesRollup(tune(s), dir)),
     "sales_pivot" -> ((s, dir) => Analytics.salesPivot(tune(s), dir)),
+    "brand_nation_margin" -> ((s, dir) => Analytics.brandNationMargin(tune(s), dir)),
     // E/G/C/F11. quality + reconciliation (data_validation, backfill)
     "ids_distinct" -> ((s, dir) => Quality.idsDistinct(tune(s), dir)),
     "recon_sets" -> ((s, dir) => Quality.reconSets(tune(s), dir)),
@@ -153,6 +154,7 @@ object SparkEntry {
     "basket_rules" -> Analytics.basketRulesSql,
     "sales_rollup" -> Analytics.salesRollupSql,
     "sales_pivot" -> Analytics.salesPivotSql,
+    "brand_nation_margin" -> Analytics.brandNationMarginSql,
     "ids_distinct" -> Quality.idsDistinctSql,
     "recon_sets" -> Quality.reconSetsSql,
     "set_equality" -> Quality.setEqualitySql,

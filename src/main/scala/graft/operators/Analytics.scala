@@ -385,6 +385,49 @@ object Analytics {
       |    FILTER (WHERE r_name = 'MIDDLE EAST') AS DOUBLE) / 10000 AS middle_east
       |FROM j GROUP BY yr ORDER BY yr""".stripMargin
 
+  /** Brand × supplier-nation revenue/margin matrix — the procurement view
+    * joining the item fact to BOTH catalog dimensions (part for brand and
+    * retail price, supplier→nation for origin). Margin proxy = discounted
+    * revenue − retail-price base. Dims: nation broadcasts (hinted,
+    * genuinely tiny); part and supplier are catalog-sized — left to
+    * statistics/AQE exactly like the customer dim in the enrichment
+    * chain, so the plan degrades to a shuffle join when they outgrow the
+    * threshold instead of OOMing a forced broadcast. */
+  def brandNationMargin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("net"))
+    val p = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+    val s = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("p_brand").as("brand"), col("n_name").as("supp_nation"))
+      .agg(count(lit(1)).as("n_items"),
+        Exprs.gsum(col("net")).as("net_revenue"),
+        Exprs.gsum(col("net") - col("p_retailprice") * col("l_quantity"))
+          .as("margin_vs_retail"))
+      .orderBy("brand", "supp_nation")
+  }
+
+  val brandNationMarginSql: String =
+    """SELECT p.p_brand AS brand, n.n_name AS supp_nation,
+      |  count(*) AS n_items,
+      |  CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+      |    AS BIGINT)) AS DOUBLE) / 10000 AS net_revenue,
+      |  CAST(SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+      |      - p.p_retailprice * l.l_quantity) * 10000 + 0.5)
+      |    AS BIGINT)) AS DOUBLE) / 10000 AS margin_vs_retail
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |GROUP BY 1, 2 ORDER BY brand, supp_nation""".stripMargin
+
   val rfmSegmentsSql: String =
     """WITH base AS (
       |  SELECT o_custkey AS custkey,
