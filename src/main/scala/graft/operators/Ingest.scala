@@ -72,16 +72,22 @@ object Ingest {
     * would silently violate the pure-function-of-index invariant. */
   private val ZoneManifest = s"graft-zone-v2:$ZoneFiles"
 
-  private def stageZone(): Unit = {
+  /** Shared idempotent-staging skeleton for every fixture zone: skip when
+    * the manifest AND file count say the zone is complete, otherwise tear
+    * down, regenerate via `write`, and write the manifest LAST so a crash
+    * mid-staging always restages. One copy of the protocol — a fix here
+    * (e.g. to the completeness check) reaches every zone. */
+  private def stageFixtureZone(dir: String, manifestContent: String,
+      ext: String, nFiles: Long)(write: java.nio.file.Path => Unit): Unit = {
     import java.nio.file.{Files, Paths}
-    val root = Paths.get(zoneDir)
+    val root = Paths.get(dir)
     val manifest = root.resolve("_MANIFEST")
     if (Files.isDirectory(root)) {
       val stream = Files.list(root)
       val complete = try {
         Files.isRegularFile(manifest) &&
-          Files.readString(manifest) == ZoneManifest &&
-          stream.filter(_.toString.endsWith(".json")).count() == ZoneFiles
+          Files.readString(manifest) == manifestContent &&
+          stream.filter(_.toString.endsWith(ext)).count() == nFiles
       } finally stream.close()
       if (complete) return
       val walk = Files.walk(root)
@@ -90,18 +96,24 @@ object Ingest {
       finally walk.close()
     }
     Files.createDirectories(root)
-    (1 to ZoneFiles).foreach { i =>
-      val id = i * 7L // synthetic order key, content derived only from i
-      val valor = (i * 131 % 9000) / 100.0 + 1.0
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val uuid = s"${h.substring(0, 8)}-${h.substring(8, 12)}-" +
-        s"${h.substring(12, 16)}-${h.substring(16, 20)}-${h.substring(20, 32)}"
-      Files.writeString(root.resolve(s"z316-tiny-api-$id-pdv-20240305T141000-$uuid.json"),
-        s"""{"versao":"1.0","cnpj":"1","tipo":"inclusao_pedido","dados":{"id":$id,"uuid":"u$id","valor":$valor,"event_ts":"2024-01-01 00:00:00"}}""")
-    }
-    Files.writeString(manifest, ZoneManifest) // written LAST: marks complete
+    write(root)
+    Files.writeString(manifest, manifestContent) // written LAST: marks complete
   }
+
+  private def stageZone(): Unit =
+    stageFixtureZone(zoneDir, ZoneManifest, ".json", ZoneFiles) { root =>
+      import java.nio.file.Files
+      (1 to ZoneFiles).foreach { i =>
+        val id = i * 7L // synthetic order key, content derived only from i
+        val valor = (i * 131 % 9000) / 100.0 + 1.0
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val uuid = s"${h.substring(0, 8)}-${h.substring(8, 12)}-" +
+          s"${h.substring(12, 16)}-${h.substring(16, 20)}-${h.substring(20, 32)}"
+        Files.writeString(root.resolve(s"z316-tiny-api-$id-pdv-20240305T141000-$uuid.json"),
+          s"""{"versao":"1.0","cnpj":"1","tipo":"inclusao_pedido","dados":{"id":$id,"uuid":"u$id","valor":$valor,"event_ts":"2024-01-01 00:00:00"}}""")
+      }
+    }
 
   val zoneScanSql: String =
     s"""SELECT CAST(regexp_extract(filename, 'z316-tiny-api-(\\d+)-', 1) AS BIGINT) AS dados_id,
@@ -145,39 +157,23 @@ object Ingest {
       .orderBy("id")
   }
 
-  private def stageCsvZone(): Unit = {
-    import java.nio.file.{Files, Paths}
-    val root = Paths.get(csvZoneDir)
-    val manifest = root.resolve("_MANIFEST")
-    if (Files.isDirectory(root)) {
-      val stream = Files.list(root)
-      val complete = try {
-        Files.isRegularFile(manifest) &&
-          Files.readString(manifest) == CsvZoneManifest &&
-          stream.filter(_.toString.endsWith(".csv")).count() == CsvPages
-      } finally stream.close()
-      if (complete) return
-      val walk = Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-      finally walk.close()
-    }
-    Files.createDirectories(root)
-    val cidades = Array("Goiania", "Anapolis", "Brasilia", "Rio Verde")
-    (1 to CsvPages).foreach { page =>
-      val rows = (1 to CsvRowsPerPage).map { j =>
-        val i = (page - 1) * CsvRowsPerPage + j
-        // every 10th row carries an unparseable date → D6 pass-through
-        val data = if (i % 10 == 0) "n/d"
-        else f"${1 + i % 28}%02d/${1 + i % 12}%02d/${1970 + i % 30}%04d"
-        val valor = (i * 37 % 5000) / 100.0 + 1.0
-        s"${i * 3},Contato $i,${cidades(i % 4)},$data,$valor"
+  private def stageCsvZone(): Unit =
+    stageFixtureZone(csvZoneDir, CsvZoneManifest, ".csv", CsvPages) { root =>
+      import java.nio.file.Files
+      val cidades = Array("Goiania", "Anapolis", "Brasilia", "Rio Verde")
+      (1 to CsvPages).foreach { page =>
+        val rows = (1 to CsvRowsPerPage).map { j =>
+          val i = (page - 1) * CsvRowsPerPage + j
+          // every 10th row carries an unparseable date → D6 pass-through
+          val data = if (i % 10 == 0) "n/d"
+          else f"${1 + i % 28}%02d/${1 + i % 12}%02d/${1970 + i % 30}%04d"
+          val valor = (i * 37 % 5000) / 100.0 + 1.0
+          s"${i * 3},Contato $i,${cidades(i % 4)},$data,$valor"
+        }
+        Files.writeString(root.resolve(s"contatos-page-$page.csv"),
+          "id,nome,cidade,data_nascimento,valor\n" + rows.mkString("\n") + "\n")
       }
-      Files.writeString(root.resolve(s"contatos-page-$page.csv"),
-        "id,nome,cidade,data_nascimento,valor\n" + rows.mkString("\n") + "\n")
     }
-    Files.writeString(manifest, CsvZoneManifest) // written LAST: marks complete
-  }
 
   val csvZoneScanSql: String =
     s"""SELECT id, nome, cidade,

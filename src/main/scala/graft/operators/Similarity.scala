@@ -434,15 +434,17 @@ object Similarity {
     * compression step beyond [[annQuantized]]'s scalar int8: the vector
     * splits into `m` subspaces, each trained its own `k`-centroid codebook
     * (the same grid-exact Lloyd's as [[Clustering.kmeansTrain]], run on the
-    * slices), and every corpus vector compresses to `m` code ids — 4 bytes
-    * here vs 256 for float32×64, a 64× resident-set cut.
+    * slices), and every corpus vector compresses to `m` code ids — 8
+    * one-byte codes here vs 256 bytes for float32×64, a 32× resident-set
+    * cut (4-bit packing of the k=16 ids doubles it).
     *
     * Search is asymmetric distance computation (ADC), relationally: the
     * query stays uncompressed; its distance to every codebook centroid
     * forms a (queries × m × k) lookup table — broadcast-tiny by
     * construction — and the corpus side joins its CODES (m longs per
     * vector) against that table and sums. The full-precision corpus is
-    * touched only by the top-15 exact-cosine rerank (generate-then-verify,
+    * touched only by the top-`nCand` exact-cosine rerank emitting 5 rows
+    * per query (generate-then-verify,
     * like every approximate operator here). At 100 TB: training cost is
     * the k-means analysis ×m on slices, encoding is one broadcast pass,
     * and the scan side of a query moves ONLY code ids — never vectors.

@@ -214,9 +214,20 @@ object Streaming {
     val spark = batch.sparkSession
     val live = Paths.get(tableDir)
     val old = Paths.get(tableDir + "._old")
-    // heal a crash between the two renames: old set aside, no live yet
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+    // heal crash windows on entry. No live + old set aside = death between
+    // the two renames → restore. Live AND old = death after the swap but
+    // before (or during) the old-dir cleanup → live is the complete new
+    // cube, so finish the cleanup; without this, the next swap's
+    // rename-aside hits a non-empty ._old and fails every epoch forever.
     if (!Files.exists(live) && Files.exists(old))
       Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
+    else rmTree(old)
     val manifest = live.resolve("_BATCH")
     val applied =
       if (Files.isRegularFile(manifest)) Files.readString(manifest).trim.toLong
@@ -241,12 +252,7 @@ object Streaming {
     Files.writeString(Paths.get(scratch).resolve("_BATCH"), epoch.toString)
     if (Files.exists(live)) Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(scratch), live, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(old)) {
-      val walk = Files.walk(old)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-      finally walk.close()
-    }
+    rmTree(old)
   }
 
   /** Streaming heavy-hitter sketch — the in-stream form of

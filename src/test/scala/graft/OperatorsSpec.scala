@@ -377,7 +377,11 @@ class OperatorsSpec extends SparkSuite {
       assert(r.isNullAt(3) == r.isNullAt(4), "z and flag must be null together")
       if (!r.isNullAt(3)) {
         val hit = r.getLong(4) == 1L
-        assert(hit == (math.abs(r.getDouble(3)) > 2d))
+        // the flag comes from the UNROUNDED z; the emitted z is r4-rounded,
+        // so a true |z| in (2, 2.00005] legitimately reads as exactly 2.0 —
+        // only off-boundary values can be cross-checked
+        val absZ = math.abs(r.getDouble(3))
+        if (math.abs(absZ - 2d) > 1e-4) assert(hit == (absZ > 2d))
         if (hit) flagged += 1
       }
     }

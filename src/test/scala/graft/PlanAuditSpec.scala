@@ -38,22 +38,28 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
-  test("tfidf: doc-partitioned window — no single-partition exchange anywhere") {
+  test("tfidf: the top-k window partitions by doc_id, with group-limit pushdown") {
     val p = plan(TextOps.tfidfTopk(spark, sfDir))
-    assert(!p.contains("Exchange SinglePartition", 0) ||
-      !p.substring(p.indexOf("Window")).contains("SinglePartition"),
-      "top-k window must partition by doc_id, not collapse to one partition")
-    assert(p.contains("Window"), p.take(500))
+    // the 1-row n_docs aggregate legitimately plans an Exchange
+    // SinglePartition; the property that matters is the WINDOW's spec —
+    // partitioned by doc_id, never a global (empty-partition) window
+    val winLines = p.split("\n").filter(_.contains("Window [row_number()"))
+    assert(winLines.nonEmpty, p.take(500))
+    assert(winLines.forall(_.contains("], [doc_id#")),
+      s"top-k window lost its doc_id partitioning:\n${winLines.mkString("\n")}")
+    // rank<=k pushes down as a group limit, pruning before the sort
+    assert(p.contains("WindowGroupLimit"), "rank filter did not push down")
   }
 
   test("heavy hitters: sketch pass is partial+final, recount joins a broadcast candidate set") {
     val p = plan(Sketches.heavyHitters(spark, sfDir))
     // the MisraGries Aggregator must run as partial aggregation (map-side
-    // sketches merged treewise), and the recount must restrict the corpus
-    // via a broadcast join — never a full-vocabulary hash shuffle
-    assert(p.contains("partial_misragries") || p.contains("partial_MisraGries")
-      || p.toLowerCase.contains("partial_misragries")
-      || p.contains("ObjectHashAggregate"), p.take(800))
+    // sketches merged treewise): the plan shows TWO object aggregates for
+    // the sketch — a partial_misragries and its final merge
+    assert(p.toLowerCase.split("partial_misragries").length - 1 >= 1,
+      s"sketch did not run as partial aggregation:\n${p.take(800)}")
+    // and the recount must restrict the corpus via a broadcast join —
+    // never a full-vocabulary hash shuffle
     assert(p.split("BroadcastHashJoin").length - 1 >= 1, p.take(800))
   }
 

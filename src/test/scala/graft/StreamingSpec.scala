@@ -3,7 +3,7 @@ package graft
 import graft.streaming.Streaming
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 /** Streaming-layer spec: validation routing in batch (the function is
   * source-agnostic) and the watermarked dedupe + fan-out path over a real
@@ -153,6 +153,17 @@ class StreamingSpec extends SparkSuite {
     Streaming.applyRollupEpoch(
       spark.read.schema(schema).json(s"$work/drop"), 0L, s"$work/cube")
     assert(cube() == got, "replayed epoch double-counted into the cube")
+    // crash window: death after the swap but before the old-dir cleanup
+    // leaves a stale ._old next to the complete live cube — the next epoch
+    // must heal it and apply cleanly, not wedge on a non-empty rename target
+    val staleOld = Paths.get(s"$work/cube._old")
+    Files.createDirectories(staleOld)
+    Files.writeString(staleOld.resolve("leftover.parquet"), "junk")
+    Seq(js("2024-03-20", 2.0)).toDF("value").coalesce(1)
+      .write.mode("append").text(s"$work/drop")
+    run()
+    assert(!Files.exists(staleOld), "stale ._old not healed")
+    assert(cube()((2024L, 3L)) == (2L, 30000L), "post-heal epoch not applied")
   }
 
   test("streaming heavy hitters: sketch state survives restart, no false negatives") {
