@@ -33,8 +33,10 @@ object Graph {
     * literals in the same evaluation order as the oracle (NOT algebraic
     * variants like `0.15 * (1/n)`, which differ in the last ulp). */
   private def step(edges: DataFrame, ranks: DataFrame): DataFrame = {
+    // hash-build the node-grain ranks side (|V|/partitions per task) so the
+    // edge table streams unsorted — sort-merge re-sorts |E| every iteration
     val contrib = edges
-      .join(ranks.select(col("node"), col("deg"), col("r")),
+      .join(ranks.select(col("node"), col("deg"), col("r")).hint("shuffle_hash"),
         col("src") === col("node"))
       .select(col("dst"),
         floor(col("r") / col("deg") * lit(ContribScale) + lit(0.5d))
