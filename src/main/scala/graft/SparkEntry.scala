@@ -42,6 +42,7 @@ object SparkEntry {
     "revenue_anomaly" -> ((s, dir) => Analytics.revenueAnomaly(tune(s), dir)),
     "basket_rules" -> ((s, dir) => Analytics.basketRules(tune(s), dir)),
     "sales_rollup" -> ((s, dir) => Analytics.salesRollup(tune(s), dir)),
+    "sales_cube" -> ((s, dir) => Analytics.salesCube(tune(s), dir)),
     "sales_pivot" -> ((s, dir) => Analytics.salesPivot(tune(s), dir)),
     "brand_nation_margin" -> ((s, dir) => Analytics.brandNationMargin(tune(s), dir)),
     // E/G/C/F11. quality + reconciliation (data_validation, backfill)
@@ -153,6 +154,7 @@ object SparkEntry {
     "revenue_anomaly" -> Analytics.revenueAnomalySql,
     "basket_rules" -> Analytics.basketRulesSql,
     "sales_rollup" -> Analytics.salesRollupSql,
+    "sales_cube" -> Analytics.salesCubeSql,
     "sales_pivot" -> Analytics.salesPivotSql,
     "brand_nation_margin" -> Analytics.brandNationMarginSql,
     "ids_distinct" -> Quality.idsDistinctSql,

@@ -334,6 +334,45 @@ object Analytics {
       |GROUP BY ROLLUP (yr, mo)
       |ORDER BY yr ASC NULLS FIRST, mo ASC NULLS FIRST""".stripMargin
 
+  /** Revenue CUBE over (supplier-region, year): all four grouping sets —
+    * cells, both one-dimension margins, and the grand total — from one
+    * scan (Expand ×4). The rollup's drill-down ladder answers "break
+    * yearly down by month"; the cube answers margin questions in BOTH
+    * directions, which is what a region-by-year dashboard slices. Same
+    * determinism story as [[salesRollup]]: grid LONG sums, pinned null
+    * order. */
+  def salesCube(spark: SparkSession, sfDir: String): DataFrame = {
+    val j = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"),
+        year(col("o_orderdate")).cast("long").as("yr"), col("o_totalprice"))
+    j.cube("region", "yr")
+      .agg(count(lit(1)).as("n_orders"), Exprs.gsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("region").asc_nulls_first, col("yr").asc_nulls_first)
+  }
+
+  val salesCubeSql: String =
+    """WITH j AS (
+      |  SELECT r.r_name AS region, CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    o.o_totalprice
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey)
+      |SELECT region, yr, count(*) AS n_orders,
+      |  CAST(SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 10000 AS revenue
+      |FROM j
+      |GROUP BY CUBE (region, yr)
+      |ORDER BY region ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin
+
   /** Region × year revenue matrix — `pivot` with a FIXED value list (the
     * five TPC-H regions). A pivot with explicit values never scans to
     * discover columns (the dynamic form collects distinct values to the
