@@ -13,13 +13,49 @@ import org.apache.spark.sql.functions._
   * Scale notes: both are two-aggregate plans. [[retentionCohorts]] shuffles
   * (user, week) pairs — already deduplicated map-side — then the cohort
   * matrix (weeks² cells) is tiny at any corpus size. [[rfmSegments]]
-  * aggregates orders per customer (map-side combined), and the quintile
-  * windows rank the CUSTOMER-grain table; at 100 TB the exact ntile over a
-  * global sort becomes the two-stage form every top-k here uses, or an
-  * approx-quantile cut (`approx_percentile` on the three metrics) — same
-  * segments up to boundary ties, constant memory.
+  * aggregates orders per customer (map-side combined), then ranks the
+  * CUSTOMER-grain table with the distributed [[rangedRunningSum]] form
+  * (range partitions + broadcast offsets — no single-partition window);
+  * [[rfmSegmentsApprox]] trades exact quintiles for one `approx_percentile`
+  * pass when even three range shuffles are too dear — same segments up to
+  * boundary ties, constant memory.
   */
 object Analytics {
+
+  /** Distributed running sum over a TOTAL order — the scale-safe replacement
+    * for `Window.orderBy(...)` with no `partitionBy` (which moves every row
+    * to one partition; AQE never rewrites that shape). Standard two-stage
+    * form: range-partition on the order (so range i holds globally-ordered
+    * rows before range i+1), running-sum locally per range, then add the
+    * broadcast sum of all earlier ranges. The per-range totals are
+    * #shuffle-partitions rows, so the offset self-join is trivially tiny at
+    * any data size. Result is boundary-invariant: wherever the sampled range
+    * splits fall, local-cum + earlier-range-offset is the global running
+    * sum. The two consumers of the ranged exchange (window and per-range
+    * totals) are canonically identical subtrees, so Spark's exchange reuse
+    * executes the range sampling once — rid labels are consistent across
+    * the diamond.
+    *
+    * With `value = lit(1L)` this is a distributed `row_number`, from which
+    * `ntile` is pure arithmetic — see [[rfmSegments]].
+    */
+  private[graft] def rangedRunningSum(df: DataFrame, out: String,
+      value: org.apache.spark.sql.Column,
+      order: org.apache.spark.sql.Column*): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(n, order: _*)
+      .withColumn("__rid", spark_partition_id())
+    val local = ranged.withColumn("__cum",
+      sum(value).over(Window.partitionBy("__rid").orderBy(order: _*)))
+    val totals = ranged.groupBy("__rid").agg(sum(value).as("__rtot"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.__rid") < col("a.__rid"), "left_outer")
+      .groupBy(col("a.__rid").as("__rid"))
+      .agg(coalesce(sum(col("b.__rtot")), lit(0L)).as("__off"))
+    local.join(broadcast(offsets), "__rid")
+      .withColumn(out, col("__off") + col("__cum"))
+      .drop("__rid", "__cum", "__off")
+  }
 
   /** Weekly retention cohorts: users grouped by first-active week, each
     * cell = how many of them were active again n weeks later. Two
@@ -55,10 +91,17 @@ object Analytics {
 
   /** RFM segmentation: per customer, days since last order (R), order
     * count (F), grid-summed lifetime value (M); quintile scores by exact
-    * `ntile(5)` under a TOTAL order (metric, then customer key — ties can
-    * never make the buckets engine-dependent), and the standard composite
-    * segment label. Recency anchors on the dataset's max order date so the
-    * query is deterministic (no wall clock). */
+    * `ntile(5)` semantics under a TOTAL order (metric, then customer key —
+    * ties can never make the buckets engine-dependent), and the standard
+    * composite segment label. Recency anchors on the dataset's max order
+    * date so the query is deterministic (no wall clock).
+    *
+    * The scoring never runs a single-partition window: each rank is a
+    * distributed row_number ([[rangedRunningSum]] of 1s over the metric
+    * order), and the bucket is the SQL NTILE arithmetic applied to
+    * (row_number, total count) — the first n%5 buckets take ceil(n/5)
+    * rows — which is bit-identical to `ntile(5) OVER (ORDER BY …)` in
+    * both engines, so the oracle keeps the window form. */
   def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val base = o
@@ -70,14 +113,31 @@ object Analytics {
       .select(col("custkey"),
         datediff(col("anchor"), col("last_order")).cast("long").as("recency_days"),
         col("frequency"), col("monetary"))
-    val scored = base
+    // NTILE(k) from a 1-based global row number rn and total n:
+    // q = n div k, r = n mod k; buckets 1..r hold q+1 rows, the rest q.
+    // All-long operands; the one `/` runs on doubles exact to 2^53 rows.
+    def ntile5(rn: org.apache.spark.sql.Column,
+               n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val q = floor(n / lit(5))
+      val r = pmod(n, lit(5)).cast("long")
+      val qq = greatest(q, lit(1L)) // n<5: else-branch unreachable; keep its divisor nonzero
+      when(rn <= r * (q + 1), floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + floor((rn - 1 - r * (q + 1)) / qq) + 1)
+        .cast("long")
+    }
+    val cnt = broadcast(base.agg(count(lit(1)).as("__n")))
+    val ranked = Seq[(String, Seq[org.apache.spark.sql.Column])](
       // R: smaller is better → rank ascending so bucket 1 = most recent
-      .withColumn("r_score", ntile(5).over(
-        Window.orderBy(col("recency_days"), col("custkey"))).cast("long"))
-      .withColumn("f_score", ntile(5).over(
-        Window.orderBy(col("frequency").desc, col("custkey"))).cast("long"))
-      .withColumn("m_score", ntile(5).over(
-        Window.orderBy(col("monetary").desc, col("custkey"))).cast("long"))
+      ("__r_rn", Seq(col("recency_days"), col("custkey"))),
+      ("__f_rn", Seq(col("frequency").desc, col("custkey"))),
+      ("__m_rn", Seq(col("monetary").desc, col("custkey")))
+    ).foldLeft(base) { case (df, (out, ord)) =>
+      rangedRunningSum(df, out, lit(1L), ord: _*)
+    }
+    val scored = ranked.crossJoin(cnt)
+      .withColumn("r_score", ntile5(col("__r_rn"), col("__n")))
+      .withColumn("f_score", ntile5(col("__f_rn"), col("__n")))
+      .withColumn("m_score", ntile5(col("__m_rn"), col("__n")))
     scored.select(col("custkey"), col("recency_days"), col("frequency"),
       col("monetary"), col("r_score"), col("f_score"), col("m_score"),
       when(col("r_score") <= 2 && col("f_score") <= 2 && col("m_score") <= 2,
@@ -133,22 +193,22 @@ object Analytics {
     * view every sales warehouse derives from its item fact.
     *
     * Determinism: revenue lives on the 1e-4 grid as a LONG, the running
-    * total is LONG window arithmetic (exact, order-fixed by the total
+    * total is LONG arithmetic (exact, order-fixed by the total
     * (revenue desc, part) sort), and the single double division happens
     * once at the end — both engines see identical operands. Scale: the
-    * window is part-grain (orders of magnitude smaller than the item
-    * fact); at 100 TB the global sort becomes range-partitioned sort +
-    * per-range offsets (the standard distributed cumulative-sum shape),
-    * which AQE sizes automatically. */
+    * running sum is [[rangedRunningSum]] — range-partitioned local sums
+    * plus broadcast per-range offsets, never a single-partition window —
+    * so the part-grain table (billions of rows at a 100 TB catalog)
+    * stays distributed end to end. */
   def abcParts(spark: SparkSession, sfDir: String): DataFrame = {
     val rev = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_partkey").as("part"))
       .agg(sum(floor(col("l_extendedprice") * lit(1e4) + lit(0.5d))
         .cast("long")).as("rev_grid"))
     val tot = rev.agg(sum("rev_grid").as("tot"))
-    val cum = rev.crossJoin(broadcast(tot))
-      .withColumn("cum", sum("rev_grid").over(
-        Window.orderBy(col("rev_grid").desc, col("part"))))
+    val cum = rangedRunningSum(rev, "cum",
+        col("rev_grid"), col("rev_grid").desc, col("part"))
+      .crossJoin(broadcast(tot))
       .withColumn("cum_share", Exprs.r4(col("cum").cast("double") / col("tot")))
     cum.select(col("part"),
       (col("rev_grid").cast("double") / lit(1e4)).as("revenue"),
@@ -353,9 +413,18 @@ object Analytics {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("r_name").as("region"),
         year(col("o_orderdate")).cast("long").as("yr"), col("o_totalprice"))
-    j.cube("region", "yr")
+    // Two resolution traps here (Spark 4.1.2), both tripped only because the
+    // cube input is a multi-Dataset join: `cube("region", "yr")`'s string
+    // overload resolves through Dataset.col and attaches plan-id metadata
+    // that DetectAmbiguousSelfJoin later rejects as ambiguous — the
+    // `functions.col` overload resolves lazily by name and is safe; and the
+    // post-cube sort must reference the aggregate's own outputs (select,
+    // then name-based sort), not `col(...)` captured from the input. The
+    // rollup sibling never hits either because its input is a plain scan.
+    j.cube(col("region"), col("yr"))
       .agg(count(lit(1)).as("n_orders"), Exprs.gsum(col("o_totalprice")).as("revenue"))
-      .orderBy(col("region").asc_nulls_first, col("yr").asc_nulls_first)
+      .select("region", "yr", "n_orders", "revenue")
+      .orderBy(asc_nulls_first("region"), asc_nulls_first("yr"))
   }
 
   val salesCubeSql: String =

@@ -251,8 +251,10 @@ object CorpusOps {
 
   /** Cross-document boilerplate detection — the corpus-level complement of
     * [[repNgrams]] (within-doc): a document's boilerplate fraction is the
-    * share of its distinct word 5-grams that also appear in at least
-    * `minDf` OTHER documents' gram sets (nav bars, license headers, spam
+    * share of its distinct word 5-grams whose document frequency across the
+    * whole corpus (including this document) reaches `minDf` — i.e. grams
+    * shared with at least `minDf - 1` OTHER documents (nav bars, license
+    * headers, spam
     * templates — the stuff line-dedup removes in newline-structured
     * corpora; this fixture corpus is single-line, so grams are the unit).
     *

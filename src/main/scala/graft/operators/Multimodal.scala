@@ -71,6 +71,16 @@ object Multimodal {
     val media = Tables.documents(spark, sfDir).select(
       col("doc_id"), col("text").cast("binary").as("payload"),
       lit("video/mp4").as("mime")).as[MediaRow]
+    mediaFramesOf(media, thumbBytes, frameSize)
+  }
+
+  /** Payload-level core of [[mediaFrames]] — separable so edge shapes
+    * (e.g. a zero-byte payload, which has a thumb but no frames) are
+    * testable without a fixture table. */
+  private[graft] def mediaFramesOf(media: org.apache.spark.sql.Dataset[MediaRow],
+      thumbBytes: Int = 64, frameSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         val n = r.payload.length
@@ -86,7 +96,11 @@ object Multimodal {
         while (i < n) { ts += r.payload(i) & 0xff; i += stride }
         val thumb = MediaSample(r.doc_id, "thumb", 0L, 0L, nSamp.toLong, ts)
         val nFrames = (n + frameSize - 1) / frameSize
-        val frames = Seq(0, nFrames / 2, nFrames - 1).distinct.map { f =>
+        // empty payload → nFrames=0 → candidate indices {0, -1}; only real
+        // frames [0, nFrames) may be emitted — idx -1 would read off=-256
+        // and crash sumRange, and an empty video simply has no frames
+        val frames = Seq(0, nFrames / 2, nFrames - 1)
+          .filter(f => f >= 0 && f < nFrames).distinct.map { f =>
           val off = f * frameSize
           val len = math.min(frameSize, n - off)
           MediaSample(r.doc_id, "frame", f.toLong, off.toLong, len.toLong,
@@ -111,13 +125,13 @@ object Multimodal {
       |  SELECT doc_id, 'thumb' AS kind, CAST(0 AS BIGINT) AS idx,
       |    CAST(0 AS BIGINT) AS off,
       |    CAST(ceil(CAST(n AS DOUBLE) / stride) AS BIGINT) AS len,
-      |    CAST(list_sum(list_transform(
+      |    CAST(COALESCE(list_sum(list_transform(
       |      range(0, CAST(ceil(CAST(n AS DOUBLE) / stride) AS BIGINT)),
-      |      i -> ascii(substr(text, CAST(1 + i * stride AS INT), 1)))) AS BIGINT)
-      |      AS byte_sum
+      |      i -> ascii(substr(text, CAST(1 + i * stride AS INT), 1)))), 0)
+      |      AS BIGINT) AS byte_sum
       |  FROM d),
       |fidx AS (
-      |  SELECT doc_id, text, n, unnest(list_distinct(
+      |  SELECT doc_id, text, n, n_frames, unnest(list_distinct(
       |    [0, n_frames // 2, n_frames - 1])) AS f
       |  FROM d),
       |frames AS (
@@ -125,7 +139,9 @@ object Multimodal {
       |    CAST(f * 256 AS BIGINT) AS off,
       |    CAST(least(256, n - f * 256) AS BIGINT) AS len,
       |    ${chunkSum("CAST(f * 256 + 1 AS INT)", "CAST(least(256, n - f * 256) AS INT)")} AS byte_sum
-      |  FROM fidx)
+      |  FROM fidx
+      |  -- an empty payload has no frames: drop the {0, -1} candidates
+      |  WHERE f >= 0 AND f < n_frames)
       |SELECT * FROM thumb
       |UNION ALL
       |SELECT * FROM frames

@@ -196,7 +196,15 @@ object Streaming {
     * Scale: the batch partial is a map-side-combined aggregate; the cube
     * itself is (years × months) rows — reading and rewriting it per epoch
     * is O(cube), not O(stream); counts/revenue stay exact LONGs on the
-    * grid, so merge order never matters. */
+    * grid, so merge order never matters.
+    *
+    * Filesystem scope: the swap protocol uses `java.nio.file` renames with
+    * `ATOMIC_MOVE`, so the crash-atomicity guarantee holds only when
+    * `tableDir` is on a LOCAL (POSIX) filesystem — the right home for a
+    * driver-adjacent serving cube this small. Pointing it at an object
+    * store (S3/GCS, where rename is copy+delete) voids the guarantee; the
+    * port is mechanical (`org.apache.hadoop.fs.FileSystem.rename` on HDFS,
+    * or a `_BATCH`-conditional overwrite on stores with atomic PUT). */
   def incrementalRollup(orders: DataFrame, tableDir: String,
       checkpointDir: String): StreamingQuery =
     orders.writeStream
@@ -265,9 +273,12 @@ object Streaming {
     * TRUE global count — sharding only shrinks n_shard and tightens it.
     * State is ≤ cap counters per shard, checkpointed: the sketch survives
     * query restarts, which is what the spec asserts. Each batch emits the
-    * shard's current candidate set (Update mode); the union across shards
-    * is the corpus candidate set, to be exact-verified by the batch
-    * recount exactly like the batch operator. */
+    * shard's CURRENT candidate set into its own `ingest_batch=<id>`
+    * partition (Update mode, overwrite-by-batch like every other sink
+    * here) — readers take each shard's row from the max batch partition,
+    * so a candidate later evicted by MG decrements does not linger; the
+    * union of latest shards is the corpus candidate set, to be
+    * exact-verified by the batch recount exactly like the batch operator. */
   def streamingHeavyHitters(tokens: Dataset[String], cap: Int, nShards: Int,
       outDir: String, checkpointDir: String): StreamingQuery = {
     import tokens.sparkSession.implicits._
@@ -284,8 +295,11 @@ object Streaming {
       .writeStream.outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch-keyed overwrite, not append: the sink's contract is "the
+        // shard's CURRENT candidates" — an appended union would resurrect
+        // every evicted candidate, and a replayed batch would double-write
+        batch.write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
         ()
       }
       .start()

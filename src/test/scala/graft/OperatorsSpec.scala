@@ -124,6 +124,22 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("media frames: empty payload yields a zero thumb and NO frames") {
+    import spark.implicits._
+    val media = Seq(
+      graft.operators.MediaRow(1L, Array.emptyByteArray, "video/mp4"),
+      graft.operators.MediaRow(2L, Array.fill[Byte](300)(65), "video/mp4"))
+      .toDS()
+    val rows = Multimodal.mediaFramesOf(media).collect()
+    val d1 = rows.filter(_.getLong(0) == 1L)
+    assert(d1.length == 1 && d1.head.getString(1) == "thumb",
+      s"empty payload must emit only its thumb, got ${d1.mkString(";")}")
+    assert(d1.head.getLong(4) == 0 && d1.head.getLong(5) == 0)
+    // the non-empty sibling still gets first+last frames (2 frames of 300B)
+    val d2f = rows.filter(r => r.getLong(0) == 2L && r.getString(1) == "frame")
+    assert(d2f.map(_.getLong(2)).sorted.toSeq == Seq(0L, 1L))
+  }
+
   test("multimodal: features are a deterministic function of payload bytes") {
     val res = Multimodal.multimodalFeatures(spark, sfDir)
     val bad = res.join(Tables.documents(spark, sfDir), "doc_id")

@@ -293,4 +293,65 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.split("Exchange hashpartitioning").length - 1 == 0, p.take(800))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p.take(800))
   }
+
+  /** A Window fed by `Exchange SinglePartition` is the one-task wall the
+    * distributed-cumsum rewrite exists to avoid. In the plan string the
+    * window sits at most a Sort away from its input exchange. */
+  private def partitionlessWindows(p: String): Int = {
+    val lines = p.split("\n")
+    lines.indices.count { i =>
+      lines(i).contains("Window ") &&
+        (i + 1 to math.min(i + 3, lines.length - 1))
+          .exists(j => lines(j).contains("Exchange SinglePartition"))
+    }
+  }
+
+  test("abc parts: running sum is range-partitioned — no single-partition window") {
+    val p = plan(Analytics.abcParts(spark, sfDir))
+    assert(partitionlessWindows(p) == 0,
+      "cumulative sum fell back to a one-task window:\n" + p.take(1200))
+    assert(p.split("Exchange rangepartitioning").length - 1 >= 1,
+      "expected the repartitionByRange stage:\n" + p.take(1200))
+  }
+
+  test("rfm: all three rank windows partitioned — no single-partition window") {
+    val p = plan(Analytics.rfmSegments(spark, sfDir))
+    assert(partitionlessWindows(p) == 0,
+      "an ntile rank fell back to a one-task window:\n" + p.take(1200))
+    assert(p.split("Exchange rangepartitioning").length - 1 >= 3,
+      "expected one repartitionByRange per metric:\n" + p.take(1200))
+  }
+
+  test("sales cube: one Expand (4 grouping sets), one pass over each table") {
+    val p = plan(Analytics.salesCube(spark, sfDir))
+    assert(p.split("\\bExpand\\b").length - 1 == 1,
+      "cube must expand grouping sets once, from one scan:\n" + p.take(1200))
+    assert(p.split("Scan parquet").length - 1 == 4,
+      "orders/customer/nation/region each scanned exactly once:\n" + p.take(1200))
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2, p.take(1200))
+  }
+
+  test("sales pivot: fixed value list — single aggregate, no Expand, dims broadcast") {
+    val p = plan(Analytics.salesPivot(spark, sfDir))
+    // a fixed-values pivot plans as Spark's two-level aggregate — partial
+    // over (yr, region) then pivot-first over yr, both map-side combined —
+    // with no Expand; the dynamic form would have run a distinct collect
+    // before this plan even built
+    assert(p.split("\\bExpand\\b").length - 1 == 0, p.take(1200))
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2, p.take(1200))
+    assert(p.split("BroadcastHashJoin").length - 1 == 3, p.take(1200))
+    assert(p.split("Scan parquet").length - 1 == 4, p.take(1200))
+  }
+
+  test("brand/nation margin: nation keeps its hint when stats can't broadcast; " +
+    "part and supplier degrade to shuffle joins, never a forced broadcast") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(Analytics.brandNationMargin(spark, sfDir))
+      assert(p.split("BroadcastHashJoin").length - 1 == 1, p.take(1200))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "catalog dims must fall back to shuffle joins:\n" + p.take(1200))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -179,9 +179,15 @@ class StreamingSpec extends SparkSuite {
     Seq.fill(80)("warm").toDF("value").coalesce(1)
       .write.mode("append").text(s"$work/drop")
     run()
-    // latest candidate set per shard (micro-batches append; take the last)
+    // the sink is batch-keyed (ingest_batch=<id>, overwrite): a shard's
+    // CURRENT candidates are its row in the max batch partition — an
+    // evicted candidate must not linger from an older batch
     val out = spark.read.parquet(s"$work/out")
-    val cands = out.collect().flatMap(_.getSeq[String](1)).toSet
+      .select(col("shard"), col("candidates"), col("ingest_batch").cast("long"))
+    val latest = out.collect()
+      .groupBy(_.getInt(0)).values
+      .map(_.maxBy(_.getLong(2)))
+    val cands = latest.flatMap(_.getSeq[String](1)).toSet
     // 'hot' (60/270 ≫ n_shard/21) must survive; 'warm' reached weight only
     // via state carried across the restart (10 then 80)
     assert(cands.contains("hot"), s"hot missing from $cands")
