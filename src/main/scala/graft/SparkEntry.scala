@@ -37,6 +37,9 @@ object SparkEntry {
     "retention_cohorts" -> ((s, dir) => Analytics.retentionCohorts(tune(s), dir)),
     "pagerank_parts" -> ((s, dir) => Graph.pagerankParts(tune(s), dir)),
     "triangle_parts" -> ((s, dir) => Graph.triangleParts(tune(s), dir)),
+    // the production scale path: singleton co-purchase (noise) edges
+    // pruned before the wedge phase — oracle-checked, not just documented
+    "triangle_parts_t2" -> ((s, dir) => Graph.triangleParts(tune(s), dir, minSupport = 2)),
     "rfm_segments" -> ((s, dir) => Analytics.rfmSegments(tune(s), dir)),
     "abc_parts" -> ((s, dir) => Analytics.abcParts(tune(s), dir)),
     "revenue_anomaly" -> ((s, dir) => Analytics.revenueAnomaly(tune(s), dir)),
@@ -149,6 +152,7 @@ object SparkEntry {
     "retention_cohorts" -> Analytics.retentionCohortsSql,
     "pagerank_parts" -> Graph.pagerankPartsSql,
     "triangle_parts" -> Graph.trianglePartsSql,
+    "triangle_parts_t2" -> Graph.trianglePartsThresholdSql(2),
     "rfm_segments" -> Analytics.rfmSegmentsSql,
     "abc_parts" -> Analytics.abcPartsSql,
     "revenue_anomaly" -> Analytics.revenueAnomalySql,

@@ -31,10 +31,19 @@ object Analytics {
     * #shuffle-partitions rows, so the offset self-join is trivially tiny at
     * any data size. Result is boundary-invariant: wherever the sampled range
     * splits fall, local-cum + earlier-range-offset is the global running
-    * sum. The two consumers of the ranged exchange (window and per-range
-    * totals) are canonically identical subtrees, so Spark's exchange reuse
-    * executes the range sampling once — rid labels are consistent across
-    * the diamond.
+    * sum — PROVIDED every consumer sees the SAME boundaries. That proviso
+    * is load-bearing: the window and the per-range totals are separate
+    * consumers of the ranged exchange, and Spark plans each branch its own
+    * exchange whose `RangePartitioner` samples boundaries independently
+    * (exchange reuse does NOT deduplicate them — observed three live range
+    * exchanges in one plan, and at 16 shuffle partitions the branches
+    * genuinely diverged: rid labels disagreed and row numbers overran n).
+    * The lazy `localCheckpoint` pins the diamond to ONE RDD, so the range
+    * sampling runs exactly once and every consumer reads identical rid
+    * labels; lineage above the grain table is truncated as a side effect.
+    * The checkpoint materializes the GRAIN table (part/customer — orders
+    * of magnitude under the fact), the same trade the PQ codebook chain
+    * makes.
     *
     * With `value = lit(1L)` this is a distributed `row_number`, from which
     * `ntile` is pure arithmetic — see [[rfmSegments]].
@@ -45,6 +54,7 @@ object Analytics {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = df.repartitionByRange(n, order: _*)
       .withColumn("__rid", spark_partition_id())
+      .localCheckpoint(false) // lazy: one RDD, boundaries sampled ONCE
     val local = ranged.withColumn("__cum",
       sum(value).over(Window.partitionBy("__rid").orderBy(order: _*)))
     val totals = ranged.groupBy("__rid").agg(sum(value).as("__rtot"))

@@ -144,15 +144,12 @@ object Dedup {
     * verified duplicates), not corpus-sized, so it usually fits in driver
     * memory even for a 100 TB corpus — then a driver union-find (min-root,
     * path-compressed) is exact and avoids paying a distributed round per
-    * cluster-diameter step. Above `distributedThreshold` edges, iterated
-    * min-label propagation runs on the cluster: each round every doc takes
-    * the min of its own and its neighbors' labels until fixpoint — one
-    * shuffle per round ∝ |edges|, rounds = cluster diameter (the
-    * large-star/small-star variant halves diameters for adversarial
-    * chains — same relational shape). Labels only ever decrease, so the
-    * Σlabel fixpoint test is exact; lineage is truncated each round
-    * (`localCheckpoint`) so the plan does not grow with iterations. Both
-    * paths converge to component = min reachable doc_id. */
+    * cluster-diameter step. Above `distributedThreshold` edges,
+    * [[starContract]] runs on the cluster: alternating large-star /
+    * small-star contraction, which converges in O(log n) rounds on ANY
+    * topology — including the chain-shaped clusters that cost plain
+    * min-label propagation a round per hop of diameter. Both paths
+    * converge to component = min reachable doc_id. */
   def dedupComponents(spark: SparkSession, sfDir: String,
     distributedThreshold: Long = 1L << 20): DataFrame = {
     val pairs = dedupJaccard(spark, sfDir).select("doc_a", "doc_b")
@@ -176,31 +173,80 @@ object Dedup {
         }
         import spark.implicits._
         parent.keys.toSeq.map(d => (d, find(d))).toDF("doc_id", "label")
-      } else {
-        val edges = pairs.unionByName(
-          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        var lab = edges.select(col("doc_a").as("doc_id")).distinct()
-          .withColumn("label", col("doc_id")).localCheckpoint()
-        def labelSum() = lab.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
-        var prevSum = -1L
-        var curSum = labelSum()
-        while (curSum != prevSum) {
-          val neigh = edges.join(lab, col("doc_b") === col("doc_id"))
-            .groupBy(col("doc_a")).agg(min("label").as("nmin"))
-          lab = lab.join(neigh, col("doc_id") === col("doc_a"), "left")
-            .select(col("doc_id"),
-              least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-            .localCheckpoint()
-          prevSum = curSum
-          curSum = labelSum()
-        }
-        lab
-      }
+      } else starContract(pairs)._1
     Tables.documents(spark, sfDir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("component"))
       .withColumn("is_canonical", col("component") === col("doc_id"))
       .orderBy("doc_id")
+  }
+
+  /** Distributed connected components by alternating large-star /
+    * small-star contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond" — the relational form, no graph library):
+    *
+    *  - large-star: every node u re-points its LARGER neighbors at
+    *    m = min(N(u) ∪ {u});
+    *  - small-star: every node u re-points its smaller neighbors and
+    *    itself at the min of that set.
+    *
+    * Both steps preserve connectivity and only ever lower endpoints, so
+    * the edge set monotonically contracts toward one star per component
+    * (center = component min) — in O(log n) rounds on ANY topology,
+    * where plain min-label propagation pays one round per hop of
+    * diameter (a 1M-long chain: ~20 rounds vs 1M). Each round is two
+    * hash-join + aggregate passes over the CURRENT edge set (∝ surviving
+    * edges, shrinking fast), `localCheckpoint`ed so lineage stays flat;
+    * the deterministic edge set is compared via (count, hash-sum)
+    * checksum for the fixpoint test.
+    *
+    * Input: undirected pairs (doc_a, doc_b). Returns (labels, rounds):
+    * one (doc_id, label) row per non-isolated vertex, label = component
+    * min; rounds = contraction iterations to fixpoint (exposed so the
+    * spec can assert the logarithmic bound). */
+  private[graft] def starContract(pairs: DataFrame): (DataFrame, Int) = {
+    // canonical (hi, lo) edge form, hi > lo — self-loops dropped
+    var e = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
+        least(col("doc_a"), col("doc_b")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct().localCheckpoint()
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("hi"), col("lo"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = (-1L, 0L)
+    var cur = checksum(e)
+    var rounds = 0
+    while (cur != prev) {
+      rounds += 1
+      // large-star over the symmetrized neighborhoods
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.join(mins.hint("shuffle_hash"), "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+      // small-star on the (hi, lo) orientation: group u's smaller
+      // neighborhood S under u; emit (x, min(S)) for x ∈ S ∪ {u} \ {min}
+      val sMins = ls.groupBy("hi").agg(min("lo").as("m"))
+      val withM = ls.join(sMins.hint("shuffle_hash"), "hi")
+      e = withM.select(col("lo").as("h2"), col("m").as("l2"))
+        .filter(col("h2") =!= col("l2"))
+        .unionByName(withM.select(col("hi").as("h2"), col("m").as("l2")))
+        .distinct()
+        .select(col("h2").as("hi"), col("l2").as("lo"))
+        .localCheckpoint()
+      prev = cur
+      cur = checksum(e)
+    }
+    // fixpoint = stars: every non-center appears once as hi, centers as lo
+    val labels = e.select(col("hi").as("doc_id"), col("lo").as("label"))
+      .unionByName(
+        e.select(col("lo").as("doc_id"), col("lo").as("label")).distinct())
+    (labels, rounds)
   }
 
   /** Oracle: reachability via a recursive CTE; component = min reachable

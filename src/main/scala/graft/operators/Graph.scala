@@ -153,6 +153,23 @@ object Graph {
       |      UNION ALL SELECT z FROM t)
       |SELECT part, count(*) AS n_tri FROM n GROUP BY 1 ORDER BY part""".stripMargin
 
+  /** Oracle for the thresholded form ([[triangleParts]] with
+    * `minSupport > 1`) — the production scale path: the co-purchase pair
+    * count gates edges BEFORE any wedge enumeration, so both engines
+    * count triangles over the identical pruned edge set. */
+  def trianglePartsThresholdSql(minSupport: Long): String =
+    s"""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+      |      FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+      |       AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+      |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |n AS (SELECT x AS part FROM t UNION ALL SELECT y FROM t
+      |      UNION ALL SELECT z FROM t)
+      |SELECT part, count(*) AS n_tri FROM n GROUP BY 1 ORDER BY part""".stripMargin
+
   val pagerankPartsSql: String =
     """WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |pr AS (

@@ -149,6 +149,31 @@ class OperatorsSpec extends SparkSuite {
     assert(res.count() == Tables.documents(spark, sfDir).count())
   }
 
+  test("star contraction: 256-hop chain converges in logarithmic rounds") {
+    import spark.implicits._
+    // a long chain is the adversarial case for plain min-label propagation
+    // (one round per hop); star contraction must finish in ~log2 rounds.
+    // A disjoint triangle guards against cross-component label bleed.
+    val chain = (1L until 257L).map(i => (i, i + 1))
+    val tri = Seq((1000L, 1001L), (1001L, 1002L), (1000L, 1002L))
+    val (labels, rounds) = Dedup.starContract((chain ++ tri).toDF("doc_a", "doc_b"))
+    val lab = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab.size == 260, s"expected every vertex labeled once, got ${lab.size}")
+    assert((1L to 257L).forall(lab(_) == 1L), "chain must collapse to min=1")
+    assert((1000L to 1002L).forall(lab(_) == 1000L))
+    assert(rounds <= 12, s"256-hop chain took $rounds rounds — not logarithmic")
+  }
+
+  test("star contraction agrees with the driver union-find on real pairs") {
+    val pairs = Dedup.dedupJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val (distLab, _) = Dedup.starContract(pairs)
+    val comp = Dedup.dedupComponents(spark, sfDir)
+      .select(col("doc_id"), col("component"))
+    val diff = distLab.join(comp, "doc_id")
+      .filter(col("label") =!= col("component")).count()
+    assert(diff == 0, "distributed labels diverge from union-find components")
+  }
+
   test("components: paired docs share a component; canonical is the cluster min") {
     val comp = Dedup.dedupComponents(spark, sfDir)
     val pairs = Dedup.dedupJaccard(spark, sfDir)
