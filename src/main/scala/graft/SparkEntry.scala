@@ -91,8 +91,10 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, dir) => Dedup.dedupEmbeddingLsh(tune(s), dir)),
     "dedup_embedding_lsh12" -> ((s, dir) => Dedup.dedupEmbeddingLsh(tune(s), dir, nBits = 12)),
     "dedup_components" -> ((s, dir) => Dedup.dedupComponents(tune(s), dir)),
+    "substring_dup_spans" -> ((s, dir) => Dedup.substringDupSpans(tune(s), dir)),
     "contamination_check" -> ((s, dir) => Dedup.contaminationCheck(tune(s), dir)),
     "corpus_sample" -> ((s, dir) => Sampling.corpusSample(tune(s), dir)),
+    "mix_temperature" -> ((s, dir) => Sampling.mixTemperature(tune(s), dir)),
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopk(tune(s), dir)),
     "tfidf_topk" -> ((s, dir) => TextOps.tfidfTopk(tune(s), dir)),
     "inverted_index" -> ((s, dir) => TextOps.invertedIndex(tune(s), dir)),
@@ -198,8 +200,10 @@ object SparkEntry {
     "dedup_embedding_lsh" -> Dedup.dedupEmbeddingLshSql(8),
     "dedup_embedding_lsh12" -> Dedup.dedupEmbeddingLshSql(12),
     "dedup_components" -> Dedup.dedupComponentsSql,
+    "substring_dup_spans" -> Dedup.substringDupSpansSql,
     "contamination_check" -> Dedup.contaminationCheckSql,
     "corpus_sample" -> Sampling.corpusSampleSql,
+    "mix_temperature" -> Sampling.mixTemperatureSql,
     "vocab_topk" -> TextOps.vocabTopkSql,
     "tfidf_topk" -> TextOps.tfidfTopkSql,
     "inverted_index" -> TextOps.invertedIndexSql(),

@@ -181,6 +181,107 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact substring-duplication signal (the relational form of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better":
+    * find verbatim token runs shared ACROSS documents and measure how
+    * much of each document they cover). Every length-`win` token window
+    * is hashed; a window position is duplicated iff its hash occurs in
+    * ≥ 2 distinct documents; per document the operator reports the
+    * window count, the duplicated-window count, and the fraction of
+    * TOKEN POSITIONS covered by at least one duplicated window — the
+    * span-coverage number an excision pass would cut.
+    *
+    * Contrast with [[graft.operators.CorpusOps.boilerplateNgrams]]:
+    * that scores DISTINCT gram membership (is this 5-gram common?);
+    * this one is positional (how much of THIS text is verbatim
+    * elsewhere?) — a doc repeating a common gram 50 times scores very
+    * differently in the two.
+    *
+    * Scale shape: windows leave the row as (doc_id, position, 64-bit
+    * hash) — never strings; the df count is one map-side-combined
+    * aggregate over hashes; duplicated hashes join back hash-to-hash;
+    * coverage is the union length of the [pos, pos+win) intervals,
+    * computed as a lag-sweep (sorted by pos, each window contributes
+    * min(win, gap to its predecessor)) — one window + one aggregate
+    * SHARING the per-doc partitioning, never an explode of win×
+    * positions. Collisions inflate df identically in both engines
+    * (shared [[Exprs.md5num]]). At 100 TB the df table is the big
+    * intermediate; the standard mitigation is min-df sharding or a
+    * Bloom pre-filter on singleton hashes — the aggregate itself is
+    * already partial+final. */
+  def substringDupSpans(spark: SparkSession, sfDir: String,
+    win: Int = 8): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val stats = toks.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_tokens"),
+      greatest(size(col("w")) - lit(win - 1), lit(0)).cast("long").as("n_windows"))
+    // CASE guard, not greatest(_, 0): Spark's sequence(1, 0) DESCENDS
+    // ([1, 0]) where DuckDB's generate_series(1, 0) is empty — a short
+    // doc must produce zero windows on both sides
+    val wins = toks
+      .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN size(w) >= $win THEN transform(sequence(1, size(w) - ${win - 1}), " +
+          s"i -> concat_ws(' ', slice(w, i, $win))) " +
+          "ELSE CAST(array() AS array<string>) END")))
+      .select(col("doc_id"), col("pos"), Exprs.md5num(col("col")).as("h"))
+    val dupHashes = wins.groupBy("h")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= 2)
+      .select(col("h"))
+    val dup = wins.join(dupHashes.hint("shuffle_hash"), "h")
+    // union-of-intervals by lag-sweep: windows sorted by pos; the first
+    // contributes win tokens, each later one min(win, pos - prev_pos).
+    // The window and the aggregate share the doc_id partitioning (one
+    // exchange), and the whole dup branch is consumed exactly once.
+    val sweep = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val perDoc = dup
+      .withColumn("contrib", least(lit(win.toLong),
+        coalesce(col("pos") - lag("pos", 1).over(sweep), lit(win.toLong))
+          .cast("long")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_windows"), sum("contrib").as("cov"))
+    stats
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        Exprs.r4(coalesce(col("cov"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_token_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: replays the window hashing positionally. `generate_series`
+    * in the SELECT list unrolls per-row ranges; an empty range (doc
+    * shorter than the window) drops the doc from `wins`, restored by the
+    * LEFT joins exactly like the Spark side. */
+  val substringDupSpansSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |wins AS (
+      |  SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i,
+      |    toks FROM w),
+      |wh AS (
+      |  SELECT doc_id, i,
+      |    CAST(('0x' || substr(md5(array_to_string(
+      |      list_slice(toks, i, i + 7), ' ')), 1, 8)) AS BIGINT) AS h
+      |  FROM wins),
+      |dups AS (SELECT h FROM wh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |dup AS (SELECT doc_id, i FROM wh JOIN dups USING (h)),
+      |dc AS (SELECT doc_id, count(*) AS n_dup_windows FROM dup GROUP BY 1),
+      |cov AS (
+      |  SELECT doc_id, count(DISTINCT p) AS cov FROM (
+      |    SELECT doc_id, unnest(generate_series(i, i + 7)) AS p FROM dup)
+      |  GROUP BY 1),
+      |stats AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(greatest(len(toks) - 7, 0) AS BIGINT) AS n_windows FROM w)
+      |SELECT s.doc_id, s.n_tokens, s.n_windows,
+      |  coalesce(dc.n_dup_windows, 0) AS n_dup_windows,
+      |  floor(CAST(coalesce(cov.cov, 0) AS DOUBLE) / s.n_tokens * 10000 + 0.5)
+      |    / 10000 AS dup_token_frac
+      |FROM stats s
+      |LEFT JOIN dc USING (doc_id) LEFT JOIN cov USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Distributed connected components by alternating large-star /
     * small-star contraction (Kiveris et al., "Connected Components in
     * MapReduce and Beyond" — the relational form, no graph library):

@@ -113,4 +113,56 @@ object Sampling {
       |      doc_id) AS BIGINT) AS rank
       |  FROM documents)
       |WHERE rank <= 15 ORDER BY doc_id""".stripMargin
+
+  /** Temperature-reweighted corpus mixing — the multilingual-corpus
+    * balancing rule (sampling share ∝ nₛ^α, α < 1, as in multilingual
+    * BERT/XLM-R and most LLM data mixes): big strata are down-weighted,
+    * small ones up-weighted, with α = 0.5 here. Each stratum (language)
+    * gets keep-rate rₛ = min(1, wₛ·T/nₛ) where wₛ = √nₛ / Σ√nₛ and T is
+    * the target corpus size; documents survive by the same deterministic
+    * salted-hash draw as [[corpusSample]] — reproducible bit-for-bit,
+    * shuffle-free on the corpus side (the per-stratum rates broadcast).
+    *
+    * Determinism across engines: α is FIXED at 1/2 because `sqrt` is
+    * IEEE-754 correctly rounded in both JVMs and DuckDB, while `pow(x,
+    * 0.7)` is libm — last-ulp divergent. Each √nₛ is grid-rounded to a
+    * LONG (1e-6) so the Σ over strata is exact integer addition
+    * (order-free); every remaining double op (two divisions, one
+    * multiply, the 2³² threshold floor) runs on identical operands in a
+    * pinned evaluation order on both sides. */
+  def mixTemperature(spark: SparkSession, sfDir: String,
+    targetFrac: Double = 0.5, seed: String = "mix1"): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_s"))
+      .withColumn("sq_grid", floor(sqrt(col("n_s")) * lit(1e6) + lit(0.5d)).cast("long"))
+    val tot = counts.agg(sum("sq_grid").as("s_grid"), sum("n_s").as("n_total"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        floor(least(lit(1.0d),
+          col("sq_grid").cast("double") / col("s_grid")
+            * floor(col("n_total") * lit(targetFrac)) / col("n_s"))
+          * lit(4294967296.0)).cast("long").as("thresh"))
+    d.join(broadcast(rates), "lang")
+      .filter(draw(seed) < col("thresh"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val mixTemperatureSql: String =
+    """WITH c AS (
+      |  SELECT lang, count(*) AS n_s,
+      |    CAST(floor(sqrt(count(*)) * 1000000 + 0.5) AS BIGINT) AS sq_grid
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT SUM(sq_grid) AS s_grid, SUM(n_s) AS n_total FROM c),
+      |r AS (
+      |  SELECT lang,
+      |    CAST(floor(least(1.0,
+      |      CAST(sq_grid AS DOUBLE) / s_grid
+      |        * floor(n_total * 0.5) / n_s) * 4294967296.0) AS BIGINT) AS thresh
+      |  FROM c, t)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN r USING (lang)
+      |WHERE CAST(('0x' || substr(md5('mix1_' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |  < r.thresh
+      |ORDER BY d.doc_id""".stripMargin
 }

@@ -149,6 +149,51 @@ class OperatorsSpec extends SparkSuite {
     assert(res.count() == Tables.documents(spark, sfDir).count())
   }
 
+  test("substring dup spans: exact-dup docs are fully covered; counts bounded") {
+    val res = Dedup.substringDupSpans(spark, sfDir).collect()
+    res.foreach { r =>
+      val (nt, nw, nd, frac) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]).getOrElse(0.0))
+      assert(nd <= nw, s"more dup windows than windows: $r")
+      assert(frac >= 0.0 && frac <= 1.0, s"coverage out of range: $r")
+      if (nd == nw && nw > 0) assert(frac >= 0.9, // all windows dup ⇒ near-full cover
+        s"all-dup doc barely covered: $r")
+    }
+    // docs with byte-identical text must cover each other completely
+    val texts = Tables.documents(spark, sfDir)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2).collect()
+    if (texts.nonEmpty) {
+      val dupIds = texts.flatMap(_.getSeq[Long](1)).toSet
+      val byId = res.map(r => r.getLong(0) -> r).toMap
+      dupIds.foreach { id =>
+        val r = byId(id)
+        if (r.getLong(2) > 0) // doc long enough to have windows
+          assert(r.getDouble(4) == 1.0, s"exact-dup doc $id not fully covered: $r")
+      }
+    }
+  }
+
+  test("temperature mix: small strata keep a larger share than big ones") {
+    val kept = Sampling.mixTemperature(spark, sfDir)
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    val totals = Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(count(lit(1)).as("n_s"))
+    val fr = kept.join(totals, "lang")
+      .select(col("lang"), col("n_s"),
+        col("n_kept").cast("double") / col("n_s").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(fr.nonEmpty)
+    // α=0.5 flattening: keep-fraction must not grow with stratum size
+    // (hash-draw noise is ~±5% at fixture counts — compare extremes)
+    val biggest = fr.maxBy(_._2)
+    val smallest = fr.minBy(_._2)
+    assert(biggest._2 > smallest._2, "fixture should have skewed strata")
+    assert(smallest._3 >= biggest._3,
+      s"temperature must favor small strata: $smallest vs $biggest")
+    fr.foreach { case (_, n, f) => assert(f <= 1.0 + 1e-9 && n > 0) }
+  }
+
   test("star contraction: 256-hop chain converges in logarithmic rounds") {
     import spark.implicits._
     // a long chain is the adversarial case for plain min-label propagation

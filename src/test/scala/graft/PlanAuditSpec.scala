@@ -346,6 +346,25 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.split("Scan parquet").length - 1 == 4, p.take(1200))
   }
 
+  test("substring dup spans: hashes shuffle as longs, sweep shares the doc partitioning") {
+    val p = plan(Dedup.substringDupSpans(spark, sfDir))
+    // stats + two passes over the window subtree (df count, join-back) —
+    // the lag-sweep folded coverage into the dup-count aggregate, so the
+    // dup branch executes once (was 5 scans / 10 exchanges before)
+    assert(p.split("Scan parquet").length - 1 == 3, p.take(1200))
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 5, p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(1200))
+  }
+
+  test("temperature mix: corpus side is one broadcast probe — no corpus shuffle") {
+    val p = plan(Sampling.mixTemperature(spark, sfDir))
+    assert(p.split("BroadcastHashJoin").length - 1 >= 1, p.take(1200))
+    // the only hash exchanges belong to the tiny per-stratum count agg
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2, p.take(1200))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p.take(1200))
+  }
+
   test("brand/nation margin: nation keeps its hint when stats can't broadcast; " +
     "part and supplier degrade to shuffle joins, never a forced broadcast") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
