@@ -48,6 +48,27 @@ object Dimensions {
       .orderBy("contato_id")
   }
 
+  /** A4/J8 schema-autodetect parity (`contatos_to_bq/main.py:105-106`):
+    * the reference lands contatos with BigQuery `autodetect = True` — the
+    * table schema is INFERRED from the staged JSON payload, never
+    * declared. The Spark equivalent is a schema-less `spark.read.json`
+    * over the staged page files: column names and types come from the
+    * data (long for the ids, string for nome/data_criacao), exactly the
+    * sample-based inference BQ runs. [[contatosDim]] stays the declared
+    * query (the oracle needs stable names either way); this loader stages
+    * the paginated payload and proves the inferred frame is
+    * schema-and-value identical to the declared one (DimensionsSpec).
+    * Inference reorders columns alphabetically, so the SELECT pins the
+    * projection order — the one thing autodetect cannot know. */
+  def contatosDimInferred(spark: SparkSession, sfDir: String,
+      stageDir: String): DataFrame = {
+    contatosDim(spark, sfDir).write.mode("overwrite").json(stageDir)
+    spark.read.json(stageDir) // no .schema(...): BQ-autodetect equivalent
+      .select(col("contato_id"), col("nome"), col("nation_id"),
+        col("data_criacao"))
+      .orderBy("contato_id")
+  }
+
   val contatosDimSql: String =
     """SELECT c_custkey AS contato_id, c_name AS nome,
       |  CAST(c_nationkey AS BIGINT) AS nation_id,

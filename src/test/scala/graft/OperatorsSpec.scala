@@ -149,6 +149,16 @@ class OperatorsSpec extends SparkSuite {
     assert(res.count() == Tables.documents(spark, sfDir).count())
   }
 
+  test("contatos autodetect: inferred-schema landing equals the declared dim") {
+    val stage = java.nio.file.Files.createTempDirectory("contatos").toString + "/stage"
+    val inferred = Dimensions.contatosDimInferred(spark, sfDir, stage)
+    val declared = Dimensions.contatosDim(spark, sfDir)
+    assert(inferred.schema == declared.schema,
+      s"autodetect drifted: ${inferred.schema} vs ${declared.schema}")
+    assert(inferred.exceptAll(declared).count() == 0
+      && declared.exceptAll(inferred).count() == 0)
+  }
+
   test("substring dup spans: exact-dup docs are fully covered; counts bounded") {
     val res = Dedup.substringDupSpans(spark, sfDir).collect()
     res.foreach { r =>
