@@ -99,6 +99,7 @@ object SparkEntry {
     "tfidf_topk" -> ((s, dir) => TextOps.tfidfTopk(tune(s), dir)),
     "inverted_index" -> ((s, dir) => TextOps.invertedIndex(tune(s), dir)),
     "bigram_lm" -> ((s, dir) => TextOps.bigramLm(tune(s), dir)),
+    "doc_lm_score" -> ((s, dir) => TextOps.docLmScore(tune(s), dir)),
     // Extension: similarity search
     "ann_topk" -> ((s, dir) => Similarity.annTopk(tune(s), dir)),
     "ann_topk_agg" -> ((s, dir) => Similarity.annTopkAgg(tune(s), dir)),
@@ -208,6 +209,7 @@ object SparkEntry {
     "tfidf_topk" -> TextOps.tfidfTopkSql,
     "inverted_index" -> TextOps.invertedIndexSql(),
     "bigram_lm" -> TextOps.bigramLmSql(),
+    "doc_lm_score" -> TextOps.docLmScoreSql,
     "ann_topk" -> Similarity.annTopkSql,
     "ann_topk_agg" -> Similarity.annTopkSql, // same contract as ann_topk
     "ann_ivf" -> Similarity.annIvfSql,

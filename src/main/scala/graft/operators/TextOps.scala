@@ -284,6 +284,85 @@ object TextOps {
       |FROM c JOIN pr ON c.w1 = pr.w1
       |ORDER BY c.n12 DESC, c.w1, c.w2 LIMIT $k""".stripMargin
 
+  /** Per-document fluency score under the corpus bigram LM — the cheap
+    * LM-quality heuristic (mean conditional probability of the doc's
+    * bigrams, P(w2|w1) from [[bigramLm]]'s count table) a pipeline runs
+    * before any expensive neural-perplexity pass. Natural running text
+    * scores high (its transitions recur across the corpus); shuffled or
+    * templated token soup scores near 1/V.
+    *
+    * Mean-probability, not perplexity, by design: log/exp are libm
+    * (cross-engine last-ulp divergence) while this stays in the
+    * division+grid arithmetic every other oracle uses — each P(w2|w1)
+    * is one double division of exact LONGs snapped to a 1e-6 grid, and
+    * the per-doc mean sums those grid LONGs exactly (order-free).
+    *
+    * Scale shape: the LM table is corpus-vocabulary-sized (small); doc
+    * bigram occurrences shuffle as (doc_id, 64-bit hash) — never
+    * strings — and join the hash-keyed LM; hash collisions duplicate
+    * matches identically in both engines (same [[Exprs.md5num]]).
+    * Docs with <2 tokens carry n_bigrams=0 and a NULL score. */
+  def docLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = words(col("text"))
+    val bigrams = Tables.documents(spark, sfDir)
+      .filter(size(w) >= 2)
+      .select(explode(transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+        .as("bg"))
+    val c = bigrams.groupBy("bg").agg(count(lit(1)).as("n12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val prefix = c.groupBy("w1").agg(sum("n12").as("n1"))
+    val lm = c.join(prefix, "w1")
+      .select(Exprs.md5num(col("bg")).as("h"),
+        floor(col("n12").cast("double") / col("n1") * lit(1e6) + lit(0.5d))
+          .cast("long").as("p_grid"))
+    val docBg = Tables.documents(spark, sfDir)
+      .filter(size(w) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+        .as("bg"))
+      .select(col("doc_id"), Exprs.md5num(col("bg")).as("h"))
+    val scored = docBg.join(lm.hint("shuffle_hash"), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_grid").as("s"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        Exprs.r4(col("s").cast("double") / col("n_bigrams") / lit(1e6))
+          .as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  /** `substring_index(bg, ' ', 1)` on the Spark side = everything before
+    * the first space; the split-token assembly guarantees exactly one
+    * space per bigram, so `bg[1]` of the DuckDB split is identical. */
+  val docLmScoreSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |b AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      |  FROM w WHERE len(ws) >= 2),
+      |c AS (SELECT bg, count(*) AS n12 FROM b GROUP BY 1),
+      |pr AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(n12) AS n1
+      |       FROM c GROUP BY 1),
+      |lm AS (
+      |  SELECT CAST(('0x' || substr(md5(c.bg), 1, 8)) AS BIGINT) AS h,
+      |    CAST(floor(CAST(c.n12 AS DOUBLE) / pr.n1 * 1000000 + 0.5) AS BIGINT)
+      |      AS p_grid
+      |  FROM c JOIN pr ON string_split(c.bg, ' ')[1] = pr.w1),
+      |db AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(bg), 1, 8)) AS BIGINT) AS h FROM b),
+      |sc AS (
+      |  SELECT doc_id, count(*) AS n_bigrams, SUM(p_grid) AS s
+      |  FROM db JOIN lm USING (h) GROUP BY 1)
+      |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+      |  floor(CAST(sc.s AS DOUBLE) / sc.n_bigrams / 1000000 * 10000 + 0.5)
+      |    / 10000 AS lm_score
+      |FROM documents d LEFT JOIN sc USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Document fingerprinting — an order-insensitive normalized fingerprint
     * (md5 of the sorted distinct vocabulary) and an order-sensitive rolling
     * polynomial hash over per-word 32-bit hashes, mod 1e9+7. */

@@ -149,6 +149,28 @@ class OperatorsSpec extends SparkSuite {
     assert(res.count() == Tables.documents(spark, sfDir).count())
   }
 
+  test("doc lm score: probabilities bounded, repeated transitions score higher") {
+    val res = TextOps.docLmScore(spark, sfDir).collect()
+    assert(res.length == Tables.documents(spark, sfDir).count())
+    res.foreach { r =>
+      val n = r.getLong(1)
+      if (n > 0) {
+        val s = r.getDouble(2)
+        // each bigram's P(w2|w1) ∈ (0, 1] ⇒ so is the mean (grid-rounded)
+        assert(s > 0.0 && s <= 1.0 + 1e-9, s"score out of range: $r")
+      } else assert(r.isNullAt(2), s"bigram-less doc must have NULL score: $r")
+    }
+    // identical texts see identical transitions → identical scores
+    val dupTexts = Tables.documents(spark, sfDir)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) >= 2).collect()
+    val byId = res.map(r => r.getLong(0) -> r).toMap
+    dupTexts.foreach { g =>
+      val scores = g.getSeq[Long](1).map(id => byId(id).get(2)).distinct
+      assert(scores.size == 1, s"exact-dup docs scored differently: $g")
+    }
+  }
+
   test("contatos autodetect: inferred-schema landing equals the declared dim") {
     val stage = java.nio.file.Files.createTempDirectory("contatos").toString + "/stage"
     val inferred = Dimensions.contatosDimInferred(spark, sfDir, stage)
