@@ -100,6 +100,7 @@ object SparkEntry {
     "inverted_index" -> ((s, dir) => TextOps.invertedIndex(tune(s), dir)),
     "bigram_lm" -> ((s, dir) => TextOps.bigramLm(tune(s), dir)),
     "doc_lm_score" -> ((s, dir) => TextOps.docLmScore(tune(s), dir)),
+    "bm25_topk" -> ((s, dir) => TextOps.bm25Topk(tune(s), dir)),
     // Extension: similarity search
     "ann_topk" -> ((s, dir) => Similarity.annTopk(tune(s), dir)),
     "ann_topk_agg" -> ((s, dir) => Similarity.annTopkAgg(tune(s), dir)),
@@ -210,6 +211,7 @@ object SparkEntry {
     "inverted_index" -> TextOps.invertedIndexSql(),
     "bigram_lm" -> TextOps.bigramLmSql(),
     "doc_lm_score" -> TextOps.docLmScoreSql,
+    "bm25_topk" -> TextOps.bm25TopkSql(),
     "ann_topk" -> Similarity.annTopkSql,
     "ann_topk_agg" -> Similarity.annTopkSql, // same contract as ann_topk
     "ann_ivf" -> Similarity.annIvfSql,

@@ -284,6 +284,98 @@ object TextOps {
       |FROM c JOIN pr ON c.w1 = pr.w1
       |ORDER BY c.n12 DESC, c.w1, c.w2 LIMIT $k""".stripMargin
 
+  /** BM25 retrieval — the search counterpart of the ANN family: a
+    * deterministic query set (every doc_id ≡ 7 mod 100 acts as a query,
+    * represented by its top-`qTerms` tokens by tf) retrieves the top-`k`
+    * documents by BM25 over the shared doc-term table. Composes the
+    * index-side statistics ([[invertedIndex]]'s df / tf / dl) with
+    * [[graft.operators.CorpusOps.bm25Score]]'s scoring formula into the
+    * actual query-serving operator.
+    *
+    * Scale shape: the query-term table is tiny and BROADCAST against the
+    * corpus-sized doc-term table (the candidate generation is an equi-join
+    * on token — exactly an inverted-index probe, never a corpus scan per
+    * query); per-(query, doc) accumulation and the per-query top-k window
+    * shuffle only candidate rows. At 100 TB candidates are bounded by the
+    * posting lengths of the query terms — the classic tall-posting problem
+    * is handled upstream by [[invertedIndex]]'s impact-ordered caps.
+    *
+    * Determinism: each per-term contribution is snapped to a 1e-6 grid as
+    * a LONG (the idf `ln` matches DuckDB at this grid — same contract as
+    * bm25Score), so the per-pair sum is exact and order-free, and the
+    * top-k order (grid score desc, doc_id) is total. */
+  def bm25Topk(spark: SparkSession, sfDir: String, k: Int = 10,
+      qTerms: Int = 4, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val w = split(col("text"), " ")
+    val docs = Tables.documents(spark, sfDir)
+    val dt = docs
+      .select(col("doc_id"), size(w).cast("long").as("dl"), explode(w).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(w).cast("long")).as("avgdl"))
+    val dfs = dt.groupBy("token").agg(count(lit(1)).as("df"))
+    val q = dt.filter(col("doc_id") % 100 === 7)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("token"))))
+      .filter(col("rn") <= qTerms)
+      .select(col("doc_id").as("query_id"), col("token"))
+    // df only needed for the ≤ queries×qTerms query terms — join it into
+    // the broadcast side, not the corpus side
+    val qdf = q.join(dfs, "token")
+    val contrib = dt
+      .join(broadcast(qdf), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        floor(
+          log(lit(1d) + (col("n_docs").cast("double") - col("df") + 0.5)
+            / (col("df") + 0.5))
+            * (col("tf").cast("double") * (k1 + 1))
+            / (col("tf").cast("double")
+              + lit(k1) * (lit(1d) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+            * lit(1e6) + lit(0.5d)).cast("long").as("c"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum("c").as("s"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("rn") <= k)
+    scored.select(col("query_id"), col("doc_id"), col("rn").cast("long").as("rank"),
+      Exprs.r4(col("s").cast("double") / lit(1e6)).as("bm25"))
+      .orderBy("query_id", "rank")
+  }
+
+  def bm25TopkSql(k: Int = 10, qTerms: Int = 4): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |dtx AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS token FROM t),
+      |dt AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+      |       FROM dtx GROUP BY 1, 2),
+      |st AS (SELECT count(*) AS n_docs, avg(CAST(len(w) AS BIGINT)) AS avgdl FROM t),
+      |dfs AS (SELECT token, count(*) AS df FROM dt GROUP BY 1),
+      |q AS (
+      |  SELECT doc_id AS query_id, token FROM (
+      |    SELECT doc_id, token,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, token) AS rn
+      |    FROM dt WHERE doc_id % 100 = 7)
+      |  WHERE rn <= $qTerms),
+      |contrib AS (
+      |  SELECT q.query_id, dt.doc_id,
+      |    CAST(floor(
+      |      ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |        * (CAST(tf AS DOUBLE) * (1.2 + 1))
+      |        / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |        * 1000000 + 0.5) AS BIGINT) AS c
+      |  FROM dt JOIN q USING (token) JOIN dfs USING (token), st),
+      |sc AS (SELECT query_id, doc_id, SUM(c) AS s FROM contrib GROUP BY 1, 2),
+      |top AS (
+      |  SELECT query_id, doc_id, s,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn
+      |  FROM sc)
+      |SELECT query_id, doc_id, CAST(rn AS BIGINT) AS rank,
+      |  floor(CAST(s AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS bm25
+      |FROM top WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
+
   /** Per-document fluency score under the corpus bigram LM — the cheap
     * LM-quality heuristic (mean conditional probability of the doc's
     * bigrams, P(w2|w1) from [[bigramLm]]'s count table) a pipeline runs

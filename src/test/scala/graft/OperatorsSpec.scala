@@ -149,6 +149,24 @@ class OperatorsSpec extends SparkSuite {
     assert(res.count() == Tables.documents(spark, sfDir).count())
   }
 
+  test("bm25 retrieval: scores rank monotonically and the query doc self-retrieves") {
+    val res = TextOps.bm25Topk(spark, sfDir).collect()
+    assert(res.nonEmpty)
+    val byQ = res.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      // ranks are 1..n and scores never increase down the list
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to sorted.length).toSeq)
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $qid not rank-ordered: ${scores.mkString(",")}")
+      // the query doc contains every query term with maximal tf — it must
+      // appear in its own result list
+      assert(rows.exists(_.getLong(1) == qid),
+        s"query doc $qid missing from its own top-k")
+    }
+  }
+
   test("doc lm score: probabilities bounded, repeated transitions score higher") {
     val res = TextOps.docLmScore(spark, sfDir).collect()
     assert(res.length == Tables.documents(spark, sfDir).count())

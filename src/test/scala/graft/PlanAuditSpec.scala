@@ -357,6 +357,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(1200))
   }
 
+  test("bm25 retrieval: query terms broadcast — candidate gen is an index probe") {
+    val p = plan(TextOps.bm25Topk(spark, sfDir))
+    // the query-term table (with its dfs) joins the corpus-sized doc-term
+    // table as a broadcast — a shuffle here would re-partition the whole
+    // corpus per query batch
+    assert(p.split("BroadcastHashJoin").length - 1 >= 1, p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(1200))
+  }
+
   test("temperature mix: corpus side is one broadcast probe — no corpus shuffle") {
     val p = plan(Sampling.mixTemperature(spark, sfDir))
     assert(p.split("BroadcastHashJoin").length - 1 >= 1, p.take(1200))
