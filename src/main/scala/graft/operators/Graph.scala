@@ -62,8 +62,12 @@ object Graph {
       .join(it.select(col("okey"), col("l_partkey").as("b")), "okey")
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+    // every iteration probes the SAME edge table (plus the degree branch):
+    // materialize it once — the standard iterative-graph trade — instead
+    // of replaying the item self-join per consumer
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(false)
     val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val n1 = deg.agg(count(lit(1)).as("n"))
     val r0 = deg.crossJoin(broadcast(n1)).select(col("node"), col("deg"),
@@ -102,12 +106,16 @@ object Graph {
   def triangleParts(spark: SparkSession, sfDir: String, minSupport: Long = 1): DataFrame = {
     val it = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("okey"), col("l_partkey")).distinct()
+    // the co-occurrence edge set feeds degree counting, orientation and
+    // the closing join — materialize it once (lazy checkpoint) instead of
+    // re-running the item self-join + count per consumer
     val pairs = it.select(col("okey"), col("l_partkey").as("a"))
       .join(it.select(col("okey"), col("l_partkey").as("b")), "okey")
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_cooc"))
       .filter(col("n_cooc") >= minSupport)
       .select(col("a"), col("b"))
+      .localCheckpoint(false)
     val deg = pairs.select(col("a").as("node"))
       .unionAll(pairs.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -127,6 +135,8 @@ object Graph {
         .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("ddeg")))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ddeg").as("ddeg"))
+      // consumed three times (both wedge legs + the closing probe): pin it
+      .localCheckpoint(false)
     val wedges = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
       .join(oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
         .hint("shuffle_hash"), "src")
