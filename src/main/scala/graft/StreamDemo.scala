@@ -175,6 +175,22 @@ object StreamDemo {
     check("streaming funnel matches the batch stage distribution",
       streamStages == batchStages, s"stream=$streamStages batch=$batchStages")
 
+    // --- stream-stream attribution: the live interval join over the same
+    // staged events must produce the identical pair set as the batch run
+    // of the same code path (one AvailableNow pass, horizon 30 min)
+    Streaming.attributionQuery(
+      spark.readStream.schema(evSchema).json(s"$work/funnel_drop"),
+      s"$work/attr_out", s"$work/attr_ck", horizon = "30 minutes")
+      .awaitTermination()
+    val streamPairs = spark.read.parquet(s"$work/attr_out")
+      .select("user_id", "v_ts", "c_ts").distinct().count()
+    val batchPairs = Streaming.attributionJoin(
+      ev.select("user_id", "event_type", "ts"), horizon = "30 minutes")
+      .distinct().count()
+    check("stream-stream attribution equals the batch interval join",
+      streamPairs == batchPairs && batchPairs > 0,
+      s"stream=$streamPairs batch=$batchPairs")
+
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -463,6 +463,46 @@ object Streaming {
       .start()
   }
 
+  /** Stream-stream attribution — the watermarked INTERVAL JOIN between two
+    * live streams (Spark's stream-stream join, the I-family capability the
+    * batch [[graft.operators.Temporal.eventsRangeJoin]] mirrors offline):
+    * every 'click' joins the same user's 'view' events from the preceding
+    * `horizon`. Both sides carry watermarks and the join condition bounds
+    * event time in BOTH directions, so Spark can expire state: a buffered
+    * view is dropped once the click-side watermark passes `v_ts + horizon`
+    * — state ∝ horizon × arrival rate, not stream length. Inner join ⇒
+    * append-safe, rows emit as soon as they match; a view and its click
+    * may arrive in different micro-batches (or across a restart) — the
+    * checkpointed join state carries the open views, which is what the
+    * spec asserts. */
+  def attributionJoin(events: DataFrame, horizon: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", horizon)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", horizon)
+    clicks.join(views,
+      col("c_user") === col("v_user")
+        && col("v_ts") <= col("c_ts")
+        && col("v_ts") >= col("c_ts") - expr(s"interval $horizon"))
+      .select(col("c_user").as("user_id"), col("v_ts"), col("c_ts"))
+  }
+
+  /** Runs [[attributionJoin]] to a batch-keyed parquet sink (append mode —
+    * inner stream-stream joins emit eagerly). */
+  def attributionQuery(events: DataFrame, outDir: String,
+      checkpointDir: String, horizon: String = "10 minutes"): StreamingQuery =
+    attributionJoin(events, horizon).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        ()
+      }
+      .start()
+
   /** I6 — watermarked tumbling-window aggregation over the event stream;
     * append mode emits each window once, when the watermark passes it. */
   def windowedCounts(events: DataFrame, watermark: String = "30 minutes"): DataFrame =

@@ -279,6 +279,53 @@ class StreamingSpec extends SparkSuite {
     assert(fin(1L).getAs[Long]("t_view") < fin(1L).getAs[Long]("t_click"))
   }
 
+  test("stream-stream attribution: interval join matches batch, state crosses restart") {
+    val work = Files.createTempDirectory("attr").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    def src() = spark.readStream.schema(schema).json(s"$work/drop")
+    def js(u: Long, ty: String, ts: String) =
+      s"""{"user_id":$u,"event_type":"$ty","ts":"$ts"}"""
+    // batch 1: u1 view + in-horizon click; u2 view only
+    Seq(
+      js(1, "view", "2024-01-01T10:00:00"),
+      js(1, "click", "2024-01-01T10:05:00"),
+      js(2, "view", "2024-01-01T10:02:00")).toDF("value").coalesce(1)
+      .write.mode("append").text(s"$work/drop")
+    Streaming.attributionQuery(src(), s"$work/out", s"$work/ck").awaitTermination()
+    // batch 2, SAME checkpoint: u2's click must join the CHECKPOINTED view;
+    // u1's second click is outside the 10-minute horizon; u3 has no view
+    Seq(
+      js(2, "click", "2024-01-01T10:08:00"),
+      js(1, "click", "2024-01-01T10:30:00"),
+      js(3, "click", "2024-01-01T10:06:00")).toDF("value").coalesce(1)
+      .write.mode("append").text(s"$work/drop")
+    Streaming.attributionQuery(src(), s"$work/out", s"$work/ck").awaitTermination()
+    val got = spark.read.parquet(s"$work/out")
+      .select(col("user_id"), col("v_ts").cast("string"), col("c_ts").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val expect = Set(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 10:05:00"),
+      (2L, "2024-01-01 10:02:00", "2024-01-01 10:08:00"))
+    assert(got == expect, s"got $got")
+    // parity: the same code path run as a BATCH frame = the same pairs
+    val all = Seq(
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 10:05:00"),
+      (2L, "view", "2024-01-01 10:02:00"), (2L, "click", "2024-01-01 10:08:00"),
+      (1L, "click", "2024-01-01 10:30:00"), (3L, "click", "2024-01-01 10:06:00"))
+      .toDF("user_id", "event_type", "ts_s")
+      .select(col("user_id"), col("event_type"), to_timestamp(col("ts_s")).as("ts"))
+    val batch = Streaming.attributionJoin(all)
+      .select(col("user_id"), col("v_ts").cast("string"), col("c_ts").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(batch == expect, s"batch parity broke: $batch")
+  }
+
   test("windowed counts equal the batch computation on closed windows") {
     val ev = Seq(
       ("2024-01-01 00:10:00", "a", 1.0), ("2024-01-01 00:20:00", "a", 2.0),
