@@ -19,6 +19,24 @@ object Exprs {
     */
   def r4(c: Column): Column = floor(c * lit(10000d) + lit(0.5d)) / lit(10000d)
 
+  /** Morton (Z-order) interleave of two 16-bit values into one 32-bit
+    * key — the multi-dimensional clustering sort key (Databricks Z-ORDER /
+    * BigQuery multi-column clustering equivalent) for layouts that must
+    * serve range predicates on EITHER of two columns from the same file
+    * set. Pure codegen'd bit arithmetic (the classic 4-step bit-spread,
+    * `(x | x<<8) & 0x00FF00FF` …), no UDF, no custom expression needed.
+    * Inputs must already be scaled to [0, 65535] — see
+    * [[graft.operators.Writers.writeZOrdered]] for the min/max scaling. */
+  def zOrder2(x: Column, y: Column): Column = {
+    def spread(c: Column): Column = {
+      val s1 = shiftleft(c, 8).bitwiseOR(c).bitwiseAND(lit(0x00FF00FFL))
+      val s2 = shiftleft(s1, 4).bitwiseOR(s1).bitwiseAND(lit(0x0F0F0F0FL))
+      val s3 = shiftleft(s2, 2).bitwiseOR(s2).bitwiseAND(lit(0x33333333L))
+      shiftleft(s3, 1).bitwiseOR(s3).bitwiseAND(lit(0x55555555L))
+    }
+    spread(x.cast("long")).bitwiseOR(shiftleft(spread(y.cast("long")), 1))
+  }
+
   /** Order-independent exact float sum: each term is rounded onto a
     * 1/scale grid and summed as a LONG (integer addition commutes), then
     * scaled back. Plain `sum(double)` differs between engines in the last

@@ -152,6 +152,38 @@ object Writers {
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode("append").partitionBy("p_date").parquet(path)
 
+  /** Z-ordered layout — two-dimensional clustering for tables queried by
+    * range on EITHER of two columns (the Databricks Z-ORDER / multi-column
+    * clustering technique; single-column `sortWithinPartitions` bounds one
+    * column's per-file span and lets the other span every file). Both
+    * columns are min/max-scaled to 16 bits, interleaved into a Morton key
+    * ([[graft.Exprs.zOrder2]] — pure codegen'd bit arithmetic), then
+    * range-partitioned AND sorted by that key, so every output file covers
+    * a compact square-ish region of (c1, c2) space and parquet row-group
+    * min/max stats can skip files for predicates on either column.
+    *
+    * Scale notes: the min/max scaling aggregate is one broadcast row; the
+    * sort is the same range shuffle any ordered write pays. At 100 TB this
+    * nests inside day partitioning exactly like [[writeClustered]] —
+    * z-order WITHIN each partition. */
+  def writeZOrdered(df: DataFrame, c1: String, c2: String, path: String,
+      files: Int = 8): Unit = {
+    val mm = df.agg(min(col(c1)).as("x0"), max(col(c1)).as("x1"),
+      min(col(c2)).as("y0"), max(col(c2)).as("y1"))
+    def scale16(c: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+        hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      least(lit(65535L), floor((c.cast("double") - lo)
+        / greatest(hi.cast("double") - lo, lit(1e-12)) * 65536d).cast("long"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("__z", graft.Exprs.zOrder2(
+        scale16(col(c1), col("x0"), col("x1")),
+        scale16(col(c2), col("y0"), col("y1"))))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "x0", "x1", "y0", "y1")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** J5 — truncate-and-replace dimension load (reference
     * `contatos_to_bq/main.py:117-128`). */
   def overwriteDim(df: DataFrame, path: String): Unit =

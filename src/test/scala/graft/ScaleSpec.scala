@@ -54,6 +54,33 @@ class ScaleSpec extends SparkSuite {
     assert(joined.count() == Tables.lineitem(s2, sfDir).count())
   }
 
+  test("z-ordered layout bounds BOTH columns' per-file spans; linear sort only one") {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_partkey"), col("l_suppkey"))
+    val base = Files.createTempDirectory("zorder").toString
+    operators.Writers.writeZOrdered(li, "l_partkey", "l_suppkey", s"$base/z", files = 8)
+    li.repartitionByRange(8, col("l_partkey")).sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$base/linear")
+    // average per-file span of a column as a fraction of its global range —
+    // the proxy for parquet min/max row-group skipping effectiveness
+    def avgSpan(dir: String, c: String): Double = {
+      val g = li.agg((max(col(c)) - min(col(c))).cast("double")).head().getDouble(0)
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(((max(col(c)) - min(col(c))).cast("double") / g).as("s"))
+        .agg(avg("s")).head().getDouble(0)
+      spans
+    }
+    val (zx, zy) = (avgSpan(s"$base/z", "l_partkey"), avgSpan(s"$base/z", "l_suppkey"))
+    val (lx, ly) = (avgSpan(s"$base/linear", "l_partkey"), avgSpan(s"$base/linear", "l_suppkey"))
+    // linear: the sort column is tightly bounded, the other spans ~everything
+    assert(lx < 0.3, s"linear sort should bound l_partkey, got $lx")
+    assert(ly > 0.8, s"linear sort leaves l_suppkey unbounded, got $ly")
+    // z-order: BOTH columns bounded well below the unclustered ~1.0
+    assert(zx < 0.7 && zy < 0.7, s"z-order spans: partkey=$zx suppkey=$zy")
+    // and the layout is lossless
+    assert(spark.read.parquet(s"$base/z").count() == li.count())
+  }
+
   test("date filter prunes day partitions at the scan, not post-read") {
     val out = Files.createTempDirectory("prune").toString + "/t"
     operators.Writers.writeDayPartitioned(
