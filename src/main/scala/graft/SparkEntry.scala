@@ -44,6 +44,7 @@ object SparkEntry {
     "abc_parts" -> ((s, dir) => Analytics.abcParts(tune(s), dir)),
     "revenue_anomaly" -> ((s, dir) => Analytics.revenueAnomaly(tune(s), dir)),
     "basket_rules" -> ((s, dir) => Analytics.basketRules(tune(s), dir)),
+    "item_neighbors" -> ((s, dir) => Analytics.itemNeighbors(tune(s), dir)),
     "sales_rollup" -> ((s, dir) => Analytics.salesRollup(tune(s), dir)),
     "sales_cube" -> ((s, dir) => Analytics.salesCube(tune(s), dir)),
     "sales_pivot" -> ((s, dir) => Analytics.salesPivot(tune(s), dir)),
@@ -108,6 +109,7 @@ object SparkEntry {
     "ann_ivf_trained" -> ((s, dir) => Similarity.annIvfTrained(tune(s), dir)),
     "ann_quantized" -> ((s, dir) => Similarity.annQuantized(tune(s), dir)),
     "ann_pq" -> ((s, dir) => Similarity.annPq(tune(s), dir)),
+    "rrf_fusion" -> ((s, dir) => Similarity.hybridRrf(tune(s), dir)),
     // Extension: multimodal column plumbing (decode stubbed)
     "multimodal_features" -> ((s, dir) => Multimodal.multimodalFeatures(tune(s), dir)),
     "media_frames" -> ((s, dir) => Multimodal.mediaFrames(tune(s), dir)),
@@ -143,6 +145,8 @@ object SparkEntry {
     // Extension: IVF centroid training (Lloyd's) + split/profile utilities
     "kmeans_train" -> ((s, dir) => Clustering.kmeansTrain(tune(s), dir)),
     "stratified_split" -> ((s, dir) => Sampling.stratifiedSplit(tune(s), dir)),
+    "split_decontaminate" -> ((s, dir) => Sampling.splitDecontaminate(tune(s), dir)),
+    "global_shuffle" -> ((s, dir) => Sampling.globalShuffle(tune(s), dir)),
     "source_quota" -> ((s, dir) => Sampling.sourceQuota(tune(s), dir)),
     "numeric_profile" -> ((s, dir) => Quality.numericProfile(tune(s), dir)),
   )
@@ -161,6 +165,7 @@ object SparkEntry {
     "abc_parts" -> Analytics.abcPartsSql,
     "revenue_anomaly" -> Analytics.revenueAnomalySql,
     "basket_rules" -> Analytics.basketRulesSql,
+    "item_neighbors" -> Analytics.itemNeighborsSql,
     "sales_rollup" -> Analytics.salesRollupSql,
     "sales_cube" -> Analytics.salesCubeSql,
     "sales_pivot" -> Analytics.salesPivotSql,
@@ -218,6 +223,7 @@ object SparkEntry {
     "ann_ivf_trained" -> Similarity.annIvfTrainedSql,
     "ann_quantized" -> Similarity.annQuantizedSql,
     "ann_pq" -> Similarity.annPqSql(),
+    "rrf_fusion" -> Similarity.hybridRrfSql(),
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,
     "media_frames" -> Multimodal.mediaFramesSql,
     "checksum_sorted" -> Checksums.checksumSortedSql,
@@ -242,6 +248,8 @@ object SparkEntry {
     "corpus_pipeline" -> CorpusOps.corpusPipelineSql,
     "kmeans_train" -> Clustering.kmeansTrainSql,
     "stratified_split" -> Sampling.stratifiedSplitSql,
+    "split_decontaminate" -> Sampling.splitDecontaminateSql,
+    "global_shuffle" -> Sampling.globalShuffleSql,
     "source_quota" -> Sampling.sourceQuotaSql,
     "numeric_profile" -> Quality.numericProfileSql,
   )

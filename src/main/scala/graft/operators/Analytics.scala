@@ -377,6 +377,81 @@ object Analytics {
       |JOIN itn ic ON ic.part = r.consequent, no
       |ORDER BY lift DESC, antecedent, consequent LIMIT 50""".stripMargin
 
+  /** Item-item collaborative-filtering neighbors: for every part, the k
+    * most-similar parts by cosine over binary order-co-occurrence vectors —
+    * sim(a,b) = n_ab / √(n_a·n_b) — the "customers also bought" view that
+    * turns [[basketRules]]'s co-purchase counts into a per-item
+    * recommendation list.
+    *
+    * Scale shape: same order-local pair self-join as the pair miner
+    * (intermediate bounded by Σ basket², never corpus²), `minPairs` prunes
+    * the singleton-pair noise tail BEFORE the per-item ranking, and the
+    * top-k is a part-partitioned row_number window (WindowGroupLimit pushes
+    * the cut map-side). Item counts join the pair table at part grain —
+    * broadcast here, shuffle equi-join when a 100 TB catalog outgrows the
+    * threshold.
+    *
+    * Determinism: counts are exact LONGs; each similarity is one double
+    * division of a LONG by a correctly-rounded `sqrt` of a LONG product
+    * (identical operands both engines) snapped onto a 1e-6 grid, and the
+    * rank order (grid desc, neighbor) is total. */
+  def itemNeighbors(spark: SparkSession, sfDir: String,
+                    k: Int = 5, minPairs: Long = 2): DataFrame = {
+    val it = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey")).distinct()
+    val itemN = it.groupBy(col("l_partkey").as("part"))
+      .agg(count(lit(1)).as("n_item"))
+    val pairs = it.select(col("okey"), col("l_partkey").as("a"))
+      .join(it.select(col("okey"), col("l_partkey").as("b")), "okey")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairs)
+    val directed = pairs
+      .select(col("a").as("part"), col("b").as("neighbor"), col("n_pair"))
+      .unionAll(pairs
+        .select(col("b").as("part"), col("a").as("neighbor"), col("n_pair")))
+    val sim = directed
+      .join(broadcast(itemN.select(col("part"), col("n_item").as("n_a"))), "part")
+      .join(broadcast(itemN.select(col("part").as("neighbor"),
+        col("n_item").as("n_b"))), "neighbor")
+      .withColumn("sim_grid", floor(col("n_pair").cast("double")
+        / sqrt(col("n_a").cast("double") * col("n_b")) * lit(1e6) + lit(0.5d))
+        .cast("long"))
+    val w = Window.partitionBy("part")
+      .orderBy(col("sim_grid").desc, col("neighbor"))
+    sim.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("part"), col("rank"), col("neighbor"),
+        (col("sim_grid").cast("double") / lit(1e6)).as("cosine"))
+      .orderBy("part", "rank")
+  }
+
+  val itemNeighborsSql: String =
+    """WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |itn AS (SELECT l_partkey AS part, count(*) AS n_item FROM it GROUP BY 1),
+      |p AS (
+      |  SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS n_pair
+      |  FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+      |   AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |d AS (SELECT a AS part, b AS neighbor, n_pair FROM p
+      |      UNION ALL SELECT b, a, n_pair FROM p),
+      |s AS (
+      |  SELECT d.part, d.neighbor,
+      |    CAST(floor(CAST(d.n_pair AS DOUBLE)
+      |      / sqrt(CAST(ia.n_item AS DOUBLE) * ib.n_item) * 1000000 + 0.5)
+      |      AS BIGINT) AS sim_grid
+      |  FROM d
+      |  JOIN itn ia ON ia.part = d.part
+      |  JOIN itn ib ON ib.part = d.neighbor),
+      |r AS (
+      |  SELECT part, neighbor, sim_grid,
+      |    CAST(row_number() OVER (PARTITION BY part
+      |      ORDER BY sim_grid DESC, neighbor) AS BIGINT) AS rank
+      |  FROM s)
+      |SELECT part, rank, neighbor, CAST(sim_grid AS DOUBLE) / 1000000 AS cosine
+      |FROM r WHERE rank <= 5 ORDER BY part, rank""".stripMargin
+
   /** Revenue rollup by (year, month) with subtotal rows — `ROLLUP`
     * grouping sets, the drill-down cube slice every sales dashboard reads.
     * Spark expands rollup into grouping sets over ONE scan with partial

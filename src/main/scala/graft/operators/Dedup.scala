@@ -36,7 +36,7 @@ object Dedup {
       |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin
 
   /** 3-word shingles of the text (whole text if shorter than 3 words). */
-  private val shinglesExpr =
+  private[operators] val shinglesExpr =
     "transform(sequence(1, greatest(size(words) - 2, 1)), i -> concat_ws(' ', slice(words, i, 3)))"
 
   /** 16 minhash signatures, computed relationally: shingles exploded to

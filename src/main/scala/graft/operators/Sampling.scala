@@ -148,6 +148,105 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Split decontamination — the leakage gate a training pipeline runs AFTER
+    * [[stratifiedSplit]]: a train document sharing any 3-word shingle with
+    * the held-out (val/test) side is flagged, because evaluating on text the
+    * model saw verbatim in training overstates quality. Composes the split's
+    * deterministic hash-draw with [[Dedup.contaminationCheck]]'s shingle
+    * containment — but BETWEEN the two sides of one corpus rather than
+    * against an external benchmark, so the whole check is derivable from
+    * (corpus, seed) alone.
+    *
+    * Scale shape: shingles cross the join as 32-bit [[Exprs.md5num]] hashes,
+    * never strings, and only the EVAL side is collected into the build
+    * relation — a held-out set is benchmark-sized by design (per-mille of
+    * the corpus), so it broadcasts; if an unusually fat eval split outgrows
+    * the threshold the equi-join on `h` degrades to a hash shuffle of
+    * 8-byte keys, never a corpus self-join. Hash collisions only ever FLAG
+    * extra train docs (conservative for a decontamination gate); widening
+    * the hash to two md5 words removes even that at the same plan shape. */
+  def splitDecontaminate(spark: SparkSession, sfDir: String,
+    seed: String = "split1"): DataFrame = {
+    val u = draw(seed) / lit(4294967296.0)
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", array_distinct(expr(Dedup.shinglesExpr)))
+      .withColumn("split",
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"))
+    val evalHashes = docs.filter(col("split") =!= "train")
+      .select(explode(col("shingles")).as("s"))
+      .select(Exprs.md5num(col("s")).as("h")).distinct()
+      .withColumn("hit", lit(1L))
+    // every doc has ≥1 shingle, so the explode→group round-trip keeps all
+    // train docs (zero-hit docs keep their group via the LEFT join)
+    docs.filter(col("split") === "train")
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), Exprs.md5num(col("s")).as("h"))
+      .join(broadcast(evalHashes), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(coalesce(sum("hit"), lit(0L)).as("n_eval_shared"))
+      .withColumn("kept", col("n_eval_shared") === 0)
+      .orderBy("doc_id")
+  }
+
+  val splitDecontaminateSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words,
+      |    CAST(('0x' || substr(md5('split1_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      / 4294967296.0 AS u
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, u, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(words) - 2, 1)),
+      |    i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS shingles
+      |  FROM w),
+      |ev AS (SELECT DISTINCT CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h
+      |       FROM (SELECT unnest(shingles) AS s FROM sh WHERE u >= 0.8)),
+      |tr AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h
+      |       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE u < 0.8)),
+      |hits AS (SELECT doc_id, count(*) AS n_eval_shared
+      |         FROM tr JOIN ev USING (h) GROUP BY 1)
+      |SELECT s.doc_id, coalesce(h.n_eval_shared, 0) AS n_eval_shared,
+      |  coalesce(h.n_eval_shared, 0) = 0 AS kept
+      |FROM (SELECT doc_id FROM sh WHERE u < 0.8) s
+      |LEFT JOIN hits h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic global shuffle + sharding — the training-export step
+    * that turns a curated corpus into N shard files in pseudorandom order
+    * (sequential readers then see an i.i.d.-looking stream; any residual
+    * corpus ordering — by source, by crawl date — would otherwise become
+    * curriculum bias). The permutation is the same salted hash-draw as
+    * [[corpusSample]], NOT an RNG: shard and position are re-derivable
+    * bit-for-bit from (doc_id, seed) on any cluster shape.
+    *
+    * Scale shape: shard assignment is a pure per-row map; the within-shard
+    * position is one row_number window partitioned BY SHARD, so the window
+    * partitioning IS the output file partitioning (`partitionBy(shard)`
+    * write) — one shuffle total, and shard count scales with the corpus
+    * (fixed target rows/shard), bounding every window partition. */
+  def globalShuffle(spark: SparkSession, sfDir: String,
+    nShards: Int = 8, seed: String = "shuf1"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("u"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Exprs.md5num(concat(lit(seed), lit("_"),
+        col("doc_id").cast("string"))).as("u"))
+      .withColumn("shard", pmod(col("u"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+  }
+
+  val globalShuffleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5('shuf1_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+      |  FROM documents)
+      |SELECT doc_id, u % 8 AS shard,
+      |  CAST(row_number() OVER (PARTITION BY u % 8 ORDER BY u, doc_id) AS BIGINT) AS pos
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val mixTemperatureSql: String =
     """WITH c AS (
       |  SELECT lang, count(*) AS n_s,

@@ -155,6 +155,92 @@ object Similarity {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion: the lexical ranking
+    * ([[TextOps.bm25Topk]]) and the dense ranking (exact cosine here) are
+    * fused per query by RRF(d) = Σ_lists 1/(K + rank_d) — the standard
+    * score-free fusion (Cormack et al.) that needs no cross-list score
+    * calibration, which is why production search stacks reach for it.
+    * Query set = every doc_id ≡ 7 mod 100, same ids on both sides (the
+    * documents/embeddings fixtures share one id space); each side ranks
+    * the full corpus INCLUDING the query's own doc — self-retrieval at
+    * rank 1 on both lists is the built-in sanity anchor of the fusion.
+    *
+    * Scale shape: both candidate generators are broadcast probes (BM25:
+    * query terms against the doc-term table = inverted-index probe; dense:
+    * query vectors against the corpus scan — swap in [[annIvf]]'s
+    * cell-pruned probe at 100 TB, the fusion is agnostic to where the
+    * candidate lists come from). The fusion itself touches ≤ 2·kCand rows
+    * per query: the full-outer join and the final top-k window are
+    * candidate-sized, not corpus-sized.
+    *
+    * Determinism: ranks are exact LONGs from total orders; each RRF term
+    * is one double division 1/(K+rank) (identical operands both engines),
+    * the two-term sum has a fixed operand order, and the result snaps onto
+    * a 1e-6 grid before the (grid desc, doc_id) rank. */
+  def hybridRrf(spark: SparkSession, sfDir: String, k: Int = 10,
+      kCand: Int = 20, rrfK: Int = 60): DataFrame = {
+    val bm = TextOps.bm25Topk(spark, sfDir, k = kCand)
+      .select(col("query_id"), col("doc_id").as("id"), col("rank").as("r_bm"))
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", norm(col("v")))
+    val q = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+    val wa = Window.partitionBy("query_id").orderBy(col("cos").desc, col("id").asc)
+    val ann = e.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("id"),
+        Exprs.r4(dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
+      .withColumn("r_ann", row_number().over(wa).cast("long"))
+      .filter(col("r_ann") <= kCand)
+      .select(col("query_id"), col("id"), col("r_ann"))
+    val wf = Window.partitionBy("query_id").orderBy(col("rrf_grid").desc, col("id").asc)
+    bm.join(ann, Seq("query_id", "id"), "full_outer")
+      .withColumn("rrf_grid", floor((
+        coalesce(lit(1.0d) / (lit(rrfK.toDouble) + col("r_bm")), lit(0.0d))
+          + coalesce(lit(1.0d) / (lit(rrfK.toDouble) + col("r_ann")), lit(0.0d)))
+        * lit(1e6) + lit(0.5d)).cast("long"))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("doc_id"),
+        (col("rrf_grid").cast("double") / lit(1e6)).as("rrf"))
+      .orderBy("query_id", "rank")
+  }
+
+  def hybridRrfSql(k: Int = 10, kCand: Int = 20, rrfK: Int = 60): String = {
+    val c = cosSqlFragment.replace("QV", "q.v").replace("TV", "t.v")
+    s"""WITH bm AS (
+       |  SELECT query_id, doc_id AS id, rank AS r_bm
+       |  FROM (${TextOps.bm25TopkSql(kCand)})),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, t.vec_id AS id,
+       |    $c AS cos
+       |  FROM e t JOIN e q ON q.vec_id % 100 = 7),
+       |annr AS (
+       |  SELECT query_id, id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, id ASC) AS BIGINT) AS r_ann
+       |  FROM scored QUALIFY r_ann <= $kCand),
+       |fused AS (
+       |  SELECT coalesce(bm.query_id, annr.query_id) AS query_id,
+       |    coalesce(bm.id, annr.id) AS id,
+       |    CAST(floor((coalesce(1.0 / ($rrfK + bm.r_bm), 0.0)
+       |      + coalesce(1.0 / ($rrfK + annr.r_ann), 0.0)) * 1000000 + 0.5)
+       |      AS BIGINT) AS rrf_grid
+       |  FROM bm FULL OUTER JOIN annr
+       |    ON bm.query_id = annr.query_id AND bm.id = annr.id),
+       |ranked AS (
+       |  SELECT query_id, id, rrf_grid,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_grid DESC, id ASC) AS BIGINT) AS rank
+       |  FROM fused)
+       |SELECT query_id, rank, id AS doc_id,
+       |  CAST(rrf_grid AS DOUBLE) / 1000000 AS rrf
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Quantized ANN (the 100 TB memory-scale path): per-vector symmetric
     * int8 quantization — `s = 127 / max|v|`, `q[i] = round(v[i]·s)` — then
     * candidate search on INTEGER dots and an exact-cosine rerank of the

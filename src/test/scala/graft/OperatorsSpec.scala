@@ -732,6 +732,67 @@ class OperatorsSpec extends SparkSuite {
     assert(Sampling.sourceQuota(spark, sfDir).collect().sameElements(rows))
   }
 
+  test("item neighbors: symmetric, bounded cosine, dense ranks per item") {
+    val rows = Analytics.itemNeighbors(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0001, "cosine in (0,1]")
+      assert(r.getLong(0) != r.getLong(2), "no self-neighbor")
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length),
+        "dense ranks 1..k per item")
+    }
+    // cosine is symmetric: whenever BOTH directions made the per-item
+    // top-k cut, the similarity value must agree exactly
+    val sim = rows.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    sim.foreach { case ((a, b), s) =>
+      sim.get((b, a)).foreach(s2 => assert(s2 == s, s"sim($a,$b) asymmetric"))
+    }
+  }
+
+  test("global shuffle: within-shard positions are dense, permutation total") {
+    val rows = Sampling.globalShuffle(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "one row per doc")
+    rows.groupBy(_.getLong(1)).values.foreach { shard =>
+      assert(shard.map(_.getLong(2)).sorted.sameElements(1L to shard.length),
+        "positions dense 1..n per shard")
+    }
+    // the permutation actually permutes: within some shard, hash order
+    // must disagree with doc_id order (a sorted corpus stays sorted only
+    // if the draw were the identity)
+    assert(rows.groupBy(_.getLong(1)).values.exists { shard =>
+      val byPos = shard.sortBy(_.getLong(2)).map(_.getLong(0))
+      !byPos.sorted.sameElements(byPos)
+    }, "at least one shard is genuinely reordered")
+  }
+
+  test("split decontamination: covers exactly the train side, flags leak docs") {
+    val split = Sampling.stratifiedSplit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val rows = Sampling.splitDecontaminate(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSet == split.filter(_._2 == "train").keySet,
+      "one verdict per train doc, none for eval docs")
+    rows.foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(1) == 0), "kept ⇔ zero shared shingles")
+    }
+    // both verdicts occur at this fixture (else the gate tests nothing)
+    assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)))
+  }
+
+  test("rrf fusion: self-retrieval anchors rank 1, fused set ⊆ candidate union") {
+    val fused = Similarity.hybridRrf(spark, sfDir).collect()
+    fused.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length))
+      // the query's own doc tops both candidate lists (bm25: it contains
+      // its own top tf terms; cosine: cos(q,q)=1), so RRF must rank it #1
+      assert(rs.find(_.getLong(1) == 1L).get.getLong(2) == qid,
+        s"query $qid does not self-retrieve at rank 1")
+    }
+    // RRF scores are bounded by 2/(K+1) (both lists, rank 1 each)
+    fused.foreach(r => assert(r.getDouble(3) > 0 && r.getDouble(3) <= 2.0 / 61 + 1e-6))
+  }
+
   test("events fixture: event_id is unique (eventsDedupe oracle precondition)") {
     // eventsDedupe's dropDuplicates(event_id) and its SELECT DISTINCT oracle
     // agree only while event_id functionally determines the row (see the

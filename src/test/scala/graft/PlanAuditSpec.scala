@@ -294,6 +294,42 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p.take(800))
   }
 
+  test("item neighbors: order-local pair join, per-item top-k pushed map-side") {
+    val p = plan(Analytics.itemNeighbors(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the per-item rank cut must run before the final shuffle, not after
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    // item counts join the pair table as broadcasts at this scale
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2, p.take(1200))
+  }
+
+  test("split decontamination: eval shingles broadcast, hashes not strings") {
+    val p = plan(Sampling.splitDecontaminate(spark, sfDir))
+    // the train×eval containment is a broadcast probe of the eval hash set
+    assert(p.contains("BroadcastHashJoin [h"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // one corpus scan per side (train + eval branch), nothing more
+    assert(p.split("Scan parquet").length - 1 <= 2, p.take(1200))
+  }
+
+  test("global shuffle: shard window is hash-partitioned, single shuffle") {
+    val p = plan(Sampling.globalShuffle(spark, sfDir))
+    // one hash exchange (the shard partitioning) + the presentation sort
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(800))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.take(800))
+  }
+
+  test("rrf fusion: candidate generators probe broadcasts; fusion never scans") {
+    val p = plan(Similarity.hybridRrf(spark, sfDir))
+    // dense side: query vectors broadcast against the corpus; lexical side:
+    // query terms + stats broadcast against the doc-term table. The only
+    // nested-loop is the intended tiny query-vector cross join.
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2, p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // both rank cuts push map-side
+    assert(p.split("WindowGroupLimit").length - 1 >= 2, p.take(1500))
+  }
+
   /** A Window fed by `Exchange SinglePartition` is the one-task wall the
     * distributed-cumsum rewrite exists to avoid. In the plan string the
     * window sits at most a Sort away from its input exchange. */
