@@ -45,6 +45,7 @@ object SparkEntry {
     "revenue_anomaly" -> ((s, dir) => Analytics.revenueAnomaly(tune(s), dir)),
     "basket_rules" -> ((s, dir) => Analytics.basketRules(tune(s), dir)),
     "item_neighbors" -> ((s, dir) => Analytics.itemNeighbors(tune(s), dir)),
+    "gap_fill" -> ((s, dir) => Analytics.gapFill(tune(s), dir)),
     "sales_rollup" -> ((s, dir) => Analytics.salesRollup(tune(s), dir)),
     "sales_cube" -> ((s, dir) => Analytics.salesCube(tune(s), dir)),
     "sales_pivot" -> ((s, dir) => Analytics.salesPivot(tune(s), dir)),
@@ -110,6 +111,7 @@ object SparkEntry {
     "ann_quantized" -> ((s, dir) => Similarity.annQuantized(tune(s), dir)),
     "ann_pq" -> ((s, dir) => Similarity.annPq(tune(s), dir)),
     "rrf_fusion" -> ((s, dir) => Similarity.hybridRrf(tune(s), dir)),
+    "ann_recall" -> ((s, dir) => Similarity.annRecall(tune(s), dir)),
     // Extension: multimodal column plumbing (decode stubbed)
     "multimodal_features" -> ((s, dir) => Multimodal.multimodalFeatures(tune(s), dir)),
     "media_frames" -> ((s, dir) => Multimodal.mediaFrames(tune(s), dir)),
@@ -132,6 +134,7 @@ object SparkEntry {
     "events_range_join" -> ((s, dir) => Temporal.eventsRangeJoin(tune(s), dir)),
     "scd2_build" -> ((s, dir) => Temporal.scd2Build(tune(s), dir)),
     "scd2_lookup" -> ((s, dir) => Temporal.scd2Lookup(tune(s), dir)),
+    "cdc_merge" -> ((s, dir) => Temporal.cdcMerge(tune(s), dir)),
     // Sketch + exact-verify: bounded-memory heavy hitters
     "heavy_hitters" -> ((s, dir) => Sketches.heavyHitters(tune(s), dir)),
     // Corpus preparation: quality rules, PII redaction, sequence packing
@@ -147,6 +150,7 @@ object SparkEntry {
     "stratified_split" -> ((s, dir) => Sampling.stratifiedSplit(tune(s), dir)),
     "split_decontaminate" -> ((s, dir) => Sampling.splitDecontaminate(tune(s), dir)),
     "global_shuffle" -> ((s, dir) => Sampling.globalShuffle(tune(s), dir)),
+    "shard_manifest" -> ((s, dir) => Sampling.shardManifest(tune(s), dir)),
     "source_quota" -> ((s, dir) => Sampling.sourceQuota(tune(s), dir)),
     "numeric_profile" -> ((s, dir) => Quality.numericProfile(tune(s), dir)),
   )
@@ -166,6 +170,7 @@ object SparkEntry {
     "revenue_anomaly" -> Analytics.revenueAnomalySql,
     "basket_rules" -> Analytics.basketRulesSql,
     "item_neighbors" -> Analytics.itemNeighborsSql,
+    "gap_fill" -> Analytics.gapFillSql,
     "sales_rollup" -> Analytics.salesRollupSql,
     "sales_cube" -> Analytics.salesCubeSql,
     "sales_pivot" -> Analytics.salesPivotSql,
@@ -224,6 +229,7 @@ object SparkEntry {
     "ann_quantized" -> Similarity.annQuantizedSql,
     "ann_pq" -> Similarity.annPqSql(),
     "rrf_fusion" -> Similarity.hybridRrfSql(),
+    "ann_recall" -> Similarity.annRecallSql,
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,
     "media_frames" -> Multimodal.mediaFramesSql,
     "checksum_sorted" -> Checksums.checksumSortedSql,
@@ -238,6 +244,7 @@ object SparkEntry {
     "events_range_join" -> Temporal.eventsRangeJoinSql,
     "scd2_build" -> Temporal.scd2BuildSql,
     "scd2_lookup" -> Temporal.scd2LookupSql,
+    "cdc_merge" -> Temporal.cdcMergeSql,
     "heavy_hitters" -> Sketches.heavyHittersSql(),
     "quality_filter" -> CorpusOps.qualityFilterSql,
     "pii_scrub" -> CorpusOps.piiScrubSql,
@@ -250,6 +257,7 @@ object SparkEntry {
     "stratified_split" -> Sampling.stratifiedSplitSql,
     "split_decontaminate" -> Sampling.splitDecontaminateSql,
     "global_shuffle" -> Sampling.globalShuffleSql,
+    "shard_manifest" -> Sampling.shardManifestSql,
     "source_quota" -> Sampling.sourceQuotaSql,
     "numeric_profile" -> Quality.numericProfileSql,
   )

@@ -315,6 +315,49 @@ object Analytics {
       |  END AS is_anomaly
       |FROM z ORDER BY day""".stripMargin
 
+  /** Time-series gap filling — densify the daily revenue series onto a
+    * complete calendar axis (every day between the first and last order,
+    * missing days explicit zero rows). Downstream window math
+    * ([[revenueAnomaly]]'s trailing stats, any moving average) silently
+    * mis-windows on a sparse series: "7 preceding ROWS" is only "7 days"
+    * when every day has a row. The axis is generated FROM the data
+    * (min/max aggregate → `sequence` → explode), not a table.
+    *
+    * Scale shape: the fact collapses to day grain map-side first; the
+    * generated axis is calendar-sized (thousands of rows from any corpus),
+    * so the left join broadcasts. Nothing corpus-sized ever shuffles. */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exprs.gsum(col("o_totalprice")).as("revenue"))
+    val axis = Tables.orders(spark, sfDir)
+      .agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    axis.join(broadcast(daily), Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0d)).as("revenue"),
+        col("n_orders").isNull.as("is_gap"))
+      .orderBy("day")
+  }
+
+  val gapFillSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day, count(*) AS n_orders,
+      |    CAST(SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / 10000 AS revenue
+      |  FROM orders GROUP BY 1),
+      |axis AS (
+      |  SELECT CAST(unnest(generate_series(
+      |    (SELECT min(o_orderdate) FROM orders),
+      |    (SELECT max(o_orderdate) FROM orders),
+      |    INTERVAL 1 DAY)) AS DATE) AS day)
+      |SELECT a.day, coalesce(d.n_orders, 0) AS n_orders,
+      |  coalesce(d.revenue, 0) AS revenue,
+      |  d.n_orders IS NULL AS is_gap
+      |FROM axis a LEFT JOIN daily d USING (day)
+      |ORDER BY day""".stripMargin
+
   /** Market-basket association rules from co-purchase pair counts:
     * support, confidence and lift for every ordered rule A→B whose pair
     * count clears `minPairs`, top-k by lift. The directed form of

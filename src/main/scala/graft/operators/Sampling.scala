@@ -247,6 +247,32 @@ object Sampling {
       |  CAST(row_number() OVER (PARTITION BY u % 8 ORDER BY u, doc_id) AS BIGINT) AS pos
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Shard manifest — the per-shard accounting a training job reads
+    * INSTEAD of scanning the shards: docs and character volume per
+    * (shard, language) under [[globalShuffle]]'s deterministic assignment.
+    * Doubles as the shard-balance / mixture audit: a healthy hash
+    * permutation gives near-equal shard sizes and per-shard language
+    * mixes that mirror the corpus (uniformity is what makes sequential
+    * shard reads i.i.d.-like). One map-side-combined aggregate — the
+    * manifest is shards×languages rows from any corpus size. */
+  def shardManifest(spark: SparkSession, sfDir: String,
+    nShards: Int = 8, seed: String = "shuf1"): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars"),
+        pmod(Exprs.md5num(concat(lit(seed), lit("_"),
+          col("doc_id").cast("string"))), lit(nShards.toLong)).as("shard"))
+      .groupBy("shard", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .orderBy("shard", "lang")
+
+  val shardManifestSql: String =
+    """SELECT
+      |  CAST(('0x' || substr(md5('shuf1_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |    % 8 AS shard,
+      |  lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |FROM documents
+      |GROUP BY 1, 2 ORDER BY shard, lang""".stripMargin
+
   val mixTemperatureSql: String =
     """WITH c AS (
       |  SELECT lang, count(*) AS n_s,

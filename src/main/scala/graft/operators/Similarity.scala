@@ -206,6 +206,47 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN index quality evaluation — recall@3 of the IVF-routed search
+    * ([[annIvf]]) against exact brute force ([[annTopk]]), per query. The
+    * eval every pipeline runs before trusting an approximate index: a
+    * routed probe can only MISS neighbors that live outside the routed
+    * cell, and this measures exactly how often. Output: hits and recall
+    * per query — aggregate it upstream for the index's macro recall.
+    *
+    * Scale shape: both sides are existing probe plans; the comparison
+    * itself joins two k-row-per-query lists (LEFT join from the exact
+    * side so a query with zero IVF hits still reports recall 0) and
+    * aggregates — eval cost is queries×k rows, independent of corpus
+    * size. In production the exact side runs on a sampled query set only
+    * (ground truth is the expensive half; the sample rate trades eval
+    * confidence for cost, the plan is unchanged). */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = annTopk(spark, sfDir).filter(col("rank") <= 3)
+      .select(col("query_id"), col("target_id"))
+    val ivf = annIvf(spark, sfDir)
+      .select(col("query_id"), col("target_id")).withColumn("hit", lit(1L))
+    exact.join(ivf, Seq("query_id", "target_id"), "left")
+      .groupBy("query_id")
+      .agg(coalesce(sum("hit"), lit(0L)).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        Exprs.r4(col("n_hits").cast("double") / lit(3d)).as("recall"))
+      .orderBy("query_id")
+  }
+
+  def annRecallSql: String =
+    s"""WITH exact AS (
+       |  SELECT query_id, target_id FROM (${annTopkSql}) WHERE rank <= 3),
+       |ivf AS (
+       |  SELECT query_id, target_id FROM (${annIvfSql})),
+       |j AS (
+       |  SELECT e.query_id,
+       |    CASE WHEN i.target_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM exact e LEFT JOIN ivf i
+       |    ON e.query_id = i.query_id AND e.target_id = i.target_id)
+       |SELECT query_id, CAST(SUM(hit) AS BIGINT) AS n_hits,
+       |  floor(CAST(SUM(hit) AS DOUBLE) / 3 * 10000 + 0.5) / 10000 AS recall
+       |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
+
   def hybridRrfSql(k: Int = 10, kCand: Int = 20, rrfK: Int = 60): String = {
     val c = cosSqlFragment.replace("QV", "q.v").replace("TV", "t.v")
     s"""WITH bm AS (

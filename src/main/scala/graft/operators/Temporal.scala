@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Exprs, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -234,4 +234,53 @@ object Temporal {
       |SELECT user_id, state, ts_us AS valid_from_us, valid_to_us,
       |  valid_to_us IS NULL AS is_current
       |FROM v ORDER BY user_id, valid_from_us, state""".stripMargin
+
+  /** CDC changelog compaction — the batch MERGE semantics of a warehouse
+    * upsert feed (BigQuery `MERGE`, Delta `MERGE INTO`): a log of keyed
+    * upserts and tombstones collapses to current state — per key, the
+    * latest event wins, and a key whose latest event is a delete leaves NO
+    * row. This is the query-shaped sibling of the reference's
+    * delete-then-verify maintenance (`data_validation/api_to_gcs-checker
+    * .py:114-128` deletes superseded rows; `contatos_to_bq/main.py:117-128`
+    * replaces wholesale) and of the engine's streaming upsert sink
+    * (`Writers.upsertByKey` applies the same last-writer-wins rule per
+    * micro-batch).
+    *
+    * The changelog is synthesized deterministically from `orders`: each
+    * order is an upsert for its customer keyed by (date, orderkey), and a
+    * salted hash marks ~5% of orders as tombstones — so the fixture is
+    * re-derivable and the oracle replays it. Scale: one hash shuffle on
+    * the key; the rank-1 cut is a WindowGroupLimit pushed map-side, so
+    * the shuffle carries per-partition survivors, not the full log —
+    * exactly how a 100 TB CDC log compacts. */
+  def cdcMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val log = Tables.orders(spark, sfDir).select(
+      col("o_custkey").as("key"), col("o_orderdate").as("ts"),
+      col("o_orderkey").as("seq"),
+      when(pmod(Exprs.md5num(concat(lit("cdc_"),
+        col("o_orderkey").cast("string"))), lit(20L)) === 0, "D")
+        .otherwise("U").as("op"),
+      col("o_totalprice"))
+    val w = Window.partitionBy("key").orderBy(col("ts").desc, col("seq").desc)
+    log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "U")
+      .select(col("key").as("custkey"), col("seq").as("last_orderkey"),
+        col("ts").as("last_orderdate"), col("o_totalprice").as("last_totalprice"))
+      .orderBy("custkey")
+  }
+
+  val cdcMergeSql: String =
+    """WITH log AS (
+      |  SELECT o_custkey AS key, o_orderdate AS ts, o_orderkey AS seq,
+      |    CASE WHEN CAST(('0x' || substr(md5('cdc_' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+      |        AS BIGINT) % 20 = 0
+      |      THEN 'D' ELSE 'U' END AS op,
+      |    o_totalprice
+      |  FROM orders),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY key
+      |        ORDER BY ts DESC, seq DESC) AS rn
+      |      FROM log)
+      |SELECT key AS custkey, seq AS last_orderkey, ts AS last_orderdate,
+      |  o_totalprice AS last_totalprice
+      |FROM r WHERE rn = 1 AND op = 'U' ORDER BY custkey""".stripMargin
 }

@@ -793,6 +793,62 @@ class OperatorsSpec extends SparkSuite {
     fused.foreach(r => assert(r.getDouble(3) > 0 && r.getDouble(3) <= 2.0 / 61 + 1e-6))
   }
 
+  test("cdc merge: agrees with a struct-max reformulation, tombstones erase keys") {
+    import org.apache.spark.sql.functions._
+    // independent formulation: latest event per key via max(struct), not a
+    // window — the two plans share no operator, so agreement is evidence
+    val o = Tables.orders(spark, sfDir)
+    val latest = o.groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+      .select(col("o_custkey").as("key"), col("m.o_orderkey").as("seq"))
+      .withColumn("isDel", pmod(Exprs.md5num(concat(lit("cdc_"),
+        col("seq").cast("string"))), lit(20L)) === 0)
+    val expect = latest.filter(!col("isDel")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Temporal.cdcMerge(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // tombstones genuinely erase: some customer must be absent
+    assert(latest.count() > got.size, "no tombstoned key at this fixture")
+  }
+
+  test("ann recall: one row per query, bounded, exact-grid ratio") {
+    val rows = Similarity.annRecall(spark, sfDir).collect()
+    val nQueries = Tables.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 200 === 0).count()
+    assert(rows.length == nQueries, "zero-hit queries must still report")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 3)
+      assert(math.abs(r.getDouble(2) - math.floor(r.getLong(1) / 3.0 * 1e4 + 0.5) / 1e4) < 1e-12)
+    }
+  }
+
+  test("shard manifest: accounts for every document, agrees with the shuffle") {
+    import org.apache.spark.sql.functions._
+    val m = Sampling.shardManifest(spark, sfDir).collect()
+    assert(m.map(_.getLong(2)).sum == Tables.documents(spark, sfDir).count())
+    // per-shard doc totals must equal the assignment's shard sizes
+    val fromShuffle = Sampling.globalShuffle(spark, sfDir).groupBy("shard")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromManifest = m.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(fromManifest == fromShuffle)
+  }
+
+  test("gap fill: dense calendar axis, zero rows exactly on the gaps") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.gapFill(spark, sfDir).collect()
+    val span = Tables.orders(spark, sfDir)
+      .agg((datediff(max(col("o_orderdate")), min(col("o_orderdate"))) + 1)
+        .cast("long")).head().getLong(0)
+    assert(rows.length == span, "one row per calendar day, no holes")
+    rows.foreach { r =>
+      if (r.getBoolean(3)) assert(r.getLong(1) == 0 && r.getDouble(2) == 0.0)
+      else assert(r.getLong(1) > 0)
+    }
+  }
+
   test("events fixture: event_id is unique (eventsDedupe oracle precondition)") {
     // eventsDedupe's dropDuplicates(event_id) and its SELECT DISTINCT oracle
     // agree only while event_id functionally determines the row (see the

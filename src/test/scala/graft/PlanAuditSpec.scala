@@ -330,6 +330,26 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.split("WindowGroupLimit").length - 1 >= 2, p.take(1500))
   }
 
+  test("cdc merge: rank-1 cut pushes map-side, one key shuffle") {
+    val p = plan(Temporal.cdcMerge(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(800))
+  }
+
+  test("gap fill: day-grain aggregate then broadcast join — fact never re-shuffles") {
+    val p = plan(Analytics.gapFill(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+    // daily agg + presentation only; the generated axis never hash-shuffles
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 1, p.take(1000))
+  }
+
+  test("shard manifest: single partial+final aggregate over a pruned scan") {
+    val p = plan(Sampling.shardManifest(spark, sfDir))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(800))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),
+      p.take(800))
+  }
+
   /** A Window fed by `Exchange SinglePartition` is the one-task wall the
     * distributed-cumsum rewrite exists to avoid. In the plan string the
     * window sits at most a Sort away from its input exchange. */
