@@ -122,8 +122,16 @@ class ScaleSpec extends SparkSuite {
     // candidate set) legitimately varies with partitioning — the exact
     // recount must erase that variance from the result. triangle_parts
     // re-checks join-heavy plans; bigram_lm the per-row assembly path.
+    // abc_parts / rfm_segments are the sharpest of all: rangedRunningSum
+    // RANGE-partitions on the shuffle-partition count, so its intermediates
+    // (rid labels, per-range offsets) change with every partition count —
+    // the boundary-invariance the doc claims must erase that from the
+    // result. cdc_merge/global_shuffle re-check window ranks; rrf_fusion
+    // the two-probe fusion; split_decontaminate the broadcast containment.
     val names = Seq("pedidos_fact", "kmeans_train", "source_quota",
-      "corpus_pipeline", "heavy_hitters", "triangle_parts", "bigram_lm")
+      "corpus_pipeline", "heavy_hitters", "triangle_parts", "bigram_lm",
+      "abc_parts", "rfm_segments", "cdc_merge", "global_shuffle",
+      "rrf_fusion", "split_decontaminate")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = names.map { n =>
