@@ -83,6 +83,7 @@ object SparkEntry {
     "text_stats" -> ((s, dir) => TextOps.textStats(tune(s), dir)),
     "lang_id" -> ((s, dir) => TextOps.langId(tune(s), dir)),
     "token_count" -> ((s, dir) => TextOps.tokenCount(tune(s), dir)),
+    "token_fertility" -> ((s, dir) => TextOps.tokenFertility(tune(s), dir)),
     "fingerprint" -> ((s, dir) => TextOps.fingerprint(tune(s), dir)),
     // Extension: deduplication
     "dedup_exact" -> ((s, dir) => Dedup.dedupExact(tune(s), dir)),
@@ -94,6 +95,7 @@ object SparkEntry {
     "dedup_embedding_lsh12" -> ((s, dir) => Dedup.dedupEmbeddingLsh(tune(s), dir, nBits = 12)),
     "dedup_components" -> ((s, dir) => Dedup.dedupComponents(tune(s), dir)),
     "substring_dup_spans" -> ((s, dir) => Dedup.substringDupSpans(tune(s), dir)),
+    "dedup_incremental" -> ((s, dir) => Dedup.dedupIncremental(tune(s), dir)),
     "contamination_check" -> ((s, dir) => Dedup.contaminationCheck(tune(s), dir)),
     "corpus_sample" -> ((s, dir) => Sampling.corpusSample(tune(s), dir)),
     "mix_temperature" -> ((s, dir) => Sampling.mixTemperature(tune(s), dir)),
@@ -147,6 +149,7 @@ object SparkEntry {
     "corpus_pipeline" -> ((s, dir) => CorpusOps.corpusPipeline(tune(s), dir)),
     // Extension: IVF centroid training (Lloyd's) + split/profile utilities
     "kmeans_train" -> ((s, dir) => Clustering.kmeansTrain(tune(s), dir)),
+    "embedding_drift" -> ((s, dir) => Clustering.embeddingDrift(tune(s), dir)),
     "stratified_split" -> ((s, dir) => Sampling.stratifiedSplit(tune(s), dir)),
     "split_decontaminate" -> ((s, dir) => Sampling.splitDecontaminate(tune(s), dir)),
     "global_shuffle" -> ((s, dir) => Sampling.globalShuffle(tune(s), dir)),
@@ -203,6 +206,7 @@ object SparkEntry {
     "text_stats" -> TextOps.textStatsSql,
     "lang_id" -> TextOps.langIdSql,
     "token_count" -> TextOps.tokenCountSql,
+    "token_fertility" -> TextOps.tokenFertilitySql,
     "fingerprint" -> TextOps.fingerprintSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
@@ -213,6 +217,7 @@ object SparkEntry {
     "dedup_embedding_lsh12" -> Dedup.dedupEmbeddingLshSql(12),
     "dedup_components" -> Dedup.dedupComponentsSql,
     "substring_dup_spans" -> Dedup.substringDupSpansSql,
+    "dedup_incremental" -> Dedup.dedupIncrementalSql,
     "contamination_check" -> Dedup.contaminationCheckSql,
     "corpus_sample" -> Sampling.corpusSampleSql,
     "mix_temperature" -> Sampling.mixTemperatureSql,
@@ -254,6 +259,7 @@ object SparkEntry {
     "boilerplate_ngrams" -> CorpusOps.boilerplateNgramsSql,
     "corpus_pipeline" -> CorpusOps.corpusPipelineSql,
     "kmeans_train" -> Clustering.kmeansTrainSql,
+    "embedding_drift" -> Clustering.embeddingDriftSql,
     "stratified_split" -> Sampling.stratifiedSplitSql,
     "split_decontaminate" -> Sampling.splitDecontaminateSql,
     "global_shuffle" -> Sampling.globalShuffleSql,

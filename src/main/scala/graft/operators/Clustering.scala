@@ -132,4 +132,83 @@ object Clustering {
       |SELECT cid AS cluster_id, CAST(pos AS BIGINT) AS dim,
       |  floor(c*10000+0.5)/10000 AS centroid, CAST(n AS BIGINT) AS n_members
       |FROM m2 ORDER BY cluster_id, dim""".stripMargin
+
+  /** Embedding drift monitor — per label, the cosine between the centroids
+    * of two deterministic halves of the corpus (vec_id parity stands in
+    * for the before/after snapshots a production pipeline compares:
+    * yesterday's embedding batch vs today's, or model v1 re-embeds vs v2).
+    * A healthy stable embedding space keeps per-label centroids nearly
+    * parallel (cos → 1); drift below a threshold is the standard trigger
+    * for re-indexing the ANN structure and re-validating downstream
+    * classifiers.
+    *
+    * Fully relational — no array assembly: posexplode to (label, half,
+    * dim, x), grid-LONG mean per cell, halves self-joined on (label, dim),
+    * and the dot/norm reduced as 1e-8-grid LONG sums (order-free), with
+    * the final divide-by-norms on identical double operands in both
+    * engines. One shuffle of (label, half, dim) cells; the drift table is
+    * labels-sized from any corpus.
+    *
+    * NOTE the fixture's labels are isotropic (unit vectors with no
+    * directional clustering), so on the test data the monitor correctly
+    * reports LOW alignment — the cos→1 invariant is asserted on a
+    * constructed clustered frame in OperatorsSpec, not on the fixture. */
+  def embeddingDrift(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingDriftOf(Tables.embeddings(spark, sfDir))
+
+  /** [[embeddingDrift]] over any (vec_id, label, embedding) frame. */
+  def embeddingDriftOf(emb: DataFrame): DataFrame = {
+    val cells = emb
+      .select(col("label").cast("long").as("label"),
+        pmod(col("vec_id"), lit(2L)).as("half"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy("label", "half", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x") * lit(1e6) + lit(0.5d)).cast("long")).as("s"))
+      .withColumn("c", Exprs.r4(col("s").cast("double") / lit(1e6) / col("n")))
+    val a = cells.filter(col("half") === 0)
+      .select(col("label"), col("dim"), col("c").as("c0"), col("n").as("n0"))
+    val b = cells.filter(col("half") === 1)
+      .select(col("label"), col("dim"), col("c").as("c1"), col("n").as("n1"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(max("n0").as("n_a"), max("n1").as("n_b"),
+        sum(floor(col("c0") * col("c1") * lit(1e8) + lit(0.5d)).cast("long")).as("dot_g"),
+        sum(floor(col("c0") * col("c0") * lit(1e8) + lit(0.5d)).cast("long")).as("a2_g"),
+        sum(floor(col("c1") * col("c1") * lit(1e8) + lit(0.5d)).cast("long")).as("b2_g"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        Exprs.r4(col("dot_g").cast("double")
+          / (sqrt(col("a2_g").cast("double")) * sqrt(col("b2_g").cast("double"))))
+          .as("cos_drift"))
+      .orderBy("label")
+  }
+
+  val embeddingDriftSql: String =
+    """WITH x AS (
+      |  SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS half, u.i AS dim,
+      |    CAST(embedding[u.i] AS DOUBLE) AS x
+      |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) u),
+      |cells AS (
+      |  SELECT label, half, dim, count(*) AS n,
+      |    CAST(SUM(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+      |  FROM x GROUP BY 1, 2, 3),
+      |cc AS (
+      |  SELECT label, half, dim, n,
+      |    floor(CAST(s AS DOUBLE) / 1000000 / n * 10000 + 0.5) / 10000 AS c
+      |  FROM cells),
+      |j AS (
+      |  SELECT a.label, a.dim, a.c AS c0, b.c AS c1, a.n AS n0, b.n AS n1
+      |  FROM cc a JOIN cc b ON a.label = b.label AND a.dim = b.dim
+      |   AND a.half = 0 AND b.half = 1),
+      |g AS (
+      |  SELECT label, CAST(max(n0) AS BIGINT) AS n_a, CAST(max(n1) AS BIGINT) AS n_b,
+      |    CAST(SUM(CAST(floor(c0 * c1 * 100000000 + 0.5) AS BIGINT)) AS BIGINT) AS dot_g,
+      |    CAST(SUM(CAST(floor(c0 * c0 * 100000000 + 0.5) AS BIGINT)) AS BIGINT) AS a2_g,
+      |    CAST(SUM(CAST(floor(c1 * c1 * 100000000 + 0.5) AS BIGINT)) AS BIGINT) AS b2_g
+      |  FROM j GROUP BY 1)
+      |SELECT label, n_a, n_b,
+      |  floor(CAST(dot_g AS DOUBLE)
+      |    / (sqrt(CAST(a2_g AS DOUBLE)) * sqrt(CAST(b2_g AS DOUBLE)))
+      |    * 10000 + 0.5) / 10000 AS cos_drift
+      |FROM g ORDER BY label""".stripMargin
 }

@@ -120,6 +120,84 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental ingestion dedup — a NEW batch checked against the existing
+    * base corpus, NOT self-dedup: exact duplicates by content hash, then
+    * near-duplicates by the same band-collision + true-Jaccard chain as
+    * [[dedupMinhash]]/[[dedupJaccard]], but run ASYMMETRICALLY (batch probes
+    * base). This is the shape a production pipeline runs on every ingest
+    * increment — the base never self-joins, and at 100 TB the base's band
+    * table and content-hash set are precomputed indexes the (small) batch
+    * probes, so cost scales with the increment, not the corpus. Batch
+    * membership is deterministic (doc_id ≡ 9 mod 10) so the fixture is
+    * re-derivable. Output: one verdict per flagged new doc — 'exact' wins
+    * over 'near'; the matched base doc is the smallest qualifying id
+    * (first-match, SURVEY §2 G3). */
+  def dedupIncremental(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isBatch = pmod(col("doc_id"), lit(10L)) === 9
+    val exact = docs.filter(isBatch)
+      .select(col("doc_id").as("new_id"), md5(col("text")).as("sig"))
+      .join(docs.filter(!isBatch)
+        .select(md5(col("text")).as("sig"), col("doc_id").as("base_id")), "sig")
+      .groupBy("new_id").agg(min("base_id").as("dup_of"))
+      .withColumn("kind", lit("exact"))
+    val bands = minhashSignatures(docs)
+      .select(col("doc_id"), posexplode(expr(bandsExpr)).as(Seq("band", "sig")))
+    val cand = bands.filter(pmod(col("doc_id"), lit(10L)) === 9)
+      .select(col("doc_id").as("new_id"), col("band"), col("sig"))
+      .join(bands.filter(pmod(col("doc_id"), lit(10L)) =!= 9)
+        .select(col("doc_id").as("base_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select("new_id", "base_id").distinct()
+    val sets = docs
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), array_distinct(expr(shinglesExpr)).as("sset"))
+    val jac = Exprs.r4(
+      size(array_intersect(col("a.sset"), col("b.sset"))).cast("double")
+        / size(array_union(col("a.sset"), col("b.sset"))))
+    val near = cand
+      .join(sets.as("a"), col("new_id") === col("a.doc_id"))
+      .join(sets.as("b"), col("base_id") === col("b.doc_id"))
+      .select(col("new_id"), col("base_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy("new_id").agg(min("base_id").as("dup_of"))
+      .withColumn("kind", lit("near"))
+    exact.select("new_id", "kind", "dup_of")
+      .unionByName(near
+        .join(exact.select("new_id"), Seq("new_id"), "left_anti")
+        .select("new_id", "kind", "dup_of"))
+      .orderBy("new_id")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH $minhashOracleCte,
+       |exact AS (
+       |  SELECT b.doc_id AS new_id, min(a.doc_id) AS dup_of
+       |  FROM documents b JOIN documents a ON md5(b.text) = md5(a.text)
+       |  WHERE b.doc_id % 10 = 9 AND a.doc_id % 10 <> 9
+       |  GROUP BY 1),
+       |cand AS (
+       |  SELECT DISTINCT nb.doc_id AS new_id, ab.doc_id AS base_id
+       |  FROM bands nb JOIN bands ab ON nb.band = ab.band AND nb.sig = ab.sig
+       |  WHERE nb.doc_id % 10 = 9 AND ab.doc_id % 10 <> 9),
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
+       |near AS (
+       |  SELECT new_id, min(base_id) AS dup_of
+       |  FROM (
+       |    SELECT c.new_id, c.base_id,
+       |      floor(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(sa.sset, sb.sset))) * 10000 + 0.5)
+       |        / 10000 AS jaccard
+       |    FROM cand c JOIN sets sa ON c.new_id = sa.doc_id
+       |      JOIN sets sb ON c.base_id = sb.doc_id)
+       |  WHERE jaccard >= 0.5 GROUP BY 1)
+       |SELECT new_id, 'exact' AS kind, dup_of FROM exact
+       |UNION ALL
+       |SELECT new_id, 'near' AS kind, dup_of FROM near
+       |WHERE new_id NOT IN (SELECT new_id FROM exact)
+       |ORDER BY new_id""".stripMargin
+
   val dedupJaccardSql: String =
     s"""WITH $minhashOracleCte,
        |cand AS (

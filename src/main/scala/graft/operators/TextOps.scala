@@ -284,6 +284,36 @@ object TextOps {
       |FROM c JOIN pr ON c.w1 = pr.w1
       |ORDER BY c.n12 DESC, c.w1, c.w2 LIMIT $k""".stripMargin
 
+  /** Per-language tokenizer fertility — chars/token and tokens/doc by
+    * language, the statistic multilingual pipelines track to budget
+    * context windows and detect tokenizer bias (a language whose fertility
+    * is 2× the corpus mean pays 2× the context for the same text; data
+    * mixes and per-language packing budgets are tuned off this table).
+    * Whitespace tokens here (the engine's standard token proxy —
+    * [[tokenCount]]'s BPE-ish regex is the finer-grained variant).
+    * One map-side-combined aggregate; languages-sized output. */
+  def tokenFertility(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+        sum("tokens").as("tokens"))
+      .select(col("lang"), col("n_docs"), col("chars"), col("tokens"),
+        Exprs.r4(col("chars").cast("double") / col("tokens")).as("chars_per_token"),
+        Exprs.r4(col("tokens").cast("double") / col("n_docs")).as("tokens_per_doc"))
+      .orderBy("lang")
+
+  val tokenFertilitySql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+      |  floor(CAST(SUM(n_chars) AS DOUBLE) / SUM(len(string_split(text, ' ')))
+      |    * 10000 + 0.5) / 10000 AS chars_per_token,
+      |  floor(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*)
+      |    * 10000 + 0.5) / 10000 AS tokens_per_doc
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** BM25 retrieval — the search counterpart of the ANN family: a
     * deterministic query set (every doc_id ≡ 7 mod 100 acts as a query,
     * represented by its top-`qTerms` tokens by tf) retrieves the top-`k`

@@ -849,6 +849,68 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("incremental dedup: verdicts only for batch docs, matches only in base") {
+    val rows = Dedup.dedupIncremental(spark, sfDir).collect()
+    assert(rows.nonEmpty, "fixture must contain cross-side duplicates")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length,
+      "one verdict per flagged new doc (exact wins over near)")
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 == 9, "flagged docs are batch members")
+      assert(r.getLong(2) % 10 != 9, "matched doc is in the base")
+      assert(Set("exact", "near")(r.getString(1)))
+    }
+    // exact verdicts really are byte-identical texts
+    val text = Tables.documents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.filter(_.getString(1) == "exact").foreach { r =>
+      assert(text(r.getLong(0)) == text(r.getLong(2)))
+    }
+  }
+
+  test("embedding drift: shape on the fixture, alignment on clustered data") {
+    val rows = Clustering.embeddingDrift(spark, sfDir).collect()
+    val nLabels = Tables.embeddings(spark, sfDir)
+      .select("label").distinct().count()
+    assert(rows.length == nLabels, "one drift row per label")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0, "both halves populated")
+      assert(math.abs(r.getDouble(3)) <= 1.0001, "cosine bounded")
+    }
+    // The fixture's labels are isotropic, so the fixture can't witness the
+    // cos→1 contract. Construct clustered data where it must hold: label 0
+    // vectors hug the +e0 axis in both halves (cos≈1); label 1 vectors
+    // point +e1 in the even half and -e1 in the odd half (cos≈-1) —
+    // catches swapped joins, sign errors, and grid overflow. label =
+    // (vec_id/2) % 2 so both parity halves populate within each label.
+    import spark.implicits._
+    val jitter = Array.tabulate(8)(i => 0.01f * ((i % 3) - 1))
+    def vec(axis: Int, sign: Float) =
+      Array.tabulate(8)(d => (if (d == axis) sign else 0.0f) + jitter(d))
+    val synth = (0L until 40L).map { id =>
+      val lab = ((id / 2) % 2).toInt
+      val sign = if (lab == 1 && id % 2 == 1) -1.0f else 1.0f
+      (id, lab, vec(lab, sign))
+    }.toDF("vec_id", "label", "embedding")
+    val got = Clustering.embeddingDriftOf(synth).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(0L) > 0.99, s"aligned label should read cos~1: ${got(0L)}")
+    assert(got(1L) < -0.9, s"flipped label should read cos~-1: ${got(1L)}")
+  }
+
+  test("token fertility: per-language sums reconcile with the corpus totals") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.tokenFertility(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)), sum("n_chars")).head()
+    assert(rows.map(_.getLong(1)).sum == total.getLong(0))
+    assert(rows.map(_.getLong(2)).sum == total.getLong(1))
+    rows.foreach { r =>
+      assert(r.getDouble(4) > 0, "chars per token positive")
+      assert(math.abs(r.getDouble(5) -
+        math.floor(r.getLong(3).toDouble / r.getLong(1) * 1e4 + 0.5) / 1e4) < 1e-12)
+    }
+  }
+
   test("events fixture: event_id is unique (eventsDedupe oracle precondition)") {
     // eventsDedupe's dropDuplicates(event_id) and its SELECT DISTINCT oracle
     // agree only while event_id functionally determines the row (see the

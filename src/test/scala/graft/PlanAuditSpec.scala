@@ -330,6 +330,26 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.split("WindowGroupLimit").length - 1 >= 2, p.take(1500))
   }
 
+  test("incremental dedup: band/hash equi-joins only — batch probes base, no self cross") {
+    val p = plan(Dedup.dedupIncremental(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
+  test("embedding drift: one cell shuffle, labels-sized output aggregation") {
+    val p = plan(Clustering.embeddingDrift(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "cell means must partial-aggregate map-side")
+  }
+
+  test("token fertility: single aggregate over a pruned scan") {
+    val p = plan(TextOps.tokenFertility(spark, sfDir))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(800))
+    assert(p.contains("ReadSchema: struct<text:string,lang:string,n_chars:bigint>")
+      || p.contains("ReadSchema: struct<lang:string"), p.take(800))
+  }
+
   test("cdc merge: rank-1 cut pushes map-side, one key shuffle") {
     val p = plan(Temporal.cdcMerge(spark, sfDir))
     assert(p.contains("WindowGroupLimit"), p.take(800))
