@@ -84,6 +84,7 @@ object SparkEntry {
     "lang_id" -> ((s, dir) => TextOps.langId(tune(s), dir)),
     "token_count" -> ((s, dir) => TextOps.tokenCount(tune(s), dir)),
     "token_fertility" -> ((s, dir) => TextOps.tokenFertility(tune(s), dir)),
+    "char_coverage" -> ((s, dir) => TextOps.charCoverage(tune(s), dir)),
     "fingerprint" -> ((s, dir) => TextOps.fingerprint(tune(s), dir)),
     // Extension: deduplication
     "dedup_exact" -> ((s, dir) => Dedup.dedupExact(tune(s), dir)),
@@ -96,6 +97,7 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) => Dedup.dedupComponents(tune(s), dir)),
     "substring_dup_spans" -> ((s, dir) => Dedup.substringDupSpans(tune(s), dir)),
     "dedup_incremental" -> ((s, dir) => Dedup.dedupIncremental(tune(s), dir)),
+    "dup_score_hist" -> ((s, dir) => Dedup.dupScoreHist(tune(s), dir)),
     "contamination_check" -> ((s, dir) => Dedup.contaminationCheck(tune(s), dir)),
     "corpus_sample" -> ((s, dir) => Sampling.corpusSample(tune(s), dir)),
     "mix_temperature" -> ((s, dir) => Sampling.mixTemperature(tune(s), dir)),
@@ -147,6 +149,7 @@ object SparkEntry {
     "bm25_score" -> ((s, dir) => CorpusOps.bm25Score(tune(s), dir)),
     "boilerplate_ngrams" -> ((s, dir) => CorpusOps.boilerplateNgrams(tune(s), dir)),
     "corpus_pipeline" -> ((s, dir) => CorpusOps.corpusPipeline(tune(s), dir)),
+    "doc_chunks" -> ((s, dir) => CorpusOps.docChunks(tune(s), dir)),
     // Extension: IVF centroid training (Lloyd's) + split/profile utilities
     "kmeans_train" -> ((s, dir) => Clustering.kmeansTrain(tune(s), dir)),
     "embedding_drift" -> ((s, dir) => Clustering.embeddingDrift(tune(s), dir)),
@@ -207,6 +210,7 @@ object SparkEntry {
     "lang_id" -> TextOps.langIdSql,
     "token_count" -> TextOps.tokenCountSql,
     "token_fertility" -> TextOps.tokenFertilitySql,
+    "char_coverage" -> TextOps.charCoverageSql(),
     "fingerprint" -> TextOps.fingerprintSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
@@ -218,6 +222,7 @@ object SparkEntry {
     "dedup_components" -> Dedup.dedupComponentsSql,
     "substring_dup_spans" -> Dedup.substringDupSpansSql,
     "dedup_incremental" -> Dedup.dedupIncrementalSql,
+    "dup_score_hist" -> Dedup.dupScoreHistSql,
     "contamination_check" -> Dedup.contaminationCheckSql,
     "corpus_sample" -> Sampling.corpusSampleSql,
     "mix_temperature" -> Sampling.mixTemperatureSql,
@@ -258,6 +263,7 @@ object SparkEntry {
     "bm25_score" -> CorpusOps.bm25ScoreSql,
     "boilerplate_ngrams" -> CorpusOps.boilerplateNgramsSql,
     "corpus_pipeline" -> CorpusOps.corpusPipelineSql,
+    "doc_chunks" -> CorpusOps.docChunksSql(),
     "kmeans_train" -> Clustering.kmeansTrainSql,
     "embedding_drift" -> Clustering.embeddingDriftSql,
     "stratified_split" -> Sampling.stratifiedSplitSql,

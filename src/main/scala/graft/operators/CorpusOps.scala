@@ -416,4 +416,47 @@ object CorpusOps {
       |  CAST(floor((cum - n_tokens) / $budget.0) AS BIGINT) AS pack_id,
       |  CAST(cum - n_tokens - $budget * floor((cum - n_tokens) / $budget.0) AS BIGINT) AS pack_offset
       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Sliding-window document chunking — split each document into
+    * fixed-size token windows with overlap (`size`=64 tokens, `stride`=48,
+    * so consecutive chunks share 16 tokens): the retrieval/embedding prep
+    * step that turns documents into context-window-sized passages while
+    * the overlap keeps sentences that straddle a boundary findable.
+    * Output: one row per chunk with its token count and an md5 content
+    * signature (what an embedding job would key its cache on), provenance
+    * preserved via (doc_id, chunk_id).
+    *
+    * Chunk starts are `sequence(0, n_tokens-1, stride)` — every token is
+    * covered, the final chunks shorten at the tail. Purely map-side
+    * (tokenize → per-row start list → explode → slice/hash); the ONLY
+    * exchange in the plan is the presentation sort's range partition, so
+    * at 100 TB chunking runs at scan speed and the output partitions by
+    * whatever the downstream embed/index step needs. */
+  def docChunks(spark: SparkSession, sfDir: String,
+      size: Int = 64, stride: Int = 48): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr(s"sequence(0, greatest(size(toks) - 1, 0), $stride)"))
+          .as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        expr(s"slice(toks, start + 1, $size)").as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        org.apache.spark.sql.functions.size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
+  def docChunksSql(size: Int = 64, stride: Int = 48): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(0,
+       |      CAST(floor(greatest(len(toks) - 1, 0) / $stride.0) AS BIGINT))) AS chunk_id
+       |  FROM t)
+       |SELECT doc_id, chunk_id,
+       |  CAST(len(list_slice(toks, chunk_id * $stride + 1,
+       |    chunk_id * $stride + $size)) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(list_slice(toks, chunk_id * $stride + 1,
+       |    chunk_id * $stride + $size), ' ')) AS chunk_md5
+       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
 }

@@ -213,6 +213,59 @@ object Dedup {
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Duplicate-score histogram — per-document max Jaccard over its LSH
+    * candidate neighbors (UNthresholded, both orientations of each pair),
+    * bucketed to 0.1 bins: the distribution a curation run reads to PICK
+    * the near-dup threshold, instead of inheriting 0.5 blind — a bimodal
+    * histogram separates template families from organic text; mass piling
+    * at the cut means the threshold is doing real work.
+    *
+    * Reuses the [[dedupMinhash]] candidate chain (still never all-pairs;
+    * docs with no band collision simply don't appear). Bucket ids are cut
+    * on the LONG grid (`floor(j·1e4+0.5) div 1000`), so a grid value like
+    * 0.3 can never straddle the bin edge in one engine and not the other.
+    * Scale: candidates-sized work on top of the signature chain; the
+    * histogram itself is ≤ 11 rows. */
+  def dupScoreHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = Tables.documents(spark, sfDir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), array_distinct(expr(shinglesExpr)).as("sset"))
+    val jac = Exprs.r4(
+      size(array_intersect(col("a.sset"), col("b.sset"))).cast("double")
+        / size(array_union(col("a.sset"), col("b.sset"))))
+    val pairs = dedupMinhash(spark, sfDir)
+      .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+    pairs.select(col("doc_a").as("doc_id"), col("jaccard"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"), col("jaccard")))
+      .groupBy("doc_id").agg(max("jaccard").as("mj"))
+      .select(expr("CAST(floor(mj * 10000 + 0.5) AS BIGINT) div 1000").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket")
+  }
+
+  val dupScoreHistSql: String =
+    s"""WITH $minhashOracleCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
+       |pj AS (
+       |  SELECT doc_a, doc_b,
+       |    floor(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.sset, sb.sset))) * 10000 + 0.5) / 10000 AS jaccard
+       |  FROM cand JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id),
+       |per AS (
+       |  SELECT doc_id, max(jaccard) AS mj FROM (
+       |    SELECT doc_a AS doc_id, jaccard FROM pj
+       |    UNION ALL SELECT doc_b AS doc_id, jaccard FROM pj)
+       |  GROUP BY 1)
+       |SELECT CAST(floor(mj * 10000 + 0.5) AS BIGINT) // 1000 AS bucket,
+       |  count(*) AS n_docs
+       |FROM per GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Connected-component canonicalization over the VERIFIED near-dup pairs —
     * the step a dedup pipeline needs AFTER generate-then-verify: pair lists
     * become duplicate CLUSTERS (a≈b, b≈c ⇒ {a,b,c}), and each cluster keeps

@@ -314,6 +314,51 @@ object TextOps {
       |    * 10000 + 0.5) / 10000 AS tokens_per_doc
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Per-language character vocabulary coverage — distinct characters,
+    * total character volume, and the share covered by the `k` most
+    * frequent characters: the `character_coverage` statistic tokenizer
+    * training (SentencePiece-style) is configured from. An alphabetic
+    * language saturates at a few dozen symbols (top-k share = 1); an
+    * ideographic one has a long tail the tokenizer must budget for.
+    *
+    * Shape: per-char explode feeds ONE hash aggregate on (lang, char) —
+    * map-side combined, so the shuffle carries at most langs × alphabet
+    * rows per task regardless of corpus size; the rank window then runs
+    * on that vocabulary-sized table. Ties at the rank-k boundary break
+    * by codepoint (both engines compare binary). */
+  def charCoverage(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+          .as("ch"))
+      .groupBy("lang", "ch").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("ch"))
+    counts.withColumn("rk", row_number().over(w))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_distinct_chars"),
+        sum("cnt").as("total_chars"),
+        sum(when(col("rk") <= k, col("cnt")).otherwise(0L)).as("topk"))
+      .select(col("lang"), col("n_distinct_chars"), col("total_chars"),
+        Exprs.r4(col("topk").cast("double") / col("total_chars")).as("topk_share"))
+      .orderBy("lang")
+  }
+
+  def charCoverageSql(k: Int = 100): String =
+    s"""WITH ch AS (
+       |  SELECT lang,
+       |    unnest(list_transform(generate_series(1, length(text)),
+       |      i -> substring(text, i, 1))) AS ch
+       |  FROM documents),
+       |c AS (SELECT lang, ch, count(*) AS cnt FROM ch GROUP BY 1, 2),
+       |r AS (SELECT lang, ch, cnt,
+       |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, ch) AS rk FROM c)
+       |SELECT lang, count(*) AS n_distinct_chars,
+       |  CAST(sum(cnt) AS BIGINT) AS total_chars,
+       |  floor(CAST(sum(CASE WHEN rk <= $k THEN cnt ELSE 0 END) AS DOUBLE)
+       |    / sum(cnt) * 10000 + 0.5) / 10000 AS topk_share
+       |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+
   /** BM25 retrieval — the search counterpart of the ANN family: a
     * deterministic query set (every doc_id ≡ 7 mod 100 acts as a query,
     * represented by its top-`qTerms` tokens by tf) retrieves the top-`k`

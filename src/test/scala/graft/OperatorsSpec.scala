@@ -911,6 +911,56 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("doc chunks: stride lattice covers every token, ids contiguous") {
+    val rows = CorpusOps.docChunks(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nTok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet == nTok.keySet, "every document chunks")
+    byDoc.foreach { case (doc, cs) =>
+      val n = nTok(doc)
+      val ids = cs.map(_._2).sorted
+      assert(ids.head == 0 && ids.last == (n - 1).max(0) / 48
+        && ids.length == ids.last + 1, s"doc $doc ids not contiguous")
+      cs.foreach { case (_, id, len) =>
+        assert(len == math.min(64L, n - id * 48), s"doc $doc chunk $id length")
+      }
+      // overlap lattice: chunk starts advance by stride < size, so the
+      // union of [start, start+len) intervals is exactly [0, n)
+      assert(cs.map(_._3).map(math.min(_, 48L)).sum >= n - 16,
+        s"doc $doc coverage gap")
+    }
+  }
+
+  test("char coverage: totals reconcile; alphabetic languages saturate top-k") {
+    val rows = TextOps.charCoverage(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir)
+      .agg(sum(length(col("text")))).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == total,
+      "per-language char volumes must sum to the corpus char count")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+      if (r.getLong(1) <= 100)
+        assert(r.getDouble(3) == 1.0,
+          s"${r.getString(0)}: alphabet fits in k, share must be exactly 1")
+    }
+  }
+
+  test("dup score hist: doc mass equals the docs with LSH candidates") {
+    val hist = Dedup.dupScoreHist(spark, sfDir).collect()
+    assert(hist.nonEmpty)
+    hist.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 10, "buckets are 0.1 bins")
+      assert(r.getLong(1) > 0)
+    }
+    val pairDocs = Dedup.dedupMinhash(spark, sfDir).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length
+    assert(hist.map(_.getLong(1)).sum == pairDocs,
+      "every doc with a candidate lands in exactly one bucket")
+  }
+
   test("events fixture: event_id is unique (eventsDedupe oracle precondition)") {
     // eventsDedupe's dropDuplicates(event_id) and its SELECT DISTINCT oracle
     // agree only while event_id functionally determines the row (see the

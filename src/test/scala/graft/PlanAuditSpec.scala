@@ -350,6 +350,24 @@ class PlanAuditSpec extends SparkSuite {
       || p.contains("ReadSchema: struct<lang:string"), p.take(800))
   }
 
+  test("doc chunks: map-only — the presentation sort is the plan's only exchange") {
+    val p = plan(CorpusOps.docChunks(spark, sfDir))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+    assert(p.split("Exchange").length - 1 == 1, "only the orderBy range exchange")
+  }
+
+  test("char coverage: (lang, char) aggregate partial-combines before the shuffle") {
+    val p = plan(TextOps.charCoverage(spark, sfDir))
+    assert(p.contains("partial_count"), "char counts must combine map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dup score hist: candidate chain only — no all-pairs join") {
+    val p = plan(Dedup.dupScoreHist(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
   test("cdc merge: rank-1 cut pushes map-side, one key shuffle") {
     val p = plan(Temporal.cdcMerge(spark, sfDir))
     assert(p.contains("WindowGroupLimit"), p.take(800))
