@@ -128,10 +128,17 @@ class ScaleSpec extends SparkSuite {
     // the boundary-invariance the doc claims must erase that from the
     // result. cdc_merge/global_shuffle re-check window ranks; rrf_fusion
     // the two-probe fusion; split_decontaminate the broadcast containment.
+    // embedding_drift re-checks grid-LONG cell means (the per-cell sums
+    // split differently across partitions); dup_score_hist the
+    // candidate-pair max + LONG-grid bucketing; dedup_incremental the
+    // asymmetric band probe; char_coverage the rank-k cut under a
+    // re-partitioned vocabulary.
     val names = Seq("pedidos_fact", "kmeans_train", "source_quota",
       "corpus_pipeline", "heavy_hitters", "triangle_parts", "bigram_lm",
       "abc_parts", "rfm_segments", "cdc_merge", "global_shuffle",
-      "rrf_fusion", "split_decontaminate")
+      "rrf_fusion", "split_decontaminate",
+      "embedding_drift", "dup_score_hist", "dedup_incremental",
+      "char_coverage")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = names.map { n =>
