@@ -98,6 +98,7 @@ object SparkEntry {
     "substring_dup_spans" -> ((s, dir) => Dedup.substringDupSpans(tune(s), dir)),
     "dedup_incremental" -> ((s, dir) => Dedup.dedupIncremental(tune(s), dir)),
     "dup_score_hist" -> ((s, dir) => Dedup.dupScoreHist(tune(s), dir)),
+    "source_overlap" -> ((s, dir) => Dedup.sourceOverlap(tune(s), dir)),
     "contamination_check" -> ((s, dir) => Dedup.contaminationCheck(tune(s), dir)),
     "corpus_sample" -> ((s, dir) => Sampling.corpusSample(tune(s), dir)),
     "mix_temperature" -> ((s, dir) => Sampling.mixTemperature(tune(s), dir)),
@@ -153,6 +154,7 @@ object SparkEntry {
     // Extension: IVF centroid training (Lloyd's) + split/profile utilities
     "kmeans_train" -> ((s, dir) => Clustering.kmeansTrain(tune(s), dir)),
     "embedding_drift" -> ((s, dir) => Clustering.embeddingDrift(tune(s), dir)),
+    "embedding_outliers" -> ((s, dir) => Clustering.embeddingOutliers(tune(s), dir)),
     "stratified_split" -> ((s, dir) => Sampling.stratifiedSplit(tune(s), dir)),
     "split_decontaminate" -> ((s, dir) => Sampling.splitDecontaminate(tune(s), dir)),
     "global_shuffle" -> ((s, dir) => Sampling.globalShuffle(tune(s), dir)),
@@ -223,6 +225,7 @@ object SparkEntry {
     "substring_dup_spans" -> Dedup.substringDupSpansSql,
     "dedup_incremental" -> Dedup.dedupIncrementalSql,
     "dup_score_hist" -> Dedup.dupScoreHistSql,
+    "source_overlap" -> Dedup.sourceOverlapSql,
     "contamination_check" -> Dedup.contaminationCheckSql,
     "corpus_sample" -> Sampling.corpusSampleSql,
     "mix_temperature" -> Sampling.mixTemperatureSql,
@@ -266,6 +269,7 @@ object SparkEntry {
     "doc_chunks" -> CorpusOps.docChunksSql(),
     "kmeans_train" -> Clustering.kmeansTrainSql,
     "embedding_drift" -> Clustering.embeddingDriftSql,
+    "embedding_outliers" -> Clustering.embeddingOutliersSql(),
     "stratified_split" -> Sampling.stratifiedSplitSql,
     "split_decontaminate" -> Sampling.splitDecontaminateSql,
     "global_shuffle" -> Sampling.globalShuffleSql,

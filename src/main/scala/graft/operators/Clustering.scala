@@ -183,6 +183,69 @@ object Clustering {
       .orderBy("label")
   }
 
+  /** Mislabel / outlier detection by centroid distance — the `k` vectors
+    * FARTHEST from their own label's centroid, per label: the standard
+    * curation probe for label noise (a point far from its class center is
+    * either mislabeled or genuinely hard; both go to review before
+    * training). Complements [[embeddingDrift]]: drift watches the centroid
+    * move, this ranks the points against it.
+    *
+    * Shape: centroids come from one (label, dim) cell aggregate (grid-LONG
+    * means, same arithmetic as [[kmeansTrain]]'s update step), reassemble
+    * to arrays, and BROADCAST — labels × dims is always tiny. Each vector
+    * then scores with the codegen'd `array_dist2i` kernel (no explode, no
+    * corpus shuffle), and the per-label top-k runs as a rank window with
+    * WindowGroupLimit pushing the cut map-side. At 100 TB the corpus is
+    * read once and shuffles only k rows per label per partition.
+    *
+    * Distances are integer-grid LONGs (Σ floor((x−c)²·1e6 + 0.5)) — exact
+    * cross-engine ties, broken by vec_id. */
+  def embeddingOutliers(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val cents = emb
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg((sum(floor(col("x") * lit(MeanScale) + lit(0.5d)).cast("long"))
+        .cast("double") / count(lit(1)) / lit(MeanScale)).as("m"))
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        p => p.getField("m")).as("c"))
+    val scored = emb.join(broadcast(cents), "label")
+      .select(col("label"), col("vec_id"), distInt(col("v"), col("c")).as("dist2_g"))
+    val w = Window.partitionBy("label").orderBy(col("dist2_g").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("label"), col("rk"), col("vec_id"), col("dist2_g"))
+      .orderBy("label", "rk")
+  }
+
+  def embeddingOutliersSql(k: Int = 5): String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    unnest(range(1, len(embedding)+1)) AS pos,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |m AS (
+       |  SELECT label, pos,
+       |    CAST(SUM(CAST(floor(x*1000000+0.5) AS BIGINT)) AS DOUBLE)
+       |      / count(*) / 1000000.0 AS c
+       |  FROM emb GROUP BY 1, 2),
+       |d AS (
+       |  SELECT e.label, e.vec_id,
+       |    CAST(SUM(CAST(floor((e.x-m.c)*(e.x-m.c)*1000000 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS dist2_g
+       |  FROM emb e JOIN m ON e.label = m.label AND e.pos = m.pos
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT label, vec_id, dist2_g,
+       |    row_number() OVER (PARTITION BY label ORDER BY dist2_g DESC, vec_id) AS rk
+       |  FROM d)
+       |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, dist2_g
+       |FROM r WHERE rk <= $k ORDER BY label, rk""".stripMargin
+
   val embeddingDriftSql: String =
     """WITH x AS (
       |  SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS half, u.i AS dim,

@@ -213,6 +213,60 @@ object Dedup {
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Cross-source overlap estimation — a corpus-governance table: for each
+    * pair of sources, the Jaccard similarity of their SHINGLE SETS,
+    * estimated from source-level minhash signatures (the fraction of the
+    * 16 hash slots where the two sources' minima agree — the classic
+    * mergeable-sketch estimate). High overlap between two sources means
+    * one is a mirror/re-crawl of the other and the mix double-counts it —
+    * the signal that decides which source to drop BEFORE paying for
+    * doc-level dedup between them.
+    *
+    * Scale shape: a source signature is 16 `min` aggregates — fully
+    * map-side combinable, so the corpus scan reduces to (sources × 16)
+    * longs per partition and the shuffle is governance-table-sized no
+    * matter how many documents each source has. The pair comparison then
+    * runs on exploded (source, slot, value) rows equi-joined by slot —
+    * sources²×16 rows, never a document pair anywhere. */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = Tables.documents(spark, sfDir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("source"), explode(expr(shinglesExpr)).as("s"))
+      .select(col("source"), Exprs.md5num(col("s")).as("h"))
+    val minAggs = (0 until 16).map { k =>
+      min(pmod(col("h") * lit(12582917L * k + 1) + lit(4256249L * k),
+        lit(2147483647L))).as(s"mh$k")
+    }
+    val slots = h.groupBy("source").agg(minAggs.head, minAggs.tail: _*)
+      .select(col("source"),
+        posexplode(array((0 until 16).map(k => col(s"mh$k")): _*))
+          .as(Seq("slot", "mh")))
+    slots.as("a").join(slots.as("b"),
+        col("a.slot") === col("b.slot") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(sum(when(col("a.mh") === col("b.mh"), 1L).otherwise(0L)).as("n_match"))
+      .select(col("source_a"), col("source_b"), col("n_match"),
+        Exprs.r4(col("n_match").cast("double") / lit(16d)).as("est_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapSql: String =
+    """WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+      |sh AS (SELECT source,
+      |  unnest(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+      |    i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS s FROM w),
+      |h AS (SELECT source, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h FROM sh),
+      |sig AS (SELECT source, k.k AS slot,
+      |  min((h * (12582917 * k.k + 1) + 4256249 * k.k) % 2147483647) AS mh
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) k
+      |  GROUP BY 1, 2),
+      |p AS (SELECT a.source AS source_a, b.source AS source_b,
+      |  CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END AS m
+      |  FROM sig a JOIN sig b ON a.slot = b.slot AND a.source < b.source)
+      |SELECT source_a, source_b, CAST(SUM(m) AS BIGINT) AS n_match,
+      |  floor(CAST(SUM(m) AS DOUBLE) / 16 * 10000 + 0.5) / 10000 AS est_jaccard
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Duplicate-score histogram — per-document max Jaccard over its LSH
     * candidate neighbors (UNthresholded, both orientations of each pair),
     * bucketed to 0.1 bins: the distribution a curation run reads to PICK

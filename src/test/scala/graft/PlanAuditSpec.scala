@@ -368,6 +368,20 @@ class PlanAuditSpec extends SparkSuite {
       p.take(1500))
   }
 
+  test("embedding outliers: centroids broadcast, corpus scores without a shuffle, top-k cut pushed") {
+    val p = plan(Clustering.embeddingOutliers(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "centroid table must broadcast")
+    assert(p.contains("WindowGroupLimit"), "per-label top-k must cut map-side")
+    assert(p.contains("array_dist2i"), "distance must use the codegen kernel")
+  }
+
+  test("source overlap: signature min-aggs partial-combine; no document pair join") {
+    val p = plan(Dedup.sourceOverlap(spark, sfDir))
+    assert(p.contains("partial_min"), "source signatures must combine map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
   test("cdc merge: rank-1 cut pushes map-side, one key shuffle") {
     val p = plan(Temporal.cdcMerge(spark, sfDir))
     assert(p.contains("WindowGroupLimit"), p.take(800))
