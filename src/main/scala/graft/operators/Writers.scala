@@ -184,6 +184,26 @@ object Writers {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Bucketed layout — hash the table into `buckets` files on the join
+    * key at WRITE time (`bucketBy` + in-bucket `sortBy`), registered as a
+    * catalog table so the scan reports its `HashPartitioning` to the
+    * planner. The payoff is the co-located join: two tables bucketed on
+    * the same key with the same bucket count equi-join and aggregate on
+    * that key with ZERO exchanges — the shuffle was paid once at ingest
+    * and is reused by every downstream join, which is the difference
+    * between re-shuffling a 100 TB fact for each of N consumers and
+    * reading it in place N times. Asserted exchange-free in PlansSpec.
+    *
+    * `path` makes it an external table (data outlives the session
+    * catalog); bucket files stay one-per-bucket-per-task, so pick
+    * `buckets` ≈ target file count at the expected table size. */
+  def writeBucketed(df: DataFrame, key: String, buckets: Int,
+      table: String, path: String): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
+
   /** J5 — truncate-and-replace dimension load (reference
     * `contatos_to_bq/main.py:117-128`). */
   def overwriteDim(df: DataFrame, path: String): Unit =

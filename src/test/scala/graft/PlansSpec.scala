@@ -98,6 +98,36 @@ class PlansSpec extends SparkSuite {
     assert(spark.read.parquet(out).count() == df.count())
   }
 
+  test("bucketed layout: co-bucketed join + same-key aggregate run with zero exchanges") {
+    val base = Files.createTempDirectory("bucketed").toString
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a real join strategy decision — at sf0.001 everything
+      // broadcasts, which would make "no exchange" vacuous
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Writers.writeBucketed(o, "o_orderkey", 8, "b_orders", s"$base/o")
+      Writers.writeBucketed(l, "o_orderkey", 8, "b_lineitem", s"$base/l")
+      val j = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        .groupBy("o_orderkey").agg(sum("l_quantity").as("qty"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join/agg must reuse the write-time partitioning:\n${p.take(1500)}")
+      // and the result is the same as the unbucketed plan
+      val expect = o.join(l, "o_orderkey")
+        .groupBy("o_orderkey").agg(sum("l_quantity").as("qty"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val got = j.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("J5/J6: overwrite dim then keyed delete with count-verify") {
     val out = Files.createTempDirectory("dim").toString + "/t"
     val dim = Tables.customer(spark, sfDir).limit(100)
