@@ -99,6 +99,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s, dir) => Dedup.dedupIncremental(tune(s), dir)),
     "dup_score_hist" -> ((s, dir) => Dedup.dupScoreHist(tune(s), dir)),
     "source_overlap" -> ((s, dir) => Dedup.sourceOverlap(tune(s), dir)),
+    "doc_novelty" -> ((s, dir) => Dedup.docNovelty(tune(s), dir)),
     "contamination_check" -> ((s, dir) => Dedup.contaminationCheck(tune(s), dir)),
     "corpus_sample" -> ((s, dir) => Sampling.corpusSample(tune(s), dir)),
     "mix_temperature" -> ((s, dir) => Sampling.mixTemperature(tune(s), dir)),
@@ -226,6 +227,7 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.dedupIncrementalSql,
     "dup_score_hist" -> Dedup.dupScoreHistSql,
     "source_overlap" -> Dedup.sourceOverlapSql,
+    "doc_novelty" -> Dedup.docNoveltySql,
     "contamination_check" -> Dedup.contaminationCheckSql,
     "corpus_sample" -> Sampling.corpusSampleSql,
     "mix_temperature" -> Sampling.mixTemperatureSql,

@@ -213,6 +213,47 @@ object Dedup {
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Per-document novelty — the fraction of a document's distinct shingles
+    * that appear NOWHERE else in the corpus: the inverse of boilerplate
+    * (a doc of df=1 shingles is original content; one whose shingles all
+    * recur is template/mirror material). Curation uses this as the
+    * upweighting signal for rare content and the tiebreaker when a dedup
+    * cluster keeps one copy.
+    *
+    * Shape: distinct (doc, shingle-hash) rows → document frequency per
+    * hash (map-side combined) → join df back to the doc's shingle rows →
+    * one count aggregate per doc. Shingles cross the wire as 64-bit
+    * md5-derived hashes, never strings; both shuffles are
+    * post-distinct-sized. At 100 TB this is the same two-shuffle budget
+    * as [[CorpusOps.boilerplateNgrams]], at doc grain. */
+  def docNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = Tables.documents(spark, sfDir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), explode(array_distinct(expr(shinglesExpr))).as("s"))
+      .select(col("doc_id"), Exprs.md5num(col("s")).as("h"))
+    val df = rows.groupBy("h").agg(count(lit(1)).as("df"))
+    rows.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        Exprs.r4(col("n_unique").cast("double") / col("n_shingles")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val docNoveltySql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |sh AS (SELECT doc_id,
+      |  unnest(list_distinct(list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+      |    i -> array_to_string(list_slice(words, i, i + 2), ' ')))) AS s FROM w),
+      |h AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h FROM sh),
+      |f AS (SELECT h, count(*) AS df FROM h GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |  floor(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) * 10000 + 0.5) / 10000 AS novelty
+      |FROM h JOIN f USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Cross-source overlap estimation — a corpus-governance table: for each
     * pair of sources, the Jaccard similarity of their SHINGLE SETS,
     * estimated from source-level minhash signatures (the fraction of the

@@ -1010,6 +1010,40 @@ class OperatorsSpec extends SparkSuite {
     assert(rows.map(_.getDouble(3)).forall(j => j >= 0.0 && j <= 1.0))
   }
 
+  test("doc novelty: full driver-side pipeline replay matches, every doc present") {
+    val rows = Dedup.docNovelty(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs, "every document gets a novelty row")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "unique count bounded by shingles")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // replay the whole pipeline driver-side (shingle → md5-prefix hash →
+    // corpus df → unique share) for every doc and compare exactly
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def md5num(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val docShingles = texts.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val sh = (1 to math.max(w.length - 2, 1))
+        .map(i => w.slice(i - 1, i + 2).mkString(" ")).distinct
+      id -> sh.map(md5num)
+    }
+    val dfm = docShingles.flatMap(_._2).groupBy(identity).map { case (h, o) => h -> o.length }
+    val expect = docShingles.map { case (id, hs) =>
+      id -> (hs.length.toLong, hs.count(dfm(_) == 1).toLong)
+    }.toMap
+    rows.foreach { r =>
+      val (n, u) = expect(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == u,
+        s"doc ${r.getLong(0)}: got (${r.getLong(1)},${r.getLong(2)}) want ($n,$u)")
+    }
+  }
+
   test("events fixture: event_id is unique (eventsDedupe oracle precondition)") {
     // eventsDedupe's dropDuplicates(event_id) and its SELECT DISTINCT oracle
     // agree only while event_id functionally determines the row (see the

@@ -382,6 +382,12 @@ class PlanAuditSpec extends SparkSuite {
       p.take(1500))
   }
 
+  test("doc novelty: shingles cross as hashes, df aggregate partial-combines") {
+    val p = plan(Dedup.docNovelty(spark, sfDir))
+    assert(p.contains("partial_count"), "df must combine map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("cdc merge: rank-1 cut pushes map-side, one key shuffle") {
     val p = plan(Temporal.cdcMerge(spark, sfDir))
     assert(p.contains("WindowGroupLimit"), p.take(800))
