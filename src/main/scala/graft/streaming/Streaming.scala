@@ -424,6 +424,44 @@ object Streaming {
       }
       .start()
 
+  /** Streaming gap-sessionization — the live form of the batch
+    * [[graft.operators.EventsOps.eventsSession]] (same 30-minute gap, same
+    * output row), on Spark's native streaming `session_window` state: an
+    * open session absorbs events across micro-batches AND restarts (state
+    * lives in the checkpoint), sessions that gap out merge when a
+    * bridging event arrives, and a session emits EXACTLY ONCE — in Append
+    * mode, only after the event-time watermark passes its close, at which
+    * point its state is also dropped (bounded memory; the `watermark`
+    * delay is the lateness budget). At scale the state store shards by
+    * user exactly like the batch query's one shuffle.
+    *
+    * The tail trade every append-mode session stream makes: sessions
+    * still open (or closed less than `watermark` before the last seen
+    * event time) are NOT yet in the sink; the batch query over the same
+    * data is the reconciliation, and StreamingSpec asserts emitted rows
+    * match it exactly. */
+  def sessionStream(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull) // dead-letter guard
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), graft.Exprs.gsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("session_start"),
+        unix_timestamp(col("sw.end")).as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Runs [[sessionStream]] to an append parquet sink. */
+  def sessionQuery(events: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    sessionStream(events).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", outDir)
+      .start()
+
   /** A6 streaming form — subscribe to the composite Pub/Sub channel: a drop
     * directory of base64 message lines (one serialized message per line,
     * the push-delivery `message.data` form), decoded ONCE per row with the

@@ -235,6 +235,57 @@ class StreamingSpec extends SparkSuite {
     assert(flags.size == 4)
   }
 
+  test("streaming sessions: windows merge across restarts, emit once, match batch") {
+    val work = Files.createTempDirectory("sessions").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    def js(u: Long, t: String, v: Double) =
+      s"""{"user_id":$u,"ts":"2024-03-20 $t","value":$v}"""
+    def src() = spark.readStream.schema(schema).json(s"$work/drop")
+    def run() = Streaming.sessionQuery(src(), s"$work/out", s"$work/ck")
+      .awaitTermination()
+    // batch 1: u1 opens a session (10:00, 10:10); u2 has two events 50 min
+    // apart — two distinct sessions once closed
+    Seq(js(1, "10:00:00", 1.5), js(1, "10:10:00", 2.25),
+      js(2, "10:00:00", 4.0), js(2, "10:50:00", 0.5))
+      .toDF("value").coalesce(1).write.mode("append").text(s"$work/drop")
+    run()
+    assert(!Files.exists(Paths.get(s"$work/out"))
+      || spark.read.parquet(s"$work/out").count() == 0,
+      "nothing may emit while the watermark is behind every session close")
+    // batch 2 (same checkpoint): u1's 10:25 event lands within the gap of
+    // its CHECKPOINTED open session — one merged session, not two; the
+    // next-day sentinel advances the watermark so everything closed emits
+    Seq(js(1, "10:25:00", 3.0), js(99, "23:59:00", 0.0))
+      .toDF("value").coalesce(1).write.mode("append").text(s"$work/drop")
+    run()
+    val got = spark.read.parquet(s"$work/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    def epoch(t: String) =
+      java.time.Instant.parse(s"2024-03-20T${t}Z").getEpochSecond
+    assert(got == Set(
+      (1L, epoch("10:00:00"), epoch("10:55:00"), 3L, 6.75), // merged across restart
+      (2L, epoch("10:00:00"), epoch("10:30:00"), 1L, 4.0),
+      (2L, epoch("10:50:00"), epoch("11:20:00"), 1L, 0.5)),
+      s"got $got")
+    // u99's session is still open (watermark never passed it) — the
+    // append-mode tail the batch query reconciles. Replay the same rows
+    // through the BATCH session aggregation: emitted rows must be exactly
+    // the batch sessions that closed before the final watermark.
+    val batch = spark.read.schema(schema).json(s"$work/drop")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"), graft.Exprs.gsum(col("value")).as("v"))
+      .select(col("user_id"), unix_timestamp(col("sw.start")),
+        unix_timestamp(col("sw.end")), col("n"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val wmCut = epoch("23:59:00") - 7200
+    assert(got == batch.filter(_._3 <= wmCut), "stream ≠ batch reconciliation")
+  }
+
   test("streaming funnel: state advances across micro-batches and survives restart") {
     val work = Files.createTempDirectory("funnel").toString
     val schema = org.apache.spark.sql.types.StructType(Seq(
