@@ -85,6 +85,7 @@ object SparkEntry {
     "token_count" -> ((s, dir) => TextOps.tokenCount(tune(s), dir)),
     "token_fertility" -> ((s, dir) => TextOps.tokenFertility(tune(s), dir)),
     "char_coverage" -> ((s, dir) => TextOps.charCoverage(tune(s), dir)),
+    "lang_confusion" -> ((s, dir) => TextOps.langConfusion(tune(s), dir)),
     "fingerprint" -> ((s, dir) => TextOps.fingerprint(tune(s), dir)),
     // Extension: deduplication
     "dedup_exact" -> ((s, dir) => Dedup.dedupExact(tune(s), dir)),
@@ -214,6 +215,7 @@ object SparkEntry {
     "token_count" -> TextOps.tokenCountSql,
     "token_fertility" -> TextOps.tokenFertilitySql,
     "char_coverage" -> TextOps.charCoverageSql(),
+    "lang_confusion" -> TextOps.langConfusionSql,
     "fingerprint" -> TextOps.fingerprintSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,

@@ -314,6 +314,53 @@ object TextOps {
       |    * 10000 + 0.5) / 10000 AS tokens_per_doc
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Language-ID confusion matrix — declared label × predicted label
+    * counts with per-cell recall share: the evaluation table behind any
+    * classifier-driven curation rule ([[langId]] here; the same shape
+    * serves quality or topic classifiers). Reading it is the eval loop:
+    * the diagonal is per-language recall, a hot off-diagonal cell says
+    * which pair the stopword signatures confuse, and `zh` (no Latin
+    * signature) shows where the heuristic is blind — exactly what decides
+    * whether a language's mix share can be trusted before training.
+    *
+    * One map-side-combined aggregate over [[langId]]'s narrow codegen'd
+    * scoring (no UDF, no shuffle beyond languages² cells); recall divides
+    * exact LONGs against a broadcast-size per-label total. */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = langId(spark, sfDir)
+      .groupBy(col("lang_declared"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy("lang_declared")
+    cells.withColumn("n_declared", sum("n").over(tot))
+      .select(col("lang_declared"), col("lang_pred"), col("n"),
+        Exprs.r4(col("n").cast("double") / col("n_declared")).as("share"))
+      .orderBy("lang_declared", "lang_pred")
+  }
+
+  val langConfusionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang AS lang_declared, string_split(text, ' ') AS w FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang_declared,
+      |    CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS s_de,
+      |    CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS s_en,
+      |    CAST(len(list_filter(w, x -> list_contains(['el','la','de','que','y'], x))) AS BIGINT) AS s_es,
+      |    CAST(len(list_filter(w, x -> list_contains(['le','la','de','et','les'], x))) AS BIGINT) AS s_fr
+      |  FROM t),
+      |p AS (
+      |  SELECT lang_declared,
+      |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |         WHEN s_es >= s_fr THEN 'es'
+      |         ELSE 'fr' END AS lang_pred
+      |  FROM s),
+      |c AS (SELECT lang_declared, lang_pred, count(*) AS n FROM p GROUP BY 1, 2)
+      |SELECT lang_declared, lang_pred, n,
+      |  floor(CAST(n AS DOUBLE)
+      |    / SUM(n) OVER (PARTITION BY lang_declared) * 10000 + 0.5) / 10000 AS share
+      |FROM c ORDER BY lang_declared, lang_pred""".stripMargin
+
   /** Per-language character vocabulary coverage — distinct characters,
     * total character volume, and the share covered by the `k` most
     * frequent characters: the `character_coverage` statistic tokenizer

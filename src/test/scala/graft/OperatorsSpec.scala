@@ -1044,6 +1044,23 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("lang confusion: cells reconcile with langId rows; shares sum to 1 per label") {
+    val cells = TextOps.langConfusion(spark, sfDir).collect()
+    val preds = TextOps.langId(spark, sfDir).collect()
+      .groupBy(r => (r.getString(1), r.getString(6)))
+      .map { case (k, v) => k -> v.length.toLong }
+    assert(cells.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      == preds, "cell counts must replay from the per-doc predictions")
+    cells.groupBy(_.getString(0)).foreach { case (lab, rs) =>
+      val s = rs.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 2e-4 * rs.length, s"$lab shares sum to $s")
+    }
+    // zh has no Latin stopword signature: its row must exist and its
+    // diagonal must be absent (the heuristic can never predict zh)
+    assert(cells.exists(r => r.getString(0) == "zh"))
+    assert(!cells.exists(r => r.getString(0) == "zh" && r.getString(1) == "zh"))
+  }
+
   test("events fixture: event_id is unique (eventsDedupe oracle precondition)") {
     // eventsDedupe's dropDuplicates(event_id) and its SELECT DISTINCT oracle
     // agree only while event_id functionally determines the row (see the
