@@ -372,13 +372,19 @@ object TextOps {
     * map-side combined, so the shuffle carries at most langs × alphabet
     * rows per task regardless of corpus size; the rank window then runs
     * on that vocabulary-sized table. Ties at the rank-k boundary break
-    * by codepoint (both engines compare binary). */
+    * by codepoint (both engines compare binary).
+    *
+    * The char array comes from `split(text, '')` — linear per doc (a
+    * `substring(text, i, 1)` loop re-seeks the UTF-8 codepoint offset
+    * each call, quadratic on long docs) and safe on empty text (`split`
+    * yields `[""]`, filtered; `sequence(1, length)` would COUNT DOWN
+    * `[1, 0]` on length 0 — Spark's default step is -1 when stop<start —
+    * and fabricate two empty chars the oracle doesn't have). */
   def charCoverage(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = Tables.documents(spark, sfDir)
       .select(col("lang"),
-        explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
-          .as("ch"))
+        explode(expr("filter(split(text, ''), x -> x != '')")).as("ch"))
       .groupBy("lang", "ch").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("ch"))
     counts.withColumn("rk", row_number().over(w))

@@ -946,6 +946,14 @@ class OperatorsSpec extends SparkSuite {
         assert(r.getDouble(3) == 1.0,
           s"${r.getString(0)}: alphabet fits in k, share must be exactly 1")
     }
+    // empty-text guard: the char expression must yield ZERO rows for "",
+    // not fabricate empties (sequence(1, 0) counts DOWN [1, 0] — the trap
+    // this pins). Exercise the exact expression charCoverage uses.
+    import spark.implicits._
+    val empties = Seq("", "ab").toDF("text")
+      .select(explode(expr("filter(split(text, ''), x -> x != '')")).as("ch"))
+      .collect().map(_.getString(0))
+    assert(empties.sameElements(Seq("a", "b")))
   }
 
   test("dup score hist: doc mass equals the docs with LSH candidates") {
