@@ -98,7 +98,9 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) => Dedup.dedupComponents(tune(s), dir)),
     "substring_dup_spans" -> ((s, dir) => Dedup.substringDupSpans(tune(s), dir)),
     "dedup_incremental" -> ((s, dir) => Dedup.dedupIncremental(tune(s), dir)),
+    "dedup_prefix_join" -> ((s, dir) => Dedup.dedupPrefixJoin(tune(s), dir)),
     "dup_score_hist" -> ((s, dir) => Dedup.dupScoreHist(tune(s), dir)),
+    "dup_cross_source" -> ((s, dir) => Dedup.dupCrossSource(tune(s), dir)),
     "source_overlap" -> ((s, dir) => Dedup.sourceOverlap(tune(s), dir)),
     "doc_novelty" -> ((s, dir) => Dedup.docNovelty(tune(s), dir)),
     "contamination_check" -> ((s, dir) => Dedup.contaminationCheck(tune(s), dir)),
@@ -227,7 +229,9 @@ object SparkEntry {
     "dedup_components" -> Dedup.dedupComponentsSql,
     "substring_dup_spans" -> Dedup.substringDupSpansSql,
     "dedup_incremental" -> Dedup.dedupIncrementalSql,
+    "dedup_prefix_join" -> Dedup.dedupPrefixJoinSql,
     "dup_score_hist" -> Dedup.dupScoreHistSql,
+    "dup_cross_source" -> Dedup.dupCrossSourceSql,
     "source_overlap" -> Dedup.sourceOverlapSql,
     "doc_novelty" -> Dedup.docNoveltySql,
     "contamination_check" -> Dedup.contaminationCheckSql,

@@ -213,6 +213,135 @@ object Dedup {
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Exact threshold-Jaccard self-join by PREFIX FILTERING (the
+    * PPJoin-family algorithm): the exact-answer counterpart of the
+    * MinHash/LSH chain — zero false negatives by construction, so it is
+    * the verification standard the sketch path is measured against.
+    *
+    * Principle: sort each doc's distinct shingle hashes; two sets with
+    * Jaccard ≥ t MUST share at least one element among each one's first
+    * `|s| - ceil(t·|s|) + 1` sorted elements (if all prefix elements
+    * differ, too few common elements remain to reach t). So only docs
+    * sharing a PREFIX hash ever pair — the candidate join is on single
+    * hash values, never all-pairs — and candidates verify with the same
+    * exact-Jaccard formula as [[dedupJaccard]].
+    *
+    * Scale: prefix length is ≈ (1−t)·|s| + 1, so at t=0.5 roughly half of
+    * each doc's shingles enter the join — a corpus-linear explode whose
+    * join key (the hash) is selective; hot hashes (boilerplate shingles)
+    * are exactly the ones [[CorpusOps.boilerplateNgrams]] strips upstream.
+    * Output matches `dedupJaccard`'s schema on the SAME threshold, which
+    * makes the sketch path's recall directly measurable (a spec asserts
+    * the LSH chain found a subset of these pairs). */
+  def dedupPrefixJoin(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    // materialized once (localCheckpoint): the hashed-sorted sets feed the
+    // prefix explode AND both verify rejoins — without it the per-shingle
+    // md5 work runs three times (measured ~35% of the query)
+    val sets = Tables.documents(spark, sfDir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("sh", array_distinct(expr(shinglesExpr)))
+      .select(col("doc_id"),
+        array_sort(transform(col("sh"), s => Exprs.md5num(s))).as("hs"))
+      .localCheckpoint(eager = false)
+    // prefix length: n - ceil(t*n) + 1 (ceil on the LONG grid — t*n is
+    // exact for t=0.5; the general form floor-negates to avoid libm)
+    val n = size(col("hs"))
+    val pref = (n - floor(n * lit(threshold) * lit(-1d)) * lit(-1) + lit(1))
+      .cast("int")
+    val tokens = sets
+      .select(col("doc_id"), size(col("hs")).as("n"),
+        explode(slice(col("hs"), lit(1), pref)).as("p"))
+    // length filter (exactness-preserving prune): J(A,B) ≤ min(|A|,|B|) /
+    // max(|A|,|B|), so a pair with |B| < t·|A| can never verify — drop it
+    // before the distinct. The oracle omits the filter and still agrees:
+    // every pruned pair fails its jaccard >= t cut anyway.
+    val cand = tokens.as("a").join(tokens.as("b"),
+        col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id")
+          && col("b.n").cast("double") >= col("a.n") * lit(threshold)
+          && col("a.n").cast("double") >= col("b.n") * lit(threshold))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id"), col("hs").as("ha")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sets.select(col("doc_id"), col("hs").as("hb")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        Exprs.r4(size(array_intersect(col("ha"), col("hb"))).cast("double")
+          / size(array_union(col("ha"), col("hb")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupPrefixJoinSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+      |    list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+      |      i -> array_to_string(list_slice(words, i, i + 2), ' ')),
+      |    s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)))) AS hs FROM w),
+      |tok AS (SELECT doc_id, hs,
+      |  unnest(list_slice(hs, 1,
+      |    CAST(len(hs) - ceil(len(hs) * 0.5) + 1 AS BIGINT))) AS p FROM sh),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM tok a JOIN tok b ON a.p = b.p AND a.doc_id < b.doc_id),
+      |j AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    floor(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(sa.hs, sb.hs))) * 10000 + 0.5)
+      |      / 10000 AS jaccard
+      |  FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id
+      |    JOIN sh sb ON c.doc_b = sb.doc_id)
+      |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Near-dup pair provenance — [[dedupJaccard]]'s verified pairs broken
+    * down by the SOURCES they connect: within-source duplication is
+    * re-posts/templates a source-local dedup already catches; CROSS-source
+    * pairs are mirrors and syndication — the count that, read with
+    * [[sourceOverlap]]'s corpus-level estimate, decides whether a source
+    * pair needs full cross-dedup or one of them gets dropped entirely.
+    * Pair-provenance is candidates-sized work on top of the minhash
+    * chain; the output is a sources² table. */
+  def dupCrossSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    dedupJaccard(spark, sfDir)
+      .join(src.select(col("doc_id"), col("source").as("sa")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(src.select(col("doc_id"), col("source").as("sb")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        (col("sa") === col("sb")).cast("long").as("within"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), sum("within").as("n_within"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val dupCrossSourceSql: String =
+    s"""WITH $minhashOracleCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    floor(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.sset, sb.sset))) * 10000 + 0.5) / 10000 AS jaccard
+       |  FROM cand JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id),
+       |p AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b,
+       |    CASE WHEN da.source = db.source THEN 1 ELSE 0 END AS within
+       |  FROM j JOIN documents da ON j.doc_a = da.doc_id
+       |    JOIN documents db ON j.doc_b = db.doc_id
+       |  WHERE jaccard >= 0.5)
+       |SELECT source_a, source_b, count(*) AS n_pairs,
+       |  CAST(SUM(within) AS BIGINT) AS n_within
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Per-document novelty — the fraction of a document's distinct shingles
     * that appear NOWHERE else in the corpus: the inverse of boilerplate
     * (a doc of df=1 shingles is original content; one whose shingles all

@@ -1069,6 +1069,63 @@ class OperatorsSpec extends SparkSuite {
     assert(!cells.exists(r => r.getString(0) == "zh" && r.getString(1) == "zh"))
   }
 
+  test("prefix join: equals brute-force all-pairs exactly (zero false negatives)") {
+    val got = Dedup.dedupPrefixJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force the ground truth driver-side from the same hashed sets
+    def md5num(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val sets = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map { r =>
+        val w = r.getString(1).split(" ", -1)
+        val sh = (1 to math.max(w.length - 2, 1))
+          .map(i => w.slice(i - 1, i + 2).mkString(" ")).distinct
+        r.getLong(0) -> sh.map(md5num).toSet
+      }.sortBy(_._1)
+    val truth = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (da, sa) = sets(i); (db, sb) = sets(j)
+      jac = math.floor(sa.intersect(sb).size.toDouble / sa.union(sb).size
+        * 1e4 + 0.5) / 1e4
+      if jac >= 0.5
+    } yield (da, db) -> jac).toMap
+    assert(got == truth,
+      s"prefix join must equal brute force: missing=${(truth.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- truth.keySet).take(5)}")
+    // and the sketch path's recall against this exact standard is measurable:
+    // every LSH-found pair at the same threshold must be in the exact answer
+    val lsh = Dedup.dedupJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (truth.isEmpty) 1.0
+      else lsh.count(truth.contains).toDouble / truth.size
+    assert(lsh.forall(p => truth.contains(p) ||
+      // string-grain Jaccard can clear 0.5 where a hash collision nudges
+      // the hash-grain value below it — allow only exact-boundary strays
+      math.abs(0.5 - truth.getOrElse(p, 0.0)) < 0.05),
+      "LSH pairs must verify against the exact join")
+    assert(recall > 0.5, s"LSH recall vs exact collapsed: $recall")
+  }
+
+  test("dup cross-source: pair mass reconciles with the verified pair set") {
+    val rows = Dedup.dupCrossSource(spark, sfDir).collect()
+    val pairs = Dedup.dedupJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_.getLong(2)).sum == pairs.length,
+      "every verified pair lands in exactly one source cell")
+    val src = Tables.documents(spark, sfDir).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val within = pairs.count(p => src(p._1) == src(p._2))
+    assert(rows.map(_.getLong(3)).sum == within, "within-source tally replays")
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "cells oriented a <= b")
+      if (r.getString(0) != r.getString(1))
+        assert(r.getLong(3) == 0, "cross-source cell cannot hold within pairs")
+    }
+  }
+
   test("events fixture: event_id is unique (eventsDedupe oracle precondition)") {
     // eventsDedupe's dropDuplicates(event_id) and its SELECT DISTINCT oracle
     // agree only while event_id functionally determines the row (see the

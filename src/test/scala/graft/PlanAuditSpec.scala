@@ -382,6 +382,12 @@ class PlanAuditSpec extends SparkSuite {
       p.take(1500))
   }
 
+  test("prefix join: hash-token equi-join only — exact algorithm, no all-pairs") {
+    val p = plan(Dedup.dedupPrefixJoin(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
   test("doc novelty: shingles cross as hashes, df aggregate partial-combines") {
     val p = plan(Dedup.docNovelty(spark, sfDir))
     assert(p.contains("partial_count"), "df must combine map-side")
