@@ -138,7 +138,12 @@ class ScaleSpec extends SparkSuite {
       "abc_parts", "rfm_segments", "cdc_merge", "global_shuffle",
       "rrf_fusion", "split_decontaminate",
       "embedding_drift", "dup_score_hist", "dedup_incremental",
-      "char_coverage")
+      "char_coverage",
+      // prefix join: candidate distinct + verify rejoins under re-split
+      // prefixes; outliers: broadcast centroids + rank window; novelty:
+      // the two post-distinct shuffles; cross-source: chain + rollup
+      "dedup_prefix_join", "embedding_outliers", "doc_novelty",
+      "dup_cross_source")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = names.map { n =>
