@@ -40,6 +40,7 @@ object SparkEntry {
     // the production scale path: singleton co-purchase (noise) edges
     // pruned before the wedge phase — oracle-checked, not just documented
     "triangle_parts_t2" -> ((s, dir) => Graph.triangleParts(tune(s), dir, minSupport = 2)),
+    "kcore_parts" -> ((s, dir) => Graph.kcoreParts(tune(s), dir)),
     "rfm_segments" -> ((s, dir) => Analytics.rfmSegments(tune(s), dir)),
     "abc_parts" -> ((s, dir) => Analytics.abcParts(tune(s), dir)),
     "revenue_anomaly" -> ((s, dir) => Analytics.revenueAnomaly(tune(s), dir)),
@@ -177,6 +178,7 @@ object SparkEntry {
     "pagerank_parts" -> Graph.pagerankPartsSql,
     "triangle_parts" -> Graph.trianglePartsSql,
     "triangle_parts_t2" -> Graph.trianglePartsThresholdSql(2),
+    "kcore_parts" -> Graph.kcorePartsSql(),
     "rfm_segments" -> Analytics.rfmSegmentsSql,
     "abc_parts" -> Analytics.abcPartsSql,
     "revenue_anomaly" -> Analytics.revenueAnomalySql,

@@ -1126,6 +1126,39 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("kcore: fixed point reached, peel matches a driver-side replay") {
+    val got = Graph.kcoreParts(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one more unrolled round must change nothing (converged)
+    val more = Graph.kcoreParts(spark, sfDir, rounds = 7).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == more, "6 rounds must reach the fixed point on the fixture")
+    // replay the simultaneous peel driver-side from the raw co-purchase graph
+    val it = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byOrder = it.groupBy(_._1).values.map(_.map(_._2).distinct.sorted)
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+    byOrder.foreach { ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.length) {
+        adj.getOrElseUpdate(ps(i), scala.collection.mutable.Set()) += ps(j)
+        adj.getOrElseUpdate(ps(j), scala.collection.mutable.Set()) += ps(i)
+      }
+    }
+    val n0 = adj.size
+    var changed = true
+    while (changed) {
+      val drop = adj.collect { case (u, vs) if vs.size < 60 => u }.toSet
+      changed = drop.nonEmpty
+      drop.foreach(adj.remove)
+      adj.values.foreach(_ --= drop)
+    }
+    assert(got == adj.map { case (u, vs) => u -> vs.size.toLong }.toMap,
+      "engine core must equal the replayed fixed point")
+    assert(got.nonEmpty && got.size < n0,
+      s"k=60 must peel SOME nodes on the fixture (kept ${got.size} of $n0)")
+  }
+
   test("events fixture: event_id is unique (eventsDedupe oracle precondition)") {
     // eventsDedupe's dropDuplicates(event_id) and its SELECT DISTINCT oracle
     // agree only while event_id functionally determines the row (see the

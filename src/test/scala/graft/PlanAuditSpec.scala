@@ -388,6 +388,18 @@ class PlanAuditSpec extends SparkSuite {
       p.take(1500))
   }
 
+  test("kcore: final lineage is flat — one aggregate over the checkpointed core") {
+    // the peel rounds run behind eager checkpoints (each round's edges are
+    // consumed 3× by the next — see the operator doc), so the RETURNED
+    // plan must be exactly: scan checkpointed RDD → count per node → sort.
+    // A join or a re-derivation of the co-purchase self-join appearing
+    // here would mean the checkpoint structure regressed.
+    val p = plan(Graph.kcoreParts(spark, sfDir, rounds = 2))
+    assert(p.contains("ExistingRDD"), "must read the checkpointed core")
+    assert(!p.contains("Join"), "peel work must not replay in the final plan")
+    assert(p.contains("partial_count"), "core degree combines map-side")
+  }
+
   test("doc novelty: shingles cross as hashes, df aggregate partial-combines") {
     val p = plan(Dedup.docNovelty(spark, sfDir))
     assert(p.contains("partial_count"), "df must combine map-side")
