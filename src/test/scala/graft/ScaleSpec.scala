@@ -143,7 +143,10 @@ class ScaleSpec extends SparkSuite {
       // prefixes; outliers: broadcast centroids + rank window; novelty:
       // the two post-distinct shuffles; cross-source: chain + rollup
       "dedup_prefix_join", "embedding_outliers", "doc_novelty",
-      "dup_cross_source")
+      "dup_cross_source",
+      // kcore: per-round degree counts + semi-joins under re-partitioned
+      // eager checkpoints — the peel's fixed point must not shift
+      "kcore_parts")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = names.map { n =>
