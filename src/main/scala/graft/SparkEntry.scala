@@ -41,6 +41,7 @@ object SparkEntry {
     // pruned before the wedge phase — oracle-checked, not just documented
     "triangle_parts_t2" -> ((s, dir) => Graph.triangleParts(tune(s), dir, minSupport = 2)),
     "kcore_parts" -> ((s, dir) => Graph.kcoreParts(tune(s), dir)),
+    "ann_ivf_mp" -> ((s, dir) => Similarity.annIvfMultiprobe(tune(s), dir)),
     "rfm_segments" -> ((s, dir) => Analytics.rfmSegments(tune(s), dir)),
     "abc_parts" -> ((s, dir) => Analytics.abcParts(tune(s), dir)),
     "revenue_anomaly" -> ((s, dir) => Analytics.revenueAnomaly(tune(s), dir)),
@@ -179,6 +180,7 @@ object SparkEntry {
     "triangle_parts" -> Graph.trianglePartsSql,
     "triangle_parts_t2" -> Graph.trianglePartsThresholdSql(2),
     "kcore_parts" -> Graph.kcorePartsSql(),
+    "ann_ivf_mp" -> Similarity.annIvfMultiprobeSql(),
     "rfm_segments" -> Analytics.rfmSegmentsSql,
     "abc_parts" -> Analytics.abcPartsSql,
     "revenue_anomaly" -> Analytics.revenueAnomalySql,

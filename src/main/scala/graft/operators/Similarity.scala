@@ -437,6 +437,90 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Multiprobe IVF — [[annIvf]] probing the `probes` nearest cells
+    * instead of one: THE recall-at-cost knob of every IVF index (FAISS
+    * `nprobe`). A query near a cell boundary has true neighbors in the
+    * runner-up cell; single-probe misses them by construction, multiprobe
+    * buys them back for `probes`× the scan (still cells/`probes`-fold less
+    * than exhaustive). Cells are disjoint, so the probed union needs no
+    * dedup, and every candidate is strictly added — per-rank cosine can
+    * only improve over single-probe, which the spec asserts pointwise.
+    * Same broadcast-route + in-cell exact rerank shape as [[annIvf]];
+    * at 100 TB `probes` multiplies partition-pruned scan width, nothing
+    * else. */
+  def annIvfMultiprobe(spark: SparkSession, sfDir: String,
+      probes: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", norm(col("v")))
+    val dimSums = (1 to 64).map(i =>
+      sum(floor(element_at(col("v"), i) * 1e6 + 0.5).cast("long")).as(s"s$i"))
+    val centroids = e.groupBy("label")
+      .agg(count(lit(1)).as("cnt"), dimSums: _*)
+      .select(col("label"), array((1 to 64).map(i =>
+        Exprs.r4(col(s"s$i").cast("double") / 1e6 / col("cnt"))): _*).as("cv"))
+    val q = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wRoute = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("label").asc)
+    val routed = q.join(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("label"),
+        cos(col("qv"), col("cv")).as("ccos"))
+      .withColumn("rr", row_number().over(wRoute))
+      .filter(col("rr") <= probes)
+      .select(col("query_id"), col("qv"), norm(col("qv")).as("qn"),
+        col("label").as("cell"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(routed),
+      col("label") === col("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("cell"), col("vec_id"),
+        Exprs.r4(dot(col("qv"), col("v")) / (col("qn") * col("n"))).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("cell").cast("long").as("cell"),
+        col("rank").cast("long").as("rank"), col("vec_id").as("target_id"),
+        col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  def annIvfMultiprobeSql(probes: Int = 2): String = {
+    val routeCos = cosSqlFragment.replace("QV", "q.qv").replace("TV", "c.cv")
+    val cellCos = cosSqlFragment.replace("QV", "r.qv").replace("TV", "t.v")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cd AS (
+       |  SELECT label, i.i AS i,
+       |    floor(CAST(SUM(CAST(floor(v[i.i] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+       |          / 1000000 / COUNT(*) * 10000 + 0.5) / 10000 AS cx
+       |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+       |  GROUP BY label, i.i),
+       |cent AS (SELECT label, list(cx ORDER BY i) AS cv FROM cd GROUP BY label),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 200 = 0),
+       |routed0 AS (
+       |  SELECT q.query_id, q.qv, c.label,
+       |    $routeCos AS ccos
+       |  FROM q CROSS JOIN cent c),
+       |routed AS (
+       |  SELECT query_id, qv, label AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ccos DESC, label ASC) AS rr
+       |    FROM routed0) WHERE rr <= $probes),
+       |scored AS (
+       |  SELECT r.query_id, r.cell, t.vec_id,
+       |    $cellCos AS cos
+       |  FROM e t JOIN routed r ON t.label = r.cell AND t.vec_id <> r.query_id),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(cell AS BIGINT) AS cell, CAST(rank AS BIGINT) AS rank,
+       |  vec_id AS target_id, cos
+       |FROM rk WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** IVF over TRAINED cells — [[annIvf]] with the label shortcut replaced
     * by the real thing: the [[Clustering]] coarse quantizer (Lloyd's, k=8,
     * 2 iterations) supplies both the corpus cell assignment and the query

@@ -1159,6 +1159,25 @@ class OperatorsSpec extends SparkSuite {
       s"k=60 must peel SOME nodes on the fixture (kept ${got.size} of $n0)")
   }
 
+  test("multiprobe IVF: per-rank cosine dominates single-probe pointwise") {
+    def byRank(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(4)).toMap
+    val one = byRank(Similarity.annIvf(spark, sfDir).collect())
+    val two = byRank(Similarity.annIvfMultiprobe(spark, sfDir).collect())
+    assert(one.nonEmpty && two.keySet == one.keySet,
+      "same queries, same rank depth")
+    // probing a second cell only ADDS candidates (cells are disjoint), so
+    // at every (query, rank) the multiprobe cosine is >= the single-probe
+    // one — any regression means the union or the rank window is wrong
+    one.foreach { case (qr, c1) =>
+      assert(two(qr) >= c1 - 1e-12, s"$qr: multiprobe ${two(qr)} < single $c1")
+    }
+    // and the second probe must actually help somewhere on the fixture
+    // (isotropic labels → boundary queries are common)
+    assert(one.exists { case (qr, c1) => two(qr) > c1 + 1e-12 },
+      "second probe never improved a rank — suspicious for boundary queries")
+  }
+
   test("events fixture: event_id is unique (eventsDedupe oracle precondition)") {
     // eventsDedupe's dropDuplicates(event_id) and its SELECT DISTINCT oracle
     // agree only while event_id functionally determines the row (see the
