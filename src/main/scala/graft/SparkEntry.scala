@@ -51,6 +51,7 @@ object SparkEntry {
     "sales_rollup" -> ((s, dir) => Analytics.salesRollup(tune(s), dir)),
     "sales_cube" -> ((s, dir) => Analytics.salesCube(tune(s), dir)),
     "sales_pivot" -> ((s, dir) => Analytics.salesPivot(tune(s), dir)),
+    "rolling_revenue" -> ((s, dir) => Analytics.rollingRevenue(tune(s), dir)),
     "brand_nation_margin" -> ((s, dir) => Analytics.brandNationMargin(tune(s), dir)),
     // E/G/C/F11. quality + reconciliation (data_validation, backfill)
     "ids_distinct" -> ((s, dir) => Quality.idsDistinct(tune(s), dir)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, dir) => Dedup.dedupEmbeddingLsh(tune(s), dir)),
     "dedup_embedding_lsh12" -> ((s, dir) => Dedup.dedupEmbeddingLsh(tune(s), dir, nBits = 12)),
     "dedup_components" -> ((s, dir) => Dedup.dedupComponents(tune(s), dir)),
+    "dedup_canonical" -> ((s, dir) => Dedup.dedupCanonical(tune(s), dir)),
     "substring_dup_spans" -> ((s, dir) => Dedup.substringDupSpans(tune(s), dir)),
     "dedup_incremental" -> ((s, dir) => Dedup.dedupIncremental(tune(s), dir)),
     "dedup_prefix_join" -> ((s, dir) => Dedup.dedupPrefixJoin(tune(s), dir)),
@@ -114,6 +116,7 @@ object SparkEntry {
     "bigram_lm" -> ((s, dir) => TextOps.bigramLm(tune(s), dir)),
     "doc_lm_score" -> ((s, dir) => TextOps.docLmScore(tune(s), dir)),
     "bm25_topk" -> ((s, dir) => TextOps.bm25Topk(tune(s), dir)),
+    "bpe_pairs" -> ((s, dir) => TextOps.bpePairs(tune(s), dir)),
     // Extension: similarity search
     "ann_topk" -> ((s, dir) => Similarity.annTopk(tune(s), dir)),
     "ann_topk_agg" -> ((s, dir) => Similarity.annTopkAgg(tune(s), dir)),
@@ -148,6 +151,7 @@ object SparkEntry {
     "cdc_merge" -> ((s, dir) => Temporal.cdcMerge(tune(s), dir)),
     // Sketch + exact-verify: bounded-memory heavy hitters
     "heavy_hitters" -> ((s, dir) => Sketches.heavyHitters(tune(s), dir)),
+    "hll_distinct" -> ((s, dir) => Sketches.hllDistinct(tune(s), dir)),
     // Corpus preparation: quality rules, PII redaction, sequence packing
     "quality_filter" -> ((s, dir) => CorpusOps.qualityFilter(tune(s), dir)),
     "pii_scrub" -> ((s, dir) => CorpusOps.piiScrub(tune(s), dir)),
@@ -166,6 +170,7 @@ object SparkEntry {
     "global_shuffle" -> ((s, dir) => Sampling.globalShuffle(tune(s), dir)),
     "shard_manifest" -> ((s, dir) => Sampling.shardManifest(tune(s), dir)),
     "source_quota" -> ((s, dir) => Sampling.sourceQuota(tune(s), dir)),
+    "weighted_sample" -> ((s, dir) => Sampling.weightedSample(tune(s), dir)),
     "numeric_profile" -> ((s, dir) => Quality.numericProfile(tune(s), dir)),
   )
 
@@ -190,6 +195,7 @@ object SparkEntry {
     "sales_rollup" -> Analytics.salesRollupSql,
     "sales_cube" -> Analytics.salesCubeSql,
     "sales_pivot" -> Analytics.salesPivotSql,
+    "rolling_revenue" -> Analytics.rollingRevenueSql,
     "brand_nation_margin" -> Analytics.brandNationMarginSql,
     "ids_distinct" -> Quality.idsDistinctSql,
     "recon_sets" -> Quality.reconSetsSql,
@@ -231,6 +237,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> Dedup.dedupEmbeddingLshSql(8),
     "dedup_embedding_lsh12" -> Dedup.dedupEmbeddingLshSql(12),
     "dedup_components" -> Dedup.dedupComponentsSql,
+    "dedup_canonical" -> Dedup.dedupCanonicalSql,
     "substring_dup_spans" -> Dedup.substringDupSpansSql,
     "dedup_incremental" -> Dedup.dedupIncrementalSql,
     "dedup_prefix_join" -> Dedup.dedupPrefixJoinSql,
@@ -247,6 +254,7 @@ object SparkEntry {
     "bigram_lm" -> TextOps.bigramLmSql(),
     "doc_lm_score" -> TextOps.docLmScoreSql,
     "bm25_topk" -> TextOps.bm25TopkSql(),
+    "bpe_pairs" -> TextOps.bpePairsSql(),
     "ann_topk" -> Similarity.annTopkSql,
     "ann_topk_agg" -> Similarity.annTopkSql, // same contract as ann_topk
     "ann_ivf" -> Similarity.annIvfSql,
@@ -271,6 +279,7 @@ object SparkEntry {
     "scd2_lookup" -> Temporal.scd2LookupSql,
     "cdc_merge" -> Temporal.cdcMergeSql,
     "heavy_hitters" -> Sketches.heavyHittersSql(),
+    "hll_distinct" -> Sketches.hllDistinctSql,
     "quality_filter" -> CorpusOps.qualityFilterSql,
     "pii_scrub" -> CorpusOps.piiScrubSql,
     "seq_pack" -> CorpusOps.seqPackSql(),
@@ -287,6 +296,7 @@ object SparkEntry {
     "global_shuffle" -> Sampling.globalShuffleSql,
     "shard_manifest" -> Sampling.shardManifestSql,
     "source_quota" -> Sampling.sourceQuotaSql,
+    "weighted_sample" -> Sampling.weightedSampleSql(),
     "numeric_profile" -> Quality.numericProfileSql,
   )
 }

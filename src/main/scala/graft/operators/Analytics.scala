@@ -664,6 +664,41 @@ object Analytics {
       |JOIN nation n ON s.s_nationkey = n.n_nationkey
       |GROUP BY 1, 2 ORDER BY brand, supp_nation""".stripMargin
 
+  /** Trailing-7-day order count and revenue per customer — the RANGE-frame
+    * interval window (each order row sees the sum over its customer's
+    * orders dated within the preceding 6 days, calendar-gapped data
+    * included: RANGE, not ROWS, so missing days shrink the frame and
+    * same-day peer orders are always in it together). Revenue is
+    * grid-snapped to exact integer cents×100 INSIDE the window sum (the
+    * [[rfmSegments]] trick), so the result is independent of the engines'
+    * float summation order.
+    *
+    * Scale: one hash exchange on `o_custkey`, then a per-partition sort —
+    * the standard distributed window; frames never cross customers, so
+    * 1000 executors each window their own customers. */
+  def rollingRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    Tables.orders(spark, sfDir)
+      .withColumn("day", expr("datediff(o_orderdate, DATE '1970-01-01')"))
+      .withColumn("cents4", floor(col("o_totalprice") * 10000 + 0.5).cast("long"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        count(lit(1)).over(w).as("n_7d"),
+        (sum(col("cents4")).over(w).cast("double") / 10000).as("rev_7d"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val rollingRevenueSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+      |  count(*) OVER w AS n_7d,
+      |  CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) OVER w
+      |    AS DOUBLE) / 10000 AS rev_7d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   val rfmSegmentsSql: String =
     """WITH base AS (
       |  SELECT o_custkey AS custkey,

@@ -705,10 +705,11 @@ object Dedup {
     (labels, rounds)
   }
 
-  /** Oracle: reachability via a recursive CTE; component = min reachable
-    * vertex — exactly what min-label propagation converges to. */
-  val dedupComponentsSql: String =
-    s"""WITH RECURSIVE $minhashOracleCte,
+  /** Shared oracle CTE chain: verified near-dup edges → reachability via a
+    * recursive CTE → `comp(doc_id, component)` with component = min
+    * reachable vertex — exactly what min-label propagation converges to. */
+  private val componentsOracleCte: String =
+    s"""$minhashOracleCte,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -725,11 +726,54 @@ object Dedup {
        |  SELECT DISTINCT a, a FROM edges
        |  UNION
        |  SELECT e.a, rr.r FROM edges e JOIN reach rr ON rr.vx = e.b),
-       |comp AS (SELECT vx AS doc_id, min(r) AS component FROM reach GROUP BY vx)
+       |comp AS (SELECT vx AS doc_id, min(r) AS component FROM reach GROUP BY vx)""".stripMargin
+
+  val dedupComponentsSql: String =
+    s"""WITH RECURSIVE $componentsOracleCte
        |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
        |  coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
        |FROM documents d LEFT JOIN comp c USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** The end-to-end dedup DECISION: near-dup components → one content-aware
+    * canonical survivor per group → a keep/drop list with a redirect to the
+    * survivor. [[dedupComponents]] crowns the min-id doc; a curation pass
+    * wants the BEST copy, so the canonical here is the longest text
+    * (`n_chars`), tie-broken by min `doc_id` for determinism — the usual
+    * "keep the most complete near-duplicate" rule.
+    *
+    * Scale: the label table is (doc_id, component, n_chars) — ids and ints,
+    * never text. The survivor election is one `row_number` window
+    * partitioned by component (dup groups are output-sized and small); the
+    * redirect is a component-keyed self-join of the same id-only table. Both
+    * shuffles move O(corpus rows × 24 bytes) regardless of document size. */
+  def dedupCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val lab = dedupComponents(spark, sfDir).select("doc_id", "component")
+      .join(Tables.documents(spark, sfDir).select("doc_id", "n_chars"), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col("n_chars").desc, col("doc_id"))
+    val can = lab.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("canonical_id"))
+    lab.join(can, Seq("component"))
+      .select(col("doc_id"), col("component"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val dedupCanonicalSql: String =
+    s"""WITH RECURSIVE $componentsOracleCte,
+       |lab AS (
+       |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |can AS (
+       |  SELECT component, doc_id AS canonical_id FROM (
+       |    SELECT component, doc_id, row_number() OVER (
+       |      PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn
+       |    FROM lab) WHERE rn = 1)
+       |SELECT l.doc_id, l.component, c.canonical_id,
+       |  l.doc_id = c.canonical_id AS keep
+       |FROM lab l JOIN can c USING (component)
+       |ORDER BY l.doc_id""".stripMargin
 
   /** Benchmark-contamination check — training-corpus hygiene: flag corpus
     * documents sharing n-gram overlap with a held-out benchmark/eval set

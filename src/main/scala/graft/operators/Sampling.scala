@@ -273,6 +273,50 @@ object Sampling {
       |FROM documents
       |GROUP BY 1, 2 ORDER BY shard, lang""".stripMargin
 
+  /** Weighted sampling WITHOUT replacement, k = `topK` — deterministic and
+    * integer-only. Each document gets `w` independent hash draws (its
+    * integer weight, here a per-language priority; a quality tier works the
+    * same) and keeps the MINIMUM as its sampling key; the global bottom-k
+    * of those keys is exactly successive weighted sampling without
+    * replacement, P(next pick = d) = w_d / Σ_remaining w (the min of w iid
+    * uniforms is the one-shot form of Efraimidis–Espirakis's u^(1/w) keys —
+    * but needs no `pow`/`ln`, so there is no libm last-ulp divergence
+    * between engines and the DuckDB oracle replays it bit-for-bit).
+    *
+    * Scale: the explode factor is the bounded integer weight (≤ 4 here) —
+    * a narrow map; the per-doc min is map-side combined; the bottom-k is
+    * `TakeOrderedAndProject` (per-partition top-k, then a k-row driver
+    * merge), never a global sort. Same result on 1 core or 1000 executors. */
+  def weightedSample(spark: SparkSession, sfDir: String,
+    topK: Int = 200, seed: String = "ws1"): DataFrame = {
+    val weights = Map("en" -> 4, "de" -> 3, "es" -> 2, "fr" -> 2)
+    val w = coalesce(element_at(typedlit(weights), col("lang")), lit(1))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), w.as("w"))
+      .withColumn("j", explode(sequence(lit(1), col("w"))))
+      .withColumn("key", Exprs.md5num(concat(lit(seed), lit("_"),
+        col("doc_id").cast("string"), lit("_"), col("j").cast("string"))))
+      .groupBy("doc_id", "lang", "w")
+      .agg(min(col("key")).as("k"))
+      .orderBy(col("k"), col("doc_id"))
+      .limit(topK)
+  }
+
+  def weightedSampleSql(topK: Int = 200, seed: String = "ws1"): String =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 3 WHEN 'es' THEN 2
+      |              WHEN 'fr' THEN 2 ELSE 1 END AS w
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, w,
+      |    min(CAST(('0x' || substr(md5('${seed}_' || CAST(doc_id AS VARCHAR)
+      |      || '_' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)) AS k
+      |  FROM d, LATERAL (SELECT unnest(generate_series(1, w)) AS j)
+      |  GROUP BY 1, 2, 3)
+      |SELECT doc_id, lang, w, k FROM c
+      |ORDER BY k, doc_id LIMIT $topK""".stripMargin
+
   val mixTemperatureSql: String =
     """WITH c AS (
       |  SELECT lang, count(*) AS n_s,

@@ -607,4 +607,49 @@ object TextOps {
       |        x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT))),
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_roll
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** The inner loop of BPE tokenizer training (Sennrich et al. 2016):
+    * count adjacent symbol pairs across the corpus, weighted by word
+    * frequency — the top pair is the next merge a trainer would apply.
+    * Symbols here are the initial character-level BPE state with the
+    * standard `_` end-of-word marker appended (so `("x","_")` pairs rank
+    * word-final characters).
+    *
+    * Scale shape — the classic BPE trick, relationally: aggregate the
+    * corpus to its VOCABULARY first (`groupBy(word)`, map-side combined
+    * — Zipf makes vocab orders of magnitude smaller than the token
+    * stream), then explode pairs over the vocab only and weight by the
+    * word count. Two small shuffles (word counts, then pair sums); the
+    * token stream itself never re-shuffles. An iterated trainer reruns
+    * this after applying each merge to the vocab table — each round
+    * touches only the vocab, never the corpus. */
+  def bpePairs(spark: SparkSession, sfDir: String, topK: Int = 100): DataFrame = {
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("wn"))
+      .withColumn("sym", concat(col("word"), lit("_")))
+    vocab
+      .select(col("wn"), explode(expr(
+        """transform(sequence(1, length(sym) - 1),
+          |  i -> struct(substring(sym, i, 1) as l, substring(sym, i + 1, 1) as r))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      .agg(sum(col("wn")).as("n"))
+      .orderBy(col("n").desc, col("left_sym"), col("right_sym"))
+      .limit(topK)
+  }
+
+  def bpePairsSql(topK: Int = 100): String =
+    s"""WITH v AS (
+      |  SELECT word || '_' AS sym, count(*) AS wn
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) >= 1 GROUP BY 1),
+      |p AS (
+      |  SELECT substr(sym, CAST(i AS INT), 1) AS left_sym,
+      |         substr(sym, CAST(i + 1 AS INT), 1) AS right_sym, wn
+      |  FROM v, LATERAL (SELECT unnest(generate_series(1, length(sym) - 1)) AS i))
+      |SELECT left_sym, right_sym, CAST(sum(wn) AS BIGINT) AS n
+      |FROM p GROUP BY 1, 2
+      |ORDER BY n DESC, left_sym, right_sym LIMIT $topK""".stripMargin
 }

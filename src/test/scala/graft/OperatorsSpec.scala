@@ -1186,4 +1186,134 @@ class OperatorsSpec extends SparkSuite {
     val ev = Tables.events(spark, sfDir)
     assert(ev.select("event_id").distinct.count() == ev.count())
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("hll distinct: register state replays driver-side; estimate within 5σ") {
+    val rows = Sketches.hllDistinct(spark, sfDir).collect()
+    // replay the full sketch per source from raw text: shingle → md5 →
+    // (bucket, rho) → max per register → exact scaled harmonic sum
+    val bySource = Tables.documents(spark, sfDir).select("source", "text")
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val (src, nExact, vEmpty, sScaled, est) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      val shingles = bySource(src).flatMap { row =>
+        val w = row.getString(1).split(" ", -1)
+        (1 to math.max(w.length - 2, 1)).map(i => w.slice(i - 1, i + 2).mkString(" "))
+      }
+      assert(shingles.distinct.length.toLong == nExact)
+      val regs = Array.fill(256)(0)
+      shingles.foreach { s =>
+        val hx = md5hex(s)
+        val bucket = Integer.parseInt(hx.substring(0, 2), 16)
+        val bits = hx.substring(2, 14)
+        val stripped = bits.dropWhile(_ == '0')
+        val rho = if (stripped.isEmpty) 49 else {
+          val d = Integer.parseInt(stripped.take(1), 16)
+          (12 - stripped.length) * 4 + 1 +
+            (if (d >= 8) 0 else if (d >= 4) 1 else if (d >= 2) 2 else 3)
+        }
+        regs(bucket) = math.max(regs(bucket), rho)
+      }
+      assert(regs.count(_ == 0).toLong == vEmpty, s"$src empty registers")
+      assert(regs.map(rh => 1L << (49 - rh)).sum == sScaled, s"$src register sum")
+      // 5σ at m=256 (σ = 1.04/√m ≈ 6.5 %) — deterministic fixture, so
+      // this is a sanity bound on the estimator wiring, not a flaky test
+      assert(math.abs(est / nExact - 1.0) < 0.325, s"$src est $est vs $nExact")
+    }
+  }
+
+  test("bpe pairs: counts replay driver-side; ranking is total and correct") {
+    val rows = TextOps.bpePairs(spark, sfDir).collect()
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    Tables.documents(spark, sfDir).select("text").collect().foreach { r =>
+      r.getString(0).split(" ", -1).filter(_.nonEmpty).foreach { w0 =>
+        val w = w0 + "_"
+        (0 until w.length - 1).foreach { i =>
+          val p = (w.substring(i, i + 1), w.substring(i + 1, i + 2))
+          counts(p) = counts.getOrElse(p, 0L) + 1
+        }
+      }
+    }
+    rows.foreach { r =>
+      assert(counts((r.getString(0), r.getString(1))) == r.getLong(2),
+        s"pair (${r.getString(0)},${r.getString(1)})")
+    }
+    // rows arrive in (n desc, left, right) order and are the true top-k
+    val keys = rows.map(r => (-r.getLong(2), r.getString(0), r.getString(1)))
+    assert(keys.sameElements(keys.sorted), "ordering is the declared total order")
+    val kth = rows.last.getLong(2)
+    val above = counts.values.count(_ > kth)
+    assert(above <= rows.length, "no pair above the cut is missing")
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length == rows.length)
+  }
+
+  test("dedup canonical: one survivor per component, content-aware election") {
+    val rows = Dedup.dedupCanonical(spark, sfDir).collect()
+    val comp = Dedup.dedupComponents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nchars = Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == comp.size, "every document gets a verdict")
+    rows.foreach { r =>
+      assert(comp(r.getLong(0)) == r.getLong(1), "labels match dedupComponents")
+      assert(r.getBoolean(3) == (r.getLong(0) == r.getLong(2)))
+    }
+    rows.groupBy(_.getLong(1)).foreach { case (c, grp) =>
+      assert(grp.count(_.getBoolean(3)) == 1, s"component $c has one survivor")
+      val canon = grp.map(_.getLong(2)).distinct
+      assert(canon.length == 1, s"component $c agrees on its canonical")
+      // the elected survivor is (max n_chars, then min doc_id) in the group
+      val want = grp.map(_.getLong(0)).minBy(id => (-nchars(id), id))
+      assert(canon.head == want, s"component $c elected ${canon.head}, want $want")
+    }
+  }
+
+  test("weighted sample: true bottom-k of driver-replayed min-hash keys") {
+    val k = 50
+    val rows = Sampling.weightedSample(spark, sfDir, topK = k).collect()
+    val weights = Map("en" -> 4, "de" -> 3, "es" -> 2, "fr" -> 2)
+    val keys = Tables.documents(spark, sfDir).select("doc_id", "lang")
+      .collect().map { r =>
+        val (id, lang) = (r.getLong(0), r.getString(1))
+        val w = weights.getOrElse(lang, 1)
+        val key = (1 to w).map(j =>
+          java.lang.Long.parseLong(md5hex(s"ws1_${id}_$j").take(8), 16)).min
+        (id, lang, w, key)
+      }
+    val want = keys.sortBy(t => (t._4, t._1)).take(k)
+    assert(rows.length == math.min(k, keys.length))
+    rows.zip(want).foreach { case (r, (id, lang, w, key)) =>
+      assert(r.getLong(0) == id && r.getString(1) == lang
+        && r.getInt(2) == w && r.getLong(3) == key,
+        s"row ${r.getLong(0)} vs expected $id")
+    }
+    // heavier strata are over-represented vs their corpus share
+    val corpusShare = keys.count(_._3 >= 3).toDouble / keys.length
+    val sampleShare = rows.count(_.getInt(2) >= 3).toDouble / rows.length
+    assert(sampleShare > corpusShare, "weights bias the sample")
+  }
+
+  test("rolling revenue: trailing-7-day frames replay driver-side") {
+    val rows = Analytics.rollingRevenue(spark, sfDir).collect()
+    val orders = Tables.orders(spark, sfDir)
+      .selectExpr("o_orderkey", "o_custkey",
+        "datediff(o_orderdate, DATE '1970-01-01') AS day",
+        "cast(floor(o_totalprice * 10000 + 0.5) as long) AS cents4")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val byCust = orders.groupBy(_._2)
+    val expect = orders.map { case (ok, ck, day, _) =>
+      val frame = byCust(ck).filter(o => o._3 >= day - 6 && o._3 <= day)
+      ok -> (frame.length.toLong, frame.map(_._4).sum.toDouble / 10000)
+    }.toMap
+    assert(rows.length == orders.length)
+    rows.foreach { r =>
+      val (n, rev) = expect(r.getLong(0))
+      assert(r.getLong(3) == n && r.getDouble(4) == rev,
+        s"order ${r.getLong(0)}: (${r.getLong(3)},${r.getDouble(4)}) want ($n,$rev)")
+    }
+  }
 }

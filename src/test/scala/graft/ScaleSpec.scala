@@ -146,7 +146,12 @@ class ScaleSpec extends SparkSuite {
       "dup_cross_source",
       // kcore: per-round degree counts + semi-joins under re-partitioned
       // eager checkpoints — the peel's fixed point must not shift
-      "kcore_parts")
+      "kcore_parts",
+      // hll: register maxima merge through a different partial-agg tree;
+      // weighted_sample: per-partition top-k merge of the bottom-k;
+      // bpe_pairs: two-stage agg + tie-broken limit; dedup_canonical:
+      // the survivor window over re-partitioned component labels
+      "hll_distinct", "weighted_sample", "bpe_pairs", "dedup_canonical")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = names.map { n =>
