@@ -172,6 +172,10 @@ object SparkEntry {
     "source_quota" -> ((s, dir) => Sampling.sourceQuota(tune(s), dir)),
     "weighted_sample" -> ((s, dir) => Sampling.weightedSample(tune(s), dir)),
     "numeric_profile" -> ((s, dir) => Quality.numericProfile(tune(s), dir)),
+    // Record linkage: blocked fuzzy self-join on the part dimension
+    "fuzzy_match" -> ((s, dir) => Quality.fuzzyMatch(tune(s), dir)),
+    // Length-distribution quantiles per language stratum
+    "len_quantiles" -> ((s, dir) => TextOps.lenQuantiles(tune(s), dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -298,5 +302,7 @@ object SparkEntry {
     "source_quota" -> Sampling.sourceQuotaSql,
     "weighted_sample" -> Sampling.weightedSampleSql(),
     "numeric_profile" -> Quality.numericProfileSql,
+    "fuzzy_match" -> Quality.fuzzyMatchSql(),
+    "len_quantiles" -> TextOps.lenQuantilesSql,
   )
 }

@@ -328,4 +328,47 @@ object Quality {
     }
     branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
+
+  /** Record linkage with blocking — the classic dirty-dimension problem
+    * (near-identical catalog entries under one brand, e.g. a re-listed
+    * produto): candidate pairs come from an EQUI-join on a blocking key
+    * (brand + first name token), and only blocked pairs pay the
+    * `levenshtein` compare; pairs within edit distance ≤ `maxDist` are
+    * linked. Edit distance 0 = exact re-list, 1-2 = typo-grade variants.
+    *
+    * Scale: the O(n²) all-pairs compare never happens — cost is
+    * Σ block², bounded by the blocking key's fan-in (the standard
+    * record-linkage design; multiple passes with different blocking keys
+    * union'd raise recall). The blocked self-join is one hash exchange of
+    * (key, name) — names stay short; a skewed block (generic brand) is
+    * AQE skew-join territory, same as the LSH band joins. `levenshtein`
+    * is integer unit-cost edit distance in BOTH engines, so the oracle
+    * matches exactly with no float anywhere. */
+  def fuzzyMatch(spark: SparkSession, sfDir: String, maxDist: Int = 2): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"), col("p_name"),
+        split(col("p_name"), " ").getItem(0).as("blk"))
+    parts.as("a").join(parts.as("b"),
+      col("a.p_brand") === col("b.p_brand") && col("a.blk") === col("b.blk")
+        && col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.p_partkey").as("part_a"), col("b.p_partkey").as("part_b"),
+        col("a.p_brand").as("brand"), col("a.p_name").as("name_a"),
+        col("b.p_name").as("name_b"), col("dist").cast("long").as("dist"))
+      .orderBy("part_a", "part_b")
+  }
+
+  def fuzzyMatchSql(maxDist: Int = 2): String =
+    s"""WITH p AS (
+      |  SELECT p_partkey, p_brand, p_name, string_split(p_name, ' ')[1] AS blk
+      |  FROM part)
+      |SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+      |  a.p_brand AS brand, a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM p a JOIN p b
+      |  ON a.p_brand = b.p_brand AND a.blk = b.blk
+      |  AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= $maxDist
+      |ORDER BY part_a, part_b""".stripMargin
 }

@@ -640,6 +640,53 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Exact length-distribution quantiles per language — the curation
+    * dashboard's "is this stratum's length profile healthy" panel:
+    * continuous (linearly interpolated) p25/p50/p75/p90/p99 of per-doc
+    * token counts, plus count and mean. Both engines compute the textbook
+    * continuous quantile (value at rank q·(n−1), zero-indexed, linear
+    * interpolation between neighbors), and `r4` grid-rounding absorbs
+    * their formula-association ulp difference.
+    *
+    * Scale: `percentile` is an exact aggregate whose state is a counts
+    * map over DISTINCT values per group — token counts are small bounded
+    * ints, so state stays tiny at any corpus size and the partial/final
+    * tree works as usual. For an UNBOUNDED metric (e.g. float scores)
+    * the scale path is sketch + verify, like the t-digest bound asserted
+    * in ScaleSpec's approximate-aggregates test. */
+  def lenQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val pct = expr(s"percentile(n_tokens, array(${qs.mkString(", ")}))")
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), size(words(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        // exact integer sum ÷ count, not avg(): both engines then divide
+        // the SAME two numbers, immune to accumulation-order ulps
+        Exprs.r4(sum(col("n_tokens")).cast("double") / count(lit(1)))
+          .as("mean_tokens"),
+        pct.as("p"))
+      .select(col("lang") +: col("n_docs") +: col("mean_tokens") +:
+        qs.zipWithIndex.map { case (q, i) =>
+          Exprs.r4(element_at(col("p"), i + 1))
+            .as(s"p${(q * 100).toInt}")
+        }: _*)
+      .orderBy("lang")
+  }
+
+  val lenQuantilesSql: String =
+    """WITH t AS (
+      |  SELECT lang, len(string_split(text, ' ')) AS n_tokens FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  floor(CAST(sum(n_tokens) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+      |    AS mean_tokens,
+      |  floor(quantile_cont(n_tokens, 0.25) * 10000 + 0.5) / 10000 AS p25,
+      |  floor(quantile_cont(n_tokens, 0.5) * 10000 + 0.5) / 10000 AS p50,
+      |  floor(quantile_cont(n_tokens, 0.75) * 10000 + 0.5) / 10000 AS p75,
+      |  floor(quantile_cont(n_tokens, 0.9) * 10000 + 0.5) / 10000 AS p90,
+      |  floor(quantile_cont(n_tokens, 0.99) * 10000 + 0.5) / 10000 AS p99
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   def bpePairsSql(topK: Int = 100): String =
     s"""WITH v AS (
       |  SELECT word || '_' AS sym, count(*) AS wn

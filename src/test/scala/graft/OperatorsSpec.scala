@@ -1297,6 +1297,52 @@ class OperatorsSpec extends SparkSuite {
     assert(sampleShare > corpusShare, "weights bias the sample")
   }
 
+  test("fuzzy match: equals a driver-side DP edit-distance replay over blocks") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val parts = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expect = (for {
+      a <- parts; b <- parts
+      if a._2 == b._2 && a._3.split(" ")(0) == b._3.split(" ")(0) && a._1 < b._1
+      d = lev(a._3, b._3) if d <= 2
+    } yield (a._1, b._1, d.toLong)).toSet
+    val rows = Quality.fuzzyMatch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).toSet
+    assert(rows == expect, s"got ${rows.size} pairs want ${expect.size}")
+  }
+
+  test("len quantiles: continuous quantiles replay driver-side per language") {
+    val rows = TextOps.lenQuantiles(spark, sfDir).collect()
+    val byLang = Tables.documents(spark, sfDir).select("lang", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ", -1).length)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def q(v: Array[Int], p: Double): Double = {
+      val rank = p * (v.length - 1)
+      val (lo, hi) = (rank.toInt, math.ceil(rank).toInt)
+      val frac = rank - lo
+      v(lo) + frac * (v(hi) - v(lo))
+    }
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    assert(rows.length == byLang.size)
+    rows.foreach { r =>
+      val v = byLang(r.getString(0))
+      assert(r.getLong(1) == v.length)
+      assert(r.getDouble(2) == r4(v.map(_.toLong).sum.toDouble / v.length))
+      Seq(0.25, 0.5, 0.75, 0.9, 0.99).zipWithIndex.foreach { case (p, i) =>
+        assert(r.getDouble(3 + i) == r4(q(v, p)),
+          s"${r.getString(0)} p$p: ${r.getDouble(3 + i)} want ${r4(q(v, p))}")
+      }
+    }
+  }
+
   test("rolling revenue: trailing-7-day frames replay driver-side") {
     val rows = Analytics.rollingRevenue(spark, sfDir).collect()
     val orders = Tables.orders(spark, sfDir)

@@ -151,7 +151,10 @@ class ScaleSpec extends SparkSuite {
       // weighted_sample: per-partition top-k merge of the bottom-k;
       // bpe_pairs: two-stage agg + tie-broken limit; dedup_canonical:
       // the survivor window over re-partitioned component labels
-      "hll_distinct", "weighted_sample", "bpe_pairs", "dedup_canonical")
+      "hll_distinct", "weighted_sample", "bpe_pairs", "dedup_canonical",
+      // len_quantiles: the percentile counts-map merges through a
+      // different partial-agg tree at every partition count
+      "len_quantiles")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = names.map { n =>
