@@ -518,4 +518,47 @@ class PlanAuditSpec extends SparkSuite {
         "catalog dims must fall back to shuffle joins:\n" + p.take(1200))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("hll: register maxima combine map-side — the sketch merge IS the partial-agg tree") {
+    val p = plan(Sketches.hllDistinct(spark, sfDir))
+    assert(p.contains("partial_max"), "register max must combine map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("bpe pairs: vocab-first — two aggregates, top-k never sorts globally") {
+    val p = plan(TextOps.bpePairs(spark, sfDir))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 2,
+      "exactly the word-count and pair-sum shuffles:\n" + p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be per-partition take + driver merge, not a global sort")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "both aggregates combine map-side")
+  }
+
+  test("weighted sample: per-doc min combines map-side; bottom-k is TakeOrdered") {
+    val p = plan(Sampling.weightedSample(spark, sfDir))
+    assert(p.contains("partial_min"), "min-hash keys must combine map-side")
+    assert(p.contains("TakeOrderedAndProject"),
+      "bottom-k must never range-shuffle the corpus:\n" + p.take(1200))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("fuzzy match: blocked equi-join — levenshtein never runs all-pairs") {
+    val p = plan(Quality.fuzzyMatch(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
+  test("rolling revenue: one customer hash exchange feeds the window; range only for the sort") {
+    val p = plan(Analytics.rollingRevenue(spark, sfDir))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(1200))
+    assert(p.split("Exchange rangepartitioning").length - 1 == 1)
+  }
+
+  test("len quantiles: exact percentile aggregates partial+final") {
+    val p = plan(TextOps.lenQuantiles(spark, sfDir))
+    assert(p.contains("partial_percentile"),
+      "percentile state must combine map-side:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
