@@ -19,7 +19,8 @@ object SparkEntry {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // events.ts is parquet TIMESTAMP(NANOS); see Tables.events.
+    // Harmless for TIMESTAMP(MICROS) events.ts; required when the data
+    // ships as TIMESTAMP(NANOS) — see Tables.events for the dispatch.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }

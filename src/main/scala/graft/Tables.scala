@@ -26,19 +26,32 @@ object Tables {
   def supplier(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "supplier")
   def nation(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Sessions must set
+  /** `events.ts` has shipped in two physical layouts: parquet
+    * TIMESTAMP(NANOS) — which Spark's vectorized reader rejects unless
     * `spark.sql.legacy.parquet.nanosAsLong=true` (SparkEntry.tune and every
-    * session builder do) so the nanos read as raw long; this loader truncates
-    * to micros — identical to DuckDB's `CAST(ts AS TIMESTAMP)` ns→µs
-    * truncation, which every events oracle mirrors. The conf lives at session
-    * build, not here: a table loader mutating global session state would
-    * silently retype every later nanos-parquet read in the session.
+    * session builder set it), surfacing the column as a raw nanos long — and
+    * plain TIMESTAMP(MICROS), which reads as a native timestamp. This loader
+    * dispatches on the read schema: a long gets truncated ns→µs (identical to
+    * DuckDB's `CAST(ts AS TIMESTAMP)`, which every events oracle mirrors); a
+    * timestamp passes through untouched. Type-dispatching here rather than
+    * pinning one layout means a data regeneration can't break every
+    * events-derived query at analysis time.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = t(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // No-zone micros: the session TZ is pinned UTC (SparkEntry.tune), so
+        // the NTZ→LTZ cast is value-identical to the nanos path's
+        // timestamp_micros and keeps unix_micros/window() working unchanged.
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "embeddings")
 }
