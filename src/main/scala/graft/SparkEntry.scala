@@ -44,6 +44,8 @@ object SparkEntry {
     "kcore_parts" -> ((s, dir) => Graph.kcoreParts(tune(s), dir)),
     "ann_ivf_mp" -> ((s, dir) => Similarity.annIvfMultiprobe(tune(s), dir)),
     "rfm_segments" -> ((s, dir) => Analytics.rfmSegments(tune(s), dir)),
+    // the 100 TB scoring path: broadcast approx-quantile cuts, no ranking
+    "rfm_segments_approx" -> ((s, dir) => Analytics.rfmSegmentsApprox(tune(s), dir)),
     "abc_parts" -> ((s, dir) => Analytics.abcParts(tune(s), dir)),
     "revenue_anomaly" -> ((s, dir) => Analytics.revenueAnomaly(tune(s), dir)),
     "basket_rules" -> ((s, dir) => Analytics.basketRules(tune(s), dir)),
@@ -153,6 +155,10 @@ object SparkEntry {
     // Sketch + exact-verify: bounded-memory heavy hitters
     "heavy_hitters" -> ((s, dir) => Sketches.heavyHitters(tune(s), dir)),
     "hll_distinct" -> ((s, dir) => Sketches.hllDistinct(tune(s), dir)),
+    // Exact selection without a global sort: histogram pass + bucket-local rank
+    "quantiles_2pass" -> ((s, dir) => Sketches.quantiles2pass(tune(s), dir)),
+    // Bloom-pruned semi-join: probe rows filtered before their shuffle
+    "bloom_semi_join" -> ((s, dir) => Sketches.bloomSemiJoin(tune(s), dir)),
     // Corpus preparation: quality rules, PII redaction, sequence packing
     "quality_filter" -> ((s, dir) => CorpusOps.qualityFilter(tune(s), dir)),
     "pii_scrub" -> ((s, dir) => CorpusOps.piiScrub(tune(s), dir)),
@@ -165,6 +171,8 @@ object SparkEntry {
     // Extension: IVF centroid training (Lloyd's) + split/profile utilities
     "kmeans_train" -> ((s, dir) => Clustering.kmeansTrain(tune(s), dir)),
     "embedding_drift" -> ((s, dir) => Clustering.embeddingDrift(tune(s), dir)),
+    // Single-pass mergeable outer-product accumulator (PCA building block)
+    "embedding_gram" -> ((s, dir) => Clustering.embeddingGram(tune(s), dir)),
     "embedding_outliers" -> ((s, dir) => Clustering.embeddingOutliers(tune(s), dir)),
     "stratified_split" -> ((s, dir) => Sampling.stratifiedSplit(tune(s), dir)),
     "split_decontaminate" -> ((s, dir) => Sampling.splitDecontaminate(tune(s), dir)),
@@ -192,6 +200,7 @@ object SparkEntry {
     "kcore_parts" -> Graph.kcorePartsSql(),
     "ann_ivf_mp" -> Similarity.annIvfMultiprobeSql(),
     "rfm_segments" -> Analytics.rfmSegmentsSql,
+    "rfm_segments_approx" -> Analytics.rfmSegmentsApproxSql,
     "abc_parts" -> Analytics.abcPartsSql,
     "revenue_anomaly" -> Analytics.revenueAnomalySql,
     "basket_rules" -> Analytics.basketRulesSql,
@@ -285,6 +294,8 @@ object SparkEntry {
     "cdc_merge" -> Temporal.cdcMergeSql,
     "heavy_hitters" -> Sketches.heavyHittersSql(),
     "hll_distinct" -> Sketches.hllDistinctSql,
+    "quantiles_2pass" -> Sketches.quantiles2passSql(),
+    "bloom_semi_join" -> Sketches.bloomSemiJoinSql,
     "quality_filter" -> CorpusOps.qualityFilterSql,
     "pii_scrub" -> CorpusOps.piiScrubSql,
     "seq_pack" -> CorpusOps.seqPackSql(),
@@ -295,6 +306,7 @@ object SparkEntry {
     "doc_chunks" -> CorpusOps.docChunksSql(),
     "kmeans_train" -> Clustering.kmeansTrainSql,
     "embedding_drift" -> Clustering.embeddingDriftSql,
+    "embedding_gram" -> Clustering.embeddingGramSql,
     "embedding_outliers" -> Clustering.embeddingOutliersSql(),
     "stratified_split" -> Sampling.stratifiedSplitSql,
     "split_decontaminate" -> Sampling.splitDecontaminateSql,

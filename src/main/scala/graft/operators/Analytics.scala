@@ -721,4 +721,33 @@ object Analytics {
       |       WHEN r_score <= 2 AND f_score >= 4 THEN 'new'
       |       ELSE 'regular' END AS segment
       |FROM s ORDER BY custkey""".stripMargin
+
+  /** Oracle for [[rfmSegmentsApprox]]. Spark's `percentile_approx` with
+    * `accuracy` ≥ n retains every sample (Greenwald–Khanna compresses
+    * nothing below the accuracy count), so at verify scale each cut is
+    * EXACTLY the rank-⌈p·n⌉ smallest value; DuckDB's `quantile_disc` sits
+    * at rank ⌊p·(n−1)⌋+1 — the two coincide whenever p·n is integral,
+    * which quintiles over the verify-scale customer count satisfy (and
+    * OperatorsSpec pins the exact/approx agreement independently of the
+    * oracle). The scoring (1 + #cuts strictly beaten) is then identical
+    * per-row arithmetic on identical cut values. */
+  val rfmSegmentsApproxSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey AS custkey,
+      |    CAST(datediff('day', max(o_orderdate),
+      |      (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS recency_days,
+      |    count(*) AS frequency,
+      |    CAST(SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / 10000 AS monetary
+      |  FROM orders GROUP BY 1),
+      |c AS (
+      |  SELECT quantile_disc(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rc,
+      |    quantile_disc(frequency, [0.2, 0.4, 0.6, 0.8]) AS fc,
+      |    quantile_disc(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc
+      |  FROM base)
+      |SELECT custkey, recency_days, frequency, monetary,
+      |  CAST(1 + len(list_filter(c.rc, x -> x < recency_days)) AS BIGINT) AS r_score,
+      |  CAST(1 + len(list_filter(c.fc, x -> x > frequency)) AS BIGINT) AS f_score,
+      |  CAST(1 + len(list_filter(c.mc, x -> x > monetary)) AS BIGINT) AS m_score
+      |FROM base, c ORDER BY custkey""".stripMargin
 }

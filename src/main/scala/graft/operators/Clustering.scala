@@ -274,4 +274,121 @@ object Clustering {
       |    / (sqrt(CAST(a2_g AS DOUBLE)) * sqrt(CAST(b2_g AS DOUBLE)))
       |    * 10000 + 0.5) / 10000 AS cos_drift
       |FROM g ORDER BY label""".stripMargin
+
+  /** Upper-triangle Gram matrix Σᵥ vᵢ·vⱼ of the embedding corpus — the
+    * single-pass building block for PCA / whitening / covariance statistics
+    * over training embeddings. The relational alternative (posexplode ×2 →
+    * self-join on vec_id → groupBy (i,j)) shuffles n·d² exploded rows; the
+    * typed [[GramAgg]] keeps the d(d+1)/2 running sums in a per-partition
+    * buffer and shuffles ONE buffer per partition (the classic mergeable
+    * outer-product accumulator — communication O(d²·partitions), corpus
+    * never moves). Components land on a 1e-5 LONG grid first, so the
+    * accumulation is exact integer math: order-free (Spark merges
+    * partitions nondeterministically) and bit-identical to the oracle's
+    * grouped SUM over an unnest self-join. Grid headroom: |v| ≤ 1 means
+    * per-row products ≤ 1e10, ~9×10⁸ rows before long overflow at this
+    * grid; a 100 TB corpus coarsens the grid (1e-3 → 9×10¹² rows), the
+    * same precision/scale dial [[graft.operators.Analytics.revenueAnomaly]]
+    * documents. */
+  def embeddingGram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.embeddings(spark, sfDir)
+      .select(col("embedding")).as[Array[Float]]
+      .select(new GramAgg(64).toColumn.name("cells"))
+    cells.select(explode(col("cells")).as("c"))
+      .select(col("c.i"), col("c.j"),
+        col("c.g").as("gram_grid"),
+        (col("c.g").cast("double") / lit(1e10)).as("gram"))
+      .orderBy("i", "j")
+  }
+
+  val embeddingGramSql: String =
+    """WITH u AS (
+      |  SELECT vec_id, t.i AS i,
+      |    CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 100000 + 0.5) AS BIGINT) AS g
+      |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) t),
+      |p AS (
+      |  SELECT a.i AS i, b.i AS j, CAST(SUM(a.g * b.g) AS BIGINT) AS gram_grid
+      |  FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY 1, 2)
+      |SELECT i, j, gram_grid, CAST(gram_grid AS DOUBLE) / 10000000000 AS gram
+      |FROM p ORDER BY i, j""".stripMargin
+
+  /** Top principal direction from [[embeddingGram]] by driver-side power
+    * iteration (the Gram is d×d = bounded, the same justified collect as
+    * the k×d centroid table), then a single broadcast projection pass —
+    * each row's PC1 coordinate via the codegen'd `array_dot` kernel. The
+    * corpus is scanned once for the Gram and once for the projection;
+    * nothing else moves. Spec-tested (OperatorsSpec): the returned
+    * direction's Rayleigh quotient dominates every coordinate axis. */
+  def pcaProject(spark: SparkSession, sfDir: String, iters: Int = 50): DataFrame = {
+    val d = 64
+    val g = Array.ofDim[Double](d, d)
+    embeddingGram(spark, sfDir).select("i", "j", "gram").collect().foreach { r =>
+      val (i, j, v) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getDouble(2))
+      g(i)(j) = v; g(j)(i) = v
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    (1 to iters).foreach { _ =>
+      val w = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / n)
+    }
+    val pc = lit(v.map(x => math.floor(x * 1e6 + 0.5) / 1e6))
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        Exprs.r4(call_function("array_dot",
+          transform(col("embedding"), _.cast("double")), pc)).as("pc1"))
+      .orderBy("vec_id")
+  }
 }
+
+/** Mergeable upper-triangle Gram accumulator: buffer = d(d+1)/2 longs of
+  * grid-exact Σ vᵢvⱼ partial sums; `merge` is element-wise add, so Spark's
+  * partial-aggregation tree IS the distributed outer-product sum. Output
+  * rows are 1-based (i ≤ j) to match SQL array subscripts. */
+class GramAgg(d: Int) extends org.apache.spark.sql.expressions.Aggregator[
+    Array[Float], Array[Long], Seq[GramCell]] {
+  private val len = d * (d + 1) / 2
+  def zero: Array[Long] = new Array[Long](len)
+
+  def reduce(b: Array[Long], v: Array[Float]): Array[Long] = {
+    // identical grid as the probe/oracle: floor(x·1e5 + 0.5) on the DOUBLE
+    // widening of the float (exact in IEEE)
+    val g = new Array[Long](d)
+    var i = 0
+    while (i < d) { g(i) = math.floor(v(i).toDouble * 1e5 + 0.5).toLong; i += 1 }
+    var t = 0
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) { b(t) += g(i) * g(j); t += 1; j += 1 }
+      i += 1
+    }
+    b
+  }
+
+  def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < len) { x(i) += y(i); i += 1 }
+    x
+  }
+
+  def finish(b: Array[Long]): Seq[GramCell] = {
+    val out = Seq.newBuilder[GramCell]
+    var t = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) { out += GramCell(i + 1, j + 1, b(t)); t += 1; j += 1 }
+      i += 1
+    }
+    out.result()
+  }
+  def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Seq[GramCell]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[GramCell]]()
+}
+
+case class GramCell(i: Int, j: Int, g: Long)

@@ -49,6 +49,44 @@ class MisraGries(cap: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
 }
 
+/** Mergeable Bloom filter over pre-hashed keys: `mBits` bits as a long-word
+  * array, `k` probe positions per key by Kirsch–Mitzenmacher double hashing
+  * (`idx_i = h1 + i·h2 mod m`). The two base hashes arrive ALREADY COMPUTED
+  * (Catalyst `xxhash64` columns) so the probe-side bit test — built from the
+  * same `xxhash64` plus `pmod`/`shiftright` built-ins — lands on identical
+  * indices; this class only places bits. `merge` is word-wise OR: the
+  * partial-aggregation tree is exactly multi-shard filter union, and the
+  * buffer is a fixed `mBits/64`-word array regardless of key count. */
+class BloomAgg(mBits: Int, k: Int)
+  extends org.apache.spark.sql.expressions.Aggregator[(Long, Long), Array[Long], Seq[Long]] {
+  def zero: Array[Long] = new Array[Long](mBits / 64)
+
+  def reduce(b: Array[Long], t: (Long, Long)): Array[Long] = {
+    val (h1, h2) = t
+    var i = 0
+    while (i < k) {
+      // identical wrap-then-pmod as the probe test's `pmod(h1 + iL*h2, mL)`
+      val x = h1 + i.toLong * h2
+      val idx = ((x % mBits) + mBits) % mBits
+      b((idx >> 6).toInt) |= 1L << (idx & 63)
+      i += 1
+    }
+    b
+  }
+
+  def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < x.length) { x(i) |= y(i); i += 1 }
+    x
+  }
+
+  def finish(b: Array[Long]): Seq[Long] = b.toSeq
+  def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
 /** Sketch-based operators — bounded-memory summaries with an exact verify
   * pass, for aggregates whose naive form shuffles the full key universe. */
 object Sketches {
@@ -145,6 +183,141 @@ object Sketches {
         sScaled.as("s_scaled"), round(est, 3).as("hll_est"))
       .orderBy("source")
   }
+
+  /** EXACT quantiles without a global sort — the 100 TB path for the
+    * quantile fields that [[graft.operators.Quality.numericProfile]] and
+    * `len_quantiles` compute with Spark's exact `percentile` aggregate
+    * (whose buffer is a per-group value→count map: fine at catalog grain,
+    * a memory wall when the value universe is large). Classic two-pass
+    * selection (Munro–Paterson style):
+    *
+    *  1. one scan → (min, max, n) — three map-side-combined aggregates;
+    *  2. one scan → a `bins`-bucket equi-width histogram (≤ `bins` rows
+    *     shuffle, regardless of data size);
+    *  3. the histogram (bounded at `bins` rows — O(4k), same justified
+    *     driver-side bound as the dedup union-find) locates, for each
+    *     target rank, its bucket and within-bucket rank;
+    *  4. one scan FILTERED to just the hit buckets ranks values inside
+    *     each bucket — `row_number` partitioned BY BUCKET, never a global
+    *     or single-partition window — and keeps the row at the target
+    *     rank. Membership is decided by BUCKET EQUALITY on the same
+    *     computed bucket expression as pass 2 (self-consistent by
+    *     construction); a ±1-bucket RANGE guard on the raw value — wide
+    *     enough that float boundary rounding can never disagree with the
+    *     floor-bucket by a whole bucket — is what reaches the parquet
+    *     scan as a pushed filter, so row-group pruning still skips the
+    *     ~(1 − hits/bins) of the file no target lands in.
+    *
+    * Rank convention is DuckDB's `quantile_disc`: 1-based rank
+    * `floor(p·(n−1)) + 1`, computed with the identical IEEE double
+    * multiply on both sides. Ties: `row_number` may pick any row of an
+    * equal-value run, but every such row carries the same value, so the
+    * answer is deterministic. */
+  def quantiles2pass(spark: SparkSession, sfDir: String,
+      ps: Seq[Double] = Seq(0.01, 0.25, 0.5, 0.75, 0.99),
+      bins: Int = 4096): DataFrame = {
+    val v = Tables.lineitem(spark, sfDir).select(col("l_extendedprice").as("v"))
+    val Array(lo, hi, n) = v.agg(min("v"), max("v"), count(lit(1)))
+      .collect()(0).toSeq.map(_.toString).toArray
+    val (dLo, dHi, cnt) = (lo.toDouble, hi.toDouble, n.toLong)
+    val width = (dHi - dLo) / bins
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      if (width == 0d) lit(0) else
+        least(lit(bins - 1), floor((c - lit(dLo)) / lit(width)).cast("int"))
+    val hist = v.groupBy(bucketOf(col("v")).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cumBefore = (0 until bins).scanLeft(0L)((acc, b) => acc + hist.getOrElse(b, 0L))
+    // DuckDB quantile_disc rank: identical double multiply → identical floor
+    val targets = ps.map { p =>
+      val rank = math.floor(p * (cnt - 1)).toLong + 1
+      val b = (0 until bins).find(b => cumBefore(b + 1) >= rank).getOrElse(bins - 1)
+      (p, b, rank - cumBefore(b))
+    }
+    import spark.implicits._
+    val tdf = targets.toDF("q", "b", "wrank")
+    val hit = targets.map(_._2).distinct
+    // pushable guard: ±1 bucket of slack around each hit bucket — floor
+    // rounding moves a value at most one ulp across a boundary, never a
+    // whole bucket, so no bucket-b row can fall outside [b−1, b+2)
+    val guard =
+      if (width == 0d) lit(true)
+      else hit.map(b => col("v").between(
+        lit(dLo + (b - 1).toDouble * width),
+        lit(dLo + (b + 2).toDouble * width))).reduce(_ || _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("b").orderBy("v")
+    v.filter(guard)
+      .withColumn("b", bucketOf(col("v")))
+      .filter(col("b").isin(hit: _*))
+      .withColumn("wrank", row_number().over(w).cast("long"))
+      .join(broadcast(tdf), Seq("b", "wrank"))
+      .select(col("q"), col("v").as("value"))
+      .orderBy("q")
+  }
+
+  def quantiles2passSql(ps: Seq[Double] = Seq(0.01, 0.25, 0.5, 0.75, 0.99)): String =
+    ps.map(p =>
+      s"SELECT CAST($p AS DOUBLE) AS q, quantile_disc(l_extendedprice, $p) AS value FROM lineitem")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY q")
+
+  /** Bloom-pruned semi-join — the explicit form of runtime row-level
+    * filtering, for the join shape where the build-side KEY SET is too big
+    * to broadcast exactly but a bitset summary of it is not (at 10⁸ urgent
+    * orders an exact long set is ~1.6 GB; a 10-bits/key Bloom filter is
+    * ~125 MB and still catches ~99 % of non-matching probe rows). One
+    * aggregate folds the build keys into an m-bit filter (per-partition
+    * word-array buffers OR-merged map-side — the canonical mergeable
+    * sketch); the probe side tests k double-hashed bits with pure codegen
+    * built-ins BEFORE its shuffle, so the exchange moves only true matches
+    * plus the ~(1−e^(−kn/m))^k false-positive sliver; the exact semi-join
+    * afterwards removes that sliver, making the result IDENTICAL to the
+    * unfiltered semi-join the oracle runs. Both sides derive the two base
+    * hashes with the same Catalyst `xxhash64`, so the Scala bit-setter and
+    * the Column bit-tester see the same indices by construction. */
+  def bloomSemiJoin(spark: SparkSession, sfDir: String,
+      mBits: Int = 1 << 17, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    def hashes(key: org.apache.spark.sql.Column) =
+      (xxhash64(key), xxhash64(key, lit("bloom2")))
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val (b1, b2) = hashes(col("o_orderkey"))
+    val bloom = urgent.select(b1.as("h1"), b2.as("h2")).as[(Long, Long)]
+      .select(new BloomAgg(mBits, k).toColumn.name("bits"))
+    val li = Tables.lineitem(spark, sfDir)
+    val (p1, p2) = hashes(col("l_orderkey"))
+    val probe = li.select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), p1.as("h1"), p2.as("h2"))
+      .crossJoin(broadcast(bloom))
+    // bit i test, all codegen built-ins; `h1 + i·h2` wraps in two's
+    // complement exactly as the Scala setter does, and pmod folds the
+    // wrap into [0, m)
+    val mayMatch = (0 until k).map { i =>
+      s"""((shiftright(element_at(bits,
+         |   cast(shiftright(pmod(h1 + ${i}L * h2, ${mBits}L), 6) as int) + 1),
+         |   cast(pmod(h1 + ${i}L * h2, ${mBits}L) % 64 as int)) & 1) = 1)"""
+        .stripMargin.replace("\n", " ")
+    }.mkString(" AND ")
+    probe.filter(expr(mayMatch))
+      .drop("h1", "h2", "bits")
+      .join(urgent.withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_extendedprice") * lit(1e4) + lit(0.5d))
+          .cast("long")).as("rev_grid"))
+      .orderBy("suppkey")
+  }
+
+  val bloomSemiJoinSql: String =
+    """SELECT l_suppkey AS suppkey, count(*) AS n_items,
+      |  CAST(SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS rev_grid
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY 1 ORDER BY suppkey""".stripMargin
 
   val hllDistinctSql: String =
     """WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),

@@ -1362,4 +1362,84 @@ class OperatorsSpec extends SparkSuite {
         s"order ${r.getLong(0)}: (${r.getLong(3)},${r.getDouble(4)}) want ($n,$rev)")
     }
   }
+
+  test("quantiles 2pass: equals a driver-side full-sort selection at every rank") {
+    val got = Sketches.quantiles2pass(spark, sfDir)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val vs = Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+    val n = vs.length
+    assert(got.size == 5)
+    got.foreach { case (p, v) =>
+      val rank = math.floor(p * (n - 1)).toLong + 1 // quantile_disc convention
+      assert(v == vs(rank.toInt - 1), s"p=$p: got $v want ${vs(rank.toInt - 1)}")
+    }
+  }
+
+  test("bloom agg: zero false negatives; disjoint keys nearly all rejected") {
+    import spark.implicits._
+    val m = 1 << 14
+    val keys = spark.range(0, 2000)
+      .select(xxhash64(col("id")).as("h1"), xxhash64(col("id"), lit("bloom2")).as("h2"))
+    val bits = keys.as[(Long, Long)]
+      .select(new BloomAgg(m, 5).toColumn.name("bits"))
+      .collect()(0).toSeq.toArray
+    def test1(h1: Long, h2: Long): Boolean = (0 until 5).forall { i =>
+      val idx = (((h1 + i.toLong * h2) % m) + m) % m
+      (bits((idx >> 6).toInt) >> (idx & 63) & 1L) == 1L
+    }
+    val inserted = keys.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(inserted.forall { case (a, b) => test1(a, b) }, "false negative")
+    val out = spark.range(1000000, 1002000)
+      .select(xxhash64(col("id")).as("h1"), xxhash64(col("id"), lit("bloom2")).as("h2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fp = out.count { case (a, b) => test1(a, b) }
+    // k=5, n=2000, m=16384 → theoretical fp ≈ (1-e^(-kn/m))^5 ≈ 2.9%
+    assert(fp < 200, s"false-positive rate implausibly high: $fp/2000")
+  }
+
+  test("bloom semi join: equals the unfiltered exact semi join") {
+    val got = Sketches.bloomSemiJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_extendedprice") * lit(1e4) + lit(0.5d))
+          .cast("long")).as("rev_grid"))
+      .orderBy("suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sameElements(want))
+  }
+
+  test("embedding gram: replays driver-side; diagonal positive; full triangle") {
+    val cells = Clustering.embeddingGram(spark, sfDir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(cells.size == 64 * 65 / 2)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val grids = vecs.map(_.map(x => math.floor(x.toDouble * 1e5 + 0.5).toLong))
+    for (i <- 0 until 64; j <- i until 64) {
+      val want = grids.map(g => g(i) * g(j)).sum
+      assert(cells((i + 1, j + 1)) == want, s"cell ($i,$j)")
+    }
+    (1 to 64).foreach(i => assert(cells((i, i)) > 0, s"zero diagonal at $i"))
+  }
+
+  test("pca project: PC1 second moment dominates every coordinate axis") {
+    val n = Tables.embeddings(spark, sfDir).count().toDouble
+    val pc = Clustering.pcaProject(spark, sfDir).collect().map(_.getDouble(2))
+    val m2 = pc.map(x => x * x).sum / n
+    val diag = Clustering.embeddingGram(spark, sfDir)
+      .filter(col("i") === col("j")).collect()
+      .map(r => r.getDouble(3) / n)
+    // λmax of the Gram ≥ its largest diagonal entry; the power-iterated
+    // direction's Rayleigh quotient must reach that up to grid rounding
+    assert(m2 >= diag.max * 0.999,
+      s"PC1 second moment $m2 below best axis ${diag.max}")
+  }
 }

@@ -561,4 +561,47 @@ class PlanAuditSpec extends SparkSuite {
       "percentile state must combine map-side:\n" + p.take(1200))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("quantiles 2pass: range guard pushed to the scan; window partitioned by bucket") {
+    val p = plan(Sketches.quantiles2pass(spark, sfDir))
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_extendedprice"),
+      "the ±1-bucket range guard must reach the parquet reader:\n" + p.take(1500))
+    assert(!p.contains("Exchange SinglePartition"),
+      "selection must never collapse to one partition:\n" + p.take(1200))
+    assert(p.contains("Window") && p.contains("hashpartitioning(b#"),
+      "row_number must run partitioned by bucket:\n" + p.take(1200))
+  }
+
+  test("bloom semi join: probe filtered by the bitset BEFORE the exact semi join") {
+    val p = plan(Sketches.bloomSemiJoin(spark, sfDir))
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(p.contains("xxhash64"), "bit-test filter missing:\n" + p.take(1200))
+    // the only nested loop is the 1-row bitset broadcast
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1, p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+    // bit test must sit below the semi join, not above it
+    assert(p.indexOf("xxhash64") > p.indexOf("LeftSemi"),
+      "probe-side bloom filter must be under the join in the plan tree")
+  }
+
+  test("embedding gram: one corpus scan feeding a partial+final typed aggregate") {
+    val p = plan(Clustering.embeddingGram(spark, sfDir))
+    assert(p.split("FileScan parquet").length - 1 == 1,
+      "gram must be a single-scan accumulator:\n" + p.take(1200))
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "typed aggregator expected:\n" + p.take(1200))
+    assert(p.contains("partial_gramagg") || p.contains("partial_"),
+      "buffer must combine map-side:\n" + p.take(1200))
+  }
+
+  test("rfm approx: no window anywhere — cuts broadcast, scores are per-row maps") {
+    val p = plan(Analytics.rfmSegmentsApprox(spark, sfDir))
+    assert(!p.contains("Window"), "approx scoring must not rank:\n" + p.take(1200))
+    assert(p.contains("partial_percentile_approx"),
+      "cut sketch must combine map-side:\n" + p.take(1200))
+    // 1-row broadcasts only: the cuts, plus the order-date anchor on each
+    // of base's two consumers (cuts aggregate + final projection)
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 3,
+      "only the anchor + cuts 1-row broadcasts allowed:\n" + p.take(1200))
+  }
 }
