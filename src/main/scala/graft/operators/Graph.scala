@@ -197,22 +197,28 @@ object Graph {
       .join(it.select(col("okey"), col("l_partkey").as("b")), "okey")
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    // EAGER checkpoints: each round's edge set is consumed three times by
+    // EAGER checkpoints: each round's pair set is consumed three times by
     // the NEXT round (degree count + both semi-join sides) — a lazy
     // checkpoint would let those references race and recompute the whole
-    // upstream peel per reference (lazy form measured 8.8 s at sf0.01 and >10 min at sf0.1; eager: 2.8 s / 7 s)
-    val edges0 = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
-    val peeled = (1 to rounds).foldLeft(edges0) { (e, _) =>
-      val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("src").as("kn"))
-      e.join(keep.hint("shuffle_hash"), col("src") === col("kn")).drop("kn")
+    // upstream peel per reference (lazy form measured 8.8 s at sf0.01 and >10 min at sf0.1; eager: 2.8 s / 7 s).
+    // The peel runs on the HALF-EDGE pair list (a < b), not the symmetric
+    // edge set: degrees come from exploding both endpoints (same shuffled
+    // row count as a symmetric degree count), but the two semi-filter
+    // joins and the per-round checkpoint each carry HALF the rows — the
+    // symmetric view is only ever materialized implicitly, in the final
+    // degree aggregate's union.
+    val p0 = pairs.localCheckpoint()
+    val peeled = (1 to rounds).foldLeft(p0) { (p, _) =>
+      val keep = p.select(col("a").as("n")).unionByName(p.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("n").as("kn"))
+      p.join(keep.hint("shuffle_hash"), col("a") === col("kn")).drop("kn")
         .join(keep.select(col("kn").as("kn2")).hint("shuffle_hash"),
-          col("dst") === col("kn2")).drop("kn2")
+          col("b") === col("kn2")).drop("kn2")
         .localCheckpoint()
     }
-    peeled.groupBy(col("src").as("part")).agg(count(lit(1)).as("core_deg"))
+    peeled.select(col("a").as("part")).unionByName(peeled.select(col("b").as("part")))
+      .groupBy("part").agg(count(lit(1)).as("core_deg"))
       .orderBy("part")
   }
 
