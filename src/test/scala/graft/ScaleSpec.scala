@@ -154,7 +154,13 @@ class ScaleSpec extends SparkSuite {
       "hll_distinct", "weighted_sample", "bpe_pairs", "dedup_canonical",
       // len_quantiles: the percentile counts-map merges through a
       // different partial-agg tree at every partition count
-      "len_quantiles")
+      "len_quantiles",
+      // quantiles_2pass: histogram cells + bucket-local ranks re-split;
+      // bloom: bitset OR-merge tree reshapes; gram: integer buffer merge
+      // order changes; rfm approx: GK cut summaries merge differently
+      // (uncompressed at this n, so exact either way)
+      "quantiles_2pass", "bloom_semi_join", "embedding_gram",
+      "rfm_segments_approx")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = names.map { n =>
