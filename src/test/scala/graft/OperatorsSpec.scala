@@ -1376,6 +1376,24 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("quantiles 2pass: irregular quantile points and tiny bin counts stay exact") {
+    val vs = Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+    val n = vs.length
+    val ps = Seq(0.001, 0.123, 0.5, 0.987, 0.999)
+    // bins = 7: nearly every rank shares a bucket with another — the
+    // within-bucket rank arithmetic is what this exercises
+    Seq(7, 64).foreach { bins =>
+      val got = Sketches.quantiles2pass(spark, sfDir, ps, bins)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      ps.foreach { p =>
+        val rank = math.floor(p * (n - 1)).toLong + 1
+        assert(got(p) == vs(rank.toInt - 1),
+          s"bins=$bins p=$p: got ${got(p)} want ${vs(rank.toInt - 1)}")
+      }
+    }
+  }
+
   test("bloom agg: zero false negatives; disjoint keys nearly all rejected") {
     import spark.implicits._
     val m = 1 << 14
