@@ -290,11 +290,17 @@ object Clustering {
     * grid; a 100 TB corpus coarsens the grid (1e-3 → 9×10¹² rows), the
     * same precision/scale dial [[graft.operators.Analytics.revenueAnomaly]]
     * documents. */
-  def embeddingGram(spark: SparkSession, sfDir: String): DataFrame = {
+  def embeddingGram(spark: SparkSession, sfDir: String): DataFrame =
+    gramOf(Tables.embeddings(spark, sfDir), "embedding", 64)
+
+  /** The library form of [[embeddingGram]]: upper-triangle Gram of ANY
+    * `array<float>` column of fixed dimension `d`. */
+  def gramOf(df: DataFrame, embCol: String, d: Int): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    val cells = Tables.embeddings(spark, sfDir)
-      .select(col("embedding")).as[Array[Float]]
-      .select(new GramAgg(64).toColumn.name("cells"))
+    val cells = df
+      .select(col(embCol)).as[Array[Float]]
+      .select(new GramAgg(d).toColumn.name("cells"))
     cells.select(explode(col("cells")).as("c"))
       .select(col("c.i"), col("c.j"),
         col("c.g").as("gram_grid"),

@@ -215,8 +215,18 @@ object Sketches {
     * answer is deterministic. */
   def quantiles2pass(spark: SparkSession, sfDir: String,
       ps: Seq[Double] = Seq(0.01, 0.25, 0.5, 0.75, 0.99),
-      bins: Int = 4096): DataFrame = {
-    val v = Tables.lineitem(spark, sfDir).select(col("l_extendedprice").as("v"))
+      bins: Int = 4096): DataFrame =
+    quantilesOf(
+      Tables.lineitem(spark, sfDir).select(col("l_extendedprice")),
+      "l_extendedprice", ps, bins)
+
+  /** [[quantiles2pass]] over ANY numeric column: the library form. `df`
+    * may be any frame; only `valueCol` is read (select it first for a
+    * pruned scan). */
+  def quantilesOf(df: DataFrame, valueCol: String,
+      ps: Seq[Double], bins: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    val v = df.select(col(valueCol).cast("double").as("v"))
     val Array(lo, hi, n) = v.agg(min("v"), max("v"), count(lit(1)))
       .collect()(0).toSeq.map(_.toString).toArray
     val (dLo, dHi, cnt) = (lo.toDouble, hi.toDouble, n.toLong)
@@ -277,19 +287,36 @@ object Sketches {
     * the Column bit-tester see the same indices by construction. */
   def bloomSemiJoin(spark: SparkSession, sfDir: String,
       mBits: Int = 1 << 17, k: Int = 5): DataFrame = {
-    import spark.implicits._
-    def hashes(key: org.apache.spark.sql.Column) =
-      (xxhash64(key), xxhash64(key, lit("bloom2")))
     val urgent = Tables.orders(spark, sfDir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    val (b1, b2) = hashes(col("o_orderkey"))
-    val bloom = urgent.select(b1.as("h1"), b2.as("h2")).as[(Long, Long)]
+    bloomPrune(Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice")),
+        "l_orderkey", urgent, "o_orderkey", mBits, k)
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_extendedprice") * lit(1e4) + lit(0.5d))
+          .cast("long")).as("rev_grid"))
+      .orderBy("suppkey")
+  }
+
+  /** The library form: semi-join `probe` to `build`'s key set, with the
+    * probe side Bloom-pruned before its shuffle. Returns probe rows whose
+    * `probeKey` appears in `build(buildKey)` — exactly the plain semi-join,
+    * computed with the probe exchange shrunk to matches + FP sliver. */
+  def bloomPrune(probe: DataFrame, probeKey: String,
+      build: DataFrame, buildKey: String,
+      mBits: Int = 1 << 17, k: Int = 5): DataFrame = {
+    val spark = probe.sparkSession
+    import spark.implicits._
+    val keys = build.select(col(buildKey))
+    val bloom = keys.select(xxhash64(col(buildKey)).as("h1"),
+        xxhash64(col(buildKey), lit("bloom2")).as("h2")).as[(Long, Long)]
       .select(new BloomAgg(mBits, k).toColumn.name("bits"))
-    val li = Tables.lineitem(spark, sfDir)
-    val (p1, p2) = hashes(col("l_orderkey"))
-    val probe = li.select(col("l_orderkey"), col("l_suppkey"),
-        col("l_extendedprice"), p1.as("h1"), p2.as("h2"))
+    val probeCols = probe.columns
+    val withBits = probe
+      .withColumn("h1", xxhash64(col(probeKey)))
+      .withColumn("h2", xxhash64(col(probeKey), lit("bloom2")))
       .crossJoin(broadcast(bloom))
     // bit i test, all codegen built-ins; `h1 + i·h2` wraps in two's
     // complement exactly as the Scala setter does, and pmod folds the
@@ -300,15 +327,10 @@ object Sketches {
          |   cast(pmod(h1 + ${i}L * h2, ${mBits}L) % 64 as int)) & 1) = 1)"""
         .stripMargin.replace("\n", " ")
     }.mkString(" AND ")
-    probe.filter(expr(mayMatch))
-      .drop("h1", "h2", "bits")
-      .join(urgent.withColumnRenamed("o_orderkey", "l_orderkey"),
-        Seq("l_orderkey"), "left_semi")
-      .groupBy(col("l_suppkey").as("suppkey"))
-      .agg(count(lit(1)).as("n_items"),
-        sum(floor(col("l_extendedprice") * lit(1e4) + lit(0.5d))
-          .cast("long")).as("rev_grid"))
-      .orderBy("suppkey")
+    withBits.filter(expr(mayMatch))
+      .select(probeCols.map(col): _*)
+      .join(keys.withColumnRenamed(buildKey, probeKey),
+        Seq(probeKey), "left_semi")
   }
 
   val bloomSemiJoinSql: String =

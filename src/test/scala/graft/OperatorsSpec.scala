@@ -1394,6 +1394,26 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("library forms: quantilesOf and bloomPrune work on arbitrary frames") {
+    // quantilesOf over the documents length column (a LONG — exercises the cast)
+    val docs = Tables.documents(spark, sfDir)
+    val got = Sketches.quantilesOf(docs, "n_chars", Seq(0.1, 0.5, 0.9), bins = 128)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val lens = docs.select(col("n_chars").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    Seq(0.1, 0.5, 0.9).foreach { p =>
+      val rank = math.floor(p * (lens.length - 1)).toInt
+      assert(got(p) == lens(rank), s"p=$p")
+    }
+    // bloomPrune of documents against an id subset = the plain semi join
+    val ids = docs.filter(col("doc_id") % 7 === 0).select(col("doc_id").as("key"))
+    val pruned = Sketches.bloomPrune(docs, "doc_id", ids, "key")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val want = docs.filter(col("doc_id") % 7 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(pruned.sameElements(want))
+  }
+
   test("bloom agg: zero false negatives; disjoint keys nearly all rejected") {
     import spark.implicits._
     val m = 1 << 14
