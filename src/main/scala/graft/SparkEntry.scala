@@ -159,6 +159,8 @@ object SparkEntry {
     "quantiles_2pass" -> ((s, dir) => Sketches.quantiles2pass(tune(s), dir)),
     // Bloom-pruned semi-join: probe rows filtered before their shuffle
     "bloom_semi_join" -> ((s, dir) => Sketches.bloomSemiJoin(tune(s), dir)),
+    // Per-group exact quantiles, zero driver involvement (unbounded G)
+    "group_quantiles" -> ((s, dir) => Sketches.groupQuantiles2pass(tune(s), dir)),
     // Corpus preparation: quality rules, PII redaction, sequence packing
     "quality_filter" -> ((s, dir) => CorpusOps.qualityFilter(tune(s), dir)),
     "pii_scrub" -> ((s, dir) => CorpusOps.piiScrub(tune(s), dir)),
@@ -296,6 +298,7 @@ object SparkEntry {
     "hll_distinct" -> Sketches.hllDistinctSql,
     "quantiles_2pass" -> Sketches.quantiles2passSql(),
     "bloom_semi_join" -> Sketches.bloomSemiJoinSql,
+    "group_quantiles" -> Sketches.groupQuantiles2passSql(),
     "quality_filter" -> CorpusOps.qualityFilterSql,
     "pii_scrub" -> CorpusOps.piiScrubSql,
     "seq_pack" -> CorpusOps.seqPackSql(),

@@ -725,12 +725,13 @@ object Analytics {
   /** Oracle for [[rfmSegmentsApprox]]. Spark's `percentile_approx` with
     * `accuracy` ≥ n retains every sample (Greenwald–Khanna compresses
     * nothing below the accuracy count), so at verify scale each cut is
-    * EXACTLY the rank-⌈p·n⌉ smallest value; DuckDB's `quantile_disc` sits
-    * at rank ⌊p·(n−1)⌋+1 — the two coincide whenever p·n is integral,
-    * which quintiles over the verify-scale customer count satisfy (and
-    * OperatorsSpec pins the exact/approx agreement independently of the
-    * oracle). The scoring (1 + #cuts strictly beaten) is then identical
-    * per-row arithmetic on identical cut values. */
+    * EXACTLY the rank-⌈p·n⌉ smallest value; DuckDB's `quantile_disc` uses
+    * the SAME max(1, ⌈p·n⌉) rank (probed empirically against sorted
+    * replays — NOT the lower-interpolation ⌊p·(n−1)⌋+1), so the cuts
+    * coincide at ANY group size, and OperatorsSpec pins the exact/approx
+    * agreement independently of the oracle. The scoring (1 + #cuts
+    * strictly beaten) is then identical per-row arithmetic on identical
+    * cut values. */
   val rfmSegmentsApproxSql: String =
     """WITH base AS (
       |  SELECT o_custkey AS custkey,

@@ -209,10 +209,11 @@ object Sketches {
     *     ~(1 − hits/bins) of the file no target lands in.
     *
     * Rank convention is DuckDB's `quantile_disc`: 1-based rank
-    * `floor(p·(n−1)) + 1`, computed with the identical IEEE double
-    * multiply on both sides. Ties: `row_number` may pick any row of an
-    * equal-value run, but every such row carries the same value, so the
-    * answer is deterministic. */
+    * `max(1, ⌈p·n⌉)` (probed empirically — the lower-interpolation
+    * `⌊p·(n−1)⌋+1` disagrees whenever frac(p·n) < p), computed with the
+    * identical IEEE double multiply on both sides. Ties: `row_number` may
+    * pick any row of an equal-value run, but every such row carries the
+    * same value, so the answer is deterministic. */
   def quantiles2pass(spark: SparkSession, sfDir: String,
       ps: Seq[Double] = Seq(0.01, 0.25, 0.5, 0.75, 0.99),
       bins: Int = 4096): DataFrame =
@@ -238,9 +239,9 @@ object Sketches {
       .agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val cumBefore = (0 until bins).scanLeft(0L)((acc, b) => acc + hist.getOrElse(b, 0L))
-    // DuckDB quantile_disc rank: identical double multiply → identical floor
+    // DuckDB quantile_disc rank: identical double multiply → identical ceil
     val targets = ps.map { p =>
-      val rank = math.floor(p * (cnt - 1)).toLong + 1
+      val rank = math.ceil(p * cnt).toLong.max(1L)
       val b = (0 until bins).find(b => cumBefore(b + 1) >= rank).getOrElse(bins - 1)
       (p, b, rank - cumBefore(b))
     }
@@ -270,6 +271,82 @@ object Sketches {
     ps.map(p =>
       s"SELECT CAST($p AS DOUBLE) AS q, quantile_disc(l_extendedprice, $p) AS value FROM lineitem")
       .mkString("", "\nUNION ALL\n", "\nORDER BY q")
+
+  /** Per-GROUP exact quantiles, fully relationally — the scale path for
+    * `len_quantiles`-shaped queries when the per-group value universe
+    * outgrows the exact `percentile` aggregate's counts-map buffer. Same
+    * two-pass selection as [[quantilesOf]], but nothing ever reaches the
+    * driver, so the GROUP COUNT is unbounded too:
+    *
+    *  1. per-group (lo, hi, n) — one hash aggregate;
+    *  2. per-(group, bucket) histogram — one hash aggregate, ≤ G·bins
+    *     rows; cumulative counts via a window PARTITIONED BY GROUP over
+    *     those G·bins rows (never the data);
+    *  3. each (group, p) target picks its bucket by an equi-join on group
+    *     with the cum-range residual (exactly one histogram row matches);
+    *  4. rows inner-join the deduplicated hit-bucket list on (group,
+    *     bucket) — dedup BEFORE the join so two quantiles sharing a
+    *     bucket cannot duplicate rows under the window — then
+    *     `row_number` partitioned by (group, bucket) meets the
+    *     within-bucket rank.
+    *
+    * Rank convention is `quantile_disc` per group, computed with the
+    * same IEEE `max(1, ⌈p·n⌉)` in Spark SQL as the oracle. */
+  def groupQuantiles2pass(spark: SparkSession, sfDir: String,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      bins: Int = 1024): DataFrame =
+    groupQuantilesOf(Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars")), "lang", "n_chars", ps, bins)
+
+  def groupQuantilesOf(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double], bins: Int = 1024): DataFrame = {
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val stats = df.groupBy(g.as("g"))
+      .agg(min(v.cast("double")).as("lo"), max(v.cast("double")).as("hi"),
+        count(lit(1)).as("n"))
+      .withColumn("w", (col("hi") - col("lo")) / lit(bins))
+    def bucketOf(value: org.apache.spark.sql.Column) =
+      when(col("w") === 0d, lit(0)).otherwise(
+        least(lit(bins - 1),
+          floor((value.cast("double") - col("lo")) / col("w")).cast("int")))
+    val rows = df.select(g.as("g"), v.as("v"))
+      .join(stats.hint("shuffle_hash"), "g")
+      .withColumn("b", bucketOf(col("v")))
+    // default running frame; b is unique per (g, b) row so RANGE == ROWS
+    val hist = rows.groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("b")))
+      .withColumn("cum_before", col("cum") - col("c"))
+    val targets = stats
+      .withColumn("q", explode(array(ps.map(lit): _*)))
+      .withColumn("rank",
+        greatest(lit(1L), ceil(col("q") * col("n").cast("double")).cast("long")))
+      .select(col("g"), col("q"), col("rank"))
+    val hit = targets.join(hist, Seq("g"))
+      .filter(col("cum_before") < col("rank") && col("cum") >= col("rank"))
+      .select(col("g"), col("q"), col("b"),
+        (col("rank") - col("cum_before")).as("wrank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g", "b").orderBy("v")
+    val hit2 = hit.select(col("g").as("hg"), col("q"),
+      col("b").as("hb"), col("wrank"))
+    rows.select(col("g"), col("v"), col("b"))
+      .join(hit.select("g", "b").distinct().hint("shuffle_hash"), Seq("g", "b"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(hit2.hint("shuffle_hash"),
+        col("g") === col("hg") && col("b") === col("hb")
+          && col("rn") === col("wrank"))
+      .select(col("g").as(groupCol), col("q"), col("v").as("value"))
+      .orderBy(groupCol, "q")
+  }
+
+  def groupQuantiles2passSql(ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): String =
+    ps.map(p =>
+      s"""SELECT lang, CAST($p AS DOUBLE) AS q,
+         |  quantile_disc(n_chars, $p) AS value
+         |FROM documents GROUP BY lang""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY lang, q")
 
   /** Bloom-pruned semi-join — the explicit form of runtime row-level
     * filtering, for the join shape where the build-side KEY SET is too big

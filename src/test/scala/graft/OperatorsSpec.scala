@@ -1371,7 +1371,7 @@ class OperatorsSpec extends SparkSuite {
     val n = vs.length
     assert(got.size == 5)
     got.foreach { case (p, v) =>
-      val rank = math.floor(p * (n - 1)).toLong + 1 // quantile_disc convention
+      val rank = math.ceil(p * n).toLong.max(1L) // quantile_disc convention
       assert(v == vs(rank.toInt - 1), s"p=$p: got $v want ${vs(rank.toInt - 1)}")
     }
   }
@@ -1387,9 +1387,25 @@ class OperatorsSpec extends SparkSuite {
       val got = Sketches.quantiles2pass(spark, sfDir, ps, bins)
         .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
       ps.foreach { p =>
-        val rank = math.floor(p * (n - 1)).toLong + 1
+        val rank = math.ceil(p * n).toLong.max(1L)
         assert(got(p) == vs(rank.toInt - 1),
           s"bins=$bins p=$p: got ${got(p)} want ${vs(rank.toInt - 1)}")
+      }
+    }
+  }
+
+  test("group quantiles: every (lang, p) equals its sorted per-group selection") {
+    val got = Sketches.groupQuantiles2pass(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    val byLang = Tables.documents(spark, sfDir)
+      .select("lang", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (l, a) => l -> a.map(_._2).sorted }
+    assert(got.size == byLang.size * 3)
+    byLang.foreach { case (lang, vs) =>
+      Seq(0.25, 0.5, 0.75).foreach { p =>
+        val rank = math.ceil(p * vs.length).toLong.max(1L).toInt
+        assert(got((lang, p)) == vs(rank - 1), s"$lang p=$p")
       }
     }
   }
@@ -1402,8 +1418,8 @@ class OperatorsSpec extends SparkSuite {
     val lens = docs.select(col("n_chars").cast("double"))
       .collect().map(_.getDouble(0)).sorted
     Seq(0.1, 0.5, 0.9).foreach { p =>
-      val rank = math.floor(p * (lens.length - 1)).toInt
-      assert(got(p) == lens(rank), s"p=$p")
+      val rank = math.ceil(p * lens.length).toLong.max(1L).toInt
+      assert(got(p) == lens(rank - 1), s"p=$p")
     }
     // bloomPrune of documents against an id subset = the plain semi join
     val ids = docs.filter(col("doc_id") % 7 === 0).select(col("doc_id").as("key"))

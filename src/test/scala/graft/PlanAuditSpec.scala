@@ -572,6 +572,16 @@ class PlanAuditSpec extends SparkSuite {
       "row_number must run partitioned by bucket:\n" + p.take(1200))
   }
 
+  test("group quantiles: every window partitioned, no driver collect shape") {
+    val p = plan(Sketches.groupQuantiles2pass(spark, sfDir))
+    assert(!p.contains("Exchange SinglePartition"),
+      "per-group selection must stay distributed:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(p.contains("hashpartitioning(g#"),
+      "group-keyed exchanges expected:\n" + p.take(1200))
+  }
+
   test("bloom semi join: probe filtered by the bitset BEFORE the exact semi join") {
     val p = plan(Sketches.bloomSemiJoin(spark, sfDir))
     assert(p.contains("LeftSemi"), p.take(800))

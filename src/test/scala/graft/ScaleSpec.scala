@@ -160,7 +160,10 @@ class ScaleSpec extends SparkSuite {
       // order changes; rfm approx: GK cut summaries merge differently
       // (uncompressed at this n, so exact either way)
       "quantiles_2pass", "bloom_semi_join", "embedding_gram",
-      "rfm_segments_approx")
+      "rfm_segments_approx",
+      // group_quantiles: per-(group,bucket) histogram cells, the grouped
+      // cumulative window, and bucket-local ranks all re-split
+      "group_quantiles")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = names.map { n =>
