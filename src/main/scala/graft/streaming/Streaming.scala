@@ -25,6 +25,10 @@ case class FunnelUpdate(user_id: Long, t_view: Option[Long],
 /** Near-dup verdict for one streamed document. */
 case class NearDupFlag(doc_id: Long, simhash: Long, is_near_dup: Boolean)
 
+case class BloomSeenFlag(event_id: Long, probably_seen: Boolean)
+
+case class ShardBloom(words: Array[Long])
+
 /** Signatures already admitted to one simhash bucket. */
 case class BucketSigs(sigs: Array[Long])
 
@@ -304,6 +308,72 @@ object Streaming {
       }
       .start()
   }
+
+  /** Streaming ID dedupe with BOUNDED state — the in-stream counterpart of
+    * [[graft.operators.Sketches.bloomPrune]], and the 100 TB answer to the
+    * state-growth problem [[dedupedValid]]'s `dropDuplicates` has: the
+    * exact seen-uuid set grows with the stream and must be bounded by a
+    * watermark (ids older than the horizon CAN re-admit); a per-shard
+    * Bloom filter is a FIXED `nShards × m/8` bytes forever, over the whole
+    * stream's history. The trade is explicit and one-sided: a re-sent id
+    * is ALWAYS flagged (bits never clear — no false negatives, stronger
+    * than the watermarked exact set), while a fresh id is spuriously
+    * flagged with probability ≈ (1−e^(−k·n/m))^k — so this is the shape
+    * for "never train on the same record twice" pipelines, where a
+    * dropped fresh record costs a row and an admitted duplicate costs
+    * model quality. State partitions by id-hash shard across executors,
+    * checkpoint-durable (asserted in spec: the seen set survives a query
+    * restart). In-batch rows process in event_id order so admit-then-test
+    * is deterministic under micro-batch replay. */
+  def bloomDedupStream(events: DataFrame, mBits: Int = 1 << 16, k: Int = 4,
+      nShards: Int = 64): Dataset[BloomSeenFlag] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // splitmix64: the streaming side never needs cross-engine hash parity,
+    // only self-consistency, so a Scala mixer beats hauling xxhash64 here
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    events
+      .filter(col("event_id").isNotNull) // dead-letter guard, like nearDupStream
+      .select(col("event_id").cast("long").as("event_id"))
+      .as[Long]
+      .groupByKey(id => math.floorMod(mix(id), nShards))
+      .flatMapGroupsWithState[ShardBloom, BloomSeenFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val words = state.getOption.map(_.words)
+            .getOrElse(new Array[Long](mBits / 64))
+          val out = rows.toSeq.sorted.map { id =>
+            val (h1, h2) = (mix(id), mix(id ^ 0x5851f42d4c957f2dL))
+            val idxs = (0 until k).map { i =>
+              (((h1 + i.toLong * h2) % mBits) + mBits) % mBits
+            }
+            val seen = idxs.forall(x => (words((x >> 6).toInt) >>> (x & 63) & 1L) == 1L)
+            if (!seen) idxs.foreach(x => words((x >> 6).toInt) |= 1L << (x & 63))
+            BloomSeenFlag(id, seen)
+          }
+          state.update(ShardBloom(words))
+          out.iterator
+      }
+  }
+
+  /** Runs [[bloomDedupStream]] to a parquet sink; batch-keyed overwrite
+    * dirs make re-executed micro-batches idempotent, like the other sinks. */
+  def bloomDedupQuery(events: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    bloomDedupStream(events).toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        ()
+      }
+      .start()
 
   /** Streaming NEAR-dup detection — the in-stream counterpart of the batch
     * dedup family (`operators.Dedup`): every arriving document is checked

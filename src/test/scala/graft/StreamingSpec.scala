@@ -235,6 +235,39 @@ class StreamingSpec extends SparkSuite {
     assert(flags.size == 4)
   }
 
+  test("streaming bloom dedupe: re-sent ids always flagged across restart, fresh ids mostly admitted") {
+    val work = Files.createTempDirectory("bloomdedupe").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType)))
+    def src() = spark.readStream.schema(schema).json(s"$work/drop")
+    def js(ids: Seq[Long]) = ids.map(i => s"""{"event_id":$i}""")
+    // batch 1: 300 fresh ids, two of them sent twice IN the same batch
+    val fresh = (1L to 300L) ++ Seq(7L, 13L)
+    js(fresh).toDF("value").coalesce(1).write.mode("append").text(s"$work/drop")
+    Streaming.bloomDedupQuery(src(), s"$work/out", s"$work/ck").awaitTermination()
+    // batch 2, SAME checkpoint after the query object died: 50 re-sent ids
+    // (must ALL hit the recovered filter — no false negatives, ever) and
+    // 200 never-seen ids (false positives only by bloom collision)
+    js((251L to 300L) ++ (10001L to 10200L)).toDF("value").coalesce(1)
+      .write.mode("append").text(s"$work/drop")
+    Streaming.bloomDedupQuery(src(), s"$work/out", s"$work/ck").awaitTermination()
+    val rows = spark.read.parquet(s"$work/out").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("probably_seen"))
+    // in-batch duplicates: the SECOND occurrence flags (order pinned by sort)
+    val byId = rows.groupBy(_._1)
+    assert(byId(7L).map(_._2).sorted.toSeq == Seq(false, true))
+    assert(byId(13L).map(_._2).sorted.toSeq == Seq(false, true))
+    // re-sent after restart: all flagged — the filter state is durable
+    (251L to 300L).foreach(id =>
+      assert(byId(id).exists(_._2), s"re-sent $id not flagged"))
+    // fresh after restart: collisions only; with n=302, m=65536, k=4 the
+    // FP rate is ~1e-7 — even 1 spurious flag in 200 would be suspicious
+    val fp = (10001L to 10200L).count(id => byId(id).head._2)
+    assert(fp <= 2, s"$fp of 200 fresh ids spuriously flagged")
+    assert(rows.length == 302 + 250)
+  }
+
   test("streaming sessions: windows merge across restarts, emit once, match batch") {
     val work = Files.createTempDirectory("sessions").toString
     val schema = org.apache.spark.sql.types.StructType(Seq(
