@@ -144,6 +144,8 @@ object SparkEntry {
     "zone_scan" -> ((s, dir) => Ingest.zoneScan(tune(s), dir)),
     // A4/E1/D6: paginated CSV export read with explicit schema + provenance
     "csv_zone_scan" -> ((s, dir) => Ingest.csvZoneScan(tune(s), dir)),
+    // Schema evolution: two-generation parquet zone through mergeSchema
+    "schema_drift_scan" -> ((s, dir) => Ingest.schemaDriftScan(tune(s), dir)),
     // Scale pattern: salted two-stage aggregation for hot keys
     "events_salted_agg" -> ((s, dir) => Skew.eventsSaltedAgg(tune(s), dir)),
     // Temporal joins/state: as-of, bounded range join, SCD2 history
@@ -288,6 +290,7 @@ object SparkEntry {
     "message_roundtrip" -> Messages.messageRoundtripSql,
     "zone_scan" -> Ingest.zoneScanSql,
     "csv_zone_scan" -> Ingest.csvZoneScanSql,
+    "schema_drift_scan" -> Ingest.schemaDriftScanSql,
     "events_salted_agg" -> Skew.eventsSaltedAggSql,
     "events_asof" -> Temporal.eventsAsofSql,
     "events_range_join" -> Temporal.eventsRangeJoinSql,

@@ -186,4 +186,64 @@ object Ingest {
       |  columns={'id': 'BIGINT', 'nome': 'VARCHAR', 'cidade': 'VARCHAR',
       |    'data_nascimento': 'VARCHAR', 'valor': 'DOUBLE'})
       |ORDER BY id""".stripMargin
+
+  /** Fixed staging path shared with [[schemaDriftScanSql]]. */
+  val evoZoneDir = "/tmp/graft_evozone"
+  private val EvoZoneManifest = "graft-evozone-v1:2"
+
+  /** A long-lived raw zone accumulates files written under DIFFERENT
+    * schema versions (the reference's zone spans config generations; this
+    * round's own `events.ts` physical-type drift is the same failure
+    * class). Stage a v1 parquet (id, day, amount_grid) and a v2 parquet
+    * that added a `channel` column, then read BOTH through parquet
+    * `mergeSchema` — the engine-level reconciliation that nulls the
+    * missing column for old files — and aggregate per (day, channel) with
+    * legacy rows bucketed under 'legacy'. The oracle reads the SAME two
+    * staged files with `union_by_name=true`, so both engines exercise
+    * their native schema-evolution path over identical bytes.
+    *
+    * Scale note: `mergeSchema` reads EVERY footer at plan time —
+    * acceptable for a bounded fixture zone, wrong for 10⁶ files; a
+    * production 100 TB zone pins the superset schema explicitly
+    * (`spark.read.schema(superset)`) and gets the same null-filling
+    * semantics this query demonstrates, without the footer sweep. */
+  def schemaDriftScan(spark: SparkSession, sfDir: String): DataFrame = {
+    stageEvoZone(spark)
+    spark.read.option("mergeSchema", "true").parquet(evoZoneDir)
+      .withColumn("channel", coalesce(col("channel"), lit("legacy")))
+      .groupBy("day", "channel")
+      .agg(count(lit(1)).as("n"), sum("amount_grid").as("amt_grid"))
+      .orderBy("day", "channel")
+  }
+
+  private def stageEvoZone(spark: SparkSession): Unit =
+    stageFixtureZone(evoZoneDir, EvoZoneManifest, ".parquet", 2) { root =>
+      import java.nio.file.{Files, Paths}
+      import spark.implicits._
+      def writeOne(df: DataFrame, name: String): Unit = {
+        val tmp = root.resolve(s"_tmp_$name").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val stream = Files.list(Paths.get(tmp))
+        val part = try stream.filter(_.toString.endsWith(".parquet"))
+          .findFirst().get() finally stream.close()
+        Files.move(part, root.resolve(name))
+        val walk = Files.walk(Paths.get(tmp))
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+        finally walk.close()
+      }
+      // content is a pure function of the row index — sf-independent
+      writeOne((0L until 300L).map(i => (i, (i % 7).toInt, i * 137 + 11))
+        .toDF("id", "day", "amount_grid"), "v1.parquet")
+      writeOne((300L until 600L).map(i =>
+          (i, (i % 7).toInt, i * 137 + 11, if (i % 2 == 0) "web" else "app"))
+        .toDF("id", "day", "amount_grid", "channel"), "v2.parquet")
+    }
+
+  val schemaDriftScanSql: String =
+    s"""SELECT day, coalesce(channel, 'legacy') AS channel, count(*) AS n,
+      |  CAST(SUM(amount_grid) AS BIGINT) AS amt_grid
+      |FROM read_parquet(['$evoZoneDir/v1.parquet', '$evoZoneDir/v2.parquet'],
+      |  union_by_name=true)
+      |GROUP BY 1, 2 ORDER BY day, channel""".stripMargin
 }

@@ -163,7 +163,10 @@ class ScaleSpec extends SparkSuite {
       "rfm_segments_approx",
       // group_quantiles: per-(group,bucket) histogram cells, the grouped
       // cumulative window, and bucket-local ranks all re-split
-      "group_quantiles")
+      "group_quantiles",
+      // schema_drift_scan: the merged-footer schema and null-filled
+      // aggregate must not depend on read parallelism
+      "schema_drift_scan")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = names.map { n =>
