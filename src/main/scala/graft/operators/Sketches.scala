@@ -310,8 +310,12 @@ object Sketches {
       when(col("w") === 0d, lit(0)).otherwise(
         least(lit(bins - 1),
           floor((value.cast("double") - col("lo")) / col("w")).cast("int")))
+    // join strategies deliberately UNhinted: per-group stats and the
+    // hit-bucket list are G-sized and G·P-sized — statistics/AQE broadcast
+    // them when they fit (the common case, leaving the data unshuffled)
+    // and fall back to shuffle joins at genuinely unbounded G
     val rows = df.select(g.as("g"), v.as("v"))
-      .join(stats.hint("shuffle_hash"), "g")
+      .join(stats, "g")
       .withColumn("b", bucketOf(col("v")))
     // default running frame; b is unique per (g, b) row so RANGE == ROWS
     val hist = rows.groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
@@ -332,9 +336,9 @@ object Sketches {
     val hit2 = hit.select(col("g").as("hg"), col("q"),
       col("b").as("hb"), col("wrank"))
     rows.select(col("g"), col("v"), col("b"))
-      .join(hit.select("g", "b").distinct().hint("shuffle_hash"), Seq("g", "b"))
+      .join(hit.select("g", "b").distinct(), Seq("g", "b"))
       .withColumn("rn", row_number().over(w).cast("long"))
-      .join(hit2.hint("shuffle_hash"),
+      .join(hit2,
         col("g") === col("hg") && col("b") === col("hb")
           && col("rn") === col("wrank"))
       .select(col("g").as(groupCol), col("q"), col("v").as("value"))
