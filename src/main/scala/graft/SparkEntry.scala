@@ -163,6 +163,8 @@ object SparkEntry {
     "bloom_semi_join" -> ((s, dir) => Sketches.bloomSemiJoin(tune(s), dir)),
     // Per-group exact quantiles, zero driver involvement (unbounded G)
     "group_quantiles" -> ((s, dir) => Sketches.groupQuantiles2pass(tune(s), dir)),
+    // Tukey-fence outliers composed on the relational group quantiles
+    "iqr_outliers" -> ((s, dir) => Sketches.iqrOutliers(tune(s), dir)),
     // Corpus preparation: quality rules, PII redaction, sequence packing
     "quality_filter" -> ((s, dir) => CorpusOps.qualityFilter(tune(s), dir)),
     "pii_scrub" -> ((s, dir) => CorpusOps.piiScrub(tune(s), dir)),
@@ -302,6 +304,7 @@ object SparkEntry {
     "quantiles_2pass" -> Sketches.quantiles2passSql(),
     "bloom_semi_join" -> Sketches.bloomSemiJoinSql,
     "group_quantiles" -> Sketches.groupQuantiles2passSql(),
+    "iqr_outliers" -> Sketches.iqrOutliersSql,
     "quality_filter" -> CorpusOps.qualityFilterSql,
     "pii_scrub" -> CorpusOps.piiScrubSql,
     "seq_pack" -> CorpusOps.seqPackSql(),

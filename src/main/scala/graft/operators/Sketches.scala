@@ -352,6 +352,47 @@ object Sketches {
          |FROM documents GROUP BY lang""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY lang, q")
 
+  /** Per-group IQR (Tukey-fence) outlier detection — a COMPOSITION of
+    * [[groupQuantilesOf]]: the per-language q1/q3 come from the relational
+    * two-pass selection (exact at any group count, no percentile
+    * counts-map), pivot to one row per group, broadcast back, and the
+    * fence test `v < q1 − 1.5·IQR ∨ v > q3 + 1.5·IQR` is a per-row
+    * comparison. Doubles appear only in the fence arithmetic — one fixed
+    * expression on exact integer quantiles, evaluated identically in the
+    * oracle. */
+  def iqrOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val qs = groupQuantilesOf(docs.select(col("lang"), col("n_chars")),
+        "lang", "n_chars", Seq(0.25, 0.75))
+      .groupBy("lang").pivot("q", Seq(0.25, 0.75)).agg(first("value"))
+      .select(col("lang"), col("`0.25`").as("q1"), col("`0.75`").as("q3"))
+      .withColumn("lo", col("q1").cast("double")
+        - lit(1.5d) * (col("q3") - col("q1")).cast("double"))
+      .withColumn("hi", col("q3").cast("double")
+        + lit(1.5d) * (col("q3") - col("q1")).cast("double"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(qs.select("lang", "lo", "hi")), "lang")
+      .filter(col("n_chars").cast("double") < col("lo")
+        || col("n_chars").cast("double") > col("hi"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("lo").as("lo_fence"), col("hi").as("hi_fence"))
+      .orderBy("doc_id")
+  }
+
+  val iqrOutliersSql: String =
+    """WITH q AS (
+      |  SELECT lang, quantile_disc(n_chars, 0.25) AS q1,
+      |    quantile_disc(n_chars, 0.75) AS q3
+      |  FROM documents GROUP BY lang),
+      |f AS (
+      |  SELECT lang, CAST(q1 AS DOUBLE) - 1.5 * CAST(q3 - q1 AS DOUBLE) AS lo,
+      |    CAST(q3 AS DOUBLE) + 1.5 * CAST(q3 - q1 AS DOUBLE) AS hi
+      |  FROM q)
+      |SELECT d.doc_id, d.lang, d.n_chars, f.lo AS lo_fence, f.hi AS hi_fence
+      |FROM documents d JOIN f ON d.lang = f.lang
+      |WHERE CAST(d.n_chars AS DOUBLE) < f.lo OR CAST(d.n_chars AS DOUBLE) > f.hi
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Bloom-pruned semi-join — the explicit form of runtime row-level
     * filtering, for the join shape where the build-side KEY SET is too big
     * to broadcast exactly but a bitset summary of it is not (at 10⁸ urgent

@@ -166,7 +166,9 @@ class ScaleSpec extends SparkSuite {
       "group_quantiles",
       // schema_drift_scan: the merged-footer schema and null-filled
       // aggregate must not depend on read parallelism
-      "schema_drift_scan")
+      "schema_drift_scan",
+      // iqr_outliers: the group-quantile composition end to end
+      "iqr_outliers")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = names.map { n =>
