@@ -298,8 +298,12 @@ object Clustering {
   def gramOf(df: DataFrame, embCol: String, d: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // null or ragged vectors would NPE/overrun the fixed-d buffer loop —
+    // exclude them, the same row-validity gate every embedding op applies
     val cells = df
-      .select(col(embCol)).as[Array[Float]]
+      .select(col(embCol))
+      .filter(col(embCol).isNotNull && size(col(embCol)) === d)
+      .as[Array[Float]]
       .select(new GramAgg(d).toColumn.name("cells"))
     cells.select(explode(col("cells")).as("c"))
       .select(col("c.i"), col("c.j"),

@@ -227,7 +227,10 @@ object Sketches {
   def quantilesOf(df: DataFrame, valueCol: String,
       ps: Seq[Double], bins: Int = 4096): DataFrame = {
     val spark = df.sparkSession
+    // NULL-excluding like quantile_disc: n must be the non-null count or
+    // every rank silently shifts
     val v = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
     val Array(lo, hi, n) = v.agg(min("v"), max("v"), count(lit(1)))
       .collect()(0).toSeq.map(_.toString).toArray
     val (dLo, dHi, cnt) = (lo.toDouble, hi.toDouble, n.toLong)
@@ -302,7 +305,9 @@ object Sketches {
       ps: Seq[Double], bins: Int = 1024): DataFrame = {
     val g = col(groupCol)
     val v = col(valueCol)
-    val stats = df.groupBy(g.as("g"))
+    // NULL-excluding like quantile_disc (see quantilesOf)
+    val df2 = df.filter(v.isNotNull)
+    val stats = df2.groupBy(g.as("g"))
       .agg(min(v.cast("double")).as("lo"), max(v.cast("double")).as("hi"),
         count(lit(1)).as("n"))
       .withColumn("w", (col("hi") - col("lo")) / lit(bins))
@@ -314,7 +319,7 @@ object Sketches {
     // hit-bucket list are G-sized and G·P-sized — statistics/AQE broadcast
     // them when they fit (the common case, leaving the data unshuffled)
     // and fall back to shuffle joins at genuinely unbounded G
-    val rows = df.select(g.as("g"), v.as("v"))
+    val rows = df2.select(g.as("g"), v.as("v"))
       .join(stats, "g")
       .withColumn("b", bucketOf(col("v")))
     // default running frame; b is unique per (g, b) row so RANGE == ROWS

@@ -1410,6 +1410,30 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("library forms: nulls and ragged vectors excluded like quantile_disc") {
+    import spark.implicits._
+    // 1..100 plus nulls: quantiles must rank over the 100 non-nulls only
+    val withNulls = ((1 to 100).map(i => Some(i.toDouble)) ++
+      Seq.fill(37)(Option.empty[Double])).toDF("x")
+    val got = Sketches.quantilesOf(withNulls, "x", Seq(0.5), bins = 16)
+      .collect().map(_.getDouble(1))
+    assert(got.toSeq == Seq(50.0), s"median over non-nulls: ${got.toSeq}")
+    val grouped = (((1 to 100).map(i => ("a", Some(i.toLong))) ++
+      Seq.fill(9)(("a", Option.empty[Long])) ++
+      (1 to 10).map(i => ("b", Some(i.toLong))))).toDF("grp", "x")
+    val gq = Sketches.groupQuantilesOf(grouped, "grp", "x", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(gq == Map("a" -> 50L, "b" -> 5L), gq.toString)
+    // gram: null and wrong-dimension vectors are excluded, not fatal
+    val vecs = Seq(Some(Array(1f, 0f)), Some(Array(0f, 1f)),
+      None, Some(Array(1f, 1f, 1f))).toDF("e")
+    val cells = Clustering.gramOf(vecs, "e", 2).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    // two valid unit vectors: diag = 2 * (1e5)^2... each contributes its own axis
+    assert(cells((1, 1)) == 100000L * 100000L && cells((2, 2)) == 100000L * 100000L
+      && cells((1, 2)) == 0L, cells.toString)
+  }
+
   test("library forms: quantilesOf and bloomPrune work on arbitrary frames") {
     // quantilesOf over the documents length column (a LONG — exercises the cast)
     val docs = Tables.documents(spark, sfDir)
