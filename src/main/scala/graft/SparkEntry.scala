@@ -179,6 +179,11 @@ object SparkEntry {
     "embedding_drift" -> ((s, dir) => Clustering.embeddingDrift(tune(s), dir)),
     // Single-pass mergeable outer-product accumulator (PCA building block)
     "embedding_gram" -> ((s, dir) => Clustering.embeddingGram(tune(s), dir)),
+    // PC1 projection via driver power iteration on the collected Gram —
+    // 50 unrolled iterations are not SQL-expressible, so no oracle entry:
+    // the driver records the weaker rows-only check; the Rayleigh-quotient
+    // dominance spec (OperatorsSpec) is the semantic gate
+    "pca_project" -> ((s, dir) => Clustering.pcaProject(tune(s), dir)),
     "embedding_outliers" -> ((s, dir) => Clustering.embeddingOutliers(tune(s), dir)),
     "stratified_split" -> ((s, dir) => Sampling.stratifiedSplit(tune(s), dir)),
     "split_decontaminate" -> ((s, dir) => Sampling.splitDecontaminate(tune(s), dir)),
