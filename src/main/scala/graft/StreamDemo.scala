@@ -191,6 +191,32 @@ object StreamDemo {
       streamPairs == batchPairs && batchPairs > 0,
       s"stream=$streamPairs batch=$batchPairs")
 
+    // --- streaming Bloom dedupe: first pass admits every distinct event
+    // id; a second run re-feeds 100 of them against the SAME checkpoint —
+    // all must flag against the recovered filter (no false negatives),
+    // and the first pass must have admitted the full distinct set.
+    ev.select("event_id").write.mode("overwrite").json(s"$work/bloom_drop")
+    val idSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType)))
+    def idStream() = spark.readStream.schema(idSchema).json(s"$work/bloom_drop")
+    Streaming.bloomDedupQuery(idStream(), s"$work/bloom_out", s"$work/bloom_ck")
+      .awaitTermination()
+    val admitted = spark.read.parquet(s"$work/bloom_out")
+      .filter(!col("probably_seen")).count()
+    val nIds = ev.select("event_id").distinct().count()
+    ev.select("event_id").orderBy("event_id").limit(100)
+      .write.mode("append").json(s"$work/bloom_drop")
+    Streaming.bloomDedupQuery(idStream(), s"$work/bloom_out", s"$work/bloom_ck")
+      .awaitTermination()
+    val resentFlagged = spark.read.parquet(s"$work/bloom_out")
+      .filter(col("probably_seen")).count()
+    // admitted tolerates ≤2 Bloom false positives; re-sent ids can NEVER
+    // be missed (bits don't clear), so that bound is exact
+    check("bloom dedupe admits distinct ids, flags all re-sent across restart",
+      admitted >= nIds - 2 && resentFlagged == 100 + (nIds - admitted),
+      s"admitted=$admitted/$nIds resent_flagged=$resentFlagged")
+
     spark.stop()
     if (failed) sys.exit(1)
   }
