@@ -348,9 +348,13 @@ object Quality {
     val parts = Tables.part(spark, sfDir)
       .select(col("p_partkey"), col("p_brand"), col("p_name"),
         split(col("p_name"), " ").getItem(0).as("blk"))
+    // |len(a) − len(b)| ≤ maxDist is NECESSARY for edit distance ≤ maxDist:
+    // as a join residual it skips the O(len²) levenshtein DP for the bulk
+    // of each block's pairs without changing the result
     parts.as("a").join(parts.as("b"),
       col("a.p_brand") === col("b.p_brand") && col("a.blk") === col("b.blk")
-        && col("a.p_partkey") < col("b.p_partkey"))
+        && col("a.p_partkey") < col("b.p_partkey")
+        && abs(length(col("a.p_name")) - length(col("b.p_name"))) <= maxDist)
       .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
       .filter(col("dist") <= maxDist)
       .select(col("a.p_partkey").as("part_a"), col("b.p_partkey").as("part_b"),
