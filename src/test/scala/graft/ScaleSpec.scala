@@ -168,7 +168,10 @@ class ScaleSpec extends SparkSuite {
       // aggregate must not depend on read parallelism
       "schema_drift_scan",
       // iqr_outliers: the group-quantile composition end to end
-      "iqr_outliers")
+      "iqr_outliers",
+      // pca_project: the power-iterated direction is a pure function of
+      // the (invariant) integer Gram, so projections must not move either
+      "pca_project")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = names.map { n =>
