@@ -231,9 +231,15 @@ object Sketches {
     // every rank silently shifts
     val v = df.select(col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
-    val Array(lo, hi, n) = v.agg(min("v"), max("v"), count(lit(1)))
-      .collect()(0).toSeq.map(_.toString).toArray
-    val (dLo, dHi, cnt) = (lo.toDouble, hi.toDouble, n.toLong)
+    val statsRow = v.agg(min("v"), max("v"), count(lit(1))).collect()(0)
+    if (statsRow.isNullAt(0)) {
+      // empty (or all-null) input: no ranks exist — empty result, same
+      // shape as quantile_disc over zero rows
+      import spark.implicits._
+      return Seq.empty[(Double, Double)].toDF("q", "value")
+    }
+    val (dLo, dHi, cnt) =
+      (statsRow.getDouble(0), statsRow.getDouble(1), statsRow.getLong(2))
     val width = (dHi - dLo) / bins
     def bucketOf(c: org.apache.spark.sql.Column) =
       if (width == 0d) lit(0) else

@@ -1424,6 +1424,15 @@ class OperatorsSpec extends SparkSuite {
     val gq = Sketches.groupQuantilesOf(grouped, "grp", "x", Seq(0.5))
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(gq == Map("a" -> 50L, "b" -> 5L), gq.toString)
+    // empty / all-null inputs: empty result, not a crash
+    assert(Sketches.quantilesOf(
+      Seq.empty[Option[Double]].toDF("x"), "x", Seq(0.5)).count() == 0)
+    assert(Sketches.quantilesOf(
+      Seq.fill(5)(Option.empty[Double]).toDF("x"), "x", Seq(0.5)).count() == 0)
+    // empty build side: bloomPrune rejects every probe row
+    val probe = (1 to 20).map(_.toLong).toDF("doc_id")
+    assert(Sketches.bloomPrune(probe, "doc_id",
+      probe.filter(lit(false)).select(col("doc_id").as("key")), "key").count() == 0)
     // gram: null and wrong-dimension vectors are excluded, not fatal
     val vecs = Seq(Some(Array(1f, 0f)), Some(Array(0f, 1f)),
       None, Some(Array(1f, 1f, 1f))).toDF("e")
