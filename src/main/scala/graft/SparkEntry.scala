@@ -117,6 +117,8 @@ object SparkEntry {
     "tfidf_topk" -> ((s, dir) => TextOps.tfidfTopk(tune(s), dir)),
     "inverted_index" -> ((s, dir) => TextOps.invertedIndex(tune(s), dir)),
     "bigram_lm" -> ((s, dir) => TextOps.bigramLm(tune(s), dir)),
+    // interpolated Kneser–Ney smoothing over the same bigram table
+    "bigram_kn" -> ((s, dir) => TextOps.bigramKn(tune(s), dir)),
     "doc_lm_score" -> ((s, dir) => TextOps.docLmScore(tune(s), dir)),
     "bm25_topk" -> ((s, dir) => TextOps.bm25Topk(tune(s), dir)),
     "bpe_pairs" -> ((s, dir) => TextOps.bpePairs(tune(s), dir)),
@@ -277,6 +279,7 @@ object SparkEntry {
     "tfidf_topk" -> TextOps.tfidfTopkSql,
     "inverted_index" -> TextOps.invertedIndexSql(),
     "bigram_lm" -> TextOps.bigramLmSql(),
+    "bigram_kn" -> TextOps.bigramKnSql(),
     "doc_lm_score" -> TextOps.docLmScoreSql,
     "bm25_topk" -> TextOps.bm25TopkSql(),
     "bpe_pairs" -> TextOps.bpePairsSql(),

@@ -256,14 +256,7 @@ object TextOps {
     * a second aggregate of the (much smaller) bigram table. P is one
     * LONG/LONG division on the 1e-4 grid. */
   def bigramLm(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame = {
-    val w = words(col("text"))
-    val bigrams = Tables.documents(spark, sfDir)
-      .filter(size(w) >= 2)
-      .select(explode(transform(sequence(lit(1), size(w) - 1),
-        i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
-        .as("bg"))
-    val c = bigrams.groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .agg(count(lit(1)).as("n12"))
+    val c = bigramCounts(spark, sfDir)
     val prefix = c.groupBy("w1").agg(sum("n12").as("n1"))
     c.join(prefix, "w1")
       .select(col("w1"), col("w2"), col("n12"), col("n1"),
@@ -271,6 +264,72 @@ object TextOps {
       .orderBy(col("n12").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Distinct-bigram counts (w1, w2, n12) — the corpus LM's base table,
+    * shared by [[bigramLm]] and [[bigramKn]]. Per-row adjacent-pair
+    * assembly (no positional self-join), one map-side-combined count. */
+  private def bigramCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = words(col("text"))
+    Tables.documents(spark, sfDir)
+      .filter(size(w) >= 2)
+      .select(explode(transform(sequence(lit(1), size(w) - 1),
+        i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+        .as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("n12"))
+  }
+
+  /** Interpolated Kneser–Ney smoothed bigram probabilities (Kneser & Ney
+    * 1995; Chen & Goodman 1999's interpolated form, fixed discount
+    * d = 0.75) — the LM the raw conditional [[bigramLm]] graduates to for
+    * perplexity-grade scoring:
+    *
+    *   P_KN(w2|w1) = (c(w1,w2) − d)/c(w1·)
+    *               + d · N₁₊(w1·)/c(w1·) · N₁₊(·w2)/N
+    *
+    * where N₁₊(w1·) counts distinct successors, N₁₊(·w2) distinct
+    * predecessors (the "novel-continuation" mass that makes KN beat
+    * add-k), and N is the distinct-bigram-type count. Every ingredient is
+    * an exact LONG aggregate of the SAME bigram table — three grouped
+    * counts plus one 1-row total, all map-side combined; bigram counts
+    * are ≥ 1 so the discount never needs the max(·,0) clamp. The doubles
+    * appear once, in a single left-associated expression evaluated in the
+    * identical operation order by the oracle (its 0.75 literals are cast
+    * to DOUBLE so DuckDB cannot route the chain through DECIMAL), and the
+    * result lands on a 1e-6 grid. */
+  def bigramKn(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame = {
+    val c = bigramCounts(spark, sfDir)
+    val n1 = c.groupBy("w1").agg(sum("n12").as("n1"))
+    val nsucc = c.groupBy("w1").agg(count(lit(1)).as("nsucc"))
+    val npred = c.groupBy(col("w2")).agg(count(lit(1)).as("npred"))
+    val total = c.agg(count(lit(1)).as("nn"))
+    val pkn = (col("n12").cast("double") - lit(0.75d)) / col("n1") +
+      lit(0.75d) * col("nsucc") / col("n1") * col("npred") / col("nn")
+    c.join(n1, "w1").join(nsucc, "w1").join(npred, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n12"), col("n1"),
+        (floor(pkn * lit(1e6) + lit(0.5d)) / lit(1e6)).as("p_kn"))
+      .orderBy(col("n12").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  def bigramKnSql(k: Int = 100): String =
+    s"""WITH w AS (
+      |  SELECT string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |b AS (SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS bg FROM w),
+      |c AS (SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS n12 FROM b GROUP BY 1, 2),
+      |pr AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c GROUP BY 1),
+      |ns AS (SELECT w1, count(*) AS nsucc FROM c GROUP BY 1),
+      |np AS (SELECT w2, count(*) AS npred FROM c GROUP BY 1),
+      |t AS (SELECT count(*) AS nn FROM c)
+      |SELECT c.w1, c.w2, c.n12, pr.n1,
+      |  floor(((CAST(c.n12 AS DOUBLE) - CAST(0.75 AS DOUBLE)) / pr.n1
+      |    + CAST(0.75 AS DOUBLE) * ns.nsucc / pr.n1 * np.npred / t.nn)
+      |    * 1000000 + 0.5) / 1000000 AS p_kn
+      |FROM c JOIN pr ON c.w1 = pr.w1 JOIN ns ON c.w1 = ns.w1
+      |  JOIN np ON c.w2 = np.w2, t
+      |ORDER BY c.n12 DESC, c.w1, c.w2 LIMIT $k""".stripMargin
 
   def bigramLmSql(k: Int = 100): String =
     s"""WITH w AS (

@@ -1394,6 +1394,27 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("bigram KN: replays driver-side; discounted mass stays a probability") {
+    val rows = TextOps.bigramKn(spark, sfDir).collect()
+    val toks = Tables.documents(spark, sfDir).select("text").collect()
+      .map(_.getString(0).split(" ")).filter(_.length >= 2)
+    val pairs = toks.flatMap(ws => ws.sliding(2).map(a => (a(0), a(1))))
+    val c12 = pairs.groupBy(identity).map { case (p, a) => p -> a.length.toLong }
+    val n1 = c12.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val nsucc = c12.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+    val npred = c12.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val nn = c12.size.toLong
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w1, w2) = (r.getString(0), r.getString(1))
+      val want = (c12((w1, w2)).toDouble - 0.75) / n1(w1) +
+        0.75 * nsucc(w1) / n1(w1) * npred(w2) / nn
+      val wantGrid = math.floor(want * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(4) == wantGrid, s"($w1,$w2): ${r.getDouble(4)} vs $wantGrid")
+      assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("group quantiles: every (lang, p) equals its sorted per-group selection") {
     val got = Sketches.groupQuantiles2pass(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap

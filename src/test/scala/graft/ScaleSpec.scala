@@ -171,7 +171,10 @@ class ScaleSpec extends SparkSuite {
       "iqr_outliers",
       // pca_project: the power-iterated direction is a pure function of
       // the (invariant) integer Gram, so projections must not move either
-      "pca_project")
+      "pca_project",
+      // bigram_kn: four aggregates of one bigram table merge through
+      // different partial trees; the single double expression must not care
+      "bigram_kn")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = names.map { n =>
