@@ -298,7 +298,10 @@ object TextOps {
     * to DOUBLE so DuckDB cannot route the chain through DECIMAL), and the
     * result lands on a 1e-6 grid. */
   def bigramKn(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame = {
-    val c = bigramCounts(spark, sfDir)
+    // five consumers (marginals ×3, total, the final join) would each
+    // replay the corpus pair-explode — materialize the type table once,
+    // the same output-sized trade the graph queries make
+    val c = bigramCounts(spark, sfDir).localCheckpoint()
     val n1 = c.groupBy("w1").agg(sum("n12").as("n1"))
     val nsucc = c.groupBy("w1").agg(count(lit(1)).as("nsucc"))
     val npred = c.groupBy(col("w2")).agg(count(lit(1)).as("npred"))
