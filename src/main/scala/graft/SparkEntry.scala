@@ -64,6 +64,9 @@ object SparkEntry {
     "anti_join_dedupe" -> ((s, dir) => Quality.antiJoinDedupe(tune(s), dir)),
     "file_groups" -> ((s, dir) => Quality.fileGroups(tune(s), dir)),
     "count_verify" -> ((s, dir) => Quality.countVerify(tune(s), dir)),
+    // Declarative multi-rule DQ report: one conditional aggregate + one
+    // referential anti-join for any number of column rules
+    "dq_expectations" -> ((s, dir) => Quality.dqExpectations(tune(s), dir)),
     "folder_completeness" -> ((s, dir) => Quality.folderCompleteness(tune(s), dir)),
     "table_profile" -> ((s, dir) => Quality.tableProfile(tune(s), dir)),
     // B/D. raw-zone load transforms (gcs_to_bq, webhook_handler)
@@ -231,6 +234,7 @@ object SparkEntry {
     "anti_join_dedupe" -> Quality.antiJoinDedupeSql,
     "file_groups" -> Quality.fileGroupsSql,
     "count_verify" -> Quality.countVerifySql,
+    "dq_expectations" -> Quality.dqExpectationsSql,
     "folder_completeness" -> Quality.folderCompletenessSql,
     "table_profile" -> Quality.tableProfileSql,
     "raw_unwrap" -> RawLoad.rawUnwrapSql,

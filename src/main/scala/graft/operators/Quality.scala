@@ -375,4 +375,90 @@ object Quality {
       |  AND a.p_partkey < b.p_partkey
       |WHERE levenshtein(a.p_name, b.p_name) <= $maxDist
       |ORDER BY part_a, part_b""".stripMargin
+
+  /** Declarative data-quality expectations — the Great-Expectations-style
+    * audit the reference's checkers run imperatively
+    * (`data_validation/api_to_gcs-checker.py`,
+    * `data_validation/gcs_to_bq-checker.py`): a fixed rule table (null
+    * rate, value range, date range, key uniqueness, referential coverage)
+    * evaluated as ONE conditional aggregate over the fact plus one
+    * anti-join probe of the dimension — two scans for any number of
+    * column rules, emitted as a (rule, observed, threshold, pass) report.
+    *
+    * Scale: every column rule folds into the same map-side-combined
+    * aggregate row (adding a rule adds a column, not a pass); the
+    * referential rule is a broadcast-able anti-join. Ratios divide exact
+    * LONG counts in a pinned order onto a 1e-6 grid, so the report is
+    * bit-deterministic cross-engine. */
+  def dqExpectations(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val m = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("null_price"),
+      sum(when(col("o_totalprice") < 0d || col("o_totalprice") > 1e6, 1L)
+        .otherwise(0L)).as("range_price"),
+      sum(when(col("o_orderdate") < "1995-01-01"
+        || col("o_orderdate") > "2001-12-31", 1L).otherwise(0L)).as("range_date"),
+      (count(lit(1)) - count_distinct(col("o_orderkey"))).as("dup_keys"))
+    val orphans = o.join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    def g6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5d)) / lit(1e6)
+    m.crossJoin(orphans)
+      .select(explode(array(
+        struct(lit("null_rate_totalprice").as("rule"),
+          g6(col("null_price").cast("double") / col("n")).as("observed"),
+          lit(0.001d).as("threshold")),
+        struct(lit("out_of_range_totalprice").as("rule"),
+          g6(col("range_price").cast("double") / col("n")).as("observed"),
+          lit(0.0d).as("threshold")),
+        struct(lit("out_of_range_orderdate").as("rule"),
+          g6(col("range_date").cast("double") / col("n")).as("observed"),
+          lit(0.0d).as("threshold")),
+        struct(lit("duplicate_orderkeys").as("rule"),
+          col("dup_keys").cast("double").as("observed"),
+          lit(0.0d).as("threshold")),
+        struct(lit("orphan_custkeys").as("rule"),
+          g6(col("orphans").cast("double") / col("n")).as("observed"),
+          lit(0.01d).as("threshold")))).as("r"))
+      .select(col("r.rule"), col("r.observed"), col("r.threshold"),
+        (col("r.observed") <= col("r.threshold")).as("pass"))
+      .orderBy("rule")
+  }
+
+  val dqExpectationsSql: String =
+    """WITH m AS (
+      |  SELECT count(*) AS n,
+      |    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_price,
+      |    SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000 THEN 1
+      |        ELSE 0 END) AS range_price,
+      |    SUM(CASE WHEN o_orderdate < DATE '1995-01-01'
+      |        OR o_orderdate > DATE '2001-12-31' THEN 1 ELSE 0 END) AS range_date,
+      |    count(*) - count(DISTINCT o_orderkey) AS dup_keys
+      |  FROM orders),
+      |r AS (SELECT count(*) AS orphans FROM orders o
+      |      WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                        WHERE c.c_custkey = o.o_custkey)),
+      |rules AS (
+      |  SELECT 'null_rate_totalprice' AS rule,
+      |    floor(CAST(null_price AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+      |      AS observed, CAST(0.001 AS DOUBLE) AS threshold FROM m
+      |  UNION ALL
+      |  SELECT 'out_of_range_totalprice',
+      |    floor(CAST(range_price AS DOUBLE) / n * 1000000 + 0.5) / 1000000,
+      |    CAST(0.0 AS DOUBLE) FROM m
+      |  UNION ALL
+      |  SELECT 'out_of_range_orderdate',
+      |    floor(CAST(range_date AS DOUBLE) / n * 1000000 + 0.5) / 1000000,
+      |    CAST(0.0 AS DOUBLE) FROM m
+      |  UNION ALL
+      |  SELECT 'duplicate_orderkeys', CAST(dup_keys AS DOUBLE),
+      |    CAST(0.0 AS DOUBLE) FROM m
+      |  UNION ALL
+      |  SELECT 'orphan_custkeys',
+      |    floor(CAST(r.orphans AS DOUBLE) / m.n * 1000000 + 0.5) / 1000000,
+      |    CAST(0.01 AS DOUBLE) FROM m, r)
+      |SELECT rule, observed, threshold, observed <= threshold AS pass
+      |FROM rules ORDER BY rule""".stripMargin
 }

@@ -174,7 +174,9 @@ class ScaleSpec extends SparkSuite {
       "pca_project",
       // bigram_kn: four aggregates of one bigram table merge through
       // different partial trees; the single double expression must not care
-      "bigram_kn")
+      "bigram_kn",
+      // dq_expectations: the conditional-agg row + anti-join count re-split
+      "dq_expectations")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = names.map { n =>
