@@ -382,8 +382,9 @@ object Quality {
     * `data_validation/gcs_to_bq-checker.py`): a fixed rule table (null
     * rate, value range, date range, key uniqueness, referential coverage)
     * evaluated as ONE conditional aggregate over the fact plus one
-    * anti-join probe of the dimension — two scans for any number of
-    * column rules, emitted as a (rule, observed, threshold, pass) report.
+    * anti-join probe of the dimension — two passes over the fact and one
+    * dimension scan for ANY number of column rules (asserted), emitted as
+    * a (rule, observed, threshold, pass) report.
     *
     * Scale: every column rule folds into the same map-side-combined
     * aggregate row (adding a rule adds a column, not a pass); the

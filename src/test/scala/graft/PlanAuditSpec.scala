@@ -582,6 +582,14 @@ class PlanAuditSpec extends SparkSuite {
       "group-keyed exchanges expected:\n" + p.take(1200))
   }
 
+  test("dq expectations: conditional-agg + anti-join — fact twice, dim once, no more") {
+    val p = plan(Quality.dqExpectations(spark, sfDir))
+    assert(p.split("FileScan parquet").length - 1 == 3,
+      "any number of column rules must stay 3 scans (fact ×2 + dim):\n" + p.take(1200))
+    assert(p.contains("LeftAnti"), "referential rule missing:\n" + p.take(800))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
   test("bloom semi join: probe filtered by the bitset BEFORE the exact semi join") {
     val p = plan(Sketches.bloomSemiJoin(spark, sfDir))
     assert(p.contains("LeftSemi"), p.take(800))
