@@ -616,6 +616,77 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** [[docLmScore]] under the Kneser–Ney model instead of the raw
+    * conditional — the smoothed scorer penalizes templated token soup
+    * less brutally on unseen-but-plausible transitions (the
+    * novel-continuation mass) while keeping the identical plan shape:
+    * the KN table is vocabulary-sized, keyed by the same 64-bit bigram
+    * hash, each P_KN lands on the 1e-6 grid as a LONG, and the per-doc
+    * mean sums grid LONGs exactly. One corpus scan builds the
+    * (checkpointed) bigram type table that all four KN aggregates read;
+    * a second builds the doc-bigram occurrences. */
+  def docLmScoreKn(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = bigramCounts(spark, sfDir).localCheckpoint()
+    val n1 = c.groupBy("w1").agg(sum("n12").as("n1"))
+    val nsucc = c.groupBy("w1").agg(count(lit(1)).as("nsucc"))
+    val npred = c.groupBy(col("w2")).agg(count(lit(1)).as("npred"))
+    val total = c.agg(count(lit(1)).as("nn"))
+    val pkn = (col("n12").cast("double") - lit(0.75d)) / col("n1") +
+      lit(0.75d) * col("nsucc") / col("n1") * col("npred") / col("nn")
+    val lm = c.join(n1, "w1").join(nsucc, "w1").join(npred, "w2")
+      .crossJoin(broadcast(total))
+      .select(Exprs.md5num(concat(col("w1"), lit(" "), col("w2"))).as("h"),
+        floor(pkn * lit(1e6) + lit(0.5d)).cast("long").as("p_grid"))
+    val w = words(col("text"))
+    val docBg = Tables.documents(spark, sfDir)
+      .filter(size(w) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+        .as("bg"))
+      .select(col("doc_id"), Exprs.md5num(col("bg")).as("h"))
+    val scored = docBg.join(lm.hint("shuffle_hash"), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_grid").as("s"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        Exprs.r4(col("s").cast("double") / col("n_bigrams") / lit(1e6))
+          .as("kn_score"))
+      .orderBy("doc_id")
+  }
+
+  val docLmScoreKnSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |b AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      |  FROM w WHERE len(ws) >= 2),
+      |c AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+      |        count(*) AS n12 FROM b GROUP BY 1, 2),
+      |pr AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c GROUP BY 1),
+      |ns AS (SELECT w1, count(*) AS nsucc FROM c GROUP BY 1),
+      |np AS (SELECT w2, count(*) AS npred FROM c GROUP BY 1),
+      |t AS (SELECT count(*) AS nn FROM c),
+      |lm AS (
+      |  SELECT CAST(('0x' || substr(md5(c.w1 || ' ' || c.w2), 1, 8)) AS BIGINT) AS h,
+      |    CAST(floor(((CAST(c.n12 AS DOUBLE) - CAST(0.75 AS DOUBLE)) / pr.n1
+      |      + CAST(0.75 AS DOUBLE) * ns.nsucc / pr.n1 * np.npred / t.nn)
+      |      * 1000000 + 0.5) AS BIGINT) AS p_grid
+      |  FROM c JOIN pr ON c.w1 = pr.w1 JOIN ns ON c.w1 = ns.w1
+      |    JOIN np ON c.w2 = np.w2, t),
+      |db AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(bg), 1, 8)) AS BIGINT) AS h FROM b),
+      |sc AS (
+      |  SELECT doc_id, count(*) AS n_bigrams, SUM(p_grid) AS s
+      |  FROM db JOIN lm USING (h) GROUP BY 1)
+      |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+      |  floor(CAST(sc.s AS DOUBLE) / sc.n_bigrams / 1000000 * 10000 + 0.5)
+      |    / 10000 AS kn_score
+      |FROM documents d LEFT JOIN sc USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** `substring_index(bg, ' ', 1)` on the Spark side = everything before
     * the first space; the split-token assembly guarantees exactly one
     * space per bigram, so `bg[1]` of the DuckDB split is identical. */

@@ -1415,6 +1415,19 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("doc KN score: bounded probability, same bigram coverage as the raw scorer") {
+    val kn = TextOps.docLmScoreKn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)).map(_ => r.getDouble(2)))).toMap
+    val raw = TextOps.docLmScore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kn.keySet == raw.keySet)
+    kn.foreach { case (id, (n, s)) =>
+      assert(n == raw(id), s"doc $id bigram coverage differs")
+      s.foreach(v => assert(v > 0 && v <= 1.0, s"doc $id kn_score $v out of range"))
+      assert(s.isDefined == (n > 0))
+    }
+  }
+
   test("group quantiles: every (lang, p) equals its sorted per-group selection") {
     val got = Sketches.groupQuantiles2pass(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap

@@ -176,7 +176,9 @@ class ScaleSpec extends SparkSuite {
       // different partial trees; the single double expression must not care
       "bigram_kn",
       // dq_expectations: the conditional-agg row + anti-join count re-split
-      "dq_expectations")
+      "dq_expectations",
+      // doc_lm_score_kn: the KN table + hash-keyed doc join re-partition
+      "doc_lm_score_kn")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = names.map { n =>
