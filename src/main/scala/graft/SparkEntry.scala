@@ -124,6 +124,7 @@ object SparkEntry {
     "bigram_kn" -> ((s, dir) => TextOps.bigramKn(tune(s), dir)),
     "doc_lm_score" -> ((s, dir) => TextOps.docLmScore(tune(s), dir)),
     "doc_lm_score_kn" -> ((s, dir) => TextOps.docLmScoreKn(tune(s), dir)),
+    "vocab_drift" -> ((s, dir) => TextOps.vocabDrift(tune(s), dir)),
     "bm25_topk" -> ((s, dir) => TextOps.bm25Topk(tune(s), dir)),
     "bpe_pairs" -> ((s, dir) => TextOps.bpePairs(tune(s), dir)),
     // Extension: similarity search
@@ -287,6 +288,7 @@ object SparkEntry {
     "bigram_kn" -> TextOps.bigramKnSql(),
     "doc_lm_score" -> TextOps.docLmScoreSql,
     "doc_lm_score_kn" -> TextOps.docLmScoreKnSql,
+    "vocab_drift" -> TextOps.vocabDriftSql(),
     "bm25_topk" -> TextOps.bm25TopkSql(),
     "bpe_pairs" -> TextOps.bpePairsSql(),
     "ann_topk" -> Similarity.annTopkSql,

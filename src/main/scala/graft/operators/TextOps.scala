@@ -616,6 +616,52 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary drift between two corpus halves — the text counterpart of
+    * [[graft.operators.Clustering.embeddingDrift]], and the
+    * train-vs-serving skew monitor a corpus refresh runs before mixing new
+    * data in: per-token relative frequency in each half (split by doc_id
+    * parity here; any partition key works), scored by the absolute
+    * frequency-share difference. One token explode → one (token, half)
+    * count — map-side combined, vocabulary-sized from there. Shares divide
+    * exact LONGs onto a 1e-6 grid BEFORE the subtraction, so the score is
+    * bit-deterministic; top-k by (score desc, token) is a TakeOrdered, not
+    * a global sort. */
+  def vocabDrift(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select((col("doc_id") % 2).as("half"), explode(words(col("text"))).as("token"))
+    val counts = toks.groupBy("token", "half").agg(count(lit(1)).as("n"))
+    def g6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5d)) / lit(1e6)
+    val wide = counts.groupBy("token").agg(
+      sum(when(col("half") === 0, col("n")).otherwise(0L)).as("n0"),
+      sum(when(col("half") === 1, col("n")).otherwise(0L)).as("n1"))
+    // totals fold the VOCABULARY-sized wide table, not the corpus — one
+    // corpus explode total
+    wide.crossJoin(broadcast(wide.agg(
+        sum(col("n0")).as("t0"), sum(col("n1")).as("t1"))))
+      .select(col("token"), col("n0"), col("n1"),
+        abs(g6(col("n0").cast("double") / col("t0"))
+          - g6(col("n1").cast("double") / col("t1"))).as("drift"))
+      .orderBy(col("drift").desc, col("token"))
+      .limit(k)
+  }
+
+  def vocabDriftSql(k: Int = 50): String =
+    s"""WITH t AS (
+      |  SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |c AS (SELECT token,
+      |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      |  FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n0) AS BIGINT) AS t0,
+      |    CAST(SUM(n1) AS BIGINT) AS t1 FROM c)
+      |SELECT token, n0, n1,
+      |  abs(floor(CAST(n0 AS DOUBLE) / tot.t0 * 1000000 + 0.5) / 1000000
+      |    - floor(CAST(n1 AS DOUBLE) / tot.t1 * 1000000 + 0.5) / 1000000) AS drift
+      |FROM c, tot
+      |ORDER BY drift DESC, token LIMIT $k""".stripMargin
+
   /** [[docLmScore]] under the Kneser–Ney model instead of the raw
     * conditional — the smoothed scorer penalizes templated token soup
     * less brutally on unseen-but-plausible transitions (the

@@ -178,7 +178,9 @@ class ScaleSpec extends SparkSuite {
       // dq_expectations: the conditional-agg row + anti-join count re-split
       "dq_expectations",
       // doc_lm_score_kn: the KN table + hash-keyed doc join re-partition
-      "doc_lm_score_kn")
+      "doc_lm_score_kn",
+      // vocab_drift: (token, half) counts + the tie-broken top-k cut
+      "vocab_drift")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = names.map { n =>
