@@ -30,8 +30,11 @@ object Bench {
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.foreach { case (_, fn) =>
         try run(fn(spark, warmDir)) catch { case _: Throwable => () }
+        finally Hygiene.releaseAll(spark)
       }
-    else try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    else
+      try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+      finally Hygiene.releaseAll(spark)
     // Each query is timed twice and the MIN is reported: a single pass is
     // vulnerable to one-off JIT/codegen-compile stalls under load (observed:
     // a 1 s query recorded at 14 s once), and steady-state throughput is
@@ -42,11 +45,18 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
-        }
+        val t = try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
+          }
+        // Between-run reset (OUTSIDE the timed window, blocking so removal
+        // completes before the next measurement): checkpointing operators
+        // leave their final lineage-cut blocks pinned, and 135 queries × 2
+        // runs of accumulation was measured to inflate later shuffle-hash
+        // queries 10× (triangle_parts 8.5 s fresh vs 103.9 s leaked).
+        Hygiene.releaseAll(spark, blocking = true)
+        t
       }
       if (times.isEmpty) failed ::= name
       name -> (if (times.isEmpty) -1.0 else times.min)

@@ -127,6 +127,11 @@ object SparkEntry {
     "vocab_drift" -> ((s, dir) => TextOps.vocabDrift(tune(s), dir)),
     "bm25_topk" -> ((s, dir) => TextOps.bm25Topk(tune(s), dir)),
     "bpe_pairs" -> ((s, dir) => TextOps.bpePairs(tune(s), dir)),
+    // greedy merge training unrolled: vocab-sized rounds, 1-row picks
+    "bpe_merges" -> ((s, dir) => TextOps.bpeMerges(tune(s), dir)),
+    // the exactly-once incremental cube, replayed in batch with one epoch
+    // deliberately re-delivered — must equal the direct aggregate
+    "rollup_replay" -> ((s, dir) => streaming.Streaming.rollupReplay(tune(s), dir)),
     // Extension: similarity search
     "ann_topk" -> ((s, dir) => Similarity.annTopk(tune(s), dir)),
     "ann_topk_agg" -> ((s, dir) => Similarity.annTopkAgg(tune(s), dir)),
@@ -186,10 +191,10 @@ object SparkEntry {
     "embedding_drift" -> ((s, dir) => Clustering.embeddingDrift(tune(s), dir)),
     // Single-pass mergeable outer-product accumulator (PCA building block)
     "embedding_gram" -> ((s, dir) => Clustering.embeddingGram(tune(s), dir)),
-    // PC1 projection via driver power iteration on the collected Gram —
-    // 50 unrolled iterations are not SQL-expressible, so no oracle entry:
-    // the driver records the weaker rows-only check; the Rayleigh-quotient
-    // dominance spec (OperatorsSpec) is the semantic gate
+    // PC1 projection via driver power iteration on the collected Gram;
+    // the oracle unrolls the same 50 iterations as ordered-SUM CTE pairs
+    // over the 2,080-cell Gram (Clustering.pcaProjectSql), plus the
+    // Rayleigh-quotient dominance spec (OperatorsSpec) as the semantic gate
     "pca_project" -> ((s, dir) => Clustering.pcaProject(tune(s), dir)),
     "embedding_outliers" -> ((s, dir) => Clustering.embeddingOutliers(tune(s), dir)),
     "stratified_split" -> ((s, dir) => Sampling.stratifiedSplit(tune(s), dir)),
@@ -291,6 +296,8 @@ object SparkEntry {
     "vocab_drift" -> TextOps.vocabDriftSql(),
     "bm25_topk" -> TextOps.bm25TopkSql(),
     "bpe_pairs" -> TextOps.bpePairsSql(),
+    "bpe_merges" -> TextOps.bpeMergesSql(),
+    "rollup_replay" -> streaming.Streaming.rollupReplaySql,
     "ann_topk" -> Similarity.annTopkSql,
     "ann_topk_agg" -> Similarity.annTopkSql, // same contract as ann_topk
     "ann_ivf" -> Similarity.annIvfSql,
@@ -332,6 +339,7 @@ object SparkEntry {
     "kmeans_train" -> Clustering.kmeansTrainSql,
     "embedding_drift" -> Clustering.embeddingDriftSql,
     "embedding_gram" -> Clustering.embeddingGramSql,
+    "pca_project" -> Clustering.pcaProjectSql(),
     "embedding_outliers" -> Clustering.embeddingOutliersSql(),
     "stratified_split" -> Sampling.stratifiedSplitSql,
     "split_decontaminate" -> Sampling.splitDecontaminateSql,

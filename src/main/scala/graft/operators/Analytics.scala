@@ -177,10 +177,12 @@ object Analytics {
         datediff(col("anchor"), col("last_order")).cast("long").as("recency_days"),
         col("frequency"), col("monetary"))
     val qs = array(Seq(0.2, 0.4, 0.6, 0.8).map(lit): _*)
+    val accuracy = 10000
     val cuts = base.agg(
-      percentile_approx(col("recency_days"), qs, lit(10000)).as("rc"),
-      percentile_approx(col("frequency"), qs, lit(10000)).as("fc"),
-      percentile_approx(col("monetary"), qs, lit(10000)).as("mc"))
+      percentile_approx(col("recency_days"), qs, lit(accuracy)).as("rc"),
+      percentile_approx(col("frequency"), qs, lit(accuracy)).as("fc"),
+      percentile_approx(col("monetary"), qs, lit(accuracy)).as("mc"),
+      count(lit(1)).as("__n"))
     // ascending metric (recency: smaller = better) → score 1 + #cuts below
     // the value; descending metrics (frequency/monetary: bigger = better)
     // → 1 + #cuts above the value
@@ -189,6 +191,15 @@ object Analytics {
     def desc(v: org.apache.spark.sql.Column, c: String) =
       (lit(1) + size(filter(col(c), x => x > v))).cast("long")
     base.crossJoin(broadcast(cuts))
+      // The oracle equivalence relies on the Greenwald–Khanna sketch
+      // retaining EVERY sample (n ≤ accuracy ⇒ cuts are exactly
+      // rank-⌈p·n⌉, matching quantile_disc). Past that the sketch
+      // compresses and the cuts can drift with no signal — fail loudly at
+      // the boundary instead; the caller's fix is raising `accuracy`.
+      .where(assert_true(col("__n") <= lit(accuracy),
+        lit(s"rfm_segments_approx: customer count exceeds " +
+          s"percentile_approx accuracy=$accuracy; the quantile cuts would " +
+          "no longer be exact — raise the accuracy parameter")).isNull)
       .select(col("custkey"), col("recency_days"), col("frequency"),
         col("monetary"),
         asc(col("recency_days"), "rc").as("r_score"),

@@ -351,6 +351,62 @@ object Clustering {
           transform(col("embedding"), _.cast("double")), pc)).as("pc1"))
       .orderBy("vec_id")
   }
+
+  /** Full DuckDB oracle for [[pcaProject]] — the power iteration unrolled
+    * as `iters` (matvec, normalize) CTE pairs over the 64×64 Gram, the same
+    * unroll pattern as `Graph.kcorePartsSql`. Bit-exactness rests on three
+    * pins, each mirrored from the Scala driver loop:
+    *  - the Gram enters both engines as the SAME integer (`gram_grid`,
+    *    1e-5-gridded LONG products) divided by 1e10 — one IEEE division;
+    *  - every double SUM is an ORDERED aggregate (`SUM(x ORDER BY j)`),
+    *    which DuckDB evaluates as a strict left-to-right fold — identical
+    *    to the driver's `Seq.sum`/`ArrayDot` accumulation order (verified:
+    *    ordered SUM == `list_reduce` fold, != reversed order);
+    *  - `0.125` start and all grid constants are CAST to DOUBLE so DuckDB
+    *    cannot route arithmetic through DECIMAL.
+    * Each `w`/`v` CTE is MATERIALIZED: `w_t` is read twice (norm +
+    * divide) and `v_t` feeds `w_{t+1}`, so an inlined chain would re-expand
+    * the whole iteration tree exponentially. */
+  def pcaProjectSql(iters: Int = 50): String = {
+    val head =
+      """WITH u AS MATERIALIZED (
+        |  SELECT vec_id, t.i AS i,
+        |    CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 100000 + 0.5) AS BIGINT) AS gg
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) t),
+        |p AS MATERIALIZED (
+        |  SELECT a.i AS i, b.i AS j, CAST(SUM(a.gg * b.gg) AS BIGINT) AS gram_grid
+        |  FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2),
+        |g AS MATERIALIZED (
+        |  SELECT i, j, CAST(gram_grid AS DOUBLE) / 10000000000 AS g FROM p
+        |  UNION ALL
+        |  SELECT j, i, CAST(gram_grid AS DOUBLE) / 10000000000 FROM p WHERE i <> j),
+        |v0 AS MATERIALIZED (
+        |  SELECT i, CAST(0.125 AS DOUBLE) AS v
+        |  FROM (SELECT unnest(generate_series(1, 64)) AS i))""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s""",
+         |w$t AS MATERIALIZED (
+         |  SELECT g.i, SUM(g.g * v.v ORDER BY g.j) AS w
+         |  FROM g JOIN v${t - 1} v ON g.j = v.i GROUP BY g.i),
+         |v$t AS MATERIALIZED (
+         |  SELECT i, w / (SELECT sqrt(SUM(w * w ORDER BY i)) FROM w$t) AS v
+         |  FROM w$t)""".stripMargin
+    }.mkString
+    s"""$head$steps,
+       |pc AS MATERIALIZED (
+       |  SELECT i, floor(v * 1000000 + 0.5) / 1000000 AS p FROM v$iters),
+       |e AS (
+       |  SELECT vec_id, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+       |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) t),
+       |pj AS (
+       |  SELECT e.vec_id, SUM(e.x * pc.p ORDER BY e.i) AS dot
+       |  FROM e JOIN pc USING (i) GROUP BY e.vec_id)
+       |SELECT em.vec_id, em.label,
+       |  floor(pj.dot * 10000 + 0.5) / 10000 AS pc1
+       |FROM embeddings em JOIN pj USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+  }
 }
 
 /** Mergeable upper-triangle Gram accumulator: buffer = d(d+1)/2 longs of

@@ -529,6 +529,10 @@ object Dedup {
         import spark.implicits._
         parent.keys.toSeq.map(d => (d, find(d))).toDF("doc_id", "label")
       } else starContract(pairs)._1
+    // both regimes have fully consumed the pair checkpoint by here (the
+    // collect, or star contraction's own eager round-0 checkpoint) — the
+    // returned plan references only `labels`, so drop the pinned blocks
+    graft.Hygiene.release(pairs)
     Tables.documents(spark, sfDir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("component"))
@@ -689,12 +693,17 @@ object Dedup {
       // neighborhood S under u; emit (x, min(S)) for x ∈ S ∪ {u} \ {min}
       val sMins = ls.groupBy("hi").agg(min("lo").as("m"))
       val withM = ls.join(sMins.hint("shuffle_hash"), "hi")
-      e = withM.select(col("lo").as("h2"), col("m").as("l2"))
+      val next = withM.select(col("lo").as("h2"), col("m").as("l2"))
         .filter(col("h2") =!= col("l2"))
         .unionByName(withM.select(col("hi").as("h2"), col("m").as("l2")))
         .distinct()
         .select(col("h2").as("hi"), col("l2").as("lo"))
         .localCheckpoint()
+      // the new round is materialized (eager checkpoint) — the previous
+      // round's blocks are dead, release them so the contraction holds one
+      // edge-set generation pinned, not O(log n) of them (graft.Hygiene)
+      graft.Hygiene.release(e)
+      e = next
       prev = cur
       cur = checksum(e)
     }

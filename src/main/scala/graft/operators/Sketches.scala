@@ -59,7 +59,10 @@ class MisraGries(cap: Int)
   * buffer is a fixed `mBits/64`-word array regardless of key count. */
 class BloomAgg(mBits: Int, k: Int)
   extends org.apache.spark.sql.expressions.Aggregator[(Long, Long), Array[Long], Seq[Long]] {
-  def zero: Array[Long] = new Array[Long](mBits / 64)
+  require(mBits > 0 && k > 0, s"BloomAgg needs positive mBits/k, got $mBits/$k")
+  // round UP: a non-multiple-of-64 mBits must still cover bit mBits−1
+  // (a truncating mBits/64 word count made reduce() index past the array)
+  def zero: Array[Long] = new Array[Long]((mBits + 63) / 64)
 
   def reduce(b: Array[Long], t: (Long, Long)): Array[Long] = {
     val (h1, h2) = t
@@ -442,27 +445,49 @@ object Sketches {
       mBits: Int = 1 << 17, k: Int = 5): DataFrame = {
     val spark = probe.sparkSession
     import spark.implicits._
+    require(mBits > 0 && k > 0, s"bloomPrune needs positive mBits/k, got $mBits/$k")
+    // xxhash64 is TYPE-sensitive: the same value hashes differently as INT
+    // vs BIGINT, and a silent physical-type drift between the two tables
+    // (exactly the parquet regeneration events.ts absorbed) would fail
+    // every true match's bit test — a false NEGATIVE the trailing exact
+    // semi-join can never restore. Hash both sides through ONE unified
+    // type: equal dtypes pass through, differing integral dtypes widen to
+    // long (lossless), anything else is a caller error — refuse loudly
+    // rather than return a silently-empty join.
+    import org.apache.spark.sql.types._
+    val (pt, bt) = (probe.schema(probeKey).dataType, build.schema(buildKey).dataType)
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val hashKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (pt == bt) identity
+      else if (integral(pt) && integral(bt)) _.cast("long")
+      else throw new IllegalArgumentException(
+        s"bloomPrune key dtypes differ and are not both integral: $pt vs $bt")
     val keys = build.select(col(buildKey))
-    val bloom = keys.select(xxhash64(col(buildKey)).as("h1"),
-        xxhash64(col(buildKey), lit("bloom2")).as("h2")).as[(Long, Long)]
+    val bloom = keys.select(xxhash64(hashKey(col(buildKey))).as("h1"),
+        xxhash64(hashKey(col(buildKey)), lit("bloom2")).as("h2")).as[(Long, Long)]
       .select(new BloomAgg(mBits, k).toColumn.name("bits"))
     val probeCols = probe.columns
+    // internal working columns use a reserved prefix: a probe frame that
+    // already carries h1/h2/bits must come through unscathed
+    val (h1c, h2c, bitsC) = ("__bloom_h1", "__bloom_h2", "__bloom_bits")
+    require(!probeCols.exists(Set(h1c, h2c, bitsC)),
+      s"probe frame already has a ${Set(h1c, h2c, bitsC).mkString("/")} column")
     val withBits = probe
-      .withColumn("h1", xxhash64(col(probeKey)))
-      .withColumn("h2", xxhash64(col(probeKey), lit("bloom2")))
-      .crossJoin(broadcast(bloom))
+      .withColumn(h1c, xxhash64(hashKey(col(probeKey))))
+      .withColumn(h2c, xxhash64(hashKey(col(probeKey)), lit("bloom2")))
+      .crossJoin(broadcast(bloom.select(col("bits").as(bitsC))))
     // bit i test, all codegen built-ins; `h1 + i·h2` wraps in two's
     // complement exactly as the Scala setter does, and pmod folds the
     // wrap into [0, m)
     val mayMatch = (0 until k).map { i =>
-      s"""((shiftright(element_at(bits,
-         |   cast(shiftright(pmod(h1 + ${i}L * h2, ${mBits}L), 6) as int) + 1),
-         |   cast(pmod(h1 + ${i}L * h2, ${mBits}L) % 64 as int)) & 1) = 1)"""
+      s"""((shiftright(element_at($bitsC,
+         |   cast(shiftright(pmod($h1c + ${i}L * $h2c, ${mBits}L), 6) as int) + 1),
+         |   cast(pmod($h1c + ${i}L * $h2c, ${mBits}L) % 64 as int)) & 1) = 1)"""
         .stripMargin.replace("\n", " ")
     }.mkString(" AND ")
     withBits.filter(expr(mayMatch))
       .select(probeCols.map(col): _*)
-      .join(keys.withColumnRenamed(buildKey, probeKey),
+      .join(keys.select(hashKey(col(buildKey)).as(probeKey)),
         Seq(probeKey), "left_semi")
   }
 

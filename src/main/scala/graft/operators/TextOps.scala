@@ -290,25 +290,29 @@ object TextOps {
     * where N₁₊(w1·) counts distinct successors, N₁₊(·w2) distinct
     * predecessors (the "novel-continuation" mass that makes KN beat
     * add-k), and N is the distinct-bigram-type count. Every ingredient is
-    * an exact LONG aggregate of the SAME bigram table — three grouped
-    * counts plus one 1-row total, all map-side combined; bigram counts
+    * an exact LONG aggregate of the SAME bigram table — two grouped
+    * aggregates (both w1 marginals fused into one pass) plus one 1-row
+    * total, all map-side combined; bigram counts
     * are ≥ 1 so the discount never needs the max(·,0) clamp. The doubles
     * appear once, in a single left-associated expression evaluated in the
     * identical operation order by the oracle (its 0.75 literals are cast
     * to DOUBLE so DuckDB cannot route the chain through DECIMAL), and the
     * result lands on a 1e-6 grid. */
   def bigramKn(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame = {
-    // five consumers (marginals ×3, total, the final join) would each
-    // replay the corpus pair-explode — materialize the type table once,
-    // the same output-sized trade the graph queries make
+    // four consumers (w1 marginals, w2 marginal, total, the final join)
+    // would each replay the corpus pair-explode — materialize the type
+    // table once, the same output-sized trade the graph queries make.
+    // The prefix total Σn12 and the successor-type count N₁₊(w1·) group by
+    // the SAME key, so they are ONE aggregate (one shuffle + one join
+    // instead of two of each — measured ~2× on the KN chain).
     val c = bigramCounts(spark, sfDir).localCheckpoint()
-    val n1 = c.groupBy("w1").agg(sum("n12").as("n1"))
-    val nsucc = c.groupBy("w1").agg(count(lit(1)).as("nsucc"))
+    val w1m = c.groupBy("w1")
+      .agg(sum("n12").as("n1"), count(lit(1)).as("nsucc"))
     val npred = c.groupBy(col("w2")).agg(count(lit(1)).as("npred"))
     val total = c.agg(count(lit(1)).as("nn"))
     val pkn = (col("n12").cast("double") - lit(0.75d)) / col("n1") +
       lit(0.75d) * col("nsucc") / col("n1") * col("npred") / col("nn")
-    c.join(n1, "w1").join(nsucc, "w1").join(npred, "w2")
+    c.join(w1m, "w1").join(npred, "w2")
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("n12"), col("n1"),
         (floor(pkn * lit(1e6) + lit(0.5d)) / lit(1e6)).as("p_kn"))
@@ -673,13 +677,15 @@ object TextOps {
     * a second builds the doc-bigram occurrences. */
   def docLmScoreKn(spark: SparkSession, sfDir: String): DataFrame = {
     val c = bigramCounts(spark, sfDir).localCheckpoint()
-    val n1 = c.groupBy("w1").agg(sum("n12").as("n1"))
-    val nsucc = c.groupBy("w1").agg(count(lit(1)).as("nsucc"))
+    // Σn12 and N₁₊(w1·) share the group key → one fused aggregate (see
+    // [[bigramKn]])
+    val w1m = c.groupBy("w1")
+      .agg(sum("n12").as("n1"), count(lit(1)).as("nsucc"))
     val npred = c.groupBy(col("w2")).agg(count(lit(1)).as("npred"))
     val total = c.agg(count(lit(1)).as("nn"))
     val pkn = (col("n12").cast("double") - lit(0.75d)) / col("n1") +
       lit(0.75d) * col("nsucc") / col("n1") * col("npred") / col("nn")
-    val lm = c.join(n1, "w1").join(nsucc, "w1").join(npred, "w2")
+    val lm = c.join(w1m, "w1").join(npred, "w2")
       .crossJoin(broadcast(total))
       .select(Exprs.md5num(concat(col("w1"), lit(" "), col("w2"))).as("h"),
         floor(pkn * lit(1e6) + lit(0.5d)).cast("long").as("p_grid"))
@@ -817,6 +823,105 @@ object TextOps {
       .agg(sum(col("wn")).as("n"))
       .orderBy(col("n").desc, col("left_sym"), col("right_sym"))
       .limit(topK)
+  }
+
+  /** BPE merge TRAINING — the greedy loop [[bpePairs]] is one round of,
+    * unrolled `rounds` rounds (Sennrich et al. 2016, Algorithm 1): count
+    * weighted adjacent symbol pairs over the vocabulary, pick the most
+    * frequent pair (ties broken lexicographically), apply the merge to
+    * every vocabulary entry, repeat. Output = the merge table a tokenizer
+    * ships: (round, left_sym, right_sym, n).
+    *
+    * Representation: each vocab entry's symbol sequence is ONE delimited
+    * string — every symbol wrapped in single spaces (`" a  b  _ "`), so an
+    * adjacent pair is the substring `" l  r "` and applying the merge is a
+    * literal, non-overlapping, left-to-right `replace` with `" lr "` —
+    * exactly greedy BPE application semantics, identical in Spark's
+    * `replace` and DuckDB's (symbols never contain spaces, so a pattern
+    * can only match whole adjacent symbols). No per-row loops, no UDF.
+    *
+    * Scale shape: the corpus collapses to its VOCABULARY first (Zipf:
+    * orders of magnitude smaller than the token stream) and each round
+    * touches only the vocab table — one vocab-sized aggregate + one
+    * narrow map — never the corpus. The chosen pair is a 1-ROW collect
+    * per round (the same bounded driver trade as the k×d centroid table):
+    * merge selection is inherently sequential, so the driver carries the
+    * 4-field decision while all counting stays distributed. Each round's
+    * rewritten vocab is eager-checkpointed and the previous round's
+    * blocks released ([[graft.Hygiene]]), so peak pinned storage is one
+    * vocab generation. */
+  def bpeMerges(spark: SparkSession, sfDir: String, rounds: Int = 5): DataFrame = {
+    import spark.implicits._
+    val chars = transform(sequence(lit(1), length(col("word"))),
+      i => col("word").substr(i, lit(1)))
+    var vocab = Tables.documents(spark, sfDir)
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("wn"))
+      .select(concat(lit(" "),
+        array_join(concat(chars, array(lit("_"))), "  "), lit(" ")).as("s"),
+        col("wn"))
+      .localCheckpoint()
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    (1 to rounds).foreach { r =>
+      val ss = split(trim(col("s")), "  ")
+      val best = vocab
+        .select(col("wn"), ss.as("ss"))
+        .select(col("wn"), explode(transform(sequence(lit(1), size(col("ss")) - 1),
+          i => struct(element_at(col("ss"), i).as("l"),
+            element_at(col("ss"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+        .agg(sum("wn").as("n"))
+        .orderBy(col("n").desc, col("left_sym"), col("right_sym"))
+        .limit(1).head()
+      val (l, rr, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      picks += ((r.toLong, l, rr, n))
+      if (r < rounds) {
+        val applied = vocab
+          .select(replace(col("s"), lit(s" $l  $rr "), lit(s" $l$rr ")).as("s"),
+            col("wn"))
+          .localCheckpoint()
+        graft.Hygiene.release(vocab)
+        vocab = applied
+      }
+    }
+    graft.Hygiene.release(vocab) // output is driver-held; nothing pins blocks
+    picks.toSeq.toDF("round", "left_sym", "right_sym", "n").orderBy("round")
+  }
+
+  /** DuckDB oracle for [[bpeMerges]] — the same greedy rounds unrolled as
+    * (pairs, best, rewritten-vocab) CTE triples; `replace` has identical
+    * non-overlapping left-to-right semantics in both engines. */
+  def bpeMergesSql(rounds: Int = 5): String = {
+    val head =
+      """WITH v0 AS MATERIALIZED (
+        |  SELECT ' ' || array_to_string(list_append(
+        |      list_transform(generate_series(1, length(word)),
+        |        i -> substr(word, CAST(i AS INT), 1)), '_'), '  ') || ' ' AS s,
+        |    count(*) AS wn
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) >= 1 GROUP BY 1)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val apply =
+        if (r == rounds) ""
+        else s""",
+           |v$r AS MATERIALIZED (
+           |  SELECT replace(v.s, ' ' || b.left_sym || '  ' || b.right_sym || ' ',
+           |      ' ' || b.left_sym || b.right_sym || ' ') AS s, v.wn
+           |  FROM v${r - 1} v, b$r b)""".stripMargin
+      s""",
+         |p$r AS (
+         |  SELECT ss[i] AS left_sym, ss[i + 1] AS right_sym,
+         |    CAST(SUM(wn) AS BIGINT) AS n
+         |  FROM (SELECT string_split(trim(s), '  ') AS ss, wn FROM v${r - 1}),
+         |    LATERAL (SELECT unnest(generate_series(1, len(ss) - 1)) AS i)
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (
+         |  SELECT CAST($r AS BIGINT) AS round, left_sym, right_sym, n FROM p$r
+         |  ORDER BY n DESC, left_sym, right_sym LIMIT 1)$apply""".stripMargin
+    }.mkString
+    val union = (1 to rounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
+    s"$head$steps\n$union ORDER BY round"
   }
 
   /** Exact length-distribution quantiles per language — the curation

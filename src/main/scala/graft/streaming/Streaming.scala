@@ -267,6 +267,47 @@ object Streaming {
     rmTree(old)
   }
 
+  /** Batch replay of [[incrementalRollup]]'s maintenance path, as an
+    * oracle-checkable query: the orders table is split into `epochs`
+    * deterministic micro-batches (key-hash partitioned, like a source
+    * would chunk arrivals), each folded into a fresh cube via
+    * [[applyRollupEpoch]] — the SAME code `foreachBatch` runs — and one
+    * already-applied epoch is then RE-delivered to simulate the
+    * crash-replay a restarted stream performs. The `_BATCH` manifest must
+    * make that replay a no-op; the returned cube therefore hash-matches
+    * the direct one-shot aggregate's DuckDB oracle iff the exactly-once
+    * guarantee holds. Epoch splitting is additive-commutative (exact LONG
+    * grid counts), so ANY chunking reaches the same cube — the check is
+    * about the idempotence guard, not the arithmetic.
+    *
+    * The cube lives in a per-invocation temp directory (the protocol
+    * needs a POSIX filesystem — see [[incrementalRollup]]); it is
+    * cube-sized (years × months rows), not data-sized. */
+  def rollupReplay(spark: SparkSession, sfDir: String, epochs: Int = 4): DataFrame = {
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_rollup_replay").resolve("cube").toString
+    val orders = graft.Tables.orders(spark, sfDir)
+    def epochBatch(i: Int): DataFrame =
+      orders.filter(pmod(xxhash64(col("o_orderkey")), lit(epochs)) === lit(i))
+    (0 until epochs).foreach(i => applyRollupEpoch(epochBatch(i), i, tableDir))
+    // crash-replay: re-deliver an epoch the manifest already records —
+    // double-counting here would shift every later hash compare
+    applyRollupEpoch(epochBatch(epochs - 2), (epochs - 2).toLong, tableDir)
+    spark.read.parquet(tableDir)
+      .select(col("yr"), col("mo"), col("n_orders"), col("rev_grid"))
+      .orderBy("yr", "mo")
+  }
+
+  /** DuckDB oracle for [[rollupReplay]] — the direct one-shot aggregate
+    * the incrementally-maintained cube must equal exactly. */
+  val rollupReplaySql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+      |  count(*) AS n_orders,
+      |  CAST(SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS rev_grid
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+
   /** Streaming heavy-hitter sketch — the in-stream form of
     * [[graft.operators.Sketches.heavyHitters]]: tokens shard BY VALUE
     * (hash) across `nShards` state groups, each group folding the same
