@@ -129,6 +129,8 @@ object SparkEntry {
     "bpe_pairs" -> ((s, dir) => TextOps.bpePairs(tune(s), dir)),
     // greedy merge training unrolled: vocab-sized rounds, 1-row picks
     "bpe_merges" -> ((s, dir) => TextOps.bpeMerges(tune(s), dir)),
+    // trained-tokenizer application: per-doc token budget + fertility
+    "bpe_encode" -> ((s, dir) => TextOps.bpeEncode(tune(s), dir)),
     // the exactly-once incremental cube, replayed in batch with one epoch
     // deliberately re-delivered — must equal the direct aggregate
     "rollup_replay" -> ((s, dir) => streaming.Streaming.rollupReplay(tune(s), dir)),
@@ -297,6 +299,7 @@ object SparkEntry {
     "bm25_topk" -> TextOps.bm25TopkSql(),
     "bpe_pairs" -> TextOps.bpePairsSql(),
     "bpe_merges" -> TextOps.bpeMergesSql(),
+    "bpe_encode" -> TextOps.bpeEncodeSql(),
     "rollup_replay" -> streaming.Streaming.rollupReplaySql,
     "ann_topk" -> Similarity.annTopkSql,
     "ann_topk_agg" -> Similarity.annTopkSql, // same contract as ann_topk

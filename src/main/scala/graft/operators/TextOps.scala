@@ -850,17 +850,26 @@ object TextOps {
     * rewritten vocab is eager-checkpointed and the previous round's
     * blocks released ([[graft.Hygiene]]), so peak pinned storage is one
     * vocab generation. */
-  def bpeMerges(spark: SparkSession, sfDir: String, rounds: Int = 5): DataFrame = {
-    import spark.implicits._
+  /** The initial character-level symbol string for `word`: every symbol
+    * wrapped in single spaces, `_` end-of-word marker appended —
+    * `"ab"` → `" a  b  _ "`. */
+  private def bpeSym0: Column = {
     val chars = transform(sequence(lit(1), length(col("word"))),
       i => col("word").substr(i, lit(1)))
+    concat(lit(" "), array_join(concat(chars, array(lit("_"))), "  "), lit(" "))
+  }
+
+  /** The greedy training loop shared by [[bpeMerges]] (the merge table)
+    * and [[bpeEncode]] (its application): returns the `rounds` picked
+    * merges as driver values. All counting is distributed; only the 1-row
+    * per-round pick crosses to the driver. */
+  private def trainBpe(spark: SparkSession, sfDir: String,
+      rounds: Int): Seq[(Long, String, String, Long)] = {
     var vocab = Tables.documents(spark, sfDir)
       .select(explode(words(col("text"))).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("wn"))
-      .select(concat(lit(" "),
-        array_join(concat(chars, array(lit("_"))), "  "), lit(" ")).as("s"),
-        col("wn"))
+      .select(bpeSym0.as("s"), col("wn"))
       .localCheckpoint()
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     (1 to rounds).foreach { r =>
@@ -885,28 +894,85 @@ object TextOps {
         vocab = applied
       }
     }
-    graft.Hygiene.release(vocab) // output is driver-held; nothing pins blocks
-    picks.toSeq.toDF("round", "left_sym", "right_sym", "n").orderBy("round")
+    graft.Hygiene.release(vocab) // picks are driver-held; nothing pins blocks
+    picks.toSeq
   }
 
-  /** DuckDB oracle for [[bpeMerges]] — the same greedy rounds unrolled as
-    * (pairs, best, rewritten-vocab) CTE triples; `replace` has identical
-    * non-overlapping left-to-right semantics in both engines. */
-  def bpeMergesSql(rounds: Int = 5): String = {
+  def bpeMerges(spark: SparkSession, sfDir: String, rounds: Int = 5): DataFrame = {
+    import spark.implicits._
+    trainBpe(spark, sfDir, rounds)
+      .toDF("round", "left_sym", "right_sym", "n").orderBy("round")
+  }
+
+  /** Tokenizer APPLICATION — the consumer half of [[bpeMerges]]: segment
+    * every document under the trained merge table and report its token
+    * budget (whitespace words, BPE tokens, tokens-per-word fertility) —
+    * the number a context-window planner and the per-language packing
+    * budget actually consume ([[tokenFertility]] is the whitespace proxy;
+    * this is the trained-tokenizer truth).
+    *
+    * Scale shape: training returns `rounds` merges as DRIVER literals, so
+    * application is a chain of `rounds` literal `replace` maps — fully
+    * codegen'd, no join against a merge table. Segmentation runs over the
+    * DISTINCT words of each document ((doc, word) grain, then the
+    * vocabulary grain for the actual symbol rewrite — Zipf keeps both far
+    * below token grain); the per-doc budget is one hash aggregate of
+    * cnt × n_sym. The corpus is scanned twice (train vocab, doc words);
+    * text itself never shuffles — only (doc_id, word, cnt) rows do. */
+  def bpeEncode(spark: SparkSession, sfDir: String, rounds: Int = 5): DataFrame = {
+    val merges = trainBpe(spark, sfDir, rounds)
+    val segmented = merges.foldLeft(bpeSym0) { case (e, (_, l, r, _)) =>
+      replace(e, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    val docWords = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      // consumed twice (vocabulary derivation + the budget join)
+      .localCheckpoint(eager = false)
+    val vocabTok = docWords.select("word").distinct()
+      .select(col("word"),
+        size(split(trim(segmented), "  ")).cast("long").as("n_sym"))
+    val perDoc = docWords.join(vocabTok, "word")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_words"),
+        sum(col("cnt") * col("n_sym")).as("n_bpe_tokens"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        when(col("n_words") > 0,
+          Exprs.r4(col("n_bpe_tokens").cast("double") / col("n_words")))
+          .as("bpe_per_word"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared oracle CTE chain for the BPE pair: `rounds` unrolled (pairs,
+    * best, rewritten-vocab) triples. `carryWord` keeps the source word on
+    * every vocab generation (the encode oracle joins it back); the final
+    * rewrite CTE `v{rounds}` is only emitted when a consumer references it
+    * (`applyLast`). `replace` has identical non-overlapping left-to-right
+    * semantics in both engines. */
+  private def bpeChainSql(rounds: Int, carryWord: Boolean,
+      applyLast: Boolean): String = {
+    val w = if (carryWord) "word, " else ""
+    val vw = if (carryWord) "v.word, " else ""
+    val grp = if (carryWord) "1, 2" else "1"
     val head =
-      """WITH v0 AS MATERIALIZED (
-        |  SELECT ' ' || array_to_string(list_append(
+      s"""WITH v0 AS MATERIALIZED (
+        |  SELECT $w' ' || array_to_string(list_append(
         |      list_transform(generate_series(1, length(word)),
         |        i -> substr(word, CAST(i AS INT), 1)), '_'), '  ') || ' ' AS s,
         |    count(*) AS wn
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |  WHERE length(word) >= 1 GROUP BY 1)""".stripMargin
+        |  WHERE length(word) >= 1 GROUP BY $grp)""".stripMargin
     val steps = (1 to rounds).map { r =>
       val apply =
-        if (r == rounds) ""
+        if (r == rounds && !applyLast) ""
         else s""",
            |v$r AS MATERIALIZED (
-           |  SELECT replace(v.s, ' ' || b.left_sym || '  ' || b.right_sym || ' ',
+           |  SELECT ${vw}replace(v.s, ' ' || b.left_sym || '  ' || b.right_sym || ' ',
            |      ' ' || b.left_sym || b.right_sym || ' ') AS s, v.wn
            |  FROM v${r - 1} v, b$r b)""".stripMargin
       s""",
@@ -920,9 +986,40 @@ object TextOps {
          |  SELECT CAST($r AS BIGINT) AS round, left_sym, right_sym, n FROM p$r
          |  ORDER BY n DESC, left_sym, right_sym LIMIT 1)$apply""".stripMargin
     }.mkString
-    val union = (1 to rounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
-    s"$head$steps\n$union ORDER BY round"
+    head + steps
   }
+
+  /** DuckDB oracle for [[bpeMerges]]. */
+  def bpeMergesSql(rounds: Int = 5): String = {
+    val union = (1 to rounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
+    s"${bpeChainSql(rounds, carryWord = false, applyLast = false)}\n" +
+      s"$union ORDER BY round"
+  }
+
+  /** DuckDB oracle for [[bpeEncode]] — the training chain with the word
+    * carried through every rewrite, then the per-doc budget join. */
+  def bpeEncodeSql(rounds: Int = 5): String =
+    s"""${bpeChainSql(rounds, carryWord = true, applyLast = true)},
+       |vt AS (
+       |  SELECT word,
+       |    CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sym
+       |  FROM v$rounds),
+       |dw AS (
+       |  SELECT doc_id, word, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE length(word) >= 1 GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+       |    CAST(SUM(cnt * n_sym) AS BIGINT) AS n_bpe_tokens
+       |  FROM dw JOIN vt USING (word) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(agg.n_words, 0) AS n_words,
+       |  coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |  CASE WHEN agg.n_words > 0 THEN
+       |    floor(CAST(agg.n_bpe_tokens AS DOUBLE) / agg.n_words * 10000 + 0.5)
+       |      / 10000 END AS bpe_per_word
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Exact length-distribution quantiles per language — the curation
     * dashboard's "is this stratum's length profile healthy" panel:

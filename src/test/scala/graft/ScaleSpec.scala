@@ -194,4 +194,34 @@ class ScaleSpec extends SparkSuite {
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("a session chaining checkpointing queries holds no blocks after release") {
+    // The 100 TB session-lifetime contract: localCheckpoint-heavy operators
+    // must not pin block-manager memory monotonically — the measured failure
+    // was a 10× slowdown (103.9 s vs 8.5 s triangle_parts) after ~130
+    // queries leaked their lineage-cut blocks in one JVM. Operators release
+    // per-round internally (Hygiene.release in the peel/contraction loops);
+    // the session owner resets between queries (Hygiene.releaseAll). Both
+    // layers are asserted here on the heaviest checkpoint users.
+    val sc = spark.sparkContext
+    Hygiene.releaseAll(spark, blocking = true)
+    assert(sc.getPersistentRDDs.isEmpty, "dirty session at test entry")
+    val chain = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      "kcore_parts" -> (() => operators.Graph.kcoreParts(spark, sfDir)),
+      "triangle_parts" -> (() => operators.Graph.triangleParts(spark, sfDir)),
+      "dedup_components" -> (() => operators.Dedup.dedupComponents(spark, sfDir)),
+      "bpe_merges" -> (() => operators.TextOps.bpeMerges(spark, sfDir)))
+    chain.foreach { case (name, q) =>
+      q().queryExecution.toRdd.count()
+      // operator-owned round release: only terminal checkpoints (the ones
+      // the returned plan still references) may remain — kcore without the
+      // in-loop release would leave rounds+1 = 7 here
+      val pinned = sc.getPersistentRDDs.size
+      assert(pinned <= 3,
+        s"$name left $pinned pinned RDDs — per-round release regressed")
+      Hygiene.releaseAll(spark, blocking = true)
+      assert(sc.getPersistentRDDs.isEmpty,
+        s"$name: checkpoint blocks survive Hygiene.releaseAll")
+    }
+  }
 }
