@@ -107,6 +107,8 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) => Dedup.dedupComponents(tune(s), dir)),
     "dedup_canonical" -> ((s, dir) => Dedup.dedupCanonical(tune(s), dir)),
     "substring_dup_spans" -> ((s, dir) => Dedup.substringDupSpans(tune(s), dir)),
+    // the rewrite step: cut every duplicated-window position, reassemble
+    "substring_excise" -> ((s, dir) => Dedup.substringExcise(tune(s), dir)),
     "dedup_incremental" -> ((s, dir) => Dedup.dedupIncremental(tune(s), dir)),
     "dedup_prefix_join" -> ((s, dir) => Dedup.dedupPrefixJoin(tune(s), dir)),
     "dup_score_hist" -> ((s, dir) => Dedup.dupScoreHist(tune(s), dir)),
@@ -279,6 +281,7 @@ object SparkEntry {
     "dedup_components" -> Dedup.dedupComponentsSql,
     "dedup_canonical" -> Dedup.dedupCanonicalSql,
     "substring_dup_spans" -> Dedup.substringDupSpansSql,
+    "substring_excise" -> Dedup.substringExciseSql,
     "dedup_incremental" -> Dedup.dedupIncrementalSql,
     "dedup_prefix_join" -> Dedup.dedupPrefixJoinSql,
     "dup_score_hist" -> Dedup.dupScoreHistSql,

@@ -177,7 +177,12 @@ object Analytics {
         datediff(col("anchor"), col("last_order")).cast("long").as("recency_days"),
         col("frequency"), col("monetary"))
     val qs = array(Seq(0.2, 0.4, 0.6, 0.8).map(lit): _*)
-    val accuracy = 10000
+    // cuts are exactly rank-⌈p·n⌉ (= the oracle's quantile_disc) only while
+    // the GK sketch retains every sample, i.e. n ≤ accuracy. 1e5 covers the
+    // engine's verify/bench scales (sf0.1 = 14,999 customers — the default
+    // 10,000 silently compressed there, which the guard below now catches);
+    // past it the guard fails loudly and the caller raises the knob.
+    val accuracy = 100000
     val cuts = base.agg(
       percentile_approx(col("recency_days"), qs, lit(accuracy)).as("rc"),
       percentile_approx(col("frequency"), qs, lit(accuracy)).as("fc"),

@@ -641,6 +641,102 @@ object Dedup {
       |LEFT JOIN dc USING (doc_id) LEFT JOIN cov USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Substring-duplication EXCISION — the rewrite step
+    * [[substringDupSpans]] only measures (Lee et al.'s actual
+    * intervention): every token position covered by a cross-document
+    * duplicated window is CUT, and the surviving tokens are reassembled
+    * into the cleaned text a training run would consume. Output per doc:
+    * original and kept token counts, the kept fraction, and the cleaned
+    * text.
+    *
+    * Scale shape: the detection branch is [[substringDupSpans]]'s —
+    * windows cross as 64-bit hashes, dup hashes join back hash-to-hash.
+    * The rewrite branch is inherently TOKEN-grain (the output is new
+    * text): duplicated windows explode to their `win` covered positions
+    * (win × dup-window rows, bounded by total duplication), tokens
+    * anti-join the covered set on (doc, position), and each doc
+    * reassembles with one ordered fold — `collect_list` of (pos, token)
+    * structs sorted by the unique position, so the nondeterministic
+    * aggregation order can't reorder text. Three linear token-grain
+    * shuffles total; nothing is ever quadratic in document length (the
+    * per-doc HOF alternative — `exists()` over the window list per token
+    * — is O(n·dups) on exactly the pathological docs excision exists
+    * for). */
+  def substringExcise(spark: SparkSession, sfDir: String,
+      win: Int = 8): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    // identical window hashing to substringDupSpans, with the window
+    // start normalized to 1-based token position (posexplode is 0-based)
+    val wins = toks
+      .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN size(w) >= $win THEN transform(sequence(1, size(w) - ${win - 1}), " +
+          s"i -> concat_ws(' ', slice(w, i, $win))) " +
+          "ELSE CAST(array() AS array<string>) END")))
+      .select(col("doc_id"), (col("pos") + 1).as("start"),
+        Exprs.md5num(col("col")).as("h"))
+    val dupHashes = wins.groupBy("h")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= 2)
+      .select(col("h"))
+    val covered = wins.join(dupHashes.hint("shuffle_hash"), "h")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(win - 1))).as("i"))
+      .distinct()
+    val tokens = toks
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tok")))
+      .select(col("doc_id"), (col("p") + 1).as("i"), col("tok"))
+    val kept = tokens.join(covered, Seq("doc_id", "i"), "left_anti")
+    val clean = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("i"), col("tok")))),
+          x => x.getField("tok"))).as("clean_text"))
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(clean.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        Exprs.r4(coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("keep_frac"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[substringExcise]] — same positional window replay as
+    * the spans oracle, then the anti-join + ordered `string_agg`
+    * reassembly. */
+  val substringExciseSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |wins AS (
+      |  SELECT doc_id, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i,
+      |    toks FROM w),
+      |wh AS (
+      |  SELECT doc_id, i,
+      |    CAST(('0x' || substr(md5(array_to_string(
+      |      list_slice(toks, i, i + 7), ' ')), 1, 8)) AS BIGINT) AS h
+      |  FROM wins),
+      |dups AS (SELECT h FROM wh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, unnest(generate_series(i, i + 7)) AS p
+      |  FROM (SELECT doc_id, i FROM wh JOIN dups USING (h))),
+      |tok AS (
+      |  SELECT doc_id, i, toks[i] AS tok
+      |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+      |kept AS (
+      |  SELECT t.doc_id, t.i, t.tok FROM tok t
+      |  ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.p),
+      |cl AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY i) AS clean_text
+      |  FROM kept GROUP BY 1)
+      |SELECT w.doc_id, CAST(len(w.toks) AS BIGINT) AS n_tokens,
+      |  coalesce(cl.n_kept, 0) AS n_kept,
+      |  floor(CAST(coalesce(cl.n_kept, 0) AS DOUBLE) / len(w.toks)
+      |    * 10000 + 0.5) / 10000 AS keep_frac,
+      |  coalesce(cl.clean_text, '') AS clean_text
+      |FROM w LEFT JOIN cl USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Distributed connected components by alternating large-star /
     * small-star contraction (Kiveris et al., "Connected Components in
     * MapReduce and Beyond" — the relational form, no graph library):
