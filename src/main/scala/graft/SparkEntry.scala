@@ -164,6 +164,8 @@ object SparkEntry {
     "schema_drift_scan" -> ((s, dir) => Ingest.schemaDriftScan(tune(s), dir)),
     // Scale pattern: salted two-stage aggregation for hot keys
     "events_salted_agg" -> ((s, dir) => Skew.eventsSaltedAgg(tune(s), dir)),
+    // salt/replicate hot-key join — row-identical to the plain equi-join
+    "skew_join_agg" -> ((s, dir) => Skew.skewJoinAgg(tune(s), dir)),
     // Temporal joins/state: as-of, bounded range join, SCD2 history
     "events_asof" -> ((s, dir) => Temporal.eventsAsof(tune(s), dir)),
     "events_range_join" -> ((s, dir) => Temporal.eventsRangeJoin(tune(s), dir)),
@@ -323,6 +325,7 @@ object SparkEntry {
     "csv_zone_scan" -> Ingest.csvZoneScanSql,
     "schema_drift_scan" -> Ingest.schemaDriftScanSql,
     "events_salted_agg" -> Skew.eventsSaltedAggSql,
+    "skew_join_agg" -> Skew.skewJoinAggSql,
     "events_asof" -> Temporal.eventsAsofSql,
     "events_range_join" -> Temporal.eventsRangeJoinSql,
     "scd2_build" -> Temporal.scd2BuildSql,

@@ -40,4 +40,57 @@ object Skew {
     """SELECT event_type, count(*) AS n,
       |  CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Salted equi-join — the join-side companion of [[saltedCountSum]]:
+    * when one probe key is hot enough to funnel a reducer (a celebrity
+    * user, a default/placeholder id), the probe side salts each row into
+    * one of `nSalts` sub-keys and the build side REPLICATES each row
+    * `nSalts` times, so the join runs on (key, salt) and the hot key's
+    * rows spread across `nSalts` reducers. Cost model: build-side shuffle
+    * volume × nSalts buys probe-side balance — the right trade exactly
+    * when the build side is much smaller than the hot key's row count
+    * (yet too big to broadcast outright).
+    *
+    * AQE's `OptimizeSkewedJoin` does this adaptively but only for
+    * sort-merge joins with runtime stats, and it re-plans mid-query;
+    * explicit salting is deterministic, plan-stable, works under
+    * shuffle-hash joins, and composes with the downstream aggregate
+    * (which re-merges per key exactly like the salted aggregate's stage
+    * 2). Returns the joined frame with the salt columns dropped —
+    * row-identical to the plain equi-join. */
+  def saltedJoin(probe: DataFrame, probeKey: String,
+      build: DataFrame, buildKey: String,
+      saltSource: Column, nSalts: Int): DataFrame = {
+    val p = probe.withColumn("__salt_p", pmod(hash(saltSource), lit(nSalts)))
+    val b = build.withColumn("__salt_b",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    p.join(b, p(probeKey) === b(buildKey) && p("__salt_p") === b("__salt_b"))
+      .drop("__salt_p", "__salt_b")
+  }
+
+  /** Lineitem ⋈ orders through the salted join, folded to the per-priority
+    * revenue rollup — the oracle is the PLAIN join + aggregate, proving
+    * the salt/replicate mechanics change the physical distribution and
+    * nothing else. */
+  def skewJoinAgg(spark: SparkSession, sfDir: String): DataFrame =
+    saltedJoin(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice")),
+      "l_orderkey",
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "o_orderkey",
+      saltSource = col("l_partkey"), nSalts = 16)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_extendedprice") * lit(1e4) + lit(0.5d))
+          .cast("long")).as("rev_grid"))
+      .orderBy("priority")
+
+  val skewJoinAggSql: String =
+    """SELECT o.o_orderpriority AS priority, count(*) AS n_items,
+      |  CAST(SUM(CAST(floor(l.l_extendedprice * 10000 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS rev_grid
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1 ORDER BY priority""".stripMargin
 }

@@ -622,4 +622,37 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 3,
       "only the anchor + cuts 1-row broadcasts allowed:\n" + p.take(1200))
   }
+
+  test("substring excise: equi-joins only, reassembly combines map-side") {
+    val p = plan(Dedup.substringExcise(spark, sfDir))
+    // the rewrite branch must stay linear: dup hashes join hash-to-hash,
+    // covered positions anti-join on (doc, pos) — never a cartesian or a
+    // per-token nested membership scan
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.contains("LeftAnti"), "covered positions must prune via anti-join:\n"
+      + p.take(1200))
+    // (pos, token) reassembly is a partial+final collect, so token rows
+    // combine before the final doc exchange
+    assert(p.contains("partial_collect_list"),
+      "reassembly must combine map-side:\n" + p.take(1200))
+  }
+
+  test("skew join: the join keys on (key, salt) — the hot key actually spreads") {
+    val p = plan(Skew.skewJoinAgg(spark, sfDir))
+    val joinLine = p.split("\n").find(_.contains("HashJoin")).getOrElse("")
+    assert(joinLine.contains("__salt_p") && joinLine.contains("__salt_b"),
+      s"join lost its salt keys (hot keys would re-funnel):\n$joinLine")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("bpe encode: vocabulary-grain equi-joins, no cartesian, corpus scans bounded") {
+    val p = plan(TextOps.bpeEncode(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // doc budgets: one (doc,word) checkpoint feeds the vocab derivation
+    // and the budget join; only the final left join re-reads documents
+    assert(p.split("FileScan parquet").length - 1 <= 1,
+      "encode plan re-scans the corpus:\n" + p.take(1200))
+  }
 }

@@ -180,7 +180,15 @@ class ScaleSpec extends SparkSuite {
       // doc_lm_score_kn: the KN table + hash-keyed doc join re-partition
       "doc_lm_score_kn",
       // vocab_drift: (token, half) counts + the tie-broken top-k cut
-      "vocab_drift")
+      "vocab_drift",
+      // bpe family: tie-broken per-round picks, literal-replace encode —
+      // the picked merges and per-doc budgets must not move with shuffle
+      // parallelism; rollup_replay: exact LONG epoch merges; excise: the
+      // ordered struct-sort reassembly must pin text byte-for-byte
+      "bpe_merges", "bpe_encode", "rollup_replay", "substring_excise",
+      // skew_join_agg: deterministic hash salt; the (key, salt) join and
+      // both aggregate stages must re-merge identically at any parallelism
+      "skew_join_agg")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = names.map { n =>
