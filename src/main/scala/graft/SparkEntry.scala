@@ -105,6 +105,8 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, dir) => Dedup.dedupEmbeddingLsh(tune(s), dir)),
     "dedup_embedding_lsh12" -> ((s, dir) => Dedup.dedupEmbeddingLsh(tune(s), dir, nBits = 12)),
     "dedup_components" -> ((s, dir) => Dedup.dedupComponents(tune(s), dir)),
+    // cluster-size distribution: the dedup-policy shape statistic
+    "dup_cluster_sizes" -> ((s, dir) => Dedup.dupClusterSizes(tune(s), dir)),
     "dedup_canonical" -> ((s, dir) => Dedup.dedupCanonical(tune(s), dir)),
     "substring_dup_spans" -> ((s, dir) => Dedup.substringDupSpans(tune(s), dir)),
     // the rewrite step: cut every duplicated-window position, reassemble
@@ -185,6 +187,8 @@ object SparkEntry {
     "iqr_outliers" -> ((s, dir) => Sketches.iqrOutliers(tune(s), dir)),
     // Corpus preparation: quality rules, PII redaction, sequence packing
     "quality_filter" -> ((s, dir) => CorpusOps.qualityFilter(tune(s), dir)),
+    // classifier-cutoff calibration: survival curve over 101 score buckets
+    "quality_threshold_sweep" -> ((s, dir) => CorpusOps.qualityThresholdSweep(tune(s), dir)),
     "pii_scrub" -> ((s, dir) => CorpusOps.piiScrub(tune(s), dir)),
     "seq_pack" -> ((s, dir) => CorpusOps.seqPack(tune(s), dir)),
     "rep_ngrams" -> ((s, dir) => CorpusOps.repNgrams(tune(s), dir)),
@@ -281,6 +285,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> Dedup.dedupEmbeddingLshSql(8),
     "dedup_embedding_lsh12" -> Dedup.dedupEmbeddingLshSql(12),
     "dedup_components" -> Dedup.dedupComponentsSql,
+    "dup_cluster_sizes" -> Dedup.dupClusterSizesSql,
     "dedup_canonical" -> Dedup.dedupCanonicalSql,
     "substring_dup_spans" -> Dedup.substringDupSpansSql,
     "substring_excise" -> Dedup.substringExciseSql,
@@ -338,6 +343,7 @@ object SparkEntry {
     "group_quantiles" -> Sketches.groupQuantiles2passSql(),
     "iqr_outliers" -> Sketches.iqrOutliersSql,
     "quality_filter" -> CorpusOps.qualityFilterSql,
+    "quality_threshold_sweep" -> CorpusOps.qualityThresholdSweepSql,
     "pii_scrub" -> CorpusOps.piiScrubSql,
     "seq_pack" -> CorpusOps.seqPackSql(),
     "rep_ngrams" -> CorpusOps.repNgramsSql,

@@ -77,6 +77,81 @@ object CorpusOps {
       |       WHEN NOT r_repetition THEN 'repetition' END AS reject_reason
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Quality-threshold sweep — the calibration table a curation run reads
+    * BEFORE fixing a classifier cutoff: how many documents and tokens
+    * survive at every score threshold. The continuous score here is the
+    * engine's heuristic quality signal — vocabulary richness × saturated
+    * stopword density, `(n_distinct/n_words) · min(10·n_stop/n_words, 1)`
+    * in [0, 1] — but the sweep shape is classifier-agnostic: swap the
+    * score column, keep the table.
+    *
+    * Scale: one corpus scan folds docs to 101 score buckets (map-side
+    * combined); the survival curve is a cumulative window over the
+    * BUCKET table — ≤101 rows, so the unpartitioned window is bounded by
+    * construction, never corpus-sized. Every ratio divides the same two
+    * exact LONGs in both engines, and bucketing happens on an identically
+    * computed double product. */
+  def qualityThresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = split(col("text"), " ")
+    val nWords = size(w).cast("long")
+    val nDistinct = size(array_distinct(w)).cast("long")
+    val stop = array(Seq("the", "a", "of", "and", "is").map(lit): _*)
+    val nStop = size(filter(w, x => array_contains(stop, x))).cast("long")
+    val score = nDistinct.cast("double") / nWords *
+      least(nStop.cast("double") / nWords * lit(10d), lit(1d))
+    val perBucket = Tables.documents(spark, sfDir)
+      .select(floor(score * lit(100d)).cast("long").as("bucket"),
+        nWords.as("toks"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+    val desc101 = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perBucket
+      .select(
+        (col("bucket").cast("double") / lit(100d)).as("threshold"),
+        col("n_docs"), col("n_tokens"),
+        sum("n_docs").over(desc101).as("docs_kept"),
+        sum("n_tokens").over(desc101).as("tokens_kept"),
+        Exprs.r4(sum("n_docs").over(desc101).cast("double")
+          / sum("n_docs").over(all)).as("doc_frac"),
+        Exprs.r4(sum("n_tokens").over(desc101).cast("double")
+          / sum("n_tokens").over(all)).as("token_frac"))
+      .orderBy("threshold")
+  }
+
+  val qualityThresholdSweepSql: String =
+    """WITH t AS (
+      |  SELECT string_split(text, ' ') AS w FROM documents),
+      |s AS (
+      |  SELECT CAST(len(w) AS BIGINT) AS nw,
+      |    CAST(len(list_distinct(w)) AS BIGINT) AS nd,
+      |    CAST(len(list_filter(w,
+      |      x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS ns
+      |  FROM t),
+      |b AS (
+      |  SELECT CAST(floor(CAST(nd AS DOUBLE) / nw *
+      |      least(CAST(ns AS DOUBLE) / nw * CAST(10 AS DOUBLE),
+      |        CAST(1 AS DOUBLE)) * 100) AS BIGINT) AS bucket,
+      |    nw FROM s),
+      |p AS (
+      |  SELECT bucket, count(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS n_tokens
+      |  FROM b GROUP BY 1)
+      |SELECT CAST(bucket AS DOUBLE) / 100 AS threshold, n_docs, n_tokens,
+      |  CAST(SUM(n_docs) OVER (ORDER BY bucket DESC
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS docs_kept,
+      |  CAST(SUM(n_tokens) OVER (ORDER BY bucket DESC
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_kept,
+      |  floor(CAST(SUM(n_docs) OVER (ORDER BY bucket DESC
+      |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      |    / SUM(n_docs) OVER () * 10000 + 0.5) / 10000 AS doc_frac,
+      |  floor(CAST(SUM(n_tokens) OVER (ORDER BY bucket DESC
+      |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      |    / SUM(n_tokens) OVER () * 10000 + 0.5) / 10000 AS token_frac
+      |FROM p ORDER BY threshold""".stripMargin
+
   /** PII redaction — scrub emails and phone-shaped tokens to placeholder
     * tags, reporting per-doc hit counts. The fixture corpus carries no PII,
     * so (as [[EventsOps.eventsDedupe]] synthesizes its double delivery) a

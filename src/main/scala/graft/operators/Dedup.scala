@@ -840,6 +840,33 @@ object Dedup {
        |FROM documents d LEFT JOIN comp c USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Duplicate-cluster SIZE distribution — the shape statistic curation
+    * reads before deciding the dedup policy: a corpus whose duplication
+    * lives in a few huge clusters (template spam, mirrored sites) wants
+    * canonical election + drop; one with many pairs wants near-dup
+    * weighting. Size 1 rows are the non-duplicated baseline mass.
+    *
+    * Two cluster-grain aggregates on top of [[dedupComponents]]'s id-only
+    * label table; output is max-cluster-size rows. */
+  def dupClusterSizes(spark: SparkSession, sfDir: String): DataFrame =
+    dedupComponents(spark, sfDir)
+      .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("cluster_size").as("n_docs"))
+      .orderBy("cluster_size")
+
+  val dupClusterSizesSql: String =
+    s"""WITH RECURSIVE $componentsOracleCte,
+       |lab AS (
+       |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |cl AS (
+       |  SELECT component, count(*) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT cluster_size, count(*) AS n_clusters,
+       |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+       |FROM cl GROUP BY 1 ORDER BY cluster_size""".stripMargin
+
   /** The end-to-end dedup DECISION: near-dup components → one content-aware
     * canonical survivor per group → a keep/drop list with a redirect to the
     * survivor. [[dedupComponents]] crowns the min-id doc; a curation pass

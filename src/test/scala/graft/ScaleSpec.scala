@@ -188,7 +188,10 @@ class ScaleSpec extends SparkSuite {
       "bpe_merges", "bpe_encode", "rollup_replay", "substring_excise",
       // skew_join_agg: deterministic hash salt; the (key, salt) join and
       // both aggregate stages must re-merge identically at any parallelism
-      "skew_join_agg")
+      "skew_join_agg",
+      // sweep: bucket fold + cumulative window over ≤101 rows; cluster
+      // sizes: two aggregates over the component labels
+      "quality_threshold_sweep", "dup_cluster_sizes")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = names.map { n =>
