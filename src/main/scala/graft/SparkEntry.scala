@@ -145,6 +145,8 @@ object SparkEntry {
     "ann_ivf_trained" -> ((s, dir) => Similarity.annIvfTrained(tune(s), dir)),
     "ann_quantized" -> ((s, dir) => Similarity.annQuantized(tune(s), dir)),
     "ann_pq" -> ((s, dir) => Similarity.annPq(tune(s), dir)),
+    // the production FAISS shape: coarse cell route × PQ code scan × rerank
+    "ann_ivfpq" -> ((s, dir) => Similarity.annIvfPq(tune(s), dir)),
     "rrf_fusion" -> ((s, dir) => Similarity.hybridRrf(tune(s), dir)),
     "ann_recall" -> ((s, dir) => Similarity.annRecall(tune(s), dir)),
     // Extension: multimodal column plumbing (decode stubbed)
@@ -317,6 +319,7 @@ object SparkEntry {
     "ann_ivf_trained" -> Similarity.annIvfTrainedSql,
     "ann_quantized" -> Similarity.annQuantizedSql,
     "ann_pq" -> Similarity.annPqSql(),
+    "ann_ivfpq" -> Similarity.annIvfPqSql(),
     "rrf_fusion" -> Similarity.hybridRrfSql(),
     "ann_recall" -> Similarity.annRecallSql,
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,

@@ -665,21 +665,23 @@ object Similarity {
     * the rerank is the shared r4 cosine. The oracle replays the whole
     * chain — m trainings, encoding, ADC, rerank — generated per subspace
     * from the same template as `kmeansTrainSql`. */
-  def annPq(spark: SparkSession, sfDir: String, m: Int = 8, k: Int = 16,
-            iters: Int = 2, nCand: Int = 50): DataFrame = {
-    val emb = Clustering.embDouble(spark, sfDir).withColumn("nn", norm(col("v")))
+  /** Shared PQ train + encode, used by [[annPq]] and [[annIvfPq]]: ALL m
+    * codebooks train in ONE Lloyd chain by keying every stage on the
+    * subspace id — (sub, cid) clusters, (sub, cid, pos) means — so an
+    * iteration costs 3 shuffles total instead of 3×m (the per-subspace
+    * loop form measured ~8 s of pure stage overhead at m=8). The math per
+    * subspace is untouched: grouping by `sub` IS running them
+    * independently, which is why the per-subspace oracle template still
+    * matches. The trained books are k×d driver-trivial rows, referenced
+    * twice downstream (encode + ADC table) — localCheckpoint materializes
+    * them once, like the trainer's own collected centroids. Returns
+    * (books, long-form codes, the sliced corpus view). */
+  private def pqTrainEncode(spark: SparkSession, sfDir: String,
+      m: Int, k: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    val emb = Clustering.embDouble(spark, sfDir)
     val dim = 64
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    // ALL m codebooks train in ONE Lloyd chain by keying every stage on the
-    // subspace id — (sub, cid) clusters, (sub, cid, pos) means — so an
-    // iteration costs 3 shuffles total instead of 3×m (the per-subspace
-    // loop form measured ~8 s of pure stage overhead at m=8). The math per
-    // subspace is untouched: grouping by `sub` IS running them
-    // independently, which is why the per-subspace oracle template still
-    // matches. The trained books are k×d driver-trivial rows, referenced
-    // twice downstream (encode + ADC table) — localCheckpoint materializes
-    // them once, like the trainer's own collected centroids.
     val sliced = (0 until m).map { s =>
       emb.select(lit(s).as("sub"), col("vec_id"),
         slice(col("v"), s * sub + 1, sub).as("v"))
@@ -709,6 +711,13 @@ object Similarity {
     val codesLong = sliced.join(broadcast(cs), "sub")
       .select(col("vec_id"), col("sub"),
         Clustering.nearest(col("v"), col("cs")).as("cid"))
+    (books, codesLong, sliced)
+  }
+
+  def annPq(spark: SparkSession, sfDir: String, m: Int = 8, k: Int = 16,
+            iters: Int = 2, nCand: Int = 50): DataFrame = {
+    val emb = Clustering.embDouble(spark, sfDir).withColumn("nn", norm(col("v")))
+    val (books, codesLong, sliced) = pqTrainEncode(spark, sfDir, m, k, iters)
     val queries = emb.filter(col("vec_id") % 200 === 0)
     // ADC lookup table: (query, subspace, cid) grid distance — tiny
     val qd = sliced.filter(col("vec_id") % 200 === 0)
@@ -736,11 +745,144 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Oracle for [[annPq]]: the full train→encode→ADC→rerank chain, with
-    * the per-subspace CTEs generated from the `kmeansTrainSql` template. */
-  def annPqSql(m: Int = 8, k: Int = 16, nCand: Int = 50): String = {
+  /** IVF-PQ — the production FAISS index shape (`IndexIVFPQ` with
+    * by_residual=false): the coarse quantizer routes each query to ONE
+    * cell ([[annIvf]]'s label-centroid router) and the PQ/ADC scan
+    * ([[annPq]]'s codebooks) runs over the CODES OF THAT CELL ONLY, then
+    * the exact rerank touches just the surviving candidates. The two
+    * approximations compose multiplicatively at 100 TB: the scan reads
+    * cells/nprobe-fold fewer rows than exhaustive ADC, and each row it
+    * reads is m code bytes, not d floats — a 1000-executor query moves
+    * kilobytes of codes per cell plus one broadcast lookup table.
+    *
+    * Non-residual PQ means codes are shared with [[annPq]] (one encode
+    * serves both indexes — the operational reason FAISS ships the option)
+    * at some recall cost vs residual encoding, which would need per-cell
+    * code distributions and is the documented next step, not a different
+    * plan shape. Determinism: routing ties break by label, ADC by
+    * (grid-distance, vec_id), rerank by the shared r4 cosine. */
+  def annIvfPq(spark: SparkSession, sfDir: String, m: Int = 8, k: Int = 16,
+               iters: Int = 2, nCand: Int = 50): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nn", norm(col("v")))
+    val (books, codesLong, sliced) = pqTrainEncode(spark, sfDir, m, k, iters)
+    // coarse routing — identical formula to annIvf (label-mean centroids
+    // on the 1e-6 integer grid, r4-rounded; ties break by label)
+    val dimSums = (1 to 64).map(i =>
+      sum(floor(element_at(col("v"), i) * 1e6 + 0.5).cast("long")).as(s"s$i"))
+    val centroids = e.groupBy("label")
+      .agg(count(lit(1)).as("cnt"), dimSums: _*)
+      .select(col("label"), array((1 to 64).map(i =>
+        Exprs.r4(col(s"s$i").cast("double") / 1e6 / col("cnt"))): _*).as("cv"))
+    val wRoute = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("label").asc)
+    val routed = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("label"),
+        cos(col("qv"), col("cv")).as("ccos"))
+      .withColumn("rr", row_number().over(wRoute))
+      .filter(col("rr") === 1)
+      .select(col("query_id"), col("label").as("cell"))
+    // ADC lookup table restricted to each query's routed cell: the
+    // (query, sub, cid) grid distances join the routed cell so the code
+    // scan's broadcast carries the cell gate with it
+    val qd = sliced.filter(col("vec_id") % 200 === 0)
+      .select(col("sub"), col("vec_id").as("query_id"), col("v").as("qs"))
+      .join(broadcast(books.select(col("sub"), col("cid"), col("c"))), "sub")
+      .select(col("query_id"), col("sub"), col("cid"),
+        Clustering.distInt(col("qs"), col("c")).as("d"))
+      .join(broadcast(routed), "query_id")
+    val lab = e.select(col("vec_id"), col("label"))
+    val approx = codesLong.join(lab, "vec_id")
+      .join(broadcast(qd), Seq("sub", "cid"))
+      .filter(col("label") === col("cell") && col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "cell", "vec_id").agg(sum("d").as("adc"))
+    val wCand = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val cand = approx.withColumn("cr", row_number().over(wCand))
+      .filter(col("cr") <= nCand)
+    val queries = e.filter(col("vec_id") % 200 === 0)
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand
+      .join(e.select(col("vec_id"), col("v"), col("nn")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nn").as("qn"))), Seq("query_id"))
+      .select(col("query_id"), col("cell"), col("vec_id"), col("adc"),
+        Exprs.r4(dot(col("qv"), col("v")) / (col("qn") * col("nn"))).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("cell").cast("long").as("cell"),
+        col("rank").cast("long").as("rank"),
+        col("vec_id").as("target_id"), col("cos"), col("adc"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Oracle for [[annIvfPq]] — [[annPqSql]]'s per-subspace chain composed
+    * with [[annIvfSql]]'s routing CTEs; the ADC union gains the
+    * label-gate join before aggregation. */
+  def annIvfPqSql(m: Int = 8, k: Int = 16, nCand: Int = 50): String = {
+    val perSub = pqPerSubSql(m, k)
+    val adUnion = (0 until m).map(s => s"SELECT * FROM ad_$s").mkString(" UNION ALL ")
+    val routeCos = cosSqlFragment.replace("QV", "qrt.qv").replace("TV", "c.cv")
+    val c = cosSqlFragment.replace("QV", "q.v").replace("TV", "t.v")
+    s"""WITH emb AS (
+       |  SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |ev AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cd AS (
+       |  SELECT label, i.i AS i,
+       |    floor(CAST(SUM(CAST(floor(v[i.i] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+       |          / 1000000 / COUNT(*) * 10000 + 0.5) / 10000 AS cx
+       |  FROM ev CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+       |  GROUP BY label, i.i),
+       |cent AS (SELECT label, list(cx ORDER BY i) AS cv FROM cd GROUP BY label),
+       |qrt AS (SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id % 200 = 0),
+       |routed0 AS (
+       |  SELECT qrt.query_id, c.label, $routeCos AS ccos
+       |  FROM qrt CROSS JOIN cent c),
+       |routed AS (
+       |  SELECT query_id, label AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ccos DESC, label ASC) AS rr
+       |    FROM routed0) WHERE rr = 1),
+       |$perSub,
+       |adc AS (
+       |  SELECT u.query_id, r.cell, u.vec_id, CAST(SUM(u.d) AS BIGINT) AS adc
+       |  FROM ($adUnion) u
+       |  JOIN ev l ON u.vec_id = l.vec_id
+       |  JOIN routed r ON u.query_id = r.query_id AND l.label = r.cell
+       |  WHERE u.vec_id <> u.query_id GROUP BY 1, 2, 3),
+       |cand AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc ASC, vec_id ASC) AS cr FROM adc),
+       |rr AS (
+       |  SELECT cd2.query_id, cd2.cell, cd2.vec_id, cd2.adc, $c AS cos
+       |  FROM cand cd2
+       |  JOIN ev t ON cd2.vec_id = t.vec_id
+       |  JOIN ev q ON cd2.query_id = q.vec_id
+       |  WHERE cd2.cr <= $nCand),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id ASC) AS rank FROM rr)
+       |SELECT query_id, CAST(cell AS BIGINT) AS cell,
+       |  CAST(rank AS BIGINT) AS rank, vec_id AS target_id, cos, adc
+       |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The per-subspace PQ oracle chain (train 2 Lloyd rounds → assign →
+    * query-to-codebook distances → per-vector ADC terms), shared by
+    * [[annPqSql]] and [[annIvfPqSql]]; generated from the
+    * `kmeansTrainSql` template. */
+  private def pqPerSubSql(m: Int, k: Int): String = {
     val sub = 64 / m
-    val perSub = (0 until m).map { s =>
+    (0 until m).map { s =>
       val lo = s * sub + 1
       val hi = (s + 1) * sub
       s"""c0_$s AS (SELECT vec_id AS cid, pos, x AS c FROM emb
@@ -777,6 +919,11 @@ object Similarity {
          |ad_$s AS (SELECT qd.query_id, a.vec_id, qd.d
          |  FROM a3_$s a JOIN qd_$s qd ON a.cid = qd.cid)""".stripMargin
     }.mkString(",\n")
+  }
+
+  /** Oracle for [[annPq]]: the full train→encode→ADC→rerank chain. */
+  def annPqSql(m: Int = 8, k: Int = 16, nCand: Int = 50): String = {
+    val perSub = pqPerSubSql(m, k)
     val adUnion = (0 until m).map(s => s"SELECT * FROM ad_$s").mkString(" UNION ALL ")
     val c = cosSqlFragment.replace("QV", "q.v").replace("TV", "t.v")
     s"""WITH emb AS (

@@ -101,4 +101,42 @@ class ExprsSpec extends SparkSuite {
       .select(Exprs.isSyntheticTs(col("t"))).collect().map(_.getBoolean(0))
     assert(r.toSeq == Seq(true, false))
   }
+
+  test("BPE delimited-replace application == naive greedy merge scan (exhaustive)") {
+    // The tokenizer trainer applies a merge (l, r) by literal replace of
+    // " l  r " with " lr " on the space-delimited symbol string. That is
+    // only correct if non-overlapping left-to-right string replacement
+    // equals the greedy symbol scan on EVERY sequence — including the
+    // shared-delimiter traps ("a a a a" must merge twice, "a a a" once)
+    // and merged symbols that are concatenations of other symbols
+    // ("ab" vs "a","b"). Exhaustive over 4 symbols × length ≤ 5 × all 16
+    // merge pairs, evaluated through Spark's actual `replace` expression.
+    def naive(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    def enc(syms: List[String]): String = " " + syms.mkString("  ") + " "
+    val alpha = List("a", "b", "ab", "_")
+    val seqs = (1 to 5).flatMap(n =>
+      List.fill(n)(alpha).flatten.combinations(n).flatMap(_.permutations))
+      .distinct.toList
+    val cases = for {
+      s <- seqs; l <- alpha; r <- alpha
+    } yield (enc(s), l, r, enc(naive(s, l, r)))
+    val got = cases.map { case (e, l, r, _) => (e, l, r) }
+      .toDF("s", "l", "r")
+      .select(replace(col("s"),
+        concat(lit(" "), col("l"), lit("  "), col("r"), lit(" ")),
+        concat(lit(" "), col("l"), col("r"), lit(" "))).as("out"))
+      .collect().map(_.getString(0))
+    cases.zip(got).foreach { case ((e, l, r, want), g) =>
+      assert(g == want, s"replace('$e', '$l','$r') = '$g', greedy = '$want'")
+    }
+  }
 }
