@@ -642,6 +642,31 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("ivfpq: every result lives in the query's routed cell, reranked by exact cosine") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.annIvfPq(spark, sfDir)
+    // cell containment: the code scan's label gate must hold on the output
+    val lab = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("target_id"), col("label").cast("long").as("tl"))
+    assert(out.join(lab, "target_id")
+      .filter(col("tl") =!= col("cell")).count() == 0,
+      "a result escaped its routed cell")
+    // within each query: ranks contiguous from 1, exact cosine non-increasing
+    out.collect().groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getLong(2))
+      assert(byRank.map(_.getLong(2)).toSeq == (1L to byRank.length).toSeq, s"q$q ranks")
+      val cs = byRank.map(_.getDouble(4))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"q$q not reranked")
+    }
+    // routing agreement: the composed index routes like single-probe IVF
+    val ivfCells = Similarity.annIvf(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Similarity.annIvfPq(spark, sfDir).collect().foreach { r =>
+      assert(ivfCells.get(r.getLong(0)).forall(_ == r.getLong(1)),
+        s"query ${r.getLong(0)} routed differently from annIvf")
+    }
+  }
+
   test("funnel: fold equals the relational min-chain, stage times ordered and windowed") {
     val wUs = 86400L * 1000000L
     val rows = EventsOps.eventsFunnel(spark, sfDir).collect()
