@@ -67,6 +67,8 @@ object SparkEntry {
     // Declarative multi-rule DQ report: one conditional aggregate + one
     // referential anti-join for any number of column rules
     "dq_expectations" -> ((s, dir) => Quality.dqExpectations(tune(s), dir)),
+    // quasi-identifier privacy gate: generalize-then-suppress ladder
+    "k_anonymity" -> ((s, dir) => Quality.kAnonymity(tune(s), dir)),
     "folder_completeness" -> ((s, dir) => Quality.folderCompleteness(tune(s), dir)),
     "table_profile" -> ((s, dir) => Quality.tableProfile(tune(s), dir)),
     // B/D. raw-zone load transforms (gcs_to_bq, webhook_handler)
@@ -254,6 +256,7 @@ object SparkEntry {
     "file_groups" -> Quality.fileGroupsSql,
     "count_verify" -> Quality.countVerifySql,
     "dq_expectations" -> Quality.dqExpectationsSql,
+    "k_anonymity" -> Quality.kAnonymitySql(),
     "folder_completeness" -> Quality.folderCompletenessSql,
     "table_profile" -> Quality.tableProfileSql,
     "raw_unwrap" -> RawLoad.rawUnwrapSql,

@@ -391,6 +391,69 @@ object Quality {
     * referential rule is a broadcast-able anti-join. Ratios divide exact
     * LONG counts in a pinned order onto a 1e-6 grid, so the report is
     * bit-deterministic cross-engine. */
+  /** K-anonymity report with a generalization ladder — the structured-data
+    * privacy gate next to the free-text scrub
+    * ([[CorpusOps.piiScrub]]): rows whose QUASI-IDENTIFIER combination
+    * (nation × market segment × account-balance band) is shared by fewer
+    * than `k` records are re-identifiable by joining released data against
+    * public attributes, so a release pass generalizes the finest QI first
+    * (band → `*`), then the next (segment → `*`), and suppresses whatever
+    * still sits under `k` — the standard coarsen-until-anonymous ladder
+    * (Sweeney's k-anonymity, Mondrian-style bottom-up). Output: the final
+    * equivalence classes with their size, the generalization level that
+    * produced them, and the suppression flag.
+    *
+    * Scale: ONE corpus-grain aggregate (map-side combined) builds the
+    * class table; every ladder round re-aggregates only the still-small
+    * CLASSES — QI-cardinality-sized, never row-sized. Pure integer
+    * counts; bit-deterministic. */
+  def kAnonymity(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val base = Tables.customer(spark, sfDir).select(
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("segment"),
+      floor(col("c_acctbal") / lit(2000d)).cast("int").cast("string")
+        .as("bal_band"))
+    val l0 = base.groupBy("nation", "segment", "bal_band")
+      .agg(count(lit(1)).as("n"))
+    val ok0 = l0.filter(col("n") >= k)
+      .select(col("nation"), col("segment"), col("bal_band"), col("n"),
+        lit(0L).as("gen_level"))
+    val l1 = l0.filter(col("n") < k)
+      .groupBy("nation", "segment").agg(sum("n").as("n"))
+    val ok1 = l1.filter(col("n") >= k)
+      .select(col("nation"), col("segment"), lit("*").as("bal_band"),
+        col("n"), lit(1L).as("gen_level"))
+    val l2 = l1.filter(col("n") < k).groupBy("nation").agg(sum("n").as("n"))
+    val f2 = l2.select(col("nation"), lit("*").as("segment"),
+      lit("*").as("bal_band"), col("n"), lit(2L).as("gen_level"))
+    ok0.unionByName(ok1).unionByName(f2)
+      .withColumn("suppressed", col("n") < k)
+      .orderBy("nation", "segment", "bal_band", "gen_level")
+  }
+
+  def kAnonymitySql(k: Int = 10): String =
+    s"""WITH b AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+       |    CAST(CAST(floor(c_acctbal / 2000) AS INT) AS VARCHAR) AS bal_band
+       |  FROM customer),
+       |l0 AS (SELECT nation, segment, bal_band, count(*) AS n
+       |       FROM b GROUP BY 1, 2, 3),
+       |ok0 AS (SELECT nation, segment, bal_band, n, CAST(0 AS BIGINT) AS gen_level
+       |        FROM l0 WHERE n >= $k),
+       |l1 AS (SELECT nation, segment, CAST(SUM(n) AS BIGINT) AS n
+       |       FROM l0 WHERE n < $k GROUP BY 1, 2),
+       |ok1 AS (SELECT nation, segment, '*' AS bal_band, n,
+       |          CAST(1 AS BIGINT) AS gen_level
+       |        FROM l1 WHERE n >= $k),
+       |l2 AS (SELECT nation, CAST(SUM(n) AS BIGINT) AS n
+       |       FROM l1 WHERE n < $k GROUP BY 1),
+       |f2 AS (SELECT nation, '*' AS segment, '*' AS bal_band, n,
+       |         CAST(2 AS BIGINT) AS gen_level FROM l2)
+       |SELECT nation, segment, bal_band, n, gen_level, n < $k AS suppressed
+       |FROM (SELECT * FROM ok0 UNION ALL SELECT * FROM ok1
+       |      UNION ALL SELECT * FROM f2)
+       |ORDER BY nation, segment, bal_band, gen_level""".stripMargin
+
   def dqExpectations(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val m = o.agg(
