@@ -88,6 +88,8 @@ object SparkEntry {
     "events_dedupe" -> ((s, dir) => EventsOps.eventsDedupe(tune(s), dir)),
     "events_props" -> ((s, dir) => EventsOps.eventsProps(tune(s), dir)),
     "events_funnel" -> ((s, dir) => EventsOps.eventsFunnel(tune(s), dir)),
+    // watermark tuning: drop fraction per candidate delay, ranged running max
+    "watermark_sweep" -> ((s, dir) => EventsOps.watermarkSweep(tune(s), dir)),
     "events_hopping" -> ((s, dir) => EventsOps.eventsHopping(tune(s), dir)),
     "journey_topk" -> ((s, dir) => EventsOps.journeyTopk(tune(s), dir)),
     // Extension: text analysis over documents
@@ -273,6 +275,7 @@ object SparkEntry {
     "events_dedupe" -> EventsOps.eventsDedupeSql,
     "events_props" -> EventsOps.eventsPropsSql,
     "events_funnel" -> EventsOps.eventsFunnelSql,
+    "watermark_sweep" -> EventsOps.watermarkSweepSql(),
     "events_hopping" -> EventsOps.eventsHoppingSql,
     "journey_topk" -> EventsOps.journeyTopkSql(),
     "text_stats" -> TextOps.textStatsSql,

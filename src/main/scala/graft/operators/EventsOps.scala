@@ -266,4 +266,91 @@ object EventsOps {
       |LEFT JOIN c ON u.user_id = c.user_id
       |LEFT JOIN p ON u.user_id = p.user_id
       |ORDER BY u.user_id""".stripMargin
+
+  /** Watermark-delay sweep — the tuning table behind every
+    * `withWatermark` setting ([[graft.streaming.Streaming]]'s windowed
+    * sinks): for each candidate delay, how many events would arrive
+    * BEHIND the watermark and be dropped. Arrival order is the
+    * deterministically jittered ingest sequence; the watermark before event i is
+    * `max(ts of all prior arrivals) − delay`, so an event is late at
+    * delay d iff `ts < prior_max − d`. Streaming teams read the smallest
+    * delay whose drop fraction is acceptable — state size scales with the
+    * delay, so this table IS the cost/completeness dial.
+    *
+    * Scale: the prior-arrival running max uses the same two-stage ranged
+    * form as [[Analytics.rangedRunningSum]] — range-partition on
+    * `event_id`, per-range running max over PRIOR rows only, plus the max
+    * of all earlier ranges (a #partitions² triangular join on the tiny
+    * per-range totals) — never a single-partition global window. All
+    * comparisons are exact LONG micros; the sweep itself is one
+    * conditional aggregate emitting `delays.length` rows. */
+  def watermarkSweep(spark: SparkSession, sfDir: String,
+      delays: Seq[Long] = Seq(0L, 60L, 300L, 900L, 3600L)): DataFrame = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // The fixture stream arrives exactly in timestamp order, which would
+    // leave the sweep all-zero and the operator unexercised — so (as
+    // eventsDedupe synthesizes its double delivery) a DETERMINISTIC
+    // arrival jitter is injected first: each event's arrival slot shifts
+    // by up to ±15 positions via the shared md5num contract, which both
+    // engines replay identically. The operator under test is the
+    // watermark accounting over the (jittered) arrival order.
+    val jitter = (pmod(Exprs.md5num(col("event_id").cast("string")), lit(7))
+      - lit(3)) * lit(5)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("t"))
+      .withColumn("arr", col("event_id") + jitter)
+    val ranged = ev.repartitionByRange(n, col("arr"), col("event_id"))
+      .withColumn("__rid", spark_partition_id())
+      .localCheckpoint(false) // one RDD: range boundaries sampled ONCE
+    val localPrior = ranged.withColumn("__pm",
+      max(col("t")).over(Window.partitionBy("__rid")
+        .orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    val totals = ranged.groupBy("__rid").agg(max("t").as("__rmax"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.__rid") < col("a.__rid"), "left_outer")
+      .groupBy(col("a.__rid").as("__rid"))
+      .agg(max(col("b.__rmax")).as("__off"))
+    val withWm = localPrior.join(broadcast(offsets), "__rid")
+      // max over ALL prior arrivals = max(earlier ranges, prior in-range);
+      // greatest() skips nulls, and a no-prior NULL propagates through the
+      // lateness comparison to false — NOT a MinValue sentinel, whose
+      // `MinValue − delay` subtraction would wrap (and DuckDB would throw)
+      .withColumn("__wmbase", greatest(col("__pm"), col("__off")))
+    val aggs = delays.flatMap { d =>
+      Seq(sum(when(col("__wmbase") - lit(d * 1000000L) > col("t"), 1L)
+        .otherwise(0L)).as(s"late_$d"))
+    }
+    val counted = withWm.agg(count(lit(1)).as("n_events"), aggs: _*)
+    val rows = delays.map { d =>
+      counted.select(lit(d).as("delay_s"), col(s"late_$d").as("n_late"),
+        col("n_events"),
+        Exprs.r4(col(s"late_$d").cast("double") / col("n_events"))
+          .as("late_frac"))
+    }
+    rows.reduce(_ unionByName _).orderBy("delay_s")
+  }
+
+  def watermarkSweepSql(delays: Seq[Long] = Seq(0L, 60L, 300L, 900L, 3600L)): String = {
+    val arms = delays.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS delay_s,
+         |  CAST(SUM(CASE WHEN pm - ${d}000000 > t THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_late,
+         |  count(*) AS n_events,
+         |  floor(CAST(SUM(CASE WHEN pm - ${d}000000 > t THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS late_frac
+         |FROM wm""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ev AS (
+       |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+       |    event_id + (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % 7 - 3) * 5 AS arr
+       |  FROM events),
+       |wm AS (
+       |  SELECT t, MAX(t) OVER (ORDER BY arr, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |  FROM ev)
+       |$arms
+       |ORDER BY delay_s""".stripMargin
+  }
 }
