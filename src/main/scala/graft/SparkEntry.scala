@@ -69,6 +69,8 @@ object SparkEntry {
     "dq_expectations" -> ((s, dir) => Quality.dqExpectations(tune(s), dir)),
     // quasi-identifier privacy gate: generalize-then-suppress ladder
     "k_anonymity" -> ((s, dir) => Quality.kAnonymity(tune(s), dir)),
+    // ε-DP Laplace count release (deterministic inverse-CDF draw)
+    "dp_noisy_counts" -> ((s, dir) => Quality.dpNoisyCounts(tune(s), dir)),
     "folder_completeness" -> ((s, dir) => Quality.folderCompleteness(tune(s), dir)),
     "table_profile" -> ((s, dir) => Quality.tableProfile(tune(s), dir)),
     // B/D. raw-zone load transforms (gcs_to_bq, webhook_handler)
@@ -108,6 +110,10 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) => Dedup.dedupEmbedding(tune(s), dir)),
     "dedup_embedding_lsh" -> ((s, dir) => Dedup.dedupEmbeddingLsh(tune(s), dir)),
     "dedup_embedding_lsh12" -> ((s, dir) => Dedup.dedupEmbeddingLsh(tune(s), dir, nBits = 12)),
+    // SemDeDup: learned k-means cells as the blocking key, greedy keep-rule
+    "dedup_semantic" -> ((s, dir) => Dedup.dedupSemantic(tune(s), dir)),
+    // embedding-level benchmark decontamination: eval-vs-train LSH join
+    "semantic_decontaminate" -> ((s, dir) => Dedup.semanticDecontaminate(tune(s), dir)),
     "dedup_components" -> ((s, dir) => Dedup.dedupComponents(tune(s), dir)),
     // cluster-size distribution: the dedup-policy shape statistic
     "dup_cluster_sizes" -> ((s, dir) => Dedup.dupClusterSizes(tune(s), dir)),
@@ -133,6 +139,8 @@ object SparkEntry {
     "doc_lm_score" -> ((s, dir) => TextOps.docLmScore(tune(s), dir)),
     "doc_lm_score_kn" -> ((s, dir) => TextOps.docLmScoreKn(tune(s), dir)),
     "vocab_drift" -> ((s, dir) => TextOps.vocabDrift(tune(s), dir)),
+    // Moore–Lewis cross-entropy selection: in-domain vs general LM ratio
+    "moore_lewis" -> ((s, dir) => TextOps.mooreLewis(tune(s), dir)),
     "bm25_topk" -> ((s, dir) => TextOps.bm25Topk(tune(s), dir)),
     "bpe_pairs" -> ((s, dir) => TextOps.bpePairs(tune(s), dir)),
     // greedy merge training unrolled: vocab-sized rounds, 1-row picks
@@ -259,6 +267,7 @@ object SparkEntry {
     "count_verify" -> Quality.countVerifySql,
     "dq_expectations" -> Quality.dqExpectationsSql,
     "k_anonymity" -> Quality.kAnonymitySql(),
+    "dp_noisy_counts" -> Quality.dpNoisyCountsSql(),
     "folder_completeness" -> Quality.folderCompletenessSql,
     "table_profile" -> Quality.tableProfileSql,
     "raw_unwrap" -> RawLoad.rawUnwrapSql,
@@ -292,6 +301,8 @@ object SparkEntry {
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "dedup_embedding_lsh" -> Dedup.dedupEmbeddingLshSql(8),
     "dedup_embedding_lsh12" -> Dedup.dedupEmbeddingLshSql(12),
+    "dedup_semantic" -> Dedup.dedupSemanticSql(),
+    "semantic_decontaminate" -> Dedup.semanticDecontaminateSql(),
     "dedup_components" -> Dedup.dedupComponentsSql,
     "dup_cluster_sizes" -> Dedup.dupClusterSizesSql,
     "dedup_canonical" -> Dedup.dedupCanonicalSql,
@@ -314,6 +325,7 @@ object SparkEntry {
     "doc_lm_score" -> TextOps.docLmScoreSql,
     "doc_lm_score_kn" -> TextOps.docLmScoreKnSql,
     "vocab_drift" -> TextOps.vocabDriftSql(),
+    "moore_lewis" -> TextOps.mooreLewisSql(),
     "bm25_topk" -> TextOps.bm25TopkSql(),
     "bpe_pairs" -> TextOps.bpePairsSql(),
     "bpe_merges" -> TextOps.bpeMergesSql(),

@@ -1146,4 +1146,169 @@ object Dedup {
       |SELECT vec_a, vec_b, floor(dot / (na * nb) * 10000 + 0.5) / 10000 AS cos
       |FROM p WHERE floor(dot / (na * nb) * 10000 + 0.5) / 10000 >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): block
+    * the corpus by LEARNED k-means cells instead of labels
+    * ([[dedupEmbedding]]) or random hyperplanes ([[dedupEmbeddingLsh]]) —
+    * the production recipe for web-scale corpora, where near-dups
+    * concentrate inside semantic clusters and a trained coarse quantizer
+    * gives far better recall-per-pair than data-independent hashing.
+    * Chain: [[Clustering.trainedCentroids]] (Lloyd's, deterministic seed) →
+    * nearest-cell assignment (broadcast k×d centroids, grid-distance
+    * argmin) → exact pairwise cosine INSIDE each cell → greedy keep-rule:
+    * a vector is removed iff it cos-matches (≥ τ) any LOWER-id vector in
+    * its cell; output is the removal list with the minimal witness. The
+    * one-pass "any lower-id match" rule (vs the sequential
+    * compare-against-kept-only scan) is order-free and embarrassingly
+    * parallel — each pair decides independently.
+    *
+    * Scale: pair cost is Σ cell², controlled by growing k with the corpus
+    * (SemDeDup uses k ≈ √n·const; the paper's 50k clusters on LAION);
+    * cells repartition once, payload vectors cross the shuffle exactly
+    * once, cosines run in the codegen'd `array_dot` kernel. At 100 TB the
+    * centroid table stays broadcast-sized (k×d doubles) and the removal
+    * list is output-sized. */
+  def dedupSemantic(spark: SparkSession, sfDir: String,
+      tau: Double = 0.3): DataFrame = {
+    val cents = Clustering.trainedCentroids(spark, sfDir)
+      .agg(collect_list(struct(col("cid"), col("c"))).as("cs"))
+    val assigned = Clustering.embDouble(spark, sfDir)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), Similarity.norm(col("v")).as("n"),
+        Clustering.nearest(col("v"), col("cs")).as("cid"))
+      .repartition(col("cid"))
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("b.cid").as("cid"),
+        col("a.vec_id").as("dup_of"),
+        Exprs.r4(Similarity.dot(col("a.v"), col("b.v"))
+          / (col("a.n") * col("b.n"))).as("cos"))
+      .filter(col("cos") >= tau)
+    pairs.groupBy("vec_id", "cid")
+      .agg(min(struct(col("dup_of"), col("cos"))).as("w"))
+      .select(col("vec_id"), col("cid"),
+        col("w.dup_of").as("dup_of"), col("w.cos").as("cos"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle: the kmeansTrain CTE chain (same two Lloyd iterations) + a
+    * third assignment pass against the trained centroids, then the
+    * cell-blocked pair scan. */
+  def dedupSemanticSql(tau: Double = 0.3): String =
+    s"""WITH emb AS (
+      |  SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, pos, x AS c FROM emb WHERE vec_id < 8),
+      |d1 AS (SELECT e.vec_id, c.cid,
+      |         SUM(CAST(floor((e.x-c.c)*(e.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
+      |       FROM emb e JOIN c0 c ON e.pos = c.pos GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, min({'d': d, 'c': cid}).c AS cid FROM d1 GROUP BY 1),
+      |m1 AS (SELECT a.cid, e.pos,
+      |         CAST(SUM(CAST(floor(e.x*1000000+0.5) AS BIGINT)) AS DOUBLE)
+      |           / count(*) / 1000000.0 AS c
+      |       FROM emb e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
+      |d2 AS (SELECT e.vec_id, c.cid,
+      |         SUM(CAST(floor((e.x-c.c)*(e.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
+      |       FROM emb e JOIN m1 c ON e.pos = c.pos GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, min({'d': d, 'c': cid}).c AS cid FROM d2 GROUP BY 1),
+      |m2 AS (SELECT a.cid, e.pos,
+      |         CAST(SUM(CAST(floor(e.x*1000000+0.5) AS BIGINT)) AS DOUBLE)
+      |           / count(*) / 1000000.0 AS c
+      |       FROM emb e JOIN a2 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
+      |d3 AS (SELECT e.vec_id, c.cid,
+      |         SUM(CAST(floor((e.x-c.c)*(e.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
+      |       FROM emb e JOIN m2 c ON e.pos = c.pos GROUP BY 1, 2),
+      |a3 AS (SELECT vec_id, min({'d': d, 'c': cid}).c AS cid FROM d3 GROUP BY 1),
+      |el AS (SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |       FROM embeddings),
+      |mm AS (SELECT el.vec_id, a3.cid, el.v,
+      |         sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |           list_transform(el.v, x -> x * x)), (acc, x) -> acc + x)) AS n
+      |       FROM el JOIN a3 ON el.vec_id = a3.vec_id),
+      |p AS (SELECT b.vec_id AS vec_id, b.cid AS cid, a.vec_id AS dup_of,
+      |        list_reduce(list_prepend(0.0::DOUBLE,
+      |          list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])),
+      |          (acc, x) -> acc + x) / (a.n * b.n) AS c
+      |      FROM mm a JOIN mm b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      |f AS (SELECT vec_id, cid, dup_of, floor(c * 10000 + 0.5) / 10000 AS cos
+      |      FROM p WHERE floor(c * 10000 + 0.5) / 10000 >= $tau)
+      |SELECT vec_id, cid, min({'o': dup_of, 'k': cos}).o AS dup_of,
+      |  min({'o': dup_of, 'k': cos}).k AS cos
+      |FROM f GROUP BY vec_id, cid ORDER BY vec_id""".stripMargin
+
+  /** Semantic (embedding-level) decontamination — the companion to the
+    * n-gram [[contaminationCheck]] / [[Sampling.splitDecontaminate]]:
+    * paraphrased or translated benchmark leakage carries NO n-gram overlap,
+    * so modern pipelines ALSO check each held-out example's nearest TRAIN
+    * neighbor in embedding space and quarantine anything above a cosine
+    * threshold. Split: deterministic md5 draw on vec_id (~10% eval).
+    * Candidates: sign-LSH bucket equi-join between the two sides
+    * ([[dedupEmbeddingLsh]]'s hyperplane contract) — cross-set, so the
+    * train corpus NEVER self-joins; cost ∝ Σ bucket_train × bucket_eval.
+    * Per eval vector: the single best train match (max cos, ties to the
+    * lower train id) and the `contaminated` verdict.
+    *
+    * Eval vectors whose bucket holds no train row are absent — at scale
+    * recall is recovered the MinHash way (multiple independent plane sets,
+    * OR-ed), the same knob [[dedupEmbeddingLsh]] documents. */
+  def semanticDecontaminate(spark: SparkSession, sfDir: String,
+      nBits: Int = 6, tau: Double = 0.3): DataFrame = {
+    val planes = lshPlanes(nBits)
+    val bucket = (0 until nBits).map { j =>
+      when(call_function("array_dot", col("v"), typedlit(planes(j))) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", Similarity.norm(col("v")))
+      .withColumn("bucket", bucket)
+      .withColumn("is_eval",
+        Exprs.md5num(concat(lit("vsplit_"), col("vec_id").cast("string")))
+          % 10 === 0)
+    val train = e.filter(!col("is_eval"))
+    val eval_ = e.filter(col("is_eval"))
+    val cand = train.as("t")
+      .join(eval_.as("q"), col("t.bucket") === col("q.bucket"))
+      .select(col("q.vec_id").as("eval_id"), col("t.vec_id").as("tid"),
+        Exprs.r4(Similarity.dot(col("t.v"), col("q.v"))
+          / (col("t.n") * col("q.n"))).as("cos"))
+    cand.groupBy("eval_id")
+      .agg(max(struct(col("cos"), (-col("tid")).as("nti"))).as("w"))
+      .select(col("eval_id"), (-col("w.nti")).as("train_id"),
+        col("w.cos").as("cos"), (col("w.cos") >= tau).as("contaminated"))
+      .orderBy("eval_id")
+  }
+
+  def semanticDecontaminateSql(nBits: Int = 6, tau: Double = 0.3): String =
+    s"""WITH e0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(v, x -> x * x)),
+      |      (acc, x) -> acc + x)) AS n,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(0, ${nBits - 1}), j ->
+      |        CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+      |          list_transform(generate_series(1, 64), i ->
+      |            v[i] * ((CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0))),
+      |          (s, x) -> s + x) > 0
+      |        THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)),
+      |      (acc, x) -> acc + x) AS bucket,
+      |    CAST(('0x' || substr(md5('vsplit_' || CAST(vec_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 10 = 0 AS is_eval
+      |  FROM e0),
+      |cand AS (
+      |  SELECT q.vec_id AS eval_id, t.vec_id AS tid,
+      |    floor(list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(generate_series(1, 64), i -> t.v[i] * q.v[i])),
+      |      (acc, x) -> acc + x) / (t.n * q.n) * 10000 + 0.5) / 10000 AS cos
+      |  FROM e t JOIN e q ON t.bucket = q.bucket
+      |  WHERE NOT t.is_eval AND q.is_eval)
+      |SELECT eval_id, -(max({'k': cos, 'i': -tid}).i) AS train_id,
+      |  max({'k': cos, 'i': -tid}).k AS cos,
+      |  max({'k': cos, 'i': -tid}).k >= $tau AS contaminated
+      |FROM cand GROUP BY eval_id ORDER BY eval_id""".stripMargin
 }

@@ -454,6 +454,70 @@ object Quality {
        |      UNION ALL SELECT * FROM f2)
        |ORDER BY nation, segment, bal_band, gen_level""".stripMargin
 
+  /** Differentially-private count release (ε-DP Laplace mechanism, Dwork
+    * et al. 2006) — the OTHER half of the structured-data privacy surface:
+    * [[kAnonymity]] decides WHICH classes are safe to release; this
+    * operator releases counts with calibrated noise so that no single
+    * record's presence is inferable. Counts have sensitivity 1, so noise ~
+    * Laplace(1/ε) drawn by inverse-CDF: u ∈ (−½,½) uniform,
+    * noise = −(1/ε)·sign(u)·ln(1−2|u|). The release is post-processed the
+    * standard way (clamp at 0, round to integer) — post-processing never
+    * spends privacy budget. Two ε arms (0.25 and 1.0) make the
+    * utility/privacy trade visible in one table.
+    *
+    * The uniform draw is the engine's shared [[Exprs.md5num]] contract
+    * keyed on (ε, group) — DETERMINISTIC so the oracle replays it exactly
+    * (and a rerun releases the same table, not a second noisy draw, which
+    * would leak budget). A production deployment holding a privacy
+    * guarantee against an adversary who knows the pipeline would swap the
+    * key for a secret salt — one expression, noted here; the mechanism,
+    * sensitivity math, and post-processing are unchanged. (u+½ never hits
+    * 0 or 1: the +0.5 offset keeps ln's argument in (2⁻³³, 1].)
+    *
+    * Scale: one map-side-combined count aggregate over the corpus; the
+    * noise arms touch only the GROUP table (QI-cardinality rows), scalar
+    * codegen'd math, no extra shuffle. */
+  def dpNoisyCounts(spark: SparkSession, sfDir: String,
+      epsilons: Seq[(String, Double)] = Seq(("0.25", 0.25), ("1.0", 1.0))): DataFrame = {
+    val groups = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_true"))
+    val arms = epsilons.map { case (lbl, eps) =>
+      val u32 = Exprs.md5num(concat_ws("|", lit("dp"), lit(lbl),
+        col("nation").cast("string"), col("segment")))
+      val u = (u32.cast("double") + lit(0.5d)) / lit(4294967296d) - lit(0.5d)
+      val noise = lit(-1d / eps) * signum(u) * log(lit(1d) - lit(2d) * abs(u))
+      groups.select(lit(eps).as("epsilon"), col("nation"), col("segment"),
+        col("n_true"),
+        Exprs.r4(greatest(lit(0d), col("n_true") + noise)).as("noisy_n"))
+        .withColumn("released", floor(col("noisy_n") + lit(0.5d)).cast("long"))
+    }
+    arms.reduce(_ unionByName _).orderBy("epsilon", "nation", "segment")
+  }
+
+  def dpNoisyCountsSql(
+      epsilons: Seq[(String, Double)] = Seq(("0.25", 0.25), ("1.0", 1.0))): String = {
+    val arms = epsilons.map { case (lbl, eps) =>
+      s"""SELECT CAST($eps AS DOUBLE) AS epsilon, nation, segment, n_true,
+         |  greatest(0.0, floor((n_true + (-1.0/$eps) * sign(u) * ln(1 - 2*abs(u)))
+         |    * 10000 + 0.5) / 10000) AS noisy_n
+         |FROM (SELECT nation, segment, n_true,
+         |        (CAST(('0x' || substr(md5('dp|$lbl|' ||
+         |           CAST(nation AS VARCHAR) || '|' || segment), 1, 8))
+         |          AS BIGINT) + 0.5) / 4294967296.0 - 0.5 AS u
+         |      FROM g)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH g AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+       |    count(*) AS n_true
+       |  FROM customer GROUP BY 1, 2)
+       |SELECT epsilon, nation, segment, n_true, noisy_n,
+       |  CAST(floor(noisy_n + 0.5) AS BIGINT) AS released
+       |FROM ($arms)
+       |ORDER BY epsilon, nation, segment""".stripMargin
+  }
+
   def dqExpectations(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val m = o.agg(

@@ -620,6 +620,89 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Moore–Lewis cross-entropy data selection (Moore & Lewis 2010,
+    * "Intelligent Selection of Language Model Training Data"): score each
+    * document by the per-token log-probability difference between an
+    * IN-DOMAIN LM (here: the `domainLang` slice stands in for the target
+    * domain) and the GENERAL corpus LM — documents the in-domain model
+    * likes more than the background model does (score > 0) are what you
+    * keep when assembling a domain-adapted training mix. Unigram LMs with
+    * add-one smoothing over the shared corpus vocabulary keep OOV mass
+    * defined on both sides.
+    *
+    * Cross-engine determinism: each vocabulary term's log-ratio collapses
+    * to ONE ln over an exact integer rational —
+    * ln((c_in+1)·(N_gen+V) / ((c_gen+1)·(N_in+V))) — so both engines feed
+    * ln the identical double (the products stay exact below 2⁶³, i.e. to
+    * ~3·10⁹-token corpora; past that the term splits into four lns, same
+    * grid). Terms land on a 1e-6 LONG grid at VOCABULARY grain (one ln
+    * per distinct token, not per occurrence), sums commute, and the
+    * per-doc mean divides in pinned order.
+    *
+    * Scale: two vocabulary aggregates + a 1-row total + an
+    * occurrence-to-term shuffle-hash join (term table is vocab-sized,
+    * occurrences never carry text past the token) — the docLmScore shape;
+    * a production run would materialize the token table once instead of
+    * re-exploding per consumer. */
+  def mooreLewis(spark: SparkSession, sfDir: String,
+      domainLang: String = "en"): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(words(col("text"))).as("token"))
+    val gen = toks.groupBy("token").agg(count(lit(1)).as("cgen"))
+    val ind = toks.filter(col("lang") === domainLang)
+      .groupBy("token").agg(count(lit(1)).as("cin"))
+    val vocab = gen.join(ind, Seq("token"), "left")
+      .select(col("token"), col("cgen"),
+        coalesce(col("cin"), lit(0L)).as("cin"))
+    val totals = vocab.agg(sum("cgen").as("ngen"), sum("cin").as("nin"),
+      count(lit(1)).as("v"))
+    val term = vocab.crossJoin(broadcast(totals))
+      .select(col("token"),
+        floor(log(((col("cin") + 1) * (col("ngen") + col("v"))).cast("double")
+            / ((col("cgen") + 1) * (col("nin") + col("v"))).cast("double"))
+          * lit(1e6) + lit(0.5d)).cast("long").as("term"))
+    val scored = toks.join(term.hint("shuffle_hash"), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("term").as("s"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        Exprs.r4(col("s").cast("double") / col("n_tokens") / lit(1e6))
+          .as("ml_score"))
+      .withColumn("selected", coalesce(col("ml_score") > 0d, lit(false)))
+      .orderBy("doc_id")
+  }
+
+  def mooreLewisSql(domainLang: String = "en"): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |gen AS (SELECT token, count(*) AS cgen FROM toks GROUP BY 1),
+      |ind AS (SELECT token, count(*) AS cin FROM toks
+      |        WHERE lang = '$domainLang' GROUP BY 1),
+      |vocab AS (SELECT g.token, g.cgen, coalesce(i.cin, 0) AS cin
+      |          FROM gen g LEFT JOIN ind i ON g.token = i.token),
+      |tot AS (SELECT CAST(SUM(cgen) AS BIGINT) AS ngen,
+      |          CAST(SUM(cin) AS BIGINT) AS nin, count(*) AS v FROM vocab),
+      |term AS (
+      |  SELECT token,
+      |    CAST(floor(ln(CAST((cin + 1) * (ngen + v) AS DOUBLE)
+      |      / CAST((cgen + 1) * (nin + v) AS DOUBLE)) * 1000000 + 0.5)
+      |      AS BIGINT) AS term
+      |  FROM vocab, tot),
+      |sc AS (
+      |  SELECT doc_id, count(*) AS n_tokens, SUM(term) AS s
+      |  FROM toks JOIN term USING (token) GROUP BY 1)
+      |SELECT d.doc_id, d.lang, coalesce(sc.n_tokens, 0) AS n_tokens,
+      |  floor(CAST(sc.s AS DOUBLE) / sc.n_tokens / 1000000 * 10000 + 0.5)
+      |    / 10000 AS ml_score,
+      |  coalesce(floor(CAST(sc.s AS DOUBLE) / sc.n_tokens / 1000000 * 10000
+      |    + 0.5) / 10000 > 0, false) AS selected
+      |FROM documents d LEFT JOIN sc USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Vocabulary drift between two corpus halves — the text counterpart of
     * [[graft.operators.Clustering.embeddingDrift]], and the
     * train-vs-serving skew monitor a corpus refresh runs before mixing new

@@ -1588,4 +1588,69 @@ class OperatorsSpec extends SparkSuite {
     assert(m2 >= diag.max * 0.999,
       s"PC1 second moment $m2 below best axis ${diag.max}")
   }
+
+  test("dp noisy counts: release is clamped+rounded, noise scales like 1/ε") {
+    val rows = Quality.dpNoisyCounts(spark, sfDir).collect()
+    rows.foreach { r =>
+      val noisy = r.getDouble(r.fieldIndex("noisy_n"))
+      assert(noisy >= 0d, "negative release")
+      assert(r.getLong(r.fieldIndex("released")) ==
+        math.floor(noisy + 0.5).toLong, "released != post-processed noisy_n")
+    }
+    // mean |Laplace(1/ε)| is 1/ε — the tight-budget arm must be noisier,
+    // and both arms must release the same group set with the same truths
+    val byEps = rows.groupBy(_.getDouble(0)).view.mapValues { rs =>
+      rs.map(r => math.abs(r.getDouble(r.fieldIndex("noisy_n"))
+        - r.getLong(r.fieldIndex("n_true")))).sum / rs.size
+    }.toMap
+    assert(byEps(0.25) > byEps(1.0),
+      s"ε=0.25 mean |err| ${byEps(0.25)} not above ε=1.0 ${byEps(1.0)}")
+    val groups = rows.groupBy(_.getDouble(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSet)
+    assert(groups(0.25) == groups(1.0), "arms disagree on groups/truths")
+  }
+
+  test("semdedup: every removal cites a lower-id witness at or above τ, once") {
+    val rem = Dedup.dedupSemantic(spark, sfDir).collect()
+    assert(rem.nonEmpty)
+    rem.foreach { r =>
+      assert(r.getLong(r.fieldIndex("dup_of")) < r.getLong(r.fieldIndex("vec_id")),
+        "witness must precede the removed vector")
+      assert(r.getDouble(r.fieldIndex("cos")) >= 0.3 - 1e-9)
+    }
+    val ids = rem.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "a vector removed twice")
+  }
+
+  test("semantic decontamination: sides are split-disjoint, verdict = cos ≥ τ") {
+    // replicate the md5num split draw the operator uses
+    def draw(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"vsplit_$id".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    val res = Dedup.semanticDecontaminate(spark, sfDir).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(draw(r.getLong(r.fieldIndex("eval_id"))) == 0, "eval id not in eval split")
+      assert(draw(r.getLong(r.fieldIndex("train_id"))) != 0, "train id leaked from eval split")
+      val cos = r.getDouble(r.fieldIndex("cos"))
+      assert(cos >= -1.0001 && cos <= 1.0001)
+      assert(r.getBoolean(r.fieldIndex("contaminated")) == (cos >= 0.3))
+    }
+  }
+
+  test("moore lewis: the in-domain language outranks every other, verdict = score > 0") {
+    val df = TextOps.mooreLewis(spark, sfDir)
+    val byLang = df.groupBy("lang").agg(avg("ml_score").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byLang("en") == byLang.values.max,
+      s"in-domain 'en' not top: $byLang")
+    df.collect().foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("selected")) ==
+        (!r.isNullAt(r.fieldIndex("ml_score")) &&
+          r.getDouble(r.fieldIndex("ml_score")) > 0d))
+    }
+  }
 }
