@@ -142,6 +142,8 @@ object SparkEntry {
     // Moore–Lewis cross-entropy selection: in-domain vs general LM ratio
     "moore_lewis" -> ((s, dir) => TextOps.mooreLewis(tune(s), dir)),
     "bm25_topk" -> ((s, dir) => TextOps.bm25Topk(tune(s), dir)),
+    // PMI collocation extraction over the shared bigram table
+    "pmi_collocations" -> ((s, dir) => TextOps.pmiCollocations(tune(s), dir)),
     "bpe_pairs" -> ((s, dir) => TextOps.bpePairs(tune(s), dir)),
     // greedy merge training unrolled: vocab-sized rounds, 1-row picks
     "bpe_merges" -> ((s, dir) => TextOps.bpeMerges(tune(s), dir)),
@@ -212,6 +214,8 @@ object SparkEntry {
     "doc_chunks" -> ((s, dir) => CorpusOps.docChunks(tune(s), dir)),
     // Extension: IVF centroid training (Lloyd's) + split/profile utilities
     "kmeans_train" -> ((s, dir) => Clustering.kmeansTrain(tune(s), dir)),
+    // cluster-quality grade of the trained quantizer (simplified silhouette)
+    "kmeans_silhouette" -> ((s, dir) => Clustering.kmeansSilhouette(tune(s), dir)),
     "embedding_drift" -> ((s, dir) => Clustering.embeddingDrift(tune(s), dir)),
     // Single-pass mergeable outer-product accumulator (PCA building block)
     "embedding_gram" -> ((s, dir) => Clustering.embeddingGram(tune(s), dir)),
@@ -327,6 +331,7 @@ object SparkEntry {
     "vocab_drift" -> TextOps.vocabDriftSql(),
     "moore_lewis" -> TextOps.mooreLewisSql(),
     "bm25_topk" -> TextOps.bm25TopkSql(),
+    "pmi_collocations" -> TextOps.pmiCollocationsSql(),
     "bpe_pairs" -> TextOps.bpePairsSql(),
     "bpe_merges" -> TextOps.bpeMergesSql(),
     "bpe_encode" -> TextOps.bpeEncodeSql(),
@@ -373,6 +378,7 @@ object SparkEntry {
     "corpus_pipeline" -> CorpusOps.corpusPipelineSql,
     "doc_chunks" -> CorpusOps.docChunksSql(),
     "kmeans_train" -> Clustering.kmeansTrainSql,
+    "kmeans_silhouette" -> Clustering.kmeansSilhouetteSql(),
     "embedding_drift" -> Clustering.embeddingDriftSql,
     "embedding_gram" -> Clustering.embeddingGramSql,
     "pca_project" -> Clustering.pcaProjectSql(),

@@ -133,6 +133,88 @@ object Clustering {
       |  floor(c*10000+0.5)/10000 AS centroid, CAST(n AS BIGINT) AS n_members
       |FROM m2 ORDER BY cluster_id, dim""".stripMargin
 
+  /** Cluster-quality report for the trained coarse quantizer — the
+    * SIMPLIFIED silhouette (Hruschka et al. 2004): per vector,
+    * a = grid-distance to its own (nearest) centroid, b = distance to the
+    * second-nearest centroid, s = (b−a)/max(a,b); reported as the
+    * per-cluster mean with the cluster size. The pairwise silhouette is
+    * O(n²) and dies at scale; the centroid form is the standard k-picker /
+    * index-health metric an IVF deployment tracks per retrain ([[kmeansTrain]]
+    * trains; this grades).
+    *
+    * Determinism: distances are the [[graft.plans.ArrayDist2I]] integer
+    * grid, so (b−a) and max(a,b) are exact LONGs and s is ONE correctly-
+    * rounded division both engines repeat; means go through 1e-6 grid sums
+    * ([[Exprs.gsum]]). The per-row second-best scan sorts the k-element
+    * (d, cid) struct array inside codegen — no shuffle beyond the final
+    * k-row aggregate; the corpus never moves. */
+  def kmeansSilhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = trainedCentroids(spark, sfDir)
+      .agg(collect_list(struct(col("cid"), col("c"))).as("cs"))
+    val ranked = embDouble(spark, sfDir)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), array_sort(transform(col("cs"), ct =>
+        struct(distInt(col("v"), ct.getField("c")).as("d"),
+          ct.getField("cid").as("c")))).as("ds"))
+      .select(col("vec_id"),
+        element_at(col("ds"), 1).getField("c").as("cluster_id"),
+        element_at(col("ds"), 1).getField("d").as("a"),
+        element_at(col("ds"), 2).getField("d").as("b"))
+    val s = when(greatest(col("a"), col("b")) === 0L, lit(0d))
+      .otherwise((col("b") - col("a")).cast("double")
+        / greatest(col("a"), col("b")).cast("double"))
+    ranked.select(col("cluster_id"), s.as("s"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"),
+        Exprs.r4(Exprs.gsum(col("s"), 1e6) / count(lit(1)))
+          .as("mean_silhouette"))
+      .orderBy("cluster_id")
+  }
+
+  /** Oracle: the kmeansTrain CTE chain + a distance pass against the
+    * trained centroids, ranked per vector by (d, cid) — the same
+    * lexicographic order the struct sort uses. */
+  def kmeansSilhouetteSql(): String =
+    """WITH emb AS (
+      |  SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, pos, x AS c FROM emb WHERE vec_id < 8),
+      |d1 AS (SELECT e.vec_id, c.cid,
+      |         SUM(CAST(floor((e.x-c.c)*(e.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
+      |       FROM emb e JOIN c0 c ON e.pos = c.pos GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, min({'d': d, 'c': cid}).c AS cid FROM d1 GROUP BY 1),
+      |m1 AS (SELECT a.cid, e.pos,
+      |         CAST(SUM(CAST(floor(e.x*1000000+0.5) AS BIGINT)) AS DOUBLE)
+      |           / count(*) / 1000000.0 AS c
+      |       FROM emb e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
+      |d2 AS (SELECT e.vec_id, c.cid,
+      |         SUM(CAST(floor((e.x-c.c)*(e.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
+      |       FROM emb e JOIN m1 c ON e.pos = c.pos GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, min({'d': d, 'c': cid}).c AS cid FROM d2 GROUP BY 1),
+      |m2 AS (SELECT a.cid, e.pos,
+      |         CAST(SUM(CAST(floor(e.x*1000000+0.5) AS BIGINT)) AS DOUBLE)
+      |           / count(*) / 1000000.0 AS c
+      |       FROM emb e JOIN a2 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
+      |d3 AS (SELECT e.vec_id, c.cid,
+      |         SUM(CAST(floor((e.x-c.c)*(e.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
+      |       FROM emb e JOIN m2 c ON e.pos = c.pos GROUP BY 1, 2),
+      |rk AS (SELECT vec_id, cid, d,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |       FROM d3),
+      |ab AS (SELECT r1.vec_id, r1.cid AS cluster_id, r1.d AS a, r2.d AS b
+      |       FROM rk r1 JOIN rk r2
+      |         ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2),
+      |sv AS (SELECT cluster_id,
+      |         CASE WHEN greatest(a, b) = 0 THEN 0.0
+      |              ELSE CAST(b - a AS DOUBLE) / CAST(greatest(a, b) AS DOUBLE)
+      |         END AS s
+      |       FROM ab)
+      |SELECT cluster_id, count(*) AS n,
+      |  floor((CAST(SUM(CAST(floor(s * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 1000000 / count(*)) * 10000 + 0.5) / 10000 AS mean_silhouette
+      |FROM sv GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   /** Embedding drift monitor — per label, the cosine between the centroids
     * of two deterministic halves of the corpus (vec_id parity stands in
     * for the before/after snapshots a production pipeline compares:

@@ -1170,7 +1170,11 @@ object Dedup {
     * list is output-sized. */
   def dedupSemantic(spark: SparkSession, sfDir: String,
       tau: Double = 0.3): DataFrame = {
-    val cents = Clustering.trainedCentroids(spark, sfDir)
+    // checkpoint the k-row centroid table (k×d doubles — trivial blocks,
+    // released by the session owner's Hygiene.releaseAll): the assignment
+    // feeds BOTH sides of the pair self-join, and without the lineage cut
+    // each side replays the full Lloyd chain
+    val cents = Clustering.trainedCentroids(spark, sfDir).localCheckpoint()
       .agg(collect_list(struct(col("cid"), col("c"))).as("cs"))
     val assigned = Clustering.embDouble(spark, sfDir)
       .crossJoin(broadcast(cents))

@@ -675,6 +675,52 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PMI collocation extraction (Church & Hanks 1990) — the classic
+    * corpus-linguistics signal for multiword expressions, and the filter a
+    * tokenizer-vocabulary or phrase-mining pass runs before promoting
+    * bigrams to units: PMI(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) ) over
+    * the adjacent-bigram event space. Rare pairs dominate raw PMI, so the
+    * standard `minCount` support floor applies first.
+    *
+    * Determinism: P-ratio = n12·N / (n1·n2) is ONE ln over an exact
+    * integer rational (n12·N and n1·n2 stay below 2⁶³ to ~3·10⁹ bigram
+    * corpora), rounded to the 1e-6 grid — the [[mooreLewis]] contract.
+    * Unigram marginals come from the SAME bigram table (left-position and
+    * right-position sums), so the three counts share one corpus explode.
+    * Top-k by (pmi desc, pair) is a TakeOrdered, not a global sort. */
+  def pmiCollocations(spark: SparkSession, sfDir: String,
+      minCount: Int = 5, k: Int = 50): DataFrame = {
+    val c = bigramCounts(spark, sfDir)
+    val left = c.groupBy("w1").agg(sum("n12").as("n1"))
+    val right = c.groupBy("w2").agg(sum("n12").as("n2"))
+    val total = c.agg(sum("n12").as("nn"))
+    c.filter(col("n12") >= minCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n12"),
+        (floor(log((col("n12") * col("nn")).cast("double")
+            / (col("n1") * col("n2")).cast("double"))
+          * lit(1e6) + lit(0.5d)) / lit(1e6)).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  def pmiCollocationsSql(minCount: Int = 5, k: Int = 50): String =
+    s"""WITH w AS (
+      |  SELECT string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |b AS (SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS bg FROM w),
+      |c AS (SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS n12 FROM b GROUP BY 1, 2),
+      |l AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c GROUP BY 1),
+      |r AS (SELECT w2, CAST(SUM(n12) AS BIGINT) AS n2 FROM c GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n12) AS BIGINT) AS nn FROM c)
+      |SELECT c.w1, c.w2, c.n12,
+      |  floor(ln(CAST(c.n12 * t.nn AS DOUBLE)
+      |    / CAST(l.n1 * r.n2 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS pmi
+      |FROM c JOIN l ON c.w1 = l.w1 JOIN r ON c.w2 = r.w2, t
+      |WHERE c.n12 >= $minCount
+      |ORDER BY pmi DESC, c.w1, c.w2 LIMIT $k""".stripMargin
+
   def mooreLewisSql(domainLang: String = "en"): String =
     s"""WITH toks AS (
       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token

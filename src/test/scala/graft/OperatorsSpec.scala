@@ -1641,6 +1641,27 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("pmi collocations: support floor holds, ranking is by pmi, bound respected") {
+    val rows = TextOps.pmiCollocations(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val pmis = rows.map(_.getDouble(3))
+    rows.foreach { r => assert(r.getLong(2) >= 5, "support floor violated") }
+    assert(pmis.sameElements(pmis.sorted.reverse), "not ranked by pmi desc")
+    // |PMI| ≤ ln N (N = bigram tokens); ln 2⁶³ ≈ 43.7 is a safe envelope
+    assert(pmis.forall(p => math.abs(p) <= 44d))
+  }
+
+  test("kmeans silhouette: covers the corpus, k cells, scores in [-1,1]") {
+    val rows = Clustering.kmeansSilhouette(spark, sfDir).collect()
+    assert(rows.length == 8, "one row per trained cell")
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.embeddings(spark, sfDir).count())
+    rows.foreach { r =>
+      val s = r.getDouble(2)
+      assert(s >= -1.0001 && s <= 1.0001, s"silhouette out of range: $s")
+    }
+  }
+
   test("moore lewis: the in-domain language outranks every other, verdict = score > 0") {
     val df = TextOps.mooreLewis(spark, sfDir)
     val byLang = df.groupBy("lang").agg(avg("ml_score").as("m")).collect()

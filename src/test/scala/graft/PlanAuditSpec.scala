@@ -655,4 +655,43 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.split("FileScan parquet").length - 1 <= 1,
       "encode plan re-scans the corpus:\n" + p.take(1200))
   }
+
+  test("semdedup: cell equi-join pairs; only the broadcast centroid rows nest") {
+    val p = plan(Dedup.dedupSemantic(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the 1-row collected-centroid list broadcasts to every corpus row
+    // (assignment) — ONE nested loop per side of the self-join; the PAIR
+    // join itself must be an equi-join on the cell id
+    val bnlj = p.split("BroadcastNestedLoopJoin").length - 1
+    assert(bnlj <= 2, s"pair join lost its cell key ($bnlj nested loops)")
+    assert(p.contains("hashpartitioning(cid"),
+      "pairs must co-locate by cell id:\n" + p.take(1200))
+  }
+
+  test("semantic decontamination: cross-set bucket equi-join, train never self-joins") {
+    val p = plan(Dedup.semanticDecontaminate(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the bucket equi-join:\n" + p.take(1200))
+  }
+
+  test("moore lewis + pmi: vocab-grain joins; the 1-row totals broadcast") {
+    Seq(plan(TextOps.mooreLewis(spark, sfDir)),
+        plan(TextOps.pmiCollocations(spark, sfDir))).foreach { p =>
+      assert(!p.contains("CartesianProduct"), p.take(1200))
+      // exactly the single 1-row totals aggregate may nest-loop broadcast
+      val bnlj = p.split("BroadcastNestedLoopJoin").length - 1
+      assert(bnlj <= 1, s"unexpected nested loops ($bnlj):\n${p.take(1200)}")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        "count aggregates lost map-side combine")
+    }
+  }
+
+  test("dp noisy counts: one corpus aggregate, scalar noise — no joins at all") {
+    val p = plan(Quality.dpNoisyCounts(spark, sfDir))
+    assert(!p.contains("Join"), "noise must be scalar math on the group table:\n"
+      + p.take(1200))
+    // two ε arms re-aggregate the same scan; a shared-scan union keeps the
+    // exchange count at one per arm
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2)
+  }
 }
