@@ -101,6 +101,8 @@ object SparkEntry {
     "token_fertility" -> ((s, dir) => TextOps.tokenFertility(tune(s), dir)),
     "char_coverage" -> ((s, dir) => TextOps.charCoverage(tune(s), dir)),
     "lang_confusion" -> ((s, dir) => TextOps.langConfusion(tune(s), dir)),
+    // trained multinomial NB classifier: train on even ids, held-out confusion
+    "nb_lang_confusion" -> ((s, dir) => TextOps.nbLangConfusion(tune(s), dir)),
     "fingerprint" -> ((s, dir) => TextOps.fingerprint(tune(s), dir)),
     // Extension: deduplication
     "dedup_exact" -> ((s, dir) => Dedup.dedupExact(tune(s), dir)),
@@ -297,6 +299,7 @@ object SparkEntry {
     "token_fertility" -> TextOps.tokenFertilitySql,
     "char_coverage" -> TextOps.charCoverageSql(),
     "lang_confusion" -> TextOps.langConfusionSql,
+    "nb_lang_confusion" -> TextOps.nbLangConfusionSql(),
     "fingerprint" -> TextOps.fingerprintSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,

@@ -675,6 +675,121 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Trained multinomial Naive Bayes language classifier (McCallum &
+    * Nigam 1998) with add-one smoothing — the LEARNED upgrade of the
+    * heuristic [[langId]], trained and applied entirely as relational
+    * aggregates: even-id docs train, odd-id docs are held out, and the
+    * output is the held-out confusion matrix (true lang × predicted lang
+    * × docs), i.e. the classifier-quality report a curation pipeline
+    * reviews before trusting model-based routing at scale.
+    *
+    * Train: per-(lang, token) counts + per-lang totals + train-vocab size
+    * V — three aggregates of one token explode. Score: each held-out
+    * token joins the vocab×L term table (OOV tokens fall back to the
+    * per-lang ln(1/(N_l+V)) mass via the broadcast totals row), terms sum
+    * per (doc, lang), the log-prior ln(docs_l/docs_tot) adds once, and
+    * argmax resolves as a struct max over (score, lang) — all scores are
+    * 1e-6-grid LONGs (each term is ONE ln over an exact integer rational,
+    * the [[mooreLewis]] contract), so the argmax is an integer compare
+    * with a deterministic lexicographic tie-break in both engines.
+    *
+    * Scale: term table is vocab×L (broadcast-or-shuffle-hash join
+    * against token occurrences — occurrences never carry text), confusion
+    * output is L². No all-pairs anything; two corpus explodes (one per
+    * side), the production form would materialize the token table once. */
+  def nbLangConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    nbLangConfusionOf(Tables.documents(spark, sfDir))
+
+  /** [[nbLangConfusion]] over any (doc_id, lang, text) frame. */
+  def nbLangConfusionOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % 2 === 0).as("is_train"),
+        explode(words(col("text"))).as("token"))
+    val train = toks.filter(col("is_train"))
+    val clt = train.groupBy("lang", "token").agg(count(lit(1)).as("c"))
+    val nl = clt.groupBy("lang").agg(sum("c").as("n_l"))
+    val v = clt.select("token").distinct().agg(count(lit(1)).as("v"))
+    val langTotals = nl.crossJoin(broadcast(v))
+    // per-(token, lang) smoothed log-likelihood on the 1e-6 grid
+    val term = clt.join(langTotals.select(col("lang"), col("n_l"), col("v")), "lang")
+      .select(col("token"), col("lang").as("l"),
+        floor(log((col("c") + 1).cast("double")
+            / (col("n_l") + col("v")).cast("double"))
+          * lit(1e6) + lit(0.5d)).cast("long").as("t"))
+    // OOV mass per lang: ln(1/(N_l+V)) — one row per lang, broadcast
+    val oov = langTotals.select(col("lang").as("l"),
+      floor(log(lit(1d) / (col("n_l") + col("v")).cast("double"))
+        * lit(1e6) + lit(0.5d)).cast("long").as("oov_t"))
+    // log-prior from train doc counts
+    val docsL = docs
+      .filter(col("doc_id") % 2 === 0).groupBy("lang")
+      .agg(count(lit(1)).as("d_l"))
+    val prior = docsL.crossJoin(broadcast(
+        docsL.agg(sum("d_l").as("d_tot"))))
+      .select(col("lang").as("l"),
+        floor(log(col("d_l").cast("double") / col("d_tot").cast("double"))
+          * lit(1e6) + lit(0.5d)).cast("long").as("p"))
+    // score every held-out token under EVERY language
+    val term2 = term.select(col("token").as("tk"), col("l").as("tl"), col("t"))
+    val heldout = toks.filter(!col("is_train"))
+    val scored = heldout.join(broadcast(oov))
+      .join(term2.hint("shuffle_hash"),
+        col("token") === col("tk") && col("l") === col("tl"), "left")
+      .select(col("doc_id"), col("lang"), col("l"),
+        coalesce(col("t"), col("oov_t")).as("t"))
+      .groupBy("doc_id", "lang", "l").agg(sum("t").as("s"))
+      .join(broadcast(prior), "l")
+      .select(col("doc_id"), col("lang"), col("l"), (col("s") + col("p")).as("s"))
+    val pred = scored.groupBy("doc_id", "lang")
+      .agg(max(struct(col("s"), col("l"))).as("w"))
+      .select(col("lang").as("lang_true"), col("w.l").as("lang_pred"))
+    pred.groupBy("lang_true", "lang_pred").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang_true", "lang_pred")
+  }
+
+  def nbLangConfusionSql(): String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, doc_id % 2 = 0 AS is_train,
+      |    unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |clt AS (SELECT lang, token, count(*) AS c FROM toks
+      |        WHERE is_train GROUP BY 1, 2),
+      |nl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_l FROM clt GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT token) AS v FROM clt),
+      |term AS (
+      |  SELECT clt.token, clt.lang AS l,
+      |    CAST(floor(ln(CAST(clt.c + 1 AS DOUBLE)
+      |      / CAST(nl.n_l + vv.v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS t
+      |  FROM clt JOIN nl ON clt.lang = nl.lang, vv),
+      |oov AS (
+      |  SELECT lang AS l,
+      |    CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(n_l + vv.v AS DOUBLE))
+      |      * 1000000 + 0.5) AS BIGINT) AS oov_t
+      |  FROM nl, vv),
+      |dl AS (SELECT lang, count(*) AS d_l FROM documents
+      |       WHERE doc_id % 2 = 0 GROUP BY 1),
+      |prior AS (
+      |  SELECT lang AS l,
+      |    CAST(floor(ln(CAST(d_l AS DOUBLE)
+      |      / CAST((SELECT SUM(d_l) FROM dl) AS DOUBLE)) * 1000000 + 0.5)
+      |      AS BIGINT) AS p
+      |  FROM dl),
+      |ho AS (SELECT doc_id, lang, token FROM toks WHERE NOT is_train),
+      |sc AS (
+      |  SELECT ho.doc_id, ho.lang, oov.l,
+      |    CAST(SUM(coalesce(term.t, oov.oov_t)) AS BIGINT) AS s
+      |  FROM ho CROSS JOIN oov
+      |    LEFT JOIN term ON ho.token = term.token AND oov.l = term.l
+      |  GROUP BY 1, 2, 3),
+      |fin AS (SELECT sc.doc_id, sc.lang, sc.l, sc.s + prior.p AS s
+      |        FROM sc JOIN prior ON sc.l = prior.l),
+      |pred AS (
+      |  SELECT lang AS lang_true, max({'s': s, 'l': l}).l AS lang_pred
+      |  FROM fin GROUP BY doc_id, lang)
+      |SELECT lang_true, lang_pred, count(*) AS n_docs
+      |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** PMI collocation extraction (Church & Hanks 1990) — the classic
     * corpus-linguistics signal for multiword expressions, and the filter a
     * tokenizer-vocabulary or phrase-mining pass runs before promoting

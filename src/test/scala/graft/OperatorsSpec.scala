@@ -1662,6 +1662,29 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("naive bayes: perfect diagonal on a separable corpus, conserves held-out docs") {
+    import spark.implicits._
+    // two "languages" with disjoint vocabularies — NB must classify the
+    // held-out (odd-id) docs perfectly
+    val docs = (0L until 40L).map { i =>
+      val lang = if (i % 4 < 2) "aa" else "bb"
+      val text = if (lang == "aa") "alpha beta gamma alpha" else "delta epsilon zeta zeta"
+      (i, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val conf = TextOps.nbLangConfusionOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(conf == Map(("aa", "aa") -> 10L, ("bb", "bb") -> 10L),
+      s"confusion not diagonal: $conf")
+    // fixture run: every held-out doc lands somewhere, predictions stay
+    // inside the trained label set
+    val fix = TextOps.nbLangConfusion(spark, sfDir).collect()
+    val langs = Tables.documents(spark, sfDir)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(fix.map(_.getLong(2)).sum ==
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 1).count())
+    fix.foreach(r => assert(langs(r.getString(1)), "prediction outside label set"))
+  }
+
   test("moore lewis: the in-domain language outranks every other, verdict = score > 0") {
     val df = TextOps.mooreLewis(spark, sfDir)
     val byLang = df.groupBy("lang").agg(avg("ml_score").as("m")).collect()
