@@ -234,6 +234,8 @@ object SparkEntry {
     "source_quota" -> ((s, dir) => Sampling.sourceQuota(tune(s), dir)),
     "weighted_sample" -> ((s, dir) => Sampling.weightedSample(tune(s), dir)),
     "numeric_profile" -> ((s, dir) => Quality.numericProfile(tune(s), dir)),
+    // single-pass exact-moment Pearson correlation matrix (d² broadcast stats)
+    "numeric_corr" -> ((s, dir) => Quality.numericCorr(tune(s), dir)),
     // Record linkage: blocked fuzzy self-join on the part dimension
     "fuzzy_match" -> ((s, dir) => Quality.fuzzyMatch(tune(s), dir)),
     // Length-distribution quantiles per language stratum
@@ -393,6 +395,7 @@ object SparkEntry {
     "source_quota" -> Sampling.sourceQuotaSql,
     "weighted_sample" -> Sampling.weightedSampleSql(),
     "numeric_profile" -> Quality.numericProfileSql,
+    "numeric_corr" -> Quality.numericCorrSql,
     "fuzzy_match" -> Quality.fuzzyMatchSql(),
     "len_quantiles" -> TextOps.lenQuantilesSql,
   )

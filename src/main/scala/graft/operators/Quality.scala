@@ -280,6 +280,75 @@ object Quality {
     * sums commute bit-exactly), so the raw quantiles match before the r4
     * grid even touches them. The mean goes through [[Exprs.gsum]] (plain
     * `avg` is summation-order-dependent). */
+  /** Pearson correlation matrix over the fact table's numeric measures —
+    * the multivariate step after [[numericProfile]]'s marginals, and the
+    * standard screen for redundant features / derived-column leaks before
+    * a modeling pass. ONE corpus scan computes every sufficient statistic
+    * (Σx, Σx², Σxy for all pairs) as EXACT integer sums: measures land on
+    * a 1e-2 grid as LONGs (exact for quantities, prices in cents, 2-dp
+    * rates), pairwise products stay below 2⁶³ per term, and the sums
+    * accumulate as DECIMAL(38,0) (DuckDB: HUGEINT) so no precision is
+    * lost at any corpus size. corr = (n·Σxy − Σx·Σy) /
+    * (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) evaluates the exact integers in one
+    * pinned double chain — both engines cast the same exact integer and
+    * round once. Zero-variance columns yield NULL, not ±∞.
+    *
+    * Scale: map-side-combined single aggregate to ONE row of d(d+3)/2
+    * cells (d=4 here — broadcast-trivial at any corpus size), then a
+    * literal d² explode. The [[graft.operators.Clustering.embeddingGram]]
+    * shape, applied to relational measures. */
+  def numericCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def g(c: String) = floor(col(c) * lit(100d) + lit(0.5d)).cast("long")
+    def dsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+    val aggs =
+      cols.map(c => dsum(g(c)).as(s"s_$c")) ++
+      cols.map(c => dsum(g(c) * g(c)).as(s"ss_$c")) ++
+      (for { i <- cols.indices; j <- cols.indices if i < j }
+        yield dsum(g(cols(i)) * g(cols(j))).as(s"sp_${cols(i)}_${cols(j)}"))
+    val m = Tables.lineitem(spark, sfDir)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"), aggs: _*)
+    def dvar(c: String) = col("n") * col(s"ss_$c") - col(s"s_$c") * col(s"s_$c")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield {
+      val (a, b) = (cols(i), cols(j))
+      val num = col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        when(dvar(a) === 0 || dvar(b) === 0, lit(null).cast("double"))
+          .otherwise(Exprs.r4(num.cast("double")
+            / (sqrt(dvar(a).cast("double")) * sqrt(dvar(b).cast("double")))))
+          .as("corr"))
+    }
+    m.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_x"), col("p.col_y"), col("p.corr"))
+      .orderBy("col_x", "col_y")
+  }
+
+  def numericCorrSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def g(c: String) = s"CAST(floor($c * 100 + 0.5) AS BIGINT)"
+    val sums =
+      cols.map(c => s"SUM(CAST(${g(c)} AS HUGEINT)) AS s_$c") ++
+      cols.map(c => s"SUM(CAST(${g(c)} * ${g(c)} AS HUGEINT)) AS ss_$c") ++
+      (for { i <- cols.indices; j <- cols.indices if i < j }
+        yield s"SUM(CAST(${g(cols(i))} * ${g(cols(j))} AS HUGEINT)) AS sp_${cols(i)}_${cols(j)}")
+    def dvar(c: String) = s"(n * ss_$c - s_$c * s_$c)"
+    val arms = (for { i <- cols.indices; j <- cols.indices if i < j } yield {
+      val (a, b) = (cols(i), cols(j))
+      s"""SELECT '$a' AS col_x, '$b' AS col_y,
+         |  CASE WHEN ${dvar(a)} = 0 OR ${dvar(b)} = 0 THEN NULL
+         |       ELSE floor(CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE)
+         |         / (sqrt(CAST(${dvar(a)} AS DOUBLE))
+         |            * sqrt(CAST(${dvar(b)} AS DOUBLE))) * 10000 + 0.5) / 10000
+         |  END AS corr
+         |FROM m""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH m AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n, ${sums.mkString(",\n    ")}
+       |  FROM lineitem)
+       |SELECT col_x, col_y, corr FROM ($arms)
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
   def numericProfile(spark: SparkSession, sfDir: String): DataFrame = {
     val qs = Seq(0.25, 0.5, 0.9, 0.99)
     val pct = percentile(col("value"), array(qs.map(lit): _*))

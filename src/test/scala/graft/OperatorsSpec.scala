@@ -1662,6 +1662,20 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("numeric corr: agrees with Spark's built-in Pearson on the same grid") {
+    val ours = Quality.numericCorr(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(ours.size == 6, "4 measures -> 6 upper-triangle pairs")
+    val li = Tables.lineitem(spark, sfDir)
+    def gq(c: String) = floor(col(c) * lit(100d) + lit(0.5d)) / lit(100d)
+    // built-in corr streams co-moments (a different algorithm entirely) —
+    // agreement pins the exact-integer-moment formula, not just the oracle
+    ours.foreach { case ((a, b), v) =>
+      val ref = li.agg(corr(gq(a), gq(b))).head().getDouble(0)
+      assert(math.abs(v - ref) < 2e-3, s"($a,$b): ours $v vs built-in $ref")
+    }
+  }
+
   test("naive bayes: perfect diagonal on a separable corpus, conserves held-out docs") {
     import spark.implicits._
     // two "languages" with disjoint vocabularies — NB must classify the

@@ -221,6 +221,7 @@ class ScaleSpec extends SparkSuite {
       "kcore_parts" -> (() => operators.Graph.kcoreParts(spark, sfDir)),
       "triangle_parts" -> (() => operators.Graph.triangleParts(spark, sfDir)),
       "dedup_components" -> (() => operators.Dedup.dedupComponents(spark, sfDir)),
+      "dedup_semantic" -> (() => operators.Dedup.dedupSemantic(spark, sfDir)),
       "bpe_merges" -> (() => operators.TextOps.bpeMerges(spark, sfDir)))
     chain.foreach { case (name, q) =>
       q().queryExecution.toRdd.count()
