@@ -213,6 +213,8 @@ object SparkEntry {
     "bm25_score" -> ((s, dir) => CorpusOps.bm25Score(tune(s), dir)),
     "boilerplate_ngrams" -> ((s, dir) => CorpusOps.boilerplateNgrams(tune(s), dir)),
     "corpus_pipeline" -> ((s, dir) => CorpusOps.corpusPipeline(tune(s), dir)),
+    // per-source survival through quality → dedup → decontamination gates
+    "curation_funnel" -> ((s, dir) => CorpusOps.curationFunnel(tune(s), dir)),
     "doc_chunks" -> ((s, dir) => CorpusOps.docChunks(tune(s), dir)),
     // Extension: IVF centroid training (Lloyd's) + split/profile utilities
     "kmeans_train" -> ((s, dir) => Clustering.kmeansTrain(tune(s), dir)),
@@ -381,6 +383,7 @@ object SparkEntry {
     "bm25_score" -> CorpusOps.bm25ScoreSql,
     "boilerplate_ngrams" -> CorpusOps.boilerplateNgramsSql,
     "corpus_pipeline" -> CorpusOps.corpusPipelineSql,
+    "curation_funnel" -> CorpusOps.curationFunnelSql,
     "doc_chunks" -> CorpusOps.docChunksSql(),
     "kmeans_train" -> Clustering.kmeansTrainSql,
     "kmeans_silhouette" -> Clustering.kmeansSilhouetteSql(),

@@ -77,6 +77,146 @@ object CorpusOps {
       |       WHEN NOT r_repetition THEN 'repetition' END AS reject_reason
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** The curation funnel — per-source survival through the pipeline's
+    * gates, the one-page report a corpus owner reads to see WHERE each
+    * source loses mass: raw → quality rules ([[qualityFilter]]'s keep
+    * conjunction) → exact dedup (first doc per content hash) → benchmark
+    * decontamination (trigram-shingle overlap ≥ 0.2 against the held-aside
+    * benchmark slice, [[graft.operators.Dedup.contaminationCheck]]'s
+    * contract). A skewed funnel (one source bleeding at the dedup stage,
+    * another at decontamination) is the standard trigger for re-weighting
+    * or dropping a source before training.
+    *
+    * Scale: per-doc stage flags compose in one pass over the corpus —
+    * the only shuffles are the content-hash window (hash-partitioned),
+    * the shingle→benchmark broadcast semi-join for stage-2 survivors
+    * only, and the final source-grain aggregate. Counts are exact LONGs;
+    * the survival fraction divides once per source row.
+    *
+    * The fixture corpus has no exact duplicates (its dup families are
+    * near-dups), so — as [[graft.operators.EventsOps.eventsDedupe]]
+    * synthesizes its double delivery — every 17th non-benchmark doc is
+    * re-sent under a shifted id, deterministically in both engines, so
+    * the dedup stage is genuinely exercised; the decontamination stage
+    * is exercised on constructed data in spec (the fixture's contaminated
+    * docs happen to fail the quality gate first). */
+  def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val resend = docs
+      .filter(col("doc_id") % 17 === 0 && col("doc_id") % 50 =!= 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    curationFunnelOf(docs.unionByName(resend))
+  }
+
+  /** [[curationFunnel]] over any (doc_id, source, text) frame. */
+  def curationFunnelOf(docsIn: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val nWords = size(w).cast("long")
+    val stop = array(Seq("the", "a", "of", "and", "is").map(lit): _*)
+    val awl = length(regexp_replace(col("text"), " ", "")).cast("double") / nWords
+    val keep = nWords >= 30 && nWords <= 2000 &&
+      awl >= 2d && awl <= 4.8d &&
+      size(filter(w, x => array_contains(stop, x))) > 0 &&
+      lit(1d) - size(array_distinct(w)).cast("double") / nWords <= 0.6d
+    // the benchmark slice (doc_id % 50 == 0) is held aside, never curated
+    val corpus = docsIn.filter(col("doc_id") % 50 =!= 0)
+    val q = corpus.filter(keep)
+      .select(col("doc_id"), col("source"), col("text"),
+        md5(col("text")).as("h"))
+    val u = q.withColumn("rn",
+        row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("text"))
+    val shingle = transform(
+      sequence(lit(1), greatest(size(split(col("text"), " ")) - 2, lit(1))),
+      i => concat_ws(" ", slice(split(col("text"), " "), i, lit(3))))
+    val bench = docsIn.filter(col("doc_id") % 50 === 0)
+      .select(explode(array_distinct(shingle)).as("s")).distinct()
+    val hits = u.select(col("doc_id"),
+        size(array_distinct(shingle)).cast("long").as("n_shingles"),
+        explode(array_distinct(shingle)).as("s"))
+      .join(broadcast(bench), "s")
+      .groupBy("doc_id", "n_shingles").agg(count(lit(1)).as("n_shared"))
+      .filter(Exprs.r4(col("n_shared").cast("double") / col("n_shingles"))
+        >= 0.2d)
+    val clean = u.join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
+    def cnt(df: DataFrame, name: String) =
+      df.groupBy("source").agg(count(lit(1)).as(name))
+    cnt(corpus, "n_raw")
+      .join(cnt(q, "n_quality"), Seq("source"), "left")
+      .join(cnt(u, "n_unique"), Seq("source"), "left")
+      .join(cnt(clean, "n_clean"), Seq("source"), "left")
+      .select(col("source"),
+        col("n_raw"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("n_clean"), lit(0L)).as("n_clean"))
+      .withColumn("survival",
+        Exprs.r4(col("n_clean").cast("double") / col("n_raw")))
+      .orderBy("source")
+  }
+
+  def curationFunnelSql: String =
+    """WITH alldocs AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, source, text FROM documents
+      |  WHERE doc_id % 17 = 0 AND doc_id % 50 <> 0),
+      |corpus AS (
+      |  SELECT doc_id, source, text FROM alldocs WHERE doc_id % 50 <> 0),
+      |qf AS (
+      |  SELECT doc_id, source, text, md5(text) AS h
+      |  FROM (
+      |    SELECT doc_id, source, text, string_split(text, ' ') AS w,
+      |      CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+      |        / len(string_split(text, ' ')) AS awl
+      |    FROM corpus)
+      |  WHERE len(w) BETWEEN 30 AND 2000 AND awl BETWEEN 2.0 AND 4.8
+      |    AND len(list_filter(w, x ->
+      |          list_contains(['the','a','of','and','is'], x))) > 0
+      |    AND 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.6),
+      |u AS (
+      |  SELECT doc_id, source, text FROM (
+      |    SELECT doc_id, source, text,
+      |      row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      |    FROM qf) WHERE rn = 1),
+      |bench AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2),
+      |           ' ')))) AS s
+      |  FROM alldocs WHERE doc_id % 50 = 0),
+      |ush AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2),
+      |             ' '))) AS shingles
+      |  FROM u),
+      |hits AS (
+      |  SELECT e.doc_id FROM (
+      |    SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles,
+      |      unnest(shingles) AS s
+      |    FROM ush) e JOIN bench USING (s)
+      |  GROUP BY e.doc_id, e.n_shingles
+      |  HAVING floor(CAST(count(*) AS DOUBLE) / n_shingles * 10000 + 0.5)
+      |    / 10000 >= 0.2),
+      |clean AS (SELECT u.* FROM u ANTI JOIN hits ON u.doc_id = hits.doc_id),
+      |r0 AS (SELECT source, count(*) AS n_raw FROM corpus GROUP BY 1),
+      |r1 AS (SELECT source, count(*) AS n_quality FROM qf GROUP BY 1),
+      |r2 AS (SELECT source, count(*) AS n_unique FROM u GROUP BY 1),
+      |r3 AS (SELECT source, count(*) AS n_clean FROM clean GROUP BY 1)
+      |SELECT r0.source, r0.n_raw,
+      |  coalesce(r1.n_quality, 0) AS n_quality,
+      |  coalesce(r2.n_unique, 0) AS n_unique,
+      |  coalesce(r3.n_clean, 0) AS n_clean,
+      |  floor(CAST(coalesce(r3.n_clean, 0) AS DOUBLE) / r0.n_raw * 10000
+      |    + 0.5) / 10000 AS survival
+      |FROM r0 LEFT JOIN r1 USING (source) LEFT JOIN r2 USING (source)
+      |  LEFT JOIN r3 USING (source)
+      |ORDER BY r0.source""".stripMargin
+
   /** Quality-threshold sweep — the calibration table a curation run reads
     * BEFORE fixing a classifier cutoff: how many documents and tokens
     * survive at every score threshold. The continuous score here is the

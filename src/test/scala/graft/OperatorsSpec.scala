@@ -1662,6 +1662,36 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("curation funnel: every gate bites once on a corpus built to lose at each") {
+    import spark.implicits._
+    def words(tag: String, n: Int): String =
+      ("the" +: (1 until n).map(i => f"$tag$i%02d")).mkString(" ")
+    val benchText = words("bb", 40)
+    val goodText = words("gg", 40)
+    val docs = Seq(
+      (50L, "s1", benchText),  // %50==0 → held-aside benchmark
+      (1L, "s1", benchText),   // contaminated: verbatim benchmark overlap
+      (2L, "s1", goodText),    // survives everything
+      (3L, "s1", goodText),    // exact dup of 2 → cut at the dedup gate
+      (4L, "s1", "too short")  // fails the quality rules
+    ).toDF("doc_id", "source", "text")
+    val row = CorpusOps.curationFunnelOf(docs).collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((4L, 3L, 2L, 1L)),
+      s"funnel stages wrong: $r")
+    assert(r.getDouble(5) == 0.25)
+    // fixture: counts never increase along the funnel, injection bites
+    val fix = CorpusOps.curationFunnel(spark, sfDir).collect()
+    fix.foreach { f =>
+      assert(f.getLong(1) >= f.getLong(2) && f.getLong(2) >= f.getLong(3)
+        && f.getLong(3) >= f.getLong(4), s"non-monotone funnel: $f")
+    }
+    assert(fix.exists(f => f.getLong(3) < f.getLong(2)),
+      "re-send injection never exercised the dedup gate")
+  }
+
   test("numeric corr: agrees with Spark's built-in Pearson on the same grid") {
     val ours = Quality.numericCorr(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
