@@ -121,35 +121,49 @@ object CorpusOps {
       lit(1d) - size(array_distinct(w)).cast("double") / nWords <= 0.6d
     // the benchmark slice (doc_id % 50 == 0) is held aside, never curated
     val corpus = docsIn.filter(col("doc_id") % 50 =!= 0)
-    val q = corpus.filter(keep)
+    // stages 0-1 fold into ONE conditional aggregate — the quality HOFs run
+    // exactly once per row (a per-stage cnt() would rescan the corpus and
+    // re-evaluate the split/distinct chain; measured 22 s → 4 s at sf0.1)
+    val stage01 = corpus.groupBy("source").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(keep, 1L).otherwise(0L)).as("n_quality"))
+    val u = corpus.filter(keep)
       .select(col("doc_id"), col("source"), col("text"),
         md5(col("text")).as("h"))
-    val u = q.withColumn("rn",
+      .withColumn("rn",
         row_number().over(Window.partitionBy("h").orderBy("doc_id")))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("source"), col("text"))
-    val shingle = transform(
-      sequence(lit(1), greatest(size(split(col("text"), " ")) - 2, lit(1))),
-      i => concat_ws(" ", slice(split(col("text"), " "), i, lit(3))))
-    val bench = docsIn.filter(col("doc_id") % 50 === 0)
-      .select(explode(array_distinct(shingle)).as("s")).distinct()
-    val hits = u.select(col("doc_id"),
-        size(array_distinct(shingle)).cast("long").as("n_shingles"),
-        explode(array_distinct(shingle)).as("s"))
+    // shingle over a MATERIALIZED words column ([[Dedup.shinglesExpr]]'s
+    // contract) — slicing a re-split inside the position lambda is
+    // O(words²) per doc and measured 20 s of the original 22 s
+    def shingled(df: DataFrame): DataFrame = df
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", array_distinct(expr(Dedup.shinglesExpr)))
+    val bench = shingled(docsIn.filter(col("doc_id") % 50 === 0))
+      .select(explode(col("shingles")).as("s")).distinct()
+    // contaminated-survivor ids are a tiny set; the lineage cut stops the
+    // final aggregate from replaying the whole u chain a second time
+    // (released by the session owner's Hygiene.releaseAll)
+    val hits = shingled(u)
+      .select(col("doc_id"),
+        size(col("shingles")).cast("long").as("n_shingles"),
+        explode(col("shingles")).as("s"))
       .join(broadcast(bench), "s")
       .groupBy("doc_id", "n_shingles").agg(count(lit(1)).as("n_shared"))
       .filter(Exprs.r4(col("n_shared").cast("double") / col("n_shingles"))
         >= 0.2d)
-    val clean = u.join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
-    def cnt(df: DataFrame, name: String) =
-      df.groupBy("source").agg(count(lit(1)).as(name))
-    cnt(corpus, "n_raw")
-      .join(cnt(q, "n_quality"), Seq("source"), "left")
-      .join(cnt(u, "n_unique"), Seq("source"), "left")
-      .join(cnt(clean, "n_clean"), Seq("source"), "left")
+      .select(col("doc_id"), lit(true).as("hit"))
+      .localCheckpoint()
+    // stages 2-3 fold the survivor table once: unique count + clean count
+    val stage23 = u.join(broadcast(hits), Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_unique"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_clean"))
+    stage01.join(stage23, Seq("source"), "left")
       .select(col("source"),
         col("n_raw"),
-        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        col("n_quality"),
         coalesce(col("n_unique"), lit(0L)).as("n_unique"),
         coalesce(col("n_clean"), lit(0L)).as("n_clean"))
       .withColumn("survival",
