@@ -36,8 +36,12 @@ object Dedup {
       |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin
 
   /** 3-word shingles of the text (whole text if shorter than 3 words). */
-  private[operators] val shinglesExpr =
-    "transform(sequence(1, greatest(size(words) - 2, 1)), i -> concat_ws(' ', slice(words, i, 3)))"
+  /** 3-gram shingles over a materialized `words` column, via the native
+    * [[graft.plans.AdjacentGrams]] kernel (identical clamped-trailing-gram
+    * semantics to the `transform(sequence, slice)` HOF it replaced — every
+    * oracle unchanged; the HOF form ran interpreted with per-position
+    * element_at dereferences). */
+  private[operators] val shinglesExpr = "adjacent_grams(words, 3)"
 
   /** 16 minhash signatures, computed relationally: shingles exploded to
     * rows, ONE md5 per shingle row, then all 16 affine hashes
@@ -580,8 +584,7 @@ object Dedup {
     // doc must produce zero windows on both sides
     val wins = toks
       .select(col("doc_id"), posexplode(expr(
-        s"CASE WHEN size(w) >= $win THEN transform(sequence(1, size(w) - ${win - 1}), " +
-          s"i -> concat_ws(' ', slice(w, i, $win))) " +
+        s"CASE WHEN size(w) >= $win THEN adjacent_grams(w, $win) " +
           "ELSE CAST(array() AS array<string>) END")))
       .select(col("doc_id"), col("pos"), Exprs.md5num(col("col")).as("h"))
     val dupHashes = wins.groupBy("h")
@@ -670,8 +673,7 @@ object Dedup {
     // start normalized to 1-based token position (posexplode is 0-based)
     val wins = toks
       .select(col("doc_id"), posexplode(expr(
-        s"CASE WHEN size(w) >= $win THEN transform(sequence(1, size(w) - ${win - 1}), " +
-          s"i -> concat_ws(' ', slice(w, i, $win))) " +
+        s"CASE WHEN size(w) >= $win THEN adjacent_grams(w, $win) " +
           "ELSE CAST(array() AS array<string>) END")))
       .select(col("doc_id"), (col("pos") + 1).as("start"),
         Exprs.md5num(col("col")).as("h"))

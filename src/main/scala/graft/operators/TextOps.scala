@@ -272,10 +272,13 @@ object TextOps {
     val w = words(col("text"))
     Tables.documents(spark, sfDir)
       .filter(size(w) >= 2)
-      .select(explode(transform(sequence(lit(1), size(w) - 1),
-        i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
-        .as("bg"))
-      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // native adjacent_grams kernel (graft.plans.AdjacentGrams) — the
+      // interpreted transform+element_at HOF was ~3 s of bigram_lm's sf0.1
+      // time; tokens carry no spaces, so the joined gram splits back
+      // losslessly at the aggregate
+      .select(explode(call_function("adjacent_grams", w, lit(2))).as("bg"))
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
       .agg(count(lit(1)).as("n12"))
   }
 
@@ -592,9 +595,7 @@ object TextOps {
     val w = words(col("text"))
     val bigrams = Tables.documents(spark, sfDir)
       .filter(size(w) >= 2)
-      .select(explode(transform(sequence(lit(1), size(w) - 1),
-        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-        .as("bg"))
+      .select(explode(call_function("adjacent_grams", w, lit(2))).as("bg"))
     val c = bigrams.groupBy("bg").agg(count(lit(1)).as("n12"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val prefix = c.groupBy("w1").agg(sum("n12").as("n1"))
@@ -604,9 +605,8 @@ object TextOps {
           .cast("long").as("p_grid"))
     val docBg = Tables.documents(spark, sfDir)
       .filter(size(w) >= 2)
-      .select(col("doc_id"), explode(transform(sequence(lit(1), size(w) - 1),
-        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-        .as("bg"))
+      .select(col("doc_id"),
+        explode(call_function("adjacent_grams", w, lit(2))).as("bg"))
       .select(col("doc_id"), Exprs.md5num(col("bg")).as("h"))
     val scored = docBg.join(lm.hint("shuffle_hash"), "h")
       .groupBy("doc_id")
@@ -805,7 +805,9 @@ object TextOps {
     * Top-k by (pmi desc, pair) is a TakeOrdered, not a global sort. */
   def pmiCollocations(spark: SparkSession, sfDir: String,
       minCount: Int = 5, k: Int = 50): DataFrame = {
-    val c = bigramCounts(spark, sfDir)
+    // four consumers (left marginal, right marginal, total, final join)
+    // would each replay the corpus pair-explode — the bigramKn trade
+    val c = bigramCounts(spark, sfDir).localCheckpoint()
     val left = c.groupBy("w1").agg(sum("n12").as("n1"))
     val right = c.groupBy("w2").agg(sum("n12").as("n2"))
     val total = c.agg(sum("n12").as("nn"))
@@ -936,9 +938,8 @@ object TextOps {
     val w = words(col("text"))
     val docBg = Tables.documents(spark, sfDir)
       .filter(size(w) >= 2)
-      .select(col("doc_id"), explode(transform(sequence(lit(1), size(w) - 1),
-        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-        .as("bg"))
+      .select(col("doc_id"),
+        explode(call_function("adjacent_grams", w, lit(2))).as("bg"))
       .select(col("doc_id"), Exprs.md5num(col("bg")).as("h"))
     val scored = docBg.join(lm.hint("shuffle_hash"), "h")
       .groupBy("doc_id")

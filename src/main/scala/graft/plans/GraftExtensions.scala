@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArrayDist2I(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("adjacent_grams"),
+      AdjacentGrams.info,
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        AdjacentGrams(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("opaque"),
       Opaque.info,
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

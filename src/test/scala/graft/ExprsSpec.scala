@@ -139,4 +139,28 @@ class ExprsSpec extends SparkSuite {
       assert(g == want, s"replace('$e', '$l','$r') = '$g', greedy = '$want'")
     }
   }
+
+  test("adjacent_grams == the transform/slice HOF it replaced, k=2 and k=3") {
+    // exhaustive over array lengths 0..6 (incl. empty-string tokens: the
+    // clamped trailing gram and the single-token case are the traps),
+    // evaluated through Spark so codegen AND interpreted paths both run
+    val arrays: Seq[Seq[String]] =
+      (0 to 6).map(n => (1 to n).map(i => s"t$i")) :+
+        Seq("", "a", "") :+ Seq("x") :+ Seq("", "")
+    val df = arrays.toDF("words")
+    Seq(2, 3).foreach { k =>
+      val hof = expr(
+        s"transform(sequence(1, greatest(size(words) - ${k - 1}, 1)), " +
+          s"i -> concat_ws(' ', slice(words, i, $k)))")
+      val rows = df.select(
+        call_function("adjacent_grams", col("words"), lit(k)).as("fast"),
+        when(size(col("words")) > 0, hof)
+          .otherwise(expr("array()")).as("ref"))
+        .collect()
+      arrays.zip(rows).foreach { case (in, r) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"k=$k mismatch on $in: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+  }
 }
