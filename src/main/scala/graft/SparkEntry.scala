@@ -90,6 +90,8 @@ object SparkEntry {
     "events_dedupe" -> ((s, dir) => EventsOps.eventsDedupe(tune(s), dir)),
     "events_props" -> ((s, dir) => EventsOps.eventsProps(tune(s), dir)),
     "events_funnel" -> ((s, dir) => EventsOps.eventsFunnel(tune(s), dir)),
+    // conversion-latency quantiles per funnel step pair (exact, 2-pass)
+    "funnel_latency" -> ((s, dir) => EventsOps.funnelLatency(tune(s), dir)),
     // watermark tuning: drop fraction per candidate delay, ranged running max
     "watermark_sweep" -> ((s, dir) => EventsOps.watermarkSweep(tune(s), dir)),
     "events_hopping" -> ((s, dir) => EventsOps.eventsHopping(tune(s), dir)),
@@ -294,6 +296,7 @@ object SparkEntry {
     "events_dedupe" -> EventsOps.eventsDedupeSql,
     "events_props" -> EventsOps.eventsPropsSql,
     "events_funnel" -> EventsOps.eventsFunnelSql,
+    "funnel_latency" -> EventsOps.funnelLatencySql(),
     "watermark_sweep" -> EventsOps.watermarkSweepSql(),
     "events_hopping" -> EventsOps.eventsHoppingSql,
     "journey_topk" -> EventsOps.journeyTopkSql(),

@@ -284,6 +284,70 @@ object EventsOps {
     * per-range totals) — never a single-partition global window. All
     * comparisons are exact LONG micros; the sweep itself is one
     * conditional aggregate emitting `delays.length` rows. */
+  /** Funnel conversion-latency distribution — the timing companion to the
+    * stage-count funnel ([[eventsFunnel]]): per step pair (view→click,
+    * click→purchase, view→purchase), the exact p25/p50/p90 of the
+    * conversion delay over converting users. The strict chain (first
+    * view; first click AFTER it; first purchase after THAT click) makes
+    * each user's latencies well-defined; the report is what an
+    * experimentation/alerting pipeline tracks per release ("p90 time to
+    * purchase regressed 40%").
+    *
+    * Shape: three user-grain aggregates chained by broadcastable joins
+    * (the user table is events-distinct-users-sized), then the
+    * [[Sketches.quantilesOf]] histogram selection per latency column —
+    * exact at any count, never a global sort, 4096-bin bounded driver
+    * state. Latencies are exact long micros; the quantile VALUE is an
+    * actual data point (quantile_disc semantics), so the only double op
+    * is the final seconds divide on the r4 grid. */
+  def funnelLatency(spark: SparkSession, sfDir: String,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.9)): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t").as("tv"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("t") > col("tv"))
+      .groupBy("user_id", "tv").agg(min("t").as("tc"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("t") > col("tc"))
+      .groupBy("user_id", "tv", "tc").agg(min("t").as("tp"))
+    val arms = Seq(
+      ("view_to_click", c.select((col("tc") - col("tv")).as("lat"))),
+      ("click_to_purchase", p.select((col("tp") - col("tc")).as("lat"))),
+      ("view_to_purchase", p.select((col("tp") - col("tv")).as("lat"))))
+    arms.map { case (step, lats) =>
+      Sketches.quantilesOf(lats, "lat", ps)
+        .select(lit(step).as("step"), col("q"),
+          Exprs.r4(col("value") / lit(1e6)).as("seconds"))
+    }.reduce(_ unionByName _).orderBy("step", "q")
+  }
+
+  def funnelLatencySql(ps: Seq[Double] = Seq(0.25, 0.5, 0.9)): String = {
+    val steps = Seq(
+      ("view_to_click", "c", "tc - tv"),
+      ("click_to_purchase", "p", "tp - tc"),
+      ("view_to_purchase", "p", "tp - tv"))
+    val arms = for { (step, tbl, lat) <- steps; q <- ps } yield
+      s"""SELECT '$step' AS step, CAST($q AS DOUBLE) AS q,
+         |  floor(CAST(quantile_disc($lat, $q) AS DOUBLE) / 1000000
+         |    * 10000 + 0.5) / 10000 AS seconds
+         |FROM $tbl HAVING count(*) > 0""".stripMargin
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+       |  FROM events),
+       |v AS (SELECT user_id, min(t) AS tv FROM e
+       |      WHERE event_type = 'view' GROUP BY 1),
+       |c AS (SELECT e.user_id, v.tv, min(e.t) AS tc
+       |      FROM e JOIN v ON e.user_id = v.user_id
+       |      WHERE e.event_type = 'click' AND e.t > v.tv GROUP BY 1, 2),
+       |p AS (SELECT e.user_id, c.tv, c.tc, min(e.t) AS tp
+       |      FROM e JOIN c ON e.user_id = c.user_id
+       |      WHERE e.event_type = 'purchase' AND e.t > c.tc GROUP BY 1, 2, 3)
+       |${arms.mkString("\nUNION ALL\n")}
+       |ORDER BY step, q""".stripMargin
+  }
+
   def watermarkSweep(spark: SparkSession, sfDir: String,
       delays: Seq[Long] = Seq(0L, 60L, 300L, 900L, 3600L)): DataFrame = {
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt

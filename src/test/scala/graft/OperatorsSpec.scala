@@ -1662,6 +1662,24 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("funnel latency: positive, monotone in q, full path dominates its shared leg") {
+    val rows = EventsOps.funnelLatency(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach(s => assert(s > 0d, "non-positive latency"))
+    Seq("view_to_click", "click_to_purchase", "view_to_purchase").foreach { st =>
+      val qs = Seq(0.25, 0.5, 0.9).flatMap(q => rows.get((st, q)))
+      assert(qs == qs.sorted, s"$st quantiles not monotone: $qs")
+    }
+    // tp−tv ≥ tp−tc pointwise over the SAME converting population, so the
+    // full path dominates the shared leg at every quantile (the view leg
+    // is a different population — no such guarantee)
+    Seq(0.25, 0.5, 0.9).foreach { q =>
+      assert(rows(("view_to_purchase", q)) >= rows(("click_to_purchase", q)),
+        s"full path below shared leg at q=$q")
+    }
+  }
+
   test("curation funnel: every gate bites once on a corpus built to lose at each") {
     import spark.implicits._
     def words(tag: String, n: Int): String =
