@@ -205,6 +205,8 @@ object SparkEntry {
     "group_quantiles" -> ((s, dir) => Sketches.groupQuantiles2pass(tune(s), dir)),
     // Tukey-fence outliers composed on the relational group quantiles
     "iqr_outliers" -> ((s, dir) => Sketches.iqrOutliers(tune(s), dir)),
+    // robust per-group mean: exact p05/p95 cuts, clamp, grid-LONG means
+    "winsorized_stats" -> ((s, dir) => Sketches.winsorizedStats(tune(s), dir)),
     // Corpus preparation: quality rules, PII redaction, sequence packing
     "quality_filter" -> ((s, dir) => CorpusOps.qualityFilter(tune(s), dir)),
     // classifier-cutoff calibration: survival curve over 101 score buckets
@@ -378,6 +380,7 @@ object SparkEntry {
     "bloom_semi_join" -> Sketches.bloomSemiJoinSql,
     "group_quantiles" -> Sketches.groupQuantiles2passSql(),
     "iqr_outliers" -> Sketches.iqrOutliersSql,
+    "winsorized_stats" -> Sketches.winsorizedStatsSql,
     "quality_filter" -> CorpusOps.qualityFilterSql,
     "quality_threshold_sweep" -> CorpusOps.qualityThresholdSweepSql,
     "pii_scrub" -> CorpusOps.piiScrubSql,

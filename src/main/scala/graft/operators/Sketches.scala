@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Exprs, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -406,6 +406,60 @@ object Sketches {
       |FROM documents d JOIN f ON d.lang = f.lang
       |WHERE CAST(d.n_chars AS DOUBLE) < f.lo OR CAST(d.n_chars AS DOUBLE) > f.hi
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Per-group winsorized mean — the robust-estimation composition on the
+    * same relational quantile machinery as [[iqrOutliers]]: the exact
+    * per-group p05/p95 cuts come from [[groupQuantilesOf]] (actual data
+    * values, quantile_disc parity), every value clamps into [q05, q95],
+    * and both the raw and winsorized means reduce as grid-LONG sums.
+    * Reporting both means plus the clamp counts is the standard audit
+    * shape: the raw−winsorized gap is the outlier influence a downstream
+    * consumer (pricing model, anomaly baseline) would otherwise absorb.
+    *
+    * Scale: the G×2 cut table broadcasts back; the corpus is touched by
+    * the two histogram passes and one final aggregate — no global sort,
+    * no per-group collect. */
+  def winsorizedStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val cuts = groupQuantilesOf(li, "l_returnflag", "l_extendedprice",
+        Seq(0.05, 0.95))
+      .groupBy("l_returnflag").pivot("q", Seq(0.05, 0.95)).agg(first("value"))
+      .select(col("l_returnflag"), col("`0.05`").as("q05"),
+        col("`0.95`").as("q95"))
+    val v = col("l_extendedprice").cast("double")
+    val w = least(greatest(v, col("q05")), col("q95"))
+    li.join(broadcast(cuts), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        Exprs.r4(Exprs.gsum(v) / count(lit(1))).as("mean_raw"),
+        Exprs.r4(Exprs.gsum(w) / count(lit(1))).as("mean_winsorized"),
+        sum(when(v < col("q05"), 1L).otherwise(0L)).as("n_clamped_lo"),
+        sum(when(v > col("q95"), 1L).otherwise(0L)).as("n_clamped_hi"))
+      .orderBy("l_returnflag")
+  }
+
+  val winsorizedStatsSql: String =
+    """WITH q AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(quantile_disc(l_extendedprice, 0.05) AS DOUBLE) AS q05,
+      |    CAST(quantile_disc(l_extendedprice, 0.95) AS DOUBLE) AS q95
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag, count(*) AS n,
+      |  floor((CAST(SUM(CAST(floor(l.l_extendedprice * 10000 + 0.5) AS BIGINT))
+      |    AS DOUBLE) / 10000 / count(*)) * 10000 + 0.5) / 10000 AS mean_raw,
+      |  floor((CAST(SUM(CAST(floor(
+      |      least(greatest(CAST(l.l_extendedprice AS DOUBLE), q.q05), q.q95)
+      |      * 10000 + 0.5) AS BIGINT))
+      |    AS DOUBLE) / 10000 / count(*)) * 10000 + 0.5) / 10000
+      |    AS mean_winsorized,
+      |  CAST(SUM(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) < q.q05
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+      |  CAST(SUM(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) > q.q95
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi
+      |FROM lineitem l JOIN q ON l.l_returnflag = q.g
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Bloom-pruned semi-join — the explicit form of runtime row-level
     * filtering, for the join shape where the build-side KEY SET is too big

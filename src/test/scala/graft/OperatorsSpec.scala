@@ -1662,6 +1662,25 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("winsorized stats: clamp counts near the cut mass, means stay in range") {
+    val rows = Sketches.winsorizedStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n")).toDouble
+      val lo = r.getLong(r.fieldIndex("n_clamped_lo"))
+      val hi = r.getLong(r.fieldIndex("n_clamped_hi"))
+      // strictly-below-p05 mass is ≤ 5% by the rank definition (ties only
+      // shrink it); same above p95 — allow nothing beyond the cut mass
+      assert(lo <= math.ceil(0.05 * n), s"lo clamp $lo of $n")
+      assert(hi <= math.ceil(0.05 * n), s"hi clamp $hi of $n")
+      assert(lo > 0 && hi > 0, "cuts never bit on a 20k-row group")
+      // winsorization pulls the mean INTO the clamp interval's hull
+      val raw = r.getDouble(r.fieldIndex("mean_raw"))
+      val win = r.getDouble(r.fieldIndex("mean_winsorized"))
+      assert(math.abs(raw - win) < 0.05 * raw, "winsorizing moved the mean >5%")
+    }
+  }
+
   test("funnel latency: positive, monotone in q, full path dominates its shared leg") {
     val rows = EventsOps.funnelLatency(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap

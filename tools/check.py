@@ -18,6 +18,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 fails = []
+for name in sorted(only - set(oracles)):
+    print(f"{name}: NOT IN oracle_sql.json (stale dump or missing oracle)")
+    fails.append(name)
 for name in sorted(oracles):
     if only and name not in only:
         continue
