@@ -656,6 +656,23 @@ class PlanAuditSpec extends SparkSuite {
       "encode plan re-scans the corpus:\n" + p.take(1200))
   }
 
+  test("n-gram family runs the native kernel — the interpreted HOF must not return") {
+    // regression guard for the adjacent_grams switch: the transform(sequence)
+    // pair-assembly measured 3.3 s vs 0.14 s for a plain explode at sf0.1;
+    // any of these plans re-growing the HOF is a silent 2-4× loss
+    Seq(
+      "bigram_lm" -> plan(TextOps.bigramLm(spark, sfDir)),
+      "doc_lm_score" -> plan(TextOps.docLmScore(spark, sfDir)),
+      "contamination_check" -> plan(Dedup.contaminationCheck(spark, sfDir)),
+      "dedup_minhash" -> plan(Dedup.dedupMinhash(spark, sfDir))
+    ).foreach { case (name, p) =>
+      assert(p.contains("adjacent_grams"),
+        s"$name lost the native n-gram kernel:\n${p.take(800)}")
+      assert(!p.contains("transform(sequence"),
+        s"$name reintroduced the interpreted HOF assembly:\n${p.take(800)}")
+    }
+  }
+
   test("semdedup: cell equi-join pairs; only the broadcast centroid rows nest") {
     val p = plan(Dedup.dedupSemantic(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p.take(1200))
