@@ -191,7 +191,17 @@ class ScaleSpec extends SparkSuite {
       "skew_join_agg",
       // sweep: bucket fold + cumulative window over ≤101 rows; cluster
       // sizes: two aggregates over the component labels
-      "quality_threshold_sweep", "dup_cluster_sizes")
+      "quality_threshold_sweep", "dup_cluster_sizes",
+      // round-8 close wave: semdedup's centroid-blocked pair scan +
+      // min-witness; NB's vocab×L term join and struct-max argmax; the
+      // curation funnel's stage flags through a re-partitioned dedup
+      // window; funnel latency's chained user-grain mins + histogram
+      // selection; winsorize's cut broadcast + grid means; the DP draw
+      // (pure per-group hash math — must be partition-blind by
+      // construction); PMI/Moore-Lewis single-ln grid terms
+      "dedup_semantic", "nb_lang_confusion", "curation_funnel",
+      "funnel_latency", "winsorized_stats", "dp_noisy_counts",
+      "pmi_collocations", "moore_lewis")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val at4 = names.map { n =>
