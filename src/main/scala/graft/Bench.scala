@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
 object Bench {
   /** Execute the query's REAL plan. A plain `df.count()` wraps the plan in
     * Aggregate(count(1)) before optimization, so ColumnPruning deletes the
@@ -26,45 +27,85 @@ object Bench {
     // amortizes to zero at scale). Falls back to the flagship query when no
     // smaller SF directory exists. Uses the same action as the timed run so
     // the codegen units that get JIT'd are the ones that get timed.
+    // The SECOND (warm) sf0.001 pass is also timed: it gives a per-query
+    // expectation floor the outlier-retry below scales up, so a
+    // contention-inflated sf-dir measurement is recognizable as such.
     val warmDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+    val warmSec = mutable.Map.empty[String, Double]
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try run(fn(spark, warmDir)) catch { case _: Throwable => () }
-        finally Hygiene.releaseAll(spark)
+      SparkEntry.queries.foreach { case (name, fn) =>
+        try {
+          run(fn(spark, warmDir))
+          Hygiene.releaseAll(spark, blocking = true)
+          val t0 = System.nanoTime()
+          run(fn(spark, warmDir))
+          warmSec(name) = (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => () }
+        finally Hygiene.releaseAll(spark, blocking = true)
       }
     else
       try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
       finally Hygiene.releaseAll(spark)
-    // Each query is timed twice and the MIN is reported: a single pass is
-    // vulnerable to one-off JIT/codegen-compile stalls under load (observed:
-    // a 1 s query recorded at 14 s once), and steady-state throughput is
-    // what the engine contract is about. A query that throws is reported as
-    // -1 and fails the whole run (nonzero exit) — a broken query must never
-    // make the total look better.
+    // Each query is timed at least twice and the MIN is reported: a single
+    // pass is vulnerable to one-off JIT/codegen-compile stalls under load
+    // (observed: a 1 s query recorded at 14 s once), and steady-state
+    // throughput is what the engine contract is about. Min-of-2 is still
+    // vulnerable to sustained box contention inflating BOTH passes (observed
+    // r8: raw_unwrap recorded 17.0 s where a fresh JVM measures 3.3 s), so
+    // two outlier-retry rules grant up to two extra passes:
+    //   (a) instability — the best two runs disagree by >25% (and the best
+    //       is >0.5 s, below which scheduler noise dominates);
+    //   (b) expectation — the min exceeds 3× the warm sf0.001 time scaled by
+    //       a generous LINEAR factor for the sf ratio (real scaling is
+    //       sublinear for every query here, so a breach means the run is
+    //       not measuring the plan).
+    // ALL run times are recorded in the artifact ("runs") so variance is
+    // visible to the reader, not silently collapsed into the min.
+    val sfRatio = {
+      def sf(d: String) = "sf([0-9.]+)$".r.findFirstMatchIn(d).map(_.group(1).toDouble)
+      (for { a <- sf(sfDir); b <- sf(warmDir) } yield a / b).getOrElse(100.0)
+    }
     var failed = List.empty[String]
+    val allRuns = mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      val runs = mutable.ArrayBuffer.empty[Double]
+      var fails = 0
+      def pass(): Unit = {
         val t0 = System.nanoTime()
-        val t = try { run(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            None
-          }
+        try { run(fn(spark, sfDir)); runs += (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          fails += 1
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         // Between-run reset (OUTSIDE the timed window, blocking so removal
         // completes before the next measurement): checkpointing operators
         // leave their final lineage-cut blocks pinned, and 135 queries × 2
         // runs of accumulation was measured to inflate later shuffle-hash
         // queries 10× (triangle_parts 8.5 s fresh vs 103.9 s leaked).
         Hygiene.releaseAll(spark, blocking = true)
-        t
       }
-      if (times.isEmpty) failed ::= name
-      name -> (if (times.isEmpty) -1.0 else times.min)
+      pass(); pass()
+      def suspicious: Boolean = runs.size >= 2 && {
+        val s = runs.sorted
+        val unstable = s(0) > 0.5 && s(1) > s(0) * 1.25
+        val overExpectation = warmSec.get(name)
+          .exists(w => s(0) > 3 * math.max(1.0, w * sfRatio))
+        unstable || overExpectation
+      }
+      while (runs.size < 4 && fails == 0 && suspicious) {
+        System.err.println(f"[bench] $name retry ${runs.size + 1}: runs so far ${runs.map(t => f"$t%.2f").mkString(", ")} s")
+        pass()
+      }
+      if (runs.isEmpty) failed ::= name
+      allRuns(name) = runs.toSeq
+      name -> (if (runs.isEmpty) -1.0 else runs.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val rs = allRuns.map { case (k, v) => "\"" + k + "\":[" + v.map(t => f"$t%.3f").mkString(",") + "]" }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.sorted.mkString(", ")}")

@@ -105,7 +105,13 @@ object CorpusOps {
       .select(col("doc_id"), col("source"), col("text"))
     val resend = docs
       .filter(col("doc_id") % 17 === 0 && col("doc_id") % 50 =!= 0)
-      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      // high-bit re-send flag: 2^40 rounded up to a multiple of 50, so an
+      // injected id (a) can never collide with a real doc_id below ~1.1e12
+      // rows — a collision would break doc_id uniqueness and make the
+      // dedup window's ORDER BY doc_id tie-break partition-dependent —
+      // and (b) preserves doc_id % 50 (the benchmark-slice predicate
+      // downstream), exactly as the old +1e6 offset did
+      .withColumn("doc_id", col("doc_id") + lit(1099511627800L))
     curationFunnelOf(docs.unionByName(resend))
   }
 
@@ -175,7 +181,7 @@ object CorpusOps {
     """WITH alldocs AS (
       |  SELECT doc_id, source, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, source, text FROM documents
+      |  SELECT doc_id + 1099511627800 AS doc_id, source, text FROM documents
       |  WHERE doc_id % 17 = 0 AND doc_id % 50 <> 0),
       |corpus AS (
       |  SELECT doc_id, source, text FROM alldocs WHERE doc_id % 50 <> 0),

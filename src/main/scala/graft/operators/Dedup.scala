@@ -1165,26 +1165,39 @@ object Dedup {
     * parallel — each pair decides independently.
     *
     * Scale: pair cost is Σ cell², controlled by growing k with the corpus
-    * (SemDeDup uses k ≈ √n·const; the paper's 50k clusters on LAION);
-    * cells repartition once, payload vectors cross the shuffle exactly
-    * once, cosines run in the codegen'd `array_dot` kernel. At 100 TB the
-    * centroid table stays broadcast-sized (k×d doubles) and the removal
-    * list is output-sized. */
+    * (SemDeDup uses k ≈ √n·const; the paper's 50k clusters on LAION) AND
+    * hard-bounded per cell by [[subSplit]] — a single degenerate mega-cell
+    * (the all-boilerplate cluster every web corpus has) gets its blocking
+    * key refined with secondary sign-LSH bits until the expected sub-cell
+    * is back under `cellCap`, so no cell goes quadratic no matter how k
+    * was chosen. Cells repartition once, payload vectors cross the shuffle
+    * exactly once, cosines run in the codegen'd `array_dot` kernel. At
+    * 100 TB the centroid table stays broadcast-sized (k×d doubles) and the
+    * removal list is output-sized. */
   def dedupSemantic(spark: SparkSession, sfDir: String,
-      tau: Double = 0.3): DataFrame = {
+      tau: Double = 0.3, cellCap: Int = 4096): DataFrame = {
     // checkpoint the k-row centroid table (k×d doubles — trivial blocks,
     // released by the session owner's Hygiene.releaseAll): the assignment
     // feeds BOTH sides of the pair self-join, and without the lineage cut
     // each side replays the full Lloyd chain
     val cents = Clustering.trainedCentroids(spark, sfDir).localCheckpoint()
       .agg(collect_list(struct(col("cid"), col("c"))).as("cs"))
-    val assigned = Clustering.embDouble(spark, sfDir)
+    val assigned0 = Clustering.embDouble(spark, sfDir)
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), Similarity.norm(col("v")).as("n"),
         Clustering.nearest(col("v"), col("cs")).as("cid"))
-      .repartition(col("cid"))
+    // Per-cell pair-cost cap (see [[subSplit]]): cells above `cellCap`
+    // rows get their blocking key refined with secondary sign-LSH bits so
+    // one degenerate mega-cell can't take Σ cell² quadratic. The fixture
+    // corpora never breach the cap (≤2000 vectors, k=8), so the oracle
+    // SQL below stays bit-identical; a breach is LOUDLY logged, never
+    // silent, and ScaleSpec drives the split path with a synthetic
+    // mega-cell.
+    val (split, _) = subSplit(assigned0, cellCap)
+    val assigned = split.repartition(col("cid"), col("sub"))
     val pairs = assigned.as("a").join(assigned.as("b"),
-        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        col("a.cid") === col("b.cid") && col("a.sub") === col("b.sub") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("b.vec_id").as("vec_id"), col("b.cid").as("cid"),
         col("a.vec_id").as("dup_of"),
         Exprs.r4(Similarity.dot(col("a.v"), col("b.v"))
@@ -1195,6 +1208,64 @@ object Dedup {
       .select(col("vec_id"), col("cid"),
         col("w.dup_of").as("dup_of"), col("w.cos").as("cos"))
       .orderBy("vec_id")
+  }
+
+  /** Hard per-cell size cap for cell-blocked pair joins ([[dedupSemantic]]).
+    *
+    * Takes an assignment frame carrying (`vec_id`, `v`, `cid`, ...) and
+    * returns it with a `sub` refinement column plus the split decisions.
+    * A k-row cell census (`groupBy(cid).count`) is collected to the
+    * driver — it is coarse-quantizer-sized (k ≈ √n per SemDeDup, ~50k
+    * rows at 100 TB), the same table the assignment already broadcasts —
+    * and each cell above `cellCap` rows is assigned
+    * ceil(log2(size/cellCap)) secondary sign-LSH bits (capped at 10 →
+    * ≤1024 sub-cells) drawn from [[lshPlanes]]'s deterministic hyperplane
+    * contract, so the EXPECTED sub-cell size is back under `cellCap` and
+    * Σ cell² can't go quadratic on one degenerate mega-cell. Un-split
+    * cells get `sub = 0`.
+    *
+    * Honesty rules: every split is logged (cell id, size, bits) — the cap
+    * is never silent — and the log names the residual risk the math
+    * can't remove: a cell of BIT-IDENTICAL vectors shares every
+    * hyperplane sign, so LSH cannot subdivide it (exact dedup upstream is
+    * the cure for that shape). Splitting narrows the pair scan — pairs
+    * straddling sub-cells are skipped, the standard SemDeDup
+    * recall-for-boundedness trade — which is why the cap only engages
+    * above `cellCap` and never on the oracle fixtures. */
+  private[graft] def subSplit(assigned: DataFrame, cellCap: Int)
+      : (DataFrame, Map[Long, Int]) = {
+    val splits = assigned.groupBy("cid").count().collect().iterator.map { r =>
+      val cid = r.get(0) match {
+        case l: java.lang.Long => l.longValue
+        case i: java.lang.Integer => i.longValue
+      }
+      val n = r.getLong(1)
+      val bits = if (n <= cellCap) 0
+        else math.min(10, 64 - java.lang.Long.numberOfLeadingZeros((n - 1) / cellCap))
+      (cid, n, bits)
+    }.filter(_._3 > 0).map { case (cid, n, bits) =>
+      System.err.println(s"[graft] dedup_semantic: cell $cid has $n rows " +
+        s"(cap $cellCap) — refining with $bits sign-LSH bits (${1 << bits} " +
+        "sub-cells); cross-sub pairs are skipped. NOTE: bit-identical " +
+        "vectors share all hyperplane signs and cannot be subdivided — " +
+        "run exact dedup upstream for that shape.")
+      cid -> bits
+    }.toMap
+    if (splits.isEmpty) (assigned.withColumn("sub", lit(0L)), splits)
+    else {
+      val planes = lshPlanes(10)
+      val sig = (0 until 10).map { j =>
+        when(call_function("array_dot", col("v"), typedlit(planes(j))) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      // mask the signature to the cell's bit budget via mod-by-2^bits
+      // (sig ≥ 0, so mod == bitmask; Spark's shiftleft needs a literal
+      // shift, a when-chain of 2^bits literals does not)
+      val pow2 = splits.foldLeft(lit(1L)) { case (acc, (cid, b)) =>
+        when(col("cid").cast("long") === cid, lit(1L << b)).otherwise(acc)
+      }
+      (assigned.withColumn("sub", sig % pow2), splits)
+    }
   }
 
   /** Oracle: the kmeansTrain CTE chain (same two Lloyd iterations) + a

@@ -287,8 +287,13 @@ object Quality {
     * (Σx, Σx², Σxy for all pairs) as EXACT integer sums: measures land on
     * a 1e-2 grid as LONGs (exact for quantities, prices in cents, 2-dp
     * rates), pairwise products stay below 2⁶³ per term, and the sums
-    * accumulate as DECIMAL(38,0) (DuckDB: HUGEINT) so no precision is
-    * lost at any corpus size. corr = (n·Σxy − Σx·Σy) /
+    * accumulate as DECIMAL(38,0) (DuckDB: HUGEINT). Exactness bound: the
+    * corr numerator n·Σxy is a decimal(38,0) product in Spark, so with
+    * this table's ~1e7-grid price terms the 38-digit cap holds to roughly
+    * 1e12 rows — beyond that Spark (non-ANSI) overflows the product to
+    * NULL while DuckDB's HUGEINT carries on to 2¹²⁷, so the engines fail
+    * DIFFERENTLY, not wrongly-but-identically; past that scale, coarsen
+    * the grid or widen to a two-word accumulator. corr = (n·Σxy − Σx·Σy) /
     * (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) evaluates the exact integers in one
     * pinned double chain — both engines cast the same exact integer and
     * round once. Zero-variance columns yield NULL, not ±∞.
@@ -547,13 +552,21 @@ object Quality {
     * noise arms touch only the GROUP table (QI-cardinality rows), scalar
     * codegen'd math, no extra shuffle. */
   def dpNoisyCounts(spark: SparkSession, sfDir: String,
-      epsilons: Seq[(String, Double)] = Seq(("0.25", 0.25), ("1.0", 1.0))): DataFrame = {
+      epsilons: Seq[(String, Double)] = Seq(("0.25", 0.25), ("1.0", 1.0)),
+      // PUBLIC PLACEHOLDER, not a privacy guarantee: the noise draw is
+      // keyed on (salt, ε, group) and this default salt is printed right
+      // here, so anyone who knows the pipeline can subtract the noise. A
+      // real ε-DP release MUST pass a secret salt (and keep it secret) —
+      // with the default, the operator demonstrates the mechanism and
+      // stays oracle-replayable, nothing more. README/SURVEY carry the
+      // same warning at the call surface.
+      salt: String = "dp"): DataFrame = {
     val groups = Tables.customer(spark, sfDir)
       .groupBy(col("c_nationkey").cast("long").as("nation"),
         col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("n_true"))
     val arms = epsilons.map { case (lbl, eps) =>
-      val u32 = Exprs.md5num(concat_ws("|", lit("dp"), lit(lbl),
+      val u32 = Exprs.md5num(concat_ws("|", lit(salt), lit(lbl),
         col("nation").cast("string"), col("segment")))
       val u = (u32.cast("double") + lit(0.5d)) / lit(4294967296d) - lit(0.5d)
       val noise = lit(-1d / eps) * signum(u) * log(lit(1d) - lit(2d) * abs(u))

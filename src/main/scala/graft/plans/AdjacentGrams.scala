@@ -23,13 +23,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression emits one bounded loop, stays inside whole-stage codegen,
   * and serves any gram width.
   *
-  * Semantics (exactly the HOF contract it replaces, so every oracle is
-  * unchanged): n = |words|; no grams for n = 0; otherwise
-  * max(n − k + 1, 1) grams, gram i = words[i..min(i+k−1, n−1)] joined by
-  * one space — i.e. the trailing gram CLAMPS when n < k (a 1-token doc
-  * yields its lone token as the single "gram"), which is
-  * `concat_ws(' ', slice(words, i, k))`'s behavior. Null array → null;
-  * token elements are assumed non-null (they come from `split`). */
+  * Semantics (the HOF contract it replaces on every REACHABLE input, so
+  * every oracle is unchanged): n = |words|; otherwise max(n − k + 1, 1)
+  * grams, gram i = words[i..min(i+k−1, n−1)] joined by one space — i.e.
+  * the trailing gram CLAMPS when n < k (a 1-token doc yields its lone
+  * token as the single "gram"), which is
+  * `concat_ws(' ', slice(words, i, k))`'s behavior. Null array → null.
+  * Two deliberate divergences on inputs `split` can never produce:
+  * n = 0 returns [] where the `transform(sequence(1, greatest(n−k+1,1)))`
+  * HOF (and its DuckDB `generate_series` mirror) would return [''] — an
+  * empty token array has no grams, and the HOF's [''] is an artifact of
+  * `sequence`'s 1-element floor; and a NULL token element THROWS (below)
+  * rather than silently emitting a null gram, because `dataType` promises
+  * containsNull = false and a null landing in a no-null array is
+  * undefined behavior for downstream codegen. */
 case class AdjacentGrams(left: Expression, right: Expression)
   extends BinaryExpression {
 
@@ -53,6 +60,15 @@ case class AdjacentGrams(left: Expression, right: Expression)
     val k = kv.asInstanceOf[Int]
     val n = arr.numElements()
     val m = if (n <= 0) 0 else math.max(n - k + 1, 1)
+    // containsNull = false is a promise, not an assumption: a null token
+    // would make UTF8String.concat yield a null gram inside a no-null
+    // array (UB downstream), so refuse loudly instead
+    var c = 0
+    while (c < n) {
+      if (arr.isNullAt(c)) throw new IllegalArgumentException(
+        s"adjacent_grams: null token at position $c (tokens must be non-null)")
+      c += 1
+    }
     val out = new Array[Any](m)
     var i = 0
     while (i < m) {
@@ -72,6 +88,7 @@ case class AdjacentGrams(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, k) => {
       val n = ctx.freshName("n")
       val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val end = ctx.freshName("end")
@@ -80,6 +97,11 @@ case class AdjacentGrams(left: Expression, right: Expression)
       s"""
          |final int $n = $a.numElements();
          |final int $m = $n <= 0 ? 0 : java.lang.Math.max($n - $k + 1, 1);
+         |for (int $c = 0; $c < $n; $c++) {
+         |  if ($a.isNullAt($c)) throw new IllegalArgumentException(
+         |    "adjacent_grams: null token at position " + $c +
+         |    " (tokens must be non-null)");
+         |}
          |final Object[] $out = new Object[$m];
          |for (int $i = 0; $i < $m; $i++) {
          |  final int $end = java.lang.Math.min($i + $k, $n);

@@ -143,7 +143,11 @@ class ExprsSpec extends SparkSuite {
   test("adjacent_grams == the transform/slice HOF it replaced, k=2 and k=3") {
     // exhaustive over array lengths 0..6 (incl. empty-string tokens: the
     // clamped trailing gram and the single-token case are the traps),
-    // evaluated through Spark so codegen AND interpreted paths both run
+    // evaluated through Spark so codegen AND interpreted paths both run.
+    // The n=0 guard below is not masking a gap — it encodes the DOCUMENTED
+    // divergence (AdjacentGrams.scala): the kernel returns [] for an empty
+    // token array where the raw HOF's sequence(1, greatest(...,1)) floor
+    // would fabricate [''] — unreachable from split(), deliberate here
     val arrays: Seq[Seq[String]] =
       (0 to 6).map(n => (1 to n).map(i => s"t$i")) :+
         Seq("", "a", "") :+ Seq("x") :+ Seq("", "")
@@ -162,5 +166,22 @@ class ExprsSpec extends SparkSuite {
           s"k=$k mismatch on $in: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
       }
     }
+  }
+
+  test("adjacent_grams refuses null tokens (containsNull=false is enforced)") {
+    // dataType promises containsNull = false; a null token would otherwise
+    // flow through UTF8String.concat into a no-null array — UB downstream.
+    // Both the interpreted and codegen paths must throw, not corrupt.
+    val df = Seq(Tuple1(Seq("a", "b"))).toDF("words")
+      .select(array(col("words").getItem(0), lit(null).cast("string"),
+        col("words").getItem(1)).as("words"))
+    val e = intercept[Exception] {
+      df.select(call_function("adjacent_grams", col("words"), lit(2)))
+        .collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
+    assert(rootMsg(e).contains("null token"), s"unexpected failure: $e")
   }
 }

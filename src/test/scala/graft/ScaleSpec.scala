@@ -216,6 +216,56 @@ class ScaleSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("dedup_semantic caps a degenerate mega-cell's pair cost via LSH sub-split") {
+    // SemDeDup's pair cost is Σ cell² — fine when k tracks the corpus, but
+    // every web corpus has one degenerate cluster (boilerplate, near-empty
+    // embeddings) that lands in a single cell regardless of k. subSplit
+    // must refine that cell's blocking key so the self-join stays bounded.
+    import spark.implicits._
+    val nVec = 4000
+    val cap = 256
+    // deterministic diverse vectors (md5-derived, no RNG), all forced into
+    // one cell — the worst case subSplit exists for
+    def coords(id: Int): Seq[Double] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 64).map { d =>
+        val h = md.digest(s"mega_${id}_$d".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(h, 16) % 2001 - 1000).toDouble / 1000.0
+      }
+    }
+    val mega = (0 until nVec).map(i => (i.toLong, coords(i), 0L))
+      .toDF("vec_id", "v", "cid")
+    val (split, splits) = operators.Dedup.subSplit(mega, cap)
+    // ceil(log2(4000/256)) = 4 secondary bits → 16 expected sub-cells
+    assert(splits == Map(0L -> 4), s"split decisions: $splits")
+    val sizes = split.groupBy("cid", "sub").count()
+      .select("count").as[Long].collect()
+    assert(sizes.sum == nVec, "sub-split must not drop or duplicate rows")
+    assert(sizes.length > 8, s"only ${sizes.length} sub-cells materialized")
+    // bounded per-cell pair count: Σ sub² must sit far below the unsplit
+    // cell² (16-way balanced would be cell²/16; allow generous slack for
+    // hyperplane imbalance on the deterministic fixture)
+    val pairCost = sizes.map(n => n * (n - 1) / 2).sum
+    val unsplitCost = nVec.toLong * (nVec - 1) / 2
+    assert(pairCost * 4 < unsplitCost,
+      s"pair cost $pairCost not bounded vs unsplit $unsplitCost")
+    assert(sizes.max < nVec / 2, s"largest sub-cell ${sizes.max} barely split")
+
+    // below the cap: no split, sub pinned to 0, decisions empty — this is
+    // the oracle-fixture path (≤2000 vectors, k=8, cap 4096), so the
+    // CORRECTNESS hash contract is untouched by the cap machinery
+    val (noSplit, none) = operators.Dedup.subSplit(mega, nVec + 1)
+    assert(none.isEmpty)
+    assert(noSplit.select(countDistinct("sub")).as[Long].head() == 1L)
+    val fixtureSizes = operators.Dedup.subSplit(
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          lit(0L).as("cid")), 4096)._2
+    assert(fixtureSizes.isEmpty,
+      "oracle fixture must never engage the cap (hash contract)")
+  }
+
   test("a session chaining checkpointing queries holds no blocks after release") {
     // The 100 TB session-lifetime contract: localCheckpoint-heavy operators
     // must not pin block-manager memory monotonically — the measured failure
