@@ -170,6 +170,7 @@ object SparkEntry {
     // Extension: multimodal column plumbing (decode stubbed)
     "multimodal_features" -> ((s, dir) => Multimodal.multimodalFeatures(tune(s), dir)),
     "media_frames" -> ((s, dir) => Multimodal.mediaFrames(tune(s), dir)),
+    "multimodal_decode" -> ((s, dir) => Multimodal.multimodalDecode(tune(s), dir)),
     // K/D12: custom Catalyst expression via SparkSessionExtensions
     "checksum_sorted" -> ((s, dir) => Checksums.checksumSorted(tune(s), dir)),
     // §1.1-2 typed-nested path: fixture-shaped JSON through RawTables + FactsFromRaw
@@ -359,6 +360,7 @@ object SparkEntry {
     "ann_recall" -> Similarity.annRecallSql,
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,
     "media_frames" -> Multimodal.mediaFramesSql,
+    "multimodal_decode" -> Multimodal.multimodalDecodeSql,
     "checksum_sorted" -> Checksums.checksumSortedSql,
     "typed_itens_fact" -> Typed.typedItensFactSql,
     "typed_pedidos_fact" -> Typed.typedPedidosFactSql,

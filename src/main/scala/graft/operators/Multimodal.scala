@@ -20,12 +20,14 @@ case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
   * image/audio/video as opaque `binary` columns with typed metadata, and run
   * decode / feature-extraction as a typed per-partition pass.
   *
-  * The actual codec step is STUBBED — image/audio libraries are not in this
-  * container — with a deterministic fake (byte length + byte sum stand in
-  * for decoded dimensions/content). The Spark-side plumbing is real: binary
-  * column, typed `Dataset[MediaRow]`, `mapPartitions` batch shape (the Scala
-  * analogue of `mapInPandas` — one iterator per partition, so a real decoder
-  * would amortize codec init per-partition, not per-row).
+  * [[multimodalFeatures]]/[[mediaFrames]] STUB their codec step —
+  * audio/video libraries are not in this container — with a deterministic
+  * fake (byte length + byte sum stand in for decoded dimensions/content);
+  * [[multimodalDecode]] closes the loop with a REAL image codec (the JDK's
+  * `javax.imageio` PNG reader/writer). The Spark-side plumbing is real
+  * everywhere: binary column, typed `Dataset[MediaRow]`, `mapPartitions`
+  * batch shape (the Scala analogue of `mapInPandas` — one iterator per
+  * partition, so decoders amortize codec init per-partition, not per-row).
   *
   * Scale notes: payloads never shuffle — the per-partition map runs where
   * the bytes were read; only the tiny feature rows move afterwards.
@@ -110,6 +112,124 @@ object Multimodal {
       }
     }.toDF().orderBy("doc_id", "kind", "idx")
   }
+
+  /** Decoded per-image pixel statistics. */
+  case class PixelStats(doc_id: Long, width: Long, height: Long,
+    sum_r: Long, sum_g: Long, sum_b: Long,
+    mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Image decode with a REAL codec in the loop — the step
+    * [[multimodalFeatures]] deliberately stubs. Each document id derives a
+    * small deterministic RGB grid (pixel (x,y,c) value =
+    * (doc_id·7 + (y·w + x)·3 + c·11) mod 256, w = 4 + id%5, h = 3 + id%4),
+    * which one `mapPartitions` pass ENCODES to real PNG bytes
+    * (`javax.imageio.ImageIO` — the JDK's built-in lossless codec, no
+    * external library) into the same opaque-binary [[MediaRow]] column the
+    * other media verbs use, and a second `mapPartitions` pass DECODES with
+    * `ImageIO.read`, emitting per-image width/height/channel sums and
+    * grid-rounded channel means.
+    *
+    * Verification logic: DuckDB cannot run a PNG codec, but it can replay
+    * the pixel FORMULA exactly — so the oracle recomputes the statistics
+    * from the formula, and the hash can only match if the encode→PNG→decode
+    * roundtrip reproduced every pixel bit-for-bit. A codec in the loop that
+    * dropped, reordered, or quantized anything fails the gate. (PNG byte
+    * LENGTH is codec-implementation detail and deliberately not emitted —
+    * only decoded content is.)
+    *
+    * Scale: payload bytes are born and die inside one scan partition —
+    * encode and decode fuse into a single stage with no shuffle before the
+    * final doc-grain sort; codec instances amortize per partition exactly
+    * as a production decoder (mapInPandas-style batch shape) would. */
+  def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+    decodePixelStats(encodePng(ids)).orderBy("doc_id")
+  }
+
+  /** Formula grid → real PNG bytes, one codec instance per partition. */
+  private[graft] def encodePng(
+      ids: org.apache.spark.sql.Dataset[Long]): org.apache.spark.sql.Dataset[MediaRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 4 + (id % 5).toInt
+        val h = 3 + (id % 4).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = id * 7 + (y.toLong * w + x) * 3
+            val r = ((base) % 256).toInt
+            val g = ((base + 11) % 256).toInt
+            val b = ((base + 22) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, bos.toByteArray, "image/png")
+      }
+    }
+  }
+
+  /** Real `ImageIO.read` decode of an opaque binary payload column. */
+  private[graft] def decodePixelStats(
+      encoded: org.apache.spark.sql.Dataset[MediaRow]): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    encoded.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toDouble
+        def r4(v: Double) = math.floor(v * 10000 + 0.5) / 10000
+        PixelStats(r.doc_id, w.toLong, h.toLong, sr, sg, sb,
+          r4(sr / n), r4(sg / n), r4(sb / n))
+      }
+    }.toDF()
+  }
+
+  /** The pixel formula replayed relationally — matches iff the PNG
+    * roundtrip above is bit-exact. */
+  val multimodalDecodeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM d),
+      |v AS (
+      |  SELECT doc_id, w, h,
+      |    (doc_id * 7 + p * 3) % 256 AS r,
+      |    (doc_id * 7 + p * 3 + 11) % 256 AS g,
+      |    (doc_id * 7 + p * 3 + 22) % 256 AS b
+      |  FROM px)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(SUM(r) AS BIGINT) AS sum_r,
+      |  CAST(SUM(g) AS BIGINT) AS sum_g,
+      |  CAST(SUM(b) AS BIGINT) AS sum_b,
+      |  floor(CAST(SUM(r) AS DOUBLE) / (w * h) * 10000 + 0.5) / 10000 AS mean_r,
+      |  floor(CAST(SUM(g) AS DOUBLE) / (w * h) * 10000 + 0.5) / 10000 AS mean_g,
+      |  floor(CAST(SUM(b) AS DOUBLE) / (w * h) * 10000 + 0.5) / 10000 AS mean_b
+      |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
   /** Shares [[multimodalFeaturesSql]]'s ASCII parity contract (byte ==
     * codepoint on this fixture). */

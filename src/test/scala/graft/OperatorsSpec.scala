@@ -140,6 +140,29 @@ class OperatorsSpec extends SparkSuite {
     assert(d2f.map(_.getLong(2)).sorted.toSeq == Seq(0L, 1L))
   }
 
+  test("multimodal decode: payloads are genuine PNG and the codec roundtrip is lossless") {
+    import spark.implicits._
+    // the encoded column must be REAL PNG bytes (magic signature), not a
+    // deterministic fake — this is the r9 'real codec in the loop' contract
+    val payloads = Multimodal.encodePng(Seq(1L, 7L, 42L).toDS()).collect()
+    val pngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    payloads.foreach { m =>
+      assert(m.payload.take(8).sameElements(pngMagic),
+        s"doc ${m.doc_id}: payload is not PNG")
+      assert(m.payload.length > 8)
+    }
+    // decode-side stats equal the generating formula (bit-exact roundtrip)
+    val stats = Multimodal.decodePixelStats(Seq(
+      graft.operators.MediaRow(42L, payloads.find(_.doc_id == 42L).get.payload,
+        "image/png")).toDS()).collect().head
+    val (w, h) = (4 + 42 % 5, 3 + 42 % 4)
+    assert(stats.getLong(1) == w && stats.getLong(2) == h)
+    val expected = (0 until w * h).map(p => (42L * 7 + p * 3) % 256).sum
+    assert(stats.getLong(3) == expected,
+      s"sum_r ${stats.getLong(3)} != formula $expected — codec not lossless")
+  }
+
   test("multimodal: features are a deterministic function of payload bytes") {
     val res = Multimodal.multimodalFeatures(spark, sfDir)
     val bad = res.join(Tables.documents(spark, sfDir), "doc_id")
