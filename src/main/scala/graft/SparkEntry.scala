@@ -156,6 +156,9 @@ object SparkEntry {
     // the exactly-once incremental cube, replayed in batch with one epoch
     // deliberately re-delivered — must equal the direct aggregate
     "rollup_replay" -> ((s, dir) => streaming.Streaming.rollupReplay(tune(s), dir)),
+    "hh_replay" -> ((s, dir) => streaming.Streaming.hhReplay(tune(s), dir)),
+    "bloom_replay" -> ((s, dir) => streaming.Streaming.bloomReplay(tune(s), dir)),
+    "funnel_replay" -> ((s, dir) => streaming.Streaming.funnelReplay(tune(s), dir)),
     // Extension: similarity search
     "ann_topk" -> ((s, dir) => Similarity.annTopk(tune(s), dir)),
     "ann_topk_agg" -> ((s, dir) => Similarity.annTopkAgg(tune(s), dir)),
@@ -349,6 +352,9 @@ object SparkEntry {
     "bpe_merges" -> TextOps.bpeMergesSql(),
     "bpe_encode" -> TextOps.bpeEncodeSql(),
     "rollup_replay" -> streaming.Streaming.rollupReplaySql,
+    "hh_replay" -> streaming.Streaming.hhReplaySql(),
+    "bloom_replay" -> streaming.Streaming.bloomReplaySql,
+    "funnel_replay" -> EventsOps.eventsFunnelSql,
     "ann_topk" -> Similarity.annTopkSql,
     "ann_topk_agg" -> Similarity.annTopkSql, // same contract as ann_topk
     "ann_ivf" -> Similarity.annIvfSql,

@@ -308,6 +308,164 @@ object Streaming {
       |    AS rev_grid
       |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
 
+  /** Batch replay of [[streamingHeavyHitters]]'s state path — the second
+    * epoch-replay oracle after [[rollupReplay]]: the token stream splits
+    * into deterministic epochs and each shard's Misra–Gries buffer folds
+    * through the SAME `MisraGries.reduce` the stream's
+    * `mapGroupsWithState` update runs, state carried epoch to epoch
+    * (a sequential fold over the concatenated epochs — exactly what the
+    * checkpointed state store replays across micro-batches). The final
+    * candidate sets are then exact-verified: the per-shard
+    * no-false-negative guarantee means every token with
+    * freq·(cap+1) > n_shard MUST be a candidate, so filtering candidates
+    * to that threshold must reproduce the exact recount — which is the
+    * DuckDB oracle, computed with no sketch at all. A fold or carryover
+    * bug that loses a true heavy hitter drops an oracle row → hash
+    * mismatch.
+    *
+    * Two deliberate harness choices: shard = md5num(token) mod nShards
+    * (the engine's cross-engine hash contract) instead of the stream's
+    * JVM `String.hashCode` — sharding is distribution-only, any
+    * token-functional map preserves the per-shard guarantee, and the
+    * oracle must recompute the same shard sizes; and each shard's stream
+    * is materialized in arrival order inside its group — inherent to
+    * replaying a sequential fold, harness-only (production is the
+    * stream, whose state is cap-bounded). */
+  def hhReplay(spark: SparkSession, sfDir: String, cap: Int = 64,
+      nShards: Int = 8, epochs: Int = 4): DataFrame = {
+    import spark.implicits._
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "token")
+      .select(pmod(xxhash64(col("doc_id")), lit(epochs)).as("epoch"),
+        col("doc_id"), col("pos"), col("token"),
+        pmod(graft.Exprs.md5num(col("token")), lit(nShards.toLong)).as("shard"))
+    val mg = new graft.operators.MisraGries(cap)
+    val cands = toks
+      .select(col("shard"), col("epoch"), col("doc_id"), col("pos"),
+        col("token"))
+      .as[(Long, Long, Long, Int, String)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val ordered = it.toArray.sortBy(r => (r._2, r._3, r._4))
+        val fin = ordered.foldLeft(Map.empty[String, Long])((b, r) =>
+          mg.reduce(b, r._5))
+        (shard, fin.keys.toSeq.sorted)
+      }
+      .toDF("shard", "cands")
+      .select(col("shard"), explode(col("cands")).as("token"))
+    val counts = toks.groupBy("shard", "token").agg(count(lit(1)).as("n"))
+    val shardN = toks.groupBy("shard").agg(count(lit(1)).as("n_shard"))
+    cands.join(counts, Seq("shard", "token"))
+      .join(broadcast(shardN), "shard")
+      .filter(col("n") * lit((cap + 1).toLong) > col("n_shard"))
+      .select(col("shard"), col("token"), col("n"))
+      .orderBy("shard", "token")
+  }
+
+  /** The exact recount above the Misra–Gries survival threshold. */
+  def hhReplaySql(cap: Int = 64, nShards: Int = 8): String =
+    s"""WITH t AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |s AS (
+      |  SELECT token,
+      |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % $nShards
+      |      AS shard
+      |  FROM t),
+      |n AS (SELECT shard, count(*) AS n_shard FROM s GROUP BY 1),
+      |c AS (SELECT shard, token, count(*) AS n FROM s GROUP BY 1, 2)
+      |SELECT c.shard, c.token, c.n
+      |FROM c JOIN n ON c.shard = n.shard
+      |WHERE c.n * ${cap + 1} > n.n_shard
+      |ORDER BY c.shard, c.token""".stripMargin
+
+  /** Batch replay of [[bloomDedupStream]]'s shard-Bloom state path: event
+    * ids are delivered once across `epochs − 1` deterministic epochs, and
+    * every 13th id is RE-delivered in the final epoch; each shard's bit
+    * words fold across epochs through the SAME [[bloomAdmit]]
+    * probe-and-insert the stream runs (state carried across epochs, ids
+    * sorted within an epoch like the stream's in-batch order). Oracle:
+    * the filter's one-sided guarantee — a re-delivered id is ALWAYS
+    * flagged (bits never clear), a first delivery is clean absent a
+    * false positive — so the exact relational replay is simply
+    * seen = (occurrence == 2). FP headroom at this harness's mBits = 2²⁰,
+    * k = 4: a shard holding n ids flags a fresh id with
+    * p ≈ (1−e^(−kn/m))^k ≈ 1e-10 at the sf0.1 fixture (~1k ids/shard)
+    * and <1e-5 per id at 1M ids/shard; beyond that grow mBits — state
+    * stays nShards·m/8 bytes regardless of stream length, which is the
+    * operator's whole point. */
+  def bloomReplay(spark: SparkSession, sfDir: String, mBits: Int = 1 << 20,
+      k: Int = 4, nShards: Int = 64, epochs: Int = 4): DataFrame = {
+    import spark.implicits._
+    val ids = graft.Tables.events(spark, sfDir)
+      .filter(col("event_id").isNotNull)
+      .select(col("event_id").cast("long").as("event_id"))
+    val first = ids
+      .withColumn("epoch", pmod(xxhash64(col("event_id")), lit(epochs - 1)))
+      .withColumn("occ", lit(1L))
+    val resent = ids.filter(pmod(col("event_id"), lit(13)) === 0)
+      .withColumn("epoch", lit((epochs - 1).toLong))
+      .withColumn("occ", lit(2L))
+    first.unionByName(resent)
+      .select(col("event_id"), col("epoch"), col("occ"))
+      .as[(Long, Long, Long)]
+      .groupByKey(r => math.floorMod(splitmix(r._1), nShards))
+      .flatMapGroups { (_, it) =>
+        val words = new Array[Long](mBits / 64)
+        it.toArray.sortBy(r => (r._2, r._1))
+          .map(r => (r._1, r._3, bloomAdmit(words, r._1, mBits, k)))
+          .iterator
+      }
+      .toDF("event_id", "occ", "seen")
+      .orderBy("event_id", "occ")
+  }
+
+  /** The one-sided Bloom guarantee, stated relationally. */
+  val bloomReplaySql: String =
+    """SELECT CAST(event_id AS BIGINT) AS event_id,
+      |  CAST(1 AS BIGINT) AS occ, false AS seen
+      |FROM events WHERE event_id IS NOT NULL
+      |UNION ALL
+      |SELECT CAST(event_id AS BIGINT), CAST(2 AS BIGINT), true FROM events
+      |WHERE event_id IS NOT NULL AND event_id % 13 = 0
+      |ORDER BY event_id, occ""".stripMargin
+
+  /** Batch replay of [[funnelStream]]'s per-user state machine: events
+    * split into `epochs` event-TIME ranges (the machine's documented
+    * arrival assumption — a stage can never rewind), each user's
+    * [[FunnelState]] advanced epoch-by-epoch through the SAME
+    * [[advanceFunnel]] transition the stream's `mapGroupsWithState` runs.
+    * Time-ordered epoch concatenation makes the carried fold equal the
+    * whole-history fold, so the final positions must hash-match the
+    * batch funnel's user-grain oracle
+    * ([[graft.operators.EventsOps.eventsFunnelSql]]) — proving the epoch
+    * state carryover loses nothing. */
+  def funnelReplay(spark: SparkSession, sfDir: String,
+      windowSec: Long = 86400, epochs: Int = 4): DataFrame = {
+    import spark.implicits._
+    val wUs = windowSec * 1000000L
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    // deterministic event-time epoch cuts (driver-side min/max — 2 longs)
+    val mm = ev.agg(min("t"), max("t")).head()
+    val (lo, span) = (mm.getLong(0),
+      math.max(1L, (mm.getLong(1) - mm.getLong(0)) / epochs + 1))
+    ev.withColumn("epoch", ((col("t") - lit(lo)) / lit(span)).cast("long"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val byEpoch = it.toArray.groupBy(_._4).toSeq.sortBy(_._1)
+        val s = byEpoch.foldLeft(FunnelState(None, None, None)) {
+          case (st, (_, evs)) =>
+            advanceFunnel(st, evs.toSeq.map(e => (e._2, e._3)), wUs)
+        }
+        FunnelUpdate(uid, s.v, s.c, s.p, funnelStage(s))
+      }
+      .toDF()
+      .orderBy("user_id")
+  }
+
   /** Streaming heavy-hitter sketch — the in-stream form of
     * [[graft.operators.Sketches.heavyHitters]]: tokens shard BY VALUE
     * (hash) across `nShards` state groups, each group folding the same
@@ -372,34 +530,45 @@ object Streaming {
     import spark.implicits._
     // splitmix64: the streaming side never needs cross-engine hash parity,
     // only self-consistency, so a Scala mixer beats hauling xxhash64 here
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
     events
       .filter(col("event_id").isNotNull) // dead-letter guard, like nearDupStream
       .select(col("event_id").cast("long").as("event_id"))
       .as[Long]
-      .groupByKey(id => math.floorMod(mix(id), nShards))
+      .groupByKey(id => math.floorMod(splitmix(id), nShards))
       .flatMapGroupsWithState[ShardBloom, BloomSeenFlag](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, rows, state) =>
           val words = state.getOption.map(_.words)
             .getOrElse(new Array[Long](mBits / 64))
-          val out = rows.toSeq.sorted.map { id =>
-            val (h1, h2) = (mix(id), mix(id ^ 0x5851f42d4c957f2dL))
-            val idxs = (0 until k).map { i =>
-              (((h1 + i.toLong * h2) % mBits) + mBits) % mBits
-            }
-            val seen = idxs.forall(x => (words((x >> 6).toInt) >>> (x & 63) & 1L) == 1L)
-            if (!seen) idxs.foreach(x => words((x >> 6).toInt) |= 1L << (x & 63))
-            BloomSeenFlag(id, seen)
-          }
+          val out = rows.toSeq.sorted
+            .map(id => BloomSeenFlag(id, bloomAdmit(words, id, mBits, k)))
           state.update(ShardBloom(words))
           out.iterator
       }
+  }
+
+  /** splitmix64: the streaming side never needs cross-engine hash parity,
+    * only self-consistency, so a Scala mixer beats hauling xxhash64 here. */
+  private[graft] def splitmix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Probe-and-insert one id against a shard's Bloom bit words — the exact
+    * per-id state transition [[bloomDedupStream]] runs, shared with the
+    * batch replay harness ([[bloomReplay]]) so both fold the same bits.
+    * Mutates `words`; returns whether the id was (probably) seen before. */
+  private[graft] def bloomAdmit(words: Array[Long], id: Long,
+      mBits: Int, k: Int): Boolean = {
+    val (h1, h2) = (splitmix(id), splitmix(id ^ 0x5851f42d4c957f2dL))
+    val idxs = (0 until k).map { i =>
+      (((h1 + i.toLong * h2) % mBits) + mBits) % mBits
+    }
+    val seen = idxs.forall(x => (words((x >> 6).toInt) >>> (x & 63) & 1L) == 1L)
+    if (!seen) idxs.foreach(x => words((x >> 6).toInt) |= 1L << (x & 63))
+    seen
   }
 
   /** Runs [[bloomDedupStream]] to a parquet sink; batch-keyed overwrite
@@ -506,20 +675,33 @@ object Streaming {
       .groupByKey(_._1)
       .mapGroupsWithState[FunnelState, FunnelUpdate](GroupStateTimeout.NoTimeout) {
         (uid, rows, state) =>
-          var s = state.getOption.getOrElse(FunnelState(None, None, None))
-          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, ty, t) =>
-            if (s.v.isEmpty && ty == "view") s = s.copy(v = Some(t))
-            else if (s.c.isEmpty && s.v.nonEmpty && ty == "click"
-              && t > s.v.get && t <= s.v.get + wUs) s = s.copy(c = Some(t))
-            else if (s.p.isEmpty && s.c.nonEmpty && ty == "purchase"
-              && t > s.c.get && t <= s.c.get + wUs) s = s.copy(p = Some(t))
-          }
+          val s = advanceFunnel(state.getOption.getOrElse(
+            FunnelState(None, None, None)), rows.toSeq.map(r => (r._2, r._3)), wUs)
           state.update(s)
-          val stage = if (s.p.nonEmpty) "purchase" else if (s.c.nonEmpty) "click"
-            else if (s.v.nonEmpty) "view" else "none"
-          FunnelUpdate(uid, s.v, s.c, s.p, stage)
+          FunnelUpdate(uid, s.v, s.c, s.p, funnelStage(s))
       }
   }
+
+  /** One funnel state-machine advance over a micro-batch's (type, t)
+    * events, applied in (t, type) order — the exact transition
+    * [[funnelStream]]'s `mapGroupsWithState` runs, shared with the batch
+    * replay harness ([[funnelReplay]]). */
+  private[graft] def advanceFunnel(s0: FunnelState,
+      events: Seq[(String, Long)], wUs: Long): FunnelState = {
+    var s = s0
+    events.sortBy(r => (r._2, r._1)).foreach { case (ty, t) =>
+      if (s.v.isEmpty && ty == "view") s = s.copy(v = Some(t))
+      else if (s.c.isEmpty && s.v.nonEmpty && ty == "click"
+        && t > s.v.get && t <= s.v.get + wUs) s = s.copy(c = Some(t))
+      else if (s.p.isEmpty && s.c.nonEmpty && ty == "purchase"
+        && t > s.c.get && t <= s.c.get + wUs) s = s.copy(p = Some(t))
+    }
+    s
+  }
+
+  private[graft] def funnelStage(s: FunnelState): String =
+    if (s.p.nonEmpty) "purchase" else if (s.c.nonEmpty) "click"
+    else if (s.v.nonEmpty) "view" else "none"
 
   /** Runs [[funnelStream]] to a batch-keyed parquet sink (Update mode: each
     * micro-batch emits the refreshed position of every touched user). */
