@@ -174,6 +174,7 @@ object SparkEntry {
     "multimodal_features" -> ((s, dir) => Multimodal.multimodalFeatures(tune(s), dir)),
     "media_frames" -> ((s, dir) => Multimodal.mediaFrames(tune(s), dir)),
     "multimodal_decode" -> ((s, dir) => Multimodal.multimodalDecode(tune(s), dir)),
+    "ann_ivfpq_res" -> ((s, dir) => Similarity.annIvfPqRes(tune(s), dir)),
     // K/D12: custom Catalyst expression via SparkSessionExtensions
     "checksum_sorted" -> ((s, dir) => Checksums.checksumSorted(tune(s), dir)),
     // §1.1-2 typed-nested path: fixture-shaped JSON through RawTables + FactsFromRaw
@@ -367,6 +368,7 @@ object SparkEntry {
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,
     "media_frames" -> Multimodal.mediaFramesSql,
     "multimodal_decode" -> Multimodal.multimodalDecodeSql,
+    "ann_ivfpq_res" -> Similarity.annIvfPqResSql(),
     "checksum_sorted" -> Checksums.checksumSortedSql,
     "typed_itens_fact" -> Typed.typedItensFactSql,
     "typed_pedidos_fact" -> Typed.typedPedidosFactSql,

@@ -677,8 +677,14 @@ object Similarity {
     * them once, like the trainer's own collected centroids. Returns
     * (books, long-form codes, the sliced corpus view). */
   private def pqTrainEncode(spark: SparkSession, sfDir: String,
+      m: Int, k: Int, iters: Int): (DataFrame, DataFrame, DataFrame) =
+    pqTrainEncodeOf(Clustering.embDouble(spark, sfDir), m, k, iters)
+
+  /** [[pqTrainEncode]] over any (vec_id, v) corpus — the residual index
+    * ([[annIvfPqRes]]) trains the same chain on centroid-subtracted
+    * vectors. */
+  private def pqTrainEncodeOf(emb: DataFrame,
       m: Int, k: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
-    val emb = Clustering.embDouble(spark, sfDir)
     val dim = 64
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -745,6 +751,30 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Coarse label-mean router shared by [[annIvfPq]] and [[annIvfPqRes]]:
+    * returns (centroids (label, cv — r4-rounded 1e-6-grid label means),
+    * routed (query_id, cell) — each % 200 query's nearest cell, cosine
+    * ties broken by label). The formula is [[annIvf]]'s, verbatim. */
+  private def ivfRouteParts(e: DataFrame): (DataFrame, DataFrame) = {
+    val dimSums = (1 to 64).map(i =>
+      sum(floor(element_at(col("v"), i) * 1e6 + 0.5).cast("long")).as(s"s$i"))
+    val centroids = e.groupBy("label")
+      .agg(count(lit(1)).as("cnt"), dimSums: _*)
+      .select(col("label"), array((1 to 64).map(i =>
+        Exprs.r4(col(s"s$i").cast("double") / 1e6 / col("cnt"))): _*).as("cv"))
+    val wRoute = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("label").asc)
+    val routed = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("label"),
+        cos(col("qv"), col("cv")).as("ccos"))
+      .withColumn("rr", row_number().over(wRoute))
+      .filter(col("rr") === 1)
+      .select(col("query_id"), col("label").as("cell"))
+    (centroids, routed)
+  }
+
   /** IVF-PQ — the production FAISS index shape (`IndexIVFPQ` with
     * by_residual=false): the coarse quantizer routes each query to ONE
     * cell ([[annIvf]]'s label-centroid router) and the PQ/ADC scan
@@ -770,22 +800,7 @@ object Similarity {
     val (books, codesLong, sliced) = pqTrainEncode(spark, sfDir, m, k, iters)
     // coarse routing — identical formula to annIvf (label-mean centroids
     // on the 1e-6 integer grid, r4-rounded; ties break by label)
-    val dimSums = (1 to 64).map(i =>
-      sum(floor(element_at(col("v"), i) * 1e6 + 0.5).cast("long")).as(s"s$i"))
-    val centroids = e.groupBy("label")
-      .agg(count(lit(1)).as("cnt"), dimSums: _*)
-      .select(col("label"), array((1 to 64).map(i =>
-        Exprs.r4(col(s"s$i").cast("double") / 1e6 / col("cnt"))): _*).as("cv"))
-    val wRoute = Window.partitionBy("query_id")
-      .orderBy(col("ccos").desc, col("label").asc)
-    val routed = e.filter(col("vec_id") % 200 === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      .join(broadcast(centroids))
-      .select(col("query_id"), col("qv"), col("label"),
-        cos(col("qv"), col("cv")).as("ccos"))
-      .withColumn("rr", row_number().over(wRoute))
-      .filter(col("rr") === 1)
-      .select(col("query_id"), col("label").as("cell"))
+    val (_, routed) = ivfRouteParts(e)
     // ADC lookup table restricted to each query's routed cell: the
     // (query, sub, cid) grid distances join the routed cell so the code
     // scan's broadcast carries the cell gate with it
@@ -819,6 +834,144 @@ object Similarity {
         col("rank").cast("long").as("rank"),
         col("vec_id").as("target_id"), col("cos"), col("adc"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Residual IVF-PQ — `IndexIVFPQ` with by_residual=true, the FAISS
+    * DEFAULT and the documented next step from [[annIvfPq]]: every corpus
+    * vector is PQ-encoded as its RESIDUAL against its cell's coarse
+    * centroid (v − c_cell), and each query builds its ADC lookup table
+    * from its own residual against the ROUTED cell's centroid. Centering
+    * removes the coarse structure the cell assignment already captured, so
+    * the codebooks spend their k codes on the fine in-cell displacements —
+    * the recall-per-byte win residual encoding exists for (the spec
+    * asserts recall dominance over the non-residual index pointwise on
+    * the fixture). The cost is operational, exactly as FAISS documents:
+    * codes are no longer shared with a plain PQ index ([[annPq]]'s
+    * encode can't be reused), and a query's lookup table depends on its
+    * routed cell.
+    *
+    * Plan shape is [[annIvfPq]]'s unchanged — train/encode on the
+    * centroid-subtracted corpus (one broadcast join, still never
+    * shuffling vectors), routed-cell-gated code scan against a broadcast
+    * lookup table, exact rerank of survivors on the ORIGINAL vectors.
+    * Same determinism contracts; the oracle replays the whole chain with
+    * the Lloyd template pointed at residual CTEs. */
+  def annIvfPqRes(spark: SparkSession, sfDir: String, m: Int = 8, k: Int = 16,
+                  iters: Int = 2, nCand: Int = 50): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nn", norm(col("v")))
+    val (centroids, routed) = ivfRouteParts(e)
+    // residual corpus: v − centroid(own cell); labels are broadcast-tiny
+    val resid = e.join(broadcast(centroids), "label")
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+    val (books, codesLong, _) = pqTrainEncodeOf(resid, m, k, iters)
+    val sub = 64 / m
+    // query residual against the ROUTED cell (not the query's own label)
+    val qres = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .join(broadcast(routed), "query_id")
+      .join(broadcast(centroids), col("cell") === col("label"))
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("rv"))
+    val qsliced = (0 until m).map { s =>
+      qres.select(lit(s).as("sub"), col("query_id"), col("cell"),
+        slice(col("rv"), s * sub + 1, sub).as("qs"))
+    }.reduce(_ unionByName _)
+    val qd = qsliced
+      .join(broadcast(books.select(col("sub"), col("cid"), col("c"))), "sub")
+      .select(col("query_id"), col("cell"), col("sub"), col("cid"),
+        Clustering.distInt(col("qs"), col("c")).as("d"))
+    val lab = e.select(col("vec_id"), col("label"))
+    val approx = codesLong.join(lab, "vec_id")
+      .join(broadcast(qd), Seq("sub", "cid"))
+      .filter(col("label") === col("cell") && col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "cell", "vec_id").agg(sum("d").as("adc"))
+    val wCand = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val cand = approx.withColumn("cr", row_number().over(wCand))
+      .filter(col("cr") <= nCand)
+    val queries = e.filter(col("vec_id") % 200 === 0)
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand
+      .join(e.select(col("vec_id"), col("v"), col("nn")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nn").as("qn"))), Seq("query_id"))
+      .select(col("query_id"), col("cell"), col("vec_id"), col("adc"),
+        Exprs.r4(dot(col("qv"), col("v")) / (col("qn") * col("nn"))).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("cell").cast("long").as("cell"),
+        col("rank").cast("long").as("rank"),
+        col("vec_id").as("target_id"), col("cos"), col("adc"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Oracle for [[annIvfPqRes]] — [[annIvfPqSql]]'s chain with the Lloyd
+    * template retargeted at residual CTEs: `remb` subtracts each vector's
+    * own-cell centroid coordinate, `qremb` subtracts the ROUTED cell's. */
+  def annIvfPqResSql(m: Int = 8, k: Int = 16, nCand: Int = 50): String = {
+    val perSub = pqPerSubSql(m, k, src = "remb", qsrc = "qremb",
+      qWhere = "TRUE")
+    val adUnion = (0 until m).map(s => s"SELECT * FROM ad_$s").mkString(" UNION ALL ")
+    val routeCos = cosSqlFragment.replace("QV", "qrt.qv").replace("TV", "c.cv")
+    val c = cosSqlFragment.replace("QV", "q.v").replace("TV", "t.v")
+    s"""WITH emb AS (
+       |  SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |ev AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cd AS (
+       |  SELECT label, i.i AS i,
+       |    floor(CAST(SUM(CAST(floor(v[i.i] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+       |          / 1000000 / COUNT(*) * 10000 + 0.5) / 10000 AS cx
+       |  FROM ev CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+       |  GROUP BY label, i.i),
+       |cent AS (SELECT label, list(cx ORDER BY i) AS cv FROM cd GROUP BY label),
+       |qrt AS (SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id % 200 = 0),
+       |routed0 AS (
+       |  SELECT qrt.query_id, c.label, $routeCos AS ccos
+       |  FROM qrt CROSS JOIN cent c),
+       |routed AS (
+       |  SELECT query_id, label AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ccos DESC, label ASC) AS rr
+       |    FROM routed0) WHERE rr = 1),
+       |remb AS (
+       |  SELECT e.vec_id, e.pos, e.x - cd.cx AS x
+       |  FROM emb e JOIN ev l ON e.vec_id = l.vec_id
+       |  JOIN cd ON cd.label = l.label AND cd.i = e.pos),
+       |qremb AS (
+       |  SELECT r.query_id AS vec_id, e.pos, e.x - cd.cx AS x
+       |  FROM emb e JOIN routed r ON e.vec_id = r.query_id
+       |  JOIN cd ON cd.label = r.cell AND cd.i = e.pos),
+       |$perSub,
+       |adc AS (
+       |  SELECT u.query_id, r.cell, u.vec_id, CAST(SUM(u.d) AS BIGINT) AS adc
+       |  FROM ($adUnion) u
+       |  JOIN ev l ON u.vec_id = l.vec_id
+       |  JOIN routed r ON u.query_id = r.query_id AND l.label = r.cell
+       |  WHERE u.vec_id <> u.query_id GROUP BY 1, 2, 3),
+       |cand AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc ASC, vec_id ASC) AS cr FROM adc),
+       |rr AS (
+       |  SELECT cd2.query_id, cd2.cell, cd2.vec_id, cd2.adc, $c AS cos
+       |  FROM cand cd2
+       |  JOIN ev t ON cd2.vec_id = t.vec_id
+       |  JOIN ev q ON cd2.query_id = q.vec_id
+       |  WHERE cd2.cr <= $nCand),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, vec_id ASC) AS rank FROM rr)
+       |SELECT query_id, CAST(cell AS BIGINT) AS cell,
+       |  CAST(rank AS BIGINT) AS rank, vec_id AS target_id, cos, adc
+       |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   /** Oracle for [[annIvfPq]] — [[annPqSql]]'s per-subspace chain composed
@@ -880,42 +1033,43 @@ object Similarity {
     * query-to-codebook distances → per-vector ADC terms), shared by
     * [[annPqSql]] and [[annIvfPqSql]]; generated from the
     * `kmeansTrainSql` template. */
-  private def pqPerSubSql(m: Int, k: Int): String = {
+  private def pqPerSubSql(m: Int, k: Int, src: String = "emb",
+      qsrc: String = "emb", qWhere: String = "q.vec_id % 200 = 0"): String = {
     val sub = 64 / m
     (0 until m).map { s =>
       val lo = s * sub + 1
       val hi = (s + 1) * sub
-      s"""c0_$s AS (SELECT vec_id AS cid, pos, x AS c FROM emb
+      s"""c0_$s AS (SELECT vec_id AS cid, pos, x AS c FROM $src
          |  WHERE vec_id < $k AND pos BETWEEN $lo AND $hi),
          |d1_$s AS (SELECT e.vec_id, c.cid,
          |    SUM(CAST(floor((e.x-c.c)*(e.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
-         |  FROM emb e JOIN c0_$s c ON e.pos = c.pos GROUP BY 1, 2),
+         |  FROM $src e JOIN c0_$s c ON e.pos = c.pos GROUP BY 1, 2),
          |a1_$s AS (SELECT vec_id, min({'d': d, 'c': cid}).c AS cid
          |  FROM d1_$s GROUP BY 1),
          |m1_$s AS (SELECT a.cid, e.pos,
          |    CAST(SUM(CAST(floor(e.x*1000000+0.5) AS BIGINT)) AS DOUBLE)
          |      / count(*) / 1000000.0 AS c
-         |  FROM emb e JOIN a1_$s a ON e.vec_id = a.vec_id
+         |  FROM $src e JOIN a1_$s a ON e.vec_id = a.vec_id
          |  WHERE e.pos BETWEEN $lo AND $hi GROUP BY 1, 2),
          |d2_$s AS (SELECT e.vec_id, c.cid,
          |    SUM(CAST(floor((e.x-c.c)*(e.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
-         |  FROM emb e JOIN m1_$s c ON e.pos = c.pos GROUP BY 1, 2),
+         |  FROM $src e JOIN m1_$s c ON e.pos = c.pos GROUP BY 1, 2),
          |a2_$s AS (SELECT vec_id, min({'d': d, 'c': cid}).c AS cid
          |  FROM d2_$s GROUP BY 1),
          |m2_$s AS (SELECT a.cid, e.pos,
          |    CAST(SUM(CAST(floor(e.x*1000000+0.5) AS BIGINT)) AS DOUBLE)
          |      / count(*) / 1000000.0 AS c
-         |  FROM emb e JOIN a2_$s a ON e.vec_id = a.vec_id
+         |  FROM $src e JOIN a2_$s a ON e.vec_id = a.vec_id
          |  WHERE e.pos BETWEEN $lo AND $hi GROUP BY 1, 2),
          |d3_$s AS (SELECT e.vec_id, c.cid,
          |    SUM(CAST(floor((e.x-c.c)*(e.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
-         |  FROM emb e JOIN m2_$s c ON e.pos = c.pos GROUP BY 1, 2),
+         |  FROM $src e JOIN m2_$s c ON e.pos = c.pos GROUP BY 1, 2),
          |a3_$s AS (SELECT vec_id, min({'d': d, 'c': cid}).c AS cid
          |  FROM d3_$s GROUP BY 1),
          |qd_$s AS (SELECT q.vec_id AS query_id, c.cid,
          |    SUM(CAST(floor((q.x-c.c)*(q.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
-         |  FROM emb q JOIN m2_$s c ON q.pos = c.pos
-         |  WHERE q.vec_id % 200 = 0 GROUP BY 1, 2),
+         |  FROM $qsrc q JOIN m2_$s c ON q.pos = c.pos
+         |  WHERE $qWhere GROUP BY 1, 2),
          |ad_$s AS (SELECT qd.query_id, a.vec_id, qd.d
          |  FROM a3_$s a JOIN qd_$s qd ON a.cid = qd.cid)""".stripMargin
     }.mkString(",\n")

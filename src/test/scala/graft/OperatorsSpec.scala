@@ -647,6 +647,29 @@ class OperatorsSpec extends SparkSuite {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "not ordered by n12 desc")
   }
 
+  test("residual IVF-PQ: recall@5 vs exact dominates the non-residual index pointwise") {
+    // the FAISS by_residual=true claim on our fixture: centering each
+    // cell's vectors on its coarse centroid before PQ spends the codebook
+    // on in-cell displacements, so per-query recall against the exact
+    // top-5 must be >= the shared-codebook (non-residual) index — same
+    // routing, same nCand, only the encoding differs
+    def top(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getAs[Long]("target_id")).toSet).toMap
+    val exact = top(Similarity.annTopk(spark, sfDir))
+    val res = top(Similarity.annIvfPqRes(spark, sfDir))
+    val nonres = top(Similarity.annIvfPq(spark, sfDir))
+    assert(res.keySet == exact.keySet && nonres.keySet == exact.keySet)
+    exact.foreach { case (q, e) =>
+      val (rR, rN) = ((e & res(q)).size, (e & nonres(q)).size)
+      assert(rR >= rN,
+        s"query $q: residual recall $rR < non-residual $rN")
+    }
+    val (hR, hN) = (exact.map { case (q, e) => (e & res(q)).size }.sum,
+      exact.map { case (q, e) => (e & nonres(q)).size }.sum)
+    assert(hR >= hN, s"aggregate recall regressed: $hR < $hN")
+  }
+
   test("pq: codes compress 64 floats to m ids, recall@5 vs exact stays usable") {
     val pq = Similarity.annPq(spark, sfDir).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
