@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val sfDir = s"/root/testdata/${args(0)}"
+    // bare names resolve under the driver's testdata; absolute paths (the
+    // ScaleUp soak dirs) pass through
+    val sfDir = if (args(0).startsWith("/")) args(0)
+      else s"/root/testdata/${args(0)}"
     val reps = args(1).toInt
     val names = args.drop(2).toSeq
     val spark = SparkSession.builder()
@@ -24,6 +27,9 @@ object TimeOne {
         // lets Catalyst prune the projected work and the final sort)
         val c = fn(spark, sfDir).queryExecution.toRdd.count()
         println(f"$n run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
+        // Bench's between-run reset: leaked checkpoint blocks were measured
+        // to inflate later shuffle-hash queries 10× in one JVM
+        Hygiene.releaseAll(spark, blocking = true)
       }
     }
     spark.stop()

@@ -4,6 +4,7 @@ import graft.streaming.Streaming
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Streaming-layer spec: validation routing in batch (the function is
   * source-agnostic) and the watermarked dedupe + fan-out path over a real
@@ -408,6 +409,72 @@ class StreamingSpec extends SparkSuite {
       .select(col("user_id"), col("v_ts").cast("string"), col("c_ts").cast("string"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(batch == expect, s"batch parity broke: $batch")
+  }
+
+  test("embedded log: Kafka-shaped handoff, crash between apply and commit stays exactly-once") {
+    import graft.streaming.EmbeddedLog
+    import graft.operators.Messages
+    val root = Files.createTempDirectory("graft_log").toString
+    // produce: the REAL J7 wire form (Messages.encode base64 lines)
+    val wire = Messages.syntheticMessages(spark, sfDir)
+      .collect().map(_.getString(0))
+    assert(wire.length > 50)
+    val parts = wire.map(w => (Integer.toHexString(w.hashCode), w))
+      .groupBy(kv => math.floorMod(kv._1.hashCode, 2))
+    parts.foreach { case (p, recs) =>
+      recs.grouped(recs.length / 3 + 1)
+        .foreach(g => EmbeddedLog.append(root, "pedidos", p, g.toSeq))
+    }
+    parts.foreach { case (p, recs) =>
+      // offsets dense + ordered across segments; no partial temp files
+      val rs = EmbeddedLog.poll(root, "pedidos", p, 0L)
+      assert(rs.map(_.offset) == rs.indices.map(_.toLong))
+      assert(rs.length == recs.length)
+      assert(EmbeddedLog.end(root, "pedidos", p) == recs.length.toLong)
+      val dir = Paths.get(root, "pedidos", s"p$p")
+      assert(!Files.list(dir).iterator().asScala
+        .exists(_.getFileName.toString.startsWith(".tmp-")), "partial segment")
+    }
+    // consume: poll → the REAL A6 subscriber decode → idempotent apply
+    // (G2 anti-join on uuid) → commit AFTER apply
+    val applied = Files.createTempDirectory("graft_log_out")
+      .resolve("t").toString
+    def consume(p: Int, max: Int, crashBeforeCommit: Boolean): Int = {
+      val from = EmbeddedLog.committed(root, "bq", "pedidos", p)
+      val recs = EmbeddedLog.poll(root, "pedidos", p, from, max)
+      if (recs.isEmpty) return 0
+      val df = recs.map(_.data).toSeq.toDF("data")
+        .select(Messages.decode(col("data"), Messages.fullMessageSchema).as("m"))
+        .select(col("m.uuid").as("uuid"),
+          size(col("m.produto_data")).cast("long").as("n_itens"))
+      val fresh =
+        if (!Files.exists(Paths.get(applied))) df
+        else df.join(spark.read.parquet(applied), Seq("uuid"), "left_anti")
+      fresh.write.mode("append").parquet(applied)
+      if (!crashBeforeCommit)
+        EmbeddedLog.commit(root, "bq", "pedidos", p, recs.last.offset + 1)
+      recs.length
+    }
+    // partition 0: first poll applies, then "crashes" before committing —
+    // the group offset still points at 0, so those records REdeliver
+    val crashed = consume(0, 5, crashBeforeCommit = true)
+    assert(crashed == 5 &&
+      EmbeddedLog.committed(root, "bq", "pedidos", 0) == 0L)
+    var guard = 0
+    while ((0 to 1).map(p =>
+      consume(p, 7, crashBeforeCommit = false)).sum > 0) {
+      guard += 1; assert(guard < 200)
+    }
+    // exactly-once end to end: every message applied once, none twice —
+    // the redelivered 5 were absorbed by the anti-join, not re-applied
+    val out = spark.read.parquet(applied)
+    assert(out.count() == wire.length.toLong,
+      s"exactly-once violated: ${out.count()} vs ${wire.length}")
+    assert(out.select("uuid").distinct().count() == wire.length.toLong)
+    (0 to 1).foreach { p =>
+      assert(EmbeddedLog.committed(root, "bq", "pedidos", p) ==
+        parts(p).length.toLong, s"partition $p not drained")
+    }
   }
 
   test("windowed counts equal the batch computation on closed windows") {
