@@ -175,6 +175,8 @@ object SparkEntry {
     "media_frames" -> ((s, dir) => Multimodal.mediaFrames(tune(s), dir)),
     "multimodal_decode" -> ((s, dir) => Multimodal.multimodalDecode(tune(s), dir)),
     "ann_ivfpq_res" -> ((s, dir) => Similarity.annIvfPqRes(tune(s), dir)),
+    "dsir_weights" -> ((s, dir) => TextOps.dsirWeights(tune(s), dir)),
+    "cms_counts" -> ((s, dir) => Sketches.cmsCounts(tune(s), dir)),
     // K/D12: custom Catalyst expression via SparkSessionExtensions
     "checksum_sorted" -> ((s, dir) => Checksums.checksumSorted(tune(s), dir)),
     // §1.1-2 typed-nested path: fixture-shaped JSON through RawTables + FactsFromRaw
@@ -369,6 +371,8 @@ object SparkEntry {
     "media_frames" -> Multimodal.mediaFramesSql,
     "multimodal_decode" -> Multimodal.multimodalDecodeSql,
     "ann_ivfpq_res" -> Similarity.annIvfPqResSql(),
+    "dsir_weights" -> TextOps.dsirWeightsSql(),
+    "cms_counts" -> Sketches.cmsCountsSql(),
     "checksum_sorted" -> Checksums.checksumSortedSql,
     "typed_itens_fact" -> Typed.typedItensFactSql,
     "typed_pedidos_fact" -> Typed.typedPedidosFactSql,

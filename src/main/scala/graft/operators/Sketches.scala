@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Exprs, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Mergeable Misra–Gries heavy-hitters summary: at most `cap` counters;
@@ -124,6 +124,70 @@ object Sketches {
       |FROM t, tot GROUP BY token, tot.total
       |HAVING CAST(count(*) AS DOUBLE) > tot.total / $k
       |ORDER BY token""".stripMargin
+
+  /** Count–Min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+    * COUNTING sketch beside the Misra–Gries CANDIDATE sketch
+    * ([[heavyHitters]]): `d` independent hash rows × `w` buckets of sums.
+    * Relationally the sketch is one map-side-combinable aggregate over
+    * (row, bucket) cells — d·w longs total regardless of vocabulary, so
+    * the shuffle after partial aggregation is sketch-sized at any corpus
+    * size, and summing cells across partitions IS the sketch's merge
+    * operation (multi-shard union for free, like [[hllDistinct]]'s
+    * registers). A token's estimate is min over rows of its cell — an
+    * overestimate by exactly the colliding mass, NEVER an undercount
+    * (ε ≈ e/w of total mass at confidence 1−e^(−d)); the spec pins
+    * n_cms ≥ n_true pointwise and the oracle replays every bucket.
+    * Output: the top tokens by exact count with their CMS estimate and
+    * overcount — the exact recount is the verification pass a production
+    * run would sample, not part of the sketch cost. */
+  def cmsCounts(spark: SparkSession, sfDir: String, d: Int = 4,
+      w: Int = 1024, topK: Int = 200): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    def buckets(tok: Column) = array((0 until d).map { r =>
+      struct(lit(r).as("r"),
+        pmod(Exprs.md5num(concat(lit(s"cms${r}_"), tok)), lit(w.toLong))
+          .as("bkt"))
+    }: _*)
+    val cells = toks.select(explode(buckets(col("token"))).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+      .agg(count(lit(1)).as("cell"))
+    val top = toks.groupBy("token").agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("token")).limit(topK)
+    top.select(col("token"), col("n_true"),
+        explode(buckets(col("token"))).as("rb"))
+      .select(col("token"), col("n_true"), col("rb.r").as("r"),
+        col("rb.bkt").as("bkt"))
+      .join(broadcast(cells), Seq("r", "bkt"))
+      .groupBy("token", "n_true")
+      .agg(min("cell").as("n_cms"))
+      .select(col("token"), col("n_true"), col("n_cms"),
+        (col("n_cms") - col("n_true")).as("overcount"))
+      .orderBy(col("n_true").desc, col("token"))
+  }
+
+  def cmsCountsSql(d: Int = 4, w: Int = 1024, topK: Int = 200): String =
+    s"""WITH t AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |rk AS (SELECT unnest(generate_series(0, ${d - 1})) AS r),
+      |keyed AS (
+      |  SELECT t.token, rk.r,
+      |    CAST(('0x' || substr(md5('cms' || CAST(rk.r AS VARCHAR) || '_'
+      |      || t.token), 1, 8)) AS BIGINT) % $w AS bkt
+      |  FROM t CROSS JOIN rk),
+      |cells AS (SELECT r, bkt, count(*) AS cell FROM keyed GROUP BY 1, 2),
+      |top AS (
+      |  SELECT token, count(*) AS n_true FROM t GROUP BY 1
+      |  ORDER BY n_true DESC, token LIMIT $topK),
+      |est AS (
+      |  SELECT tp.token, tp.n_true, min(c.cell) AS n_cms
+      |  FROM top tp
+      |  JOIN keyed k ON k.token = tp.token
+      |  JOIN cells c ON c.r = k.r AND c.bkt = k.bkt
+      |  GROUP BY 1, 2)
+      |SELECT token, n_true, CAST(n_cms AS BIGINT) AS n_cms,
+      |  CAST(n_cms - n_true AS BIGINT) AS overcount
+      |FROM est ORDER BY n_true DESC, token""".stripMargin
 
   /** HyperLogLog distinct-shingle count per document source (Flajolet et
     * al. 2007), built fully relationally and DETERMINISTICALLY so the

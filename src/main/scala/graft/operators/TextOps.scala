@@ -866,6 +866,101 @@ object TextOps {
       |FROM documents d LEFT JOIN sc USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169), the hashed-feature successor to [[mooreLewis]]'s
+    * vocabulary-grain cross-entropy: each doc's unigram AND bigram
+    * features hash into a FIXED `b`-bucket space, a bag-of-hashed-ngrams
+    * model estimates log(p_target/p_source) per bucket, and docs are
+    * drawn by Gumbel top-k on importance weight — sampling WITHOUT
+    * replacement ∝ w, the paper's estimator. At 100 TB the feature model
+    * is `b` rows no matter how large the vocabulary grows (the whole
+    * point vs Moore–Lewis), the doc score is one hash-join sum over a
+    * broadcast-sized term table, and top-k is TakeOrdered, not a global
+    * sort.
+    *
+    * Determinism stack (all pre-proven contracts): feature buckets via
+    * the shared md5num; the per-bucket log-ratio is ONE ln over an exact
+    * integer rational gridded to LONG at bucket grain ([[mooreLewis]]'s
+    * pattern and its same 2⁶³ product bound); the Gumbel noise
+    * −ln(−ln(u)) replays [[graft.operators.Quality.dpNoisyCounts]]'s
+    * ln-of-md5-uniform contract; and the ranking key is the 1e-6 grid
+    * LONG with doc_id tie-break, so a cross-engine ulp can only matter
+    * if it crosses a grid line AND ties — and then the tie-break holds. */
+  def dsirWeights(spark: SparkSession, sfDir: String, b: Int = 4096,
+      targetLang: String = "en", topK: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val w = words(col("text"))
+    val uni = docs.select(col("doc_id"), col("lang"), explode(w).as("g"))
+    val bi = docs.filter(size(w) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(call_function("adjacent_grams", w, lit(2))).as("g"))
+    val feats = uni.unionByName(bi)
+      .select(col("doc_id"), col("lang"),
+        pmod(Exprs.md5num(col("g")), lit(b.toLong)).as("f"))
+    val cnt = feats.groupBy("f").agg(count(lit(1)).as("csrc"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ctgt"))
+    val tot = cnt.agg(sum("csrc").as("nsrc"), sum("ctgt").as("ntgt"))
+    val term = cnt.crossJoin(broadcast(tot))
+      .select(col("f"),
+        floor(log(((col("ctgt") + 1) * (col("nsrc") + lit(b.toLong))).cast("double")
+            / ((col("csrc") + 1) * (col("ntgt") + lit(b.toLong))).cast("double"))
+          * lit(1e6) + lit(0.5d)).cast("long").as("term"))
+    val sc = feats.join(term.hint("shuffle_hash"), "f")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("term").as("s"))
+    val u32 = Exprs.md5num(concat(lit("dsir_"), col("doc_id").cast("string")))
+    val u = (u32.cast("double") + lit(0.5d)) / lit(4294967296d)
+    docs.select(col("doc_id"), col("lang"))
+      .join(sc, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_feats"),
+        Exprs.r4(col("s").cast("double") / lit(1e6)).as("log_w"),
+        floor((col("s").cast("double") / lit(1e6) - log(-log(u)))
+          * lit(1e6) + lit(0.5d)).cast("long").as("g_grid"))
+      .orderBy(col("g_grid").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  def dsirWeightsSql(b: Int = 4096, targetLang: String = "en",
+      topK: Int = 100): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS g
+      |  FROM documents),
+      |ws AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+      |       FROM documents),
+      |bis AS (
+      |  SELECT doc_id, lang, unnest(list_transform(
+      |    list_zip(ws[1:len(ws)-1], ws[2:len(ws)]),
+      |    p -> p[1] || ' ' || p[2])) AS g
+      |  FROM ws WHERE len(ws) >= 2),
+      |feats AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % $b AS f
+      |  FROM (SELECT * FROM toks UNION ALL SELECT * FROM bis)),
+      |cnt AS (
+      |  SELECT f, count(*) AS csrc,
+      |    CAST(SUM(CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ctgt
+      |  FROM feats GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(csrc) AS BIGINT) AS nsrc,
+      |          CAST(SUM(ctgt) AS BIGINT) AS ntgt FROM cnt),
+      |term AS (
+      |  SELECT f,
+      |    CAST(floor(ln(CAST((ctgt + 1) * (nsrc + $b) AS DOUBLE)
+      |      / CAST((csrc + 1) * (ntgt + $b) AS DOUBLE)) * 1000000 + 0.5)
+      |      AS BIGINT) AS term
+      |  FROM cnt, tot),
+      |sc AS (
+      |  SELECT doc_id, count(*) AS n_feats, SUM(term) AS s
+      |  FROM feats JOIN term USING (f) GROUP BY 1)
+      |SELECT d.doc_id, d.lang, sc.n_feats,
+      |  floor(CAST(sc.s AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS log_w,
+      |  CAST(floor((CAST(sc.s AS DOUBLE) / 1000000
+      |    - ln(-ln((CAST(('0x' || substr(md5('dsir_' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+      |        AS BIGINT) + 0.5) / 4294967296))) * 1000000 + 0.5) AS BIGINT)
+      |    AS g_grid
+      |FROM documents d JOIN sc USING (doc_id)
+      |ORDER BY g_grid DESC, d.doc_id LIMIT $topK""".stripMargin
+
   /** Vocabulary drift between two corpus halves — the text counterpart of
     * [[graft.operators.Clustering.embeddingDrift]], and the
     * train-vs-serving skew monitor a corpus refresh runs before mixing new

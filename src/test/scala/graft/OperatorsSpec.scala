@@ -647,6 +647,29 @@ class OperatorsSpec extends SparkSuite {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "not ordered by n12 desc")
   }
 
+  test("count-min sketch: never undercounts; tiny width collides but only inflates") {
+    val res = Sketches.cmsCounts(spark, sfDir).collect()
+    assert(res.nonEmpty)
+    res.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"CMS undercounted: $r"))
+    // w=16 forces collisions on this vocabulary: overcount must appear
+    // somewhere and stay nonnegative everywhere (the one-sided guarantee)
+    val tiny = Sketches.cmsCounts(spark, sfDir, d = 2, w = 16, topK = 50)
+      .collect()
+    assert(tiny.forall(_.getLong(3) >= 0))
+    assert(tiny.exists(_.getLong(3) > 0), "w=16 must collide on this corpus")
+  }
+
+  test("dsir: hashed-feature importance weights favor the target language") {
+    val rows = TextOps.dsirWeights(spark, sfDir, topK = 100000).collect()
+    val (en, rest) = rows.partition(_.getString(1) == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    def meanLw(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getDouble(3)).sum / rs.length
+    assert(meanLw(en) > meanLw(rest),
+      s"target-lang docs must out-weight the rest: ${meanLw(en)} vs ${meanLw(rest)}")
+  }
+
   test("residual IVF-PQ: recall@5 vs exact dominates the non-residual index pointwise") {
     // the FAISS by_residual=true claim on our fixture: centering each
     // cell's vectors on its coarse centroid before PQ spends the codebook
