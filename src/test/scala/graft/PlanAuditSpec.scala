@@ -711,4 +711,44 @@ class PlanAuditSpec extends SparkSuite {
     // exchange count at one per arm
     assert(p.split("Exchange hashpartitioning").length - 1 <= 2)
   }
+
+  test("residual IVF-PQ: no cartesian pair scan; codes + lookup tables ride broadcasts") {
+    val p = plan(Similarity.annIvfPqRes(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // centroid/routing/ADC-table/rerank sides all broadcast — the corpus
+    // side (codes, then survivors) must never be the build side
+    assert(p.split("BroadcastHashJoin").length - 1 >= 4,
+      "expected the routed/ADC/rerank joins on broadcasts:\n" + p.take(1200))
+    assert(p.contains("partial_sum"), "ADC sum must combine map-side")
+  }
+
+  test("dsir: term table hash-joins, ranking is TakeOrdered — never a global sort") {
+    val p = plan(TextOps.dsirWeights(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrdered, not Sort+Limit:\n" + p.take(1200))
+    assert(p.contains("adjacent_grams"), "bigram features must use the kernel")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("count-min: cells partial-combine to a sketch-sized shuffle; estimate probes a broadcast") {
+    val p = plan(Sketches.cmsCounts(spark, sfDir))
+    assert(p.contains("partial_count"), "cells lost map-side combine")
+    assert(p.contains("BroadcastHashJoin"), "d×w cell table must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k by true count must be TakeOrdered:\n" + p.take(1200))
+  }
+
+  test("hh replay: shard sizes broadcast; candidate/count joins are equi-joins only") {
+    val p = plan(graft.streaming.Streaming.hhReplay(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), "n_shard table must broadcast")
+  }
+
+  test("multimodal decode: payloads never shuffle — the doc sort is the only exchange") {
+    val p = plan(Multimodal.multimodalDecode(spark, sfDir))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 0,
+      "encode→decode must fuse in one stage:\n" + p.take(1200))
+    assert(p.split("Exchange rangepartitioning").length - 1 == 1)
+  }
 }
