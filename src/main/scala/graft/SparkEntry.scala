@@ -176,6 +176,7 @@ object SparkEntry {
     "multimodal_decode" -> ((s, dir) => Multimodal.multimodalDecode(tune(s), dir)),
     "ann_ivfpq_res" -> ((s, dir) => Similarity.annIvfPqRes(tune(s), dir)),
     "dsir_weights" -> ((s, dir) => TextOps.dsirWeights(tune(s), dir)),
+    "ppl_buckets" -> ((s, dir) => TextOps.pplBuckets(tune(s), dir)),
     "cms_counts" -> ((s, dir) => Sketches.cmsCounts(tune(s), dir)),
     // K/D12: custom Catalyst expression via SparkSessionExtensions
     "checksum_sorted" -> ((s, dir) => Checksums.checksumSorted(tune(s), dir)),
@@ -372,6 +373,7 @@ object SparkEntry {
     "multimodal_decode" -> Multimodal.multimodalDecodeSql,
     "ann_ivfpq_res" -> Similarity.annIvfPqResSql(),
     "dsir_weights" -> TextOps.dsirWeightsSql(),
+    "ppl_buckets" -> TextOps.pplBucketsSql,
     "cms_counts" -> Sketches.cmsCountsSql(),
     "checksum_sorted" -> Checksums.checksumSortedSql,
     "typed_itens_fact" -> Typed.typedItensFactSql,

@@ -620,6 +620,88 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2019,
+    * arXiv:1911.00359): per-language LM-score terciles split the corpus
+    * into head / middle / tail quality buckets — the curation knob CCNet
+    * ships (train on head+middle, drop or down-weight tail). Scores are
+    * [[docLmScore]]'s per-doc bigram-LM means; the tercile cuts are EXACT
+    * per-language order statistics from the shared 2-pass histogram
+    * selection ([[graft.operators.Sketches.groupQuantilesOf]] — no global
+    * sort, the same machinery `group_quantiles`/`funnel_latency` already
+    * prove), broadcast back as a languages-sized table. Docs without a
+    * score (under 2 tokens) land in an explicit 'unscored' bucket rather
+    * than vanishing. Bucket means aggregate on the r4 grid as exact
+    * LONGs, so the whole table is bit-deterministic. */
+  def pplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val scores = docLmScore(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .select(col("doc_id"), col("lang"), col("lm_score"))
+    val cuts = Sketches.groupQuantilesOf(
+        scores.filter(col("lm_score").isNotNull), "lang", "lm_score",
+        Seq(1.0 / 3, 2.0 / 3))
+      .groupBy("lang")
+      .agg(min(when(col("q") < 0.5, col("value"))).as("c33"),
+        min(when(col("q") > 0.5, col("value"))).as("c67"))
+    scores.join(broadcast(cuts), Seq("lang"), "left")
+      .withColumn("bucket",
+        when(col("lm_score").isNull, lit("unscored"))
+          .when(col("lm_score") >= col("c67"), lit("head"))
+          .when(col("lm_score") >= col("c33"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(floor(col("lm_score") * lit(1e4) + lit(0.5d)).cast("long"))
+          .as("sg"))
+      .select(col("lang"), col("bucket"), col("n_docs"),
+        Exprs.r4(col("sg").cast("double") / lit(1e4) / col("n_docs"))
+          .as("mean_score"))
+      .orderBy("lang", "bucket")
+  }
+
+  val pplBucketsSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |b AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      |  FROM w WHERE len(ws) >= 2),
+      |c AS (SELECT bg, count(*) AS n12 FROM b GROUP BY 1),
+      |pr AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(n12) AS n1
+      |       FROM c GROUP BY 1),
+      |lm AS (
+      |  SELECT CAST(('0x' || substr(md5(c.bg), 1, 8)) AS BIGINT) AS h,
+      |    CAST(floor(CAST(c.n12 AS DOUBLE) / pr.n1 * 1000000 + 0.5) AS BIGINT)
+      |      AS p_grid
+      |  FROM c JOIN pr ON string_split(c.bg, ' ')[1] = pr.w1),
+      |db AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(bg), 1, 8)) AS BIGINT) AS h FROM b),
+      |sc AS (
+      |  SELECT doc_id, count(*) AS n_bigrams, SUM(p_grid) AS s
+      |  FROM db JOIN lm USING (h) GROUP BY 1),
+      |scores AS (
+      |  SELECT d.doc_id, d.lang,
+      |    floor(CAST(sc.s AS DOUBLE) / sc.n_bigrams / 1000000 * 10000 + 0.5)
+      |      / 10000 AS lm_score
+      |  FROM documents d LEFT JOIN sc USING (doc_id)),
+      |cuts AS (
+      |  SELECT lang,
+      |    quantile_disc(lm_score, 0.3333333333333333) AS c33,
+      |    quantile_disc(lm_score, 0.6666666666666666) AS c67
+      |  FROM scores WHERE lm_score IS NOT NULL GROUP BY 1),
+      |bk AS (
+      |  SELECT s.lang,
+      |    CASE WHEN s.lm_score IS NULL THEN 'unscored'
+      |         WHEN s.lm_score >= c.c67 THEN 'head'
+      |         WHEN s.lm_score >= c.c33 THEN 'middle'
+      |         ELSE 'tail' END AS bucket,
+      |    s.lm_score
+      |  FROM scores s LEFT JOIN cuts c USING (lang))
+      |SELECT lang, bucket, count(*) AS n_docs,
+      |  floor(CAST(SUM(CAST(floor(lm_score * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 10000 / count(*) * 10000 + 0.5) / 10000 AS mean_score
+      |FROM bk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
   /** Moore–Lewis cross-entropy data selection (Moore & Lewis 2010,
     * "Intelligent Selection of Language Model Training Data"): score each
     * document by the per-token log-probability difference between an

@@ -647,6 +647,25 @@ class OperatorsSpec extends SparkSuite {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "not ordered by n12 desc")
   }
 
+  test("ppl buckets: per-language terciles balance and means order head > middle > tail") {
+    val rows = TextOps.pplBuckets(spark, sfDir).collect()
+      .groupBy(_.getString(0))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, rs) =>
+      val byB = rs.map(r => r.getString(1) -> r).toMap
+      val scored = Seq("head", "middle", "tail").flatMap(byB.get)
+      assert(scored.size == 3, s"$lang missing buckets: ${byB.keySet}")
+      val ns = scored.map(_.getLong(2))
+      // exact order statistics: bucket sizes differ by at most 2 when
+      // score ties don't straddle a cut (they may absorb a few more)
+      assert(ns.max - ns.min <= math.max(2, ns.sum / 4),
+        s"$lang tercile imbalance: $ns")
+      val means = scored.map(_.getDouble(3))
+      assert(means(0) > means(1) && means(1) > means(2),
+        s"$lang bucket means not ordered: $means")
+    }
+  }
+
   test("count-min sketch: never undercounts; tiny width collides but only inflates") {
     val res = Sketches.cmsCounts(spark, sfDir).collect()
     assert(res.nonEmpty)
