@@ -143,6 +143,13 @@ object Multimodal {
     * as a production decoder (mapInPandas-style batch shape) would. */
   def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // Deliberately NOT repartitioned: javax.imageio synchronizes on its
+    // global plugin registry, so fanning the codec across 32 threads was
+    // MEASURED SLOWER than one partition (3.2-3.9 s vs 1.8-2.3 s at
+    // sf0.1) — lock convoy, not parallel decode. At scale the doc table
+    // arrives in many splits anyway and a production codec (no global
+    // lock) parallelizes per-partition; the fixture's single parquet
+    // split is the artifact, not the plan.
     val ids = Tables.documents(spark, sfDir)
       .select(col("doc_id")).as[Long]
     decodePixelStats(encodePng(ids)).orderBy("doc_id")

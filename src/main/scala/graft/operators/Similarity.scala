@@ -863,10 +863,20 @@ object Similarity {
         transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nn", norm(col("v")))
     val (centroids, routed) = ivfRouteParts(e)
-    // residual corpus: v − centroid(own cell); labels are broadcast-tiny
+    // residual corpus: v − centroid(own cell); labels are broadcast-tiny.
+    // localCheckpoint: the Lloyd chain re-reads its input ~3× per
+    // iteration plus the encode pass, and each re-read would otherwise
+    // recompute the centroid aggregate + broadcast join from the scan
+    // (measured 10.5 s vs 4.4 s for the non-residual index, whose input
+    // is the bare parquet scan). The materialized block is the residual
+    // corpus — at 100 TB a production trainer makes the same
+    // cache-or-recompute call FAISS does and would persist to disk or
+    // train on a sample; released by the session owner's
+    // Hygiene.releaseAll like every other lineage cut.
     val resid = e.join(broadcast(centroids), "label")
       .select(col("vec_id"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+      .localCheckpoint()
     val (books, codesLong, _) = pqTrainEncodeOf(resid, m, k, iters)
     val sub = 64 / m
     // query residual against the ROUTED cell (not the query's own label)

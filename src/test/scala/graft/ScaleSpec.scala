@@ -282,6 +282,7 @@ class ScaleSpec extends SparkSuite {
       "triangle_parts" -> (() => operators.Graph.triangleParts(spark, sfDir)),
       "dedup_components" -> (() => operators.Dedup.dedupComponents(spark, sfDir)),
       "dedup_semantic" -> (() => operators.Dedup.dedupSemantic(spark, sfDir)),
+      "ann_ivfpq_res" -> (() => operators.Similarity.annIvfPqRes(spark, sfDir)),
       "bpe_merges" -> (() => operators.TextOps.bpeMerges(spark, sfDir)))
     chain.foreach { case (name, q) =>
       q().queryExecution.toRdd.count()
