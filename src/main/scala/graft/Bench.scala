@@ -20,6 +20,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // Long-session hygiene beyond Hygiene.releaseAll (which frees only
+      // checkpoint blocks): broadcast and shuffle state is reclaimed by
+      // the ContextCleaner via WEAK REFERENCES, so with a ~100 GiB heap
+      // the JVM may not GC for the whole run and ~1000 accumulated
+      // broadcasts (160+ queries × 2+ runs) squeeze the block manager —
+      // measured as pagerank_parts 21.6 s mid-bench vs 3.4 s in a short
+      // session, its edge checkpoint spilling under storage pressure.
+      // Spark's own knob is the periodic forced GC; default 30min never
+      // fires inside one bench run.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up whole-stage-codegen + JIT per query on the smallest SF so the

@@ -647,6 +647,46 @@ class OperatorsSpec extends SparkSuite {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "not ordered by n12 desc")
   }
 
+  test("keyed HTTP dim edge: equals the broadcast join, cache collapses N+1") {
+    import spark.implicits._
+    import graft.sources.HttpDim
+    // the dimension the reference would look up per order: part names
+    val dim = Tables.part(spark, sfDir)
+      .select(col("p_partkey").cast("string"), col("p_name"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (srv, url) = HttpDim.serve(dim)
+    try {
+      HttpDim.requests.set(0)
+      val keys = Tables.lineitem(spark, sfDir)
+        .select(col("l_partkey").cast("long")).as[Long]
+      def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // collect ONCE — a second evaluation would re-issue every GET and
+      // double the request counter below
+      val viaHttp = toSet(HttpDim.lookupValues(keys, url)
+        .groupBy("key", "value").count())
+      val viaJoin = toSet(Tables.lineitem(spark, sfDir)
+        .join(broadcast(Tables.part(spark, sfDir)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey").cast("long").as("key"),
+          col("p_name").as("value")).count())
+      assert(viaHttp == viaJoin,
+        "HTTP edge must reproduce the broadcast join exactly")
+      // the per-partition cache collapses N+1: requests <= distinct keys
+      // x partitions, far below the row count
+      val rows = keys.count()
+      val distinctKeys = keys.distinct().count()
+      val parts = keys.rdd.getNumPartitions
+      assert(HttpDim.requests.get() <= distinctKeys * parts,
+        s"cache ineffective: ${HttpDim.requests.get()} requests")
+      assert(HttpDim.requests.get() < rows,
+        "edge degenerated to call-per-row")
+      // missing key -> null value (left-join semantics)
+      val miss = HttpDim.lookupValues(Seq(-1L).toDS(), url).collect()
+      assert(miss.length == 1 && miss.head.isNullAt(1))
+    } finally srv.stop(0)
+  }
+
   test("ppl buckets: per-language terciles balance and means order head > middle > tail") {
     val rows = TextOps.pplBuckets(spark, sfDir).collect()
       .groupBy(_.getString(0))
