@@ -177,6 +177,7 @@ object SparkEntry {
     "ann_ivfpq_res" -> ((s, dir) => Similarity.annIvfPqRes(tune(s), dir)),
     "dsir_weights" -> ((s, dir) => TextOps.dsirWeights(tune(s), dir)),
     "ppl_buckets" -> ((s, dir) => TextOps.pplBuckets(tune(s), dir)),
+    "wordpiece_encode" -> ((s, dir) => TextOps.wordpieceEncode(tune(s), dir)),
     "cms_counts" -> ((s, dir) => Sketches.cmsCounts(tune(s), dir)),
     // K/D12: custom Catalyst expression via SparkSessionExtensions
     "checksum_sorted" -> ((s, dir) => Checksums.checksumSorted(tune(s), dir)),
@@ -374,6 +375,7 @@ object SparkEntry {
     "ann_ivfpq_res" -> Similarity.annIvfPqResSql(),
     "dsir_weights" -> TextOps.dsirWeightsSql(),
     "ppl_buckets" -> TextOps.pplBucketsSql,
+    "wordpiece_encode" -> TextOps.wordpieceEncodeSql(),
     "cms_counts" -> Sketches.cmsCountsSql(),
     "checksum_sorted" -> Checksums.checksumSortedSql,
     "typed_itens_fact" -> Typed.typedItensFactSql,

@@ -1502,4 +1502,120 @@ object TextOps {
       |SELECT left_sym, right_sym, CAST(sum(wn) AS BIGINT) AS n
       |FROM p GROUP BY 1, 2
       |ORDER BY n DESC, left_sym, right_sym LIMIT $topK""".stripMargin
+
+  /** WordPiece segmentation (Wu et al. 2016; the BERT tokenizer's
+    * inference rule) — the OTHER production subword encoder beside
+    * [[bpeEncode]]'s merge-replay: build a piece vocabulary (the
+    * `topPieces` most frequent character 1..4-grams of the corpus
+    * vocabulary, weighted by word frequency, plus every single character
+    * so segmentation can never fail), then segment each DISTINCT word by
+    * greedy LONGEST-MATCH-FIRST: at each position take the longest vocab
+    * piece that prefixes the remainder and advance. Words longer than
+    * `maxLen` chars map to '[UNK]' — BERT's `max_input_chars_per_word`
+    * escape. (BERT's `##` continuation marking is deliberately not
+    * modeled — the operator is the greedy-match geometry, not the vocab
+    * file format.)
+    *
+    * Spark-first shape: greedy matching is a data-dependent loop — the
+    * [[graft.plans.GreedyPieces]] codegen kernel runs it as one narrow
+    * map over the vocabulary-grain word table, with the piece vocabulary
+    * (driver-bounded by construction: ≤ topPieces + alphabet) passed as a
+    * literal. Everything past the one word-count aggregate runs at
+    * VOCABULARY grain ([[bpeEncode]]'s contract) — corpus text never
+    * shuffles. The oracle replays the loop RELATIONALLY as `maxLen`
+    * unrolled steps of four left joins + longest-wins coalesce (the
+    * `pca_project` 50-iteration precedent), so the kernel's greedy
+    * semantics are hash-checked from first principles every run. */
+  def wordpieceEncode(spark: SparkSession, sfDir: String,
+      topPieces: Int = 256, maxLen: Int = 16): DataFrame = {
+    val wcount = Tables.documents(spark, sfDir)
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("n_word"))
+    // candidate pieces: every 1..4-char substring of every distinct
+    // word, weighted by the word's corpus frequency
+    val subs = wcount
+      .select(col("word"), col("n_word"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("n_word"), explode(sequence(lit(1),
+        least(lit(4), length(col("word")) - col("i") + 1))).as("l"),
+        expr("substring(word, i, l)").as("piece"))
+    val top = subs.groupBy("piece").agg(sum("n_word").as("n"))
+      .orderBy(col("n").desc, col("piece")).limit(topPieces)
+      .select("piece")
+    val chars = subs.filter(col("l") === 1).select("piece").distinct()
+    val vocab = top.unionByName(chars).distinct()
+    // The vocabulary is driver-bounded BY CONSTRUCTION (topPieces + the
+    // alphabet — a few hundred strings at any corpus size), so it collects
+    // like lshPlanes/bpe picks do and rides into the codegen'd
+    // `greedy_pieces` kernel as one literal — the loop the relational
+    // form could only express as maxLen unrolled 4-way-join steps
+    // (measured 4.6 s of pure plan overhead at sf0.1; the kernel runs the
+    // same segmentation in one narrow map). The oracle still replays the
+    // unrolled relational chain, so the kernel's greedy semantics are
+    // hash-checked against first principles every run.
+    val pieces = typedlit(vocab.collect().map(_.getString(0)).sorted.toSeq)
+    val segCol = call_function("greedy_pieces", col("word"), pieces)
+    val segmented = wcount.filter(length(col("word")) <= maxLen)
+      .select(col("word"), col("n_word"),
+        array_join(segCol, " ").as("pieces"),
+        size(segCol).cast("long").as("n_pieces"))
+    val unk = wcount.filter(length(col("word")) > maxLen)
+      .select(col("word"), col("n_word"),
+        lit("[UNK]").as("pieces"), lit(1L).as("n_pieces"))
+    segmented.unionByName(unk).orderBy("word")
+  }
+
+  /** The greedy fold unrolled CTE-for-CTE. */
+  def wordpieceEncodeSql(topPieces: Int = 256, maxLen: Int = 16): String = {
+    val steps = (1 to maxLen).map { k =>
+      s"""st$k AS (
+         |  SELECT s.word, s.n_word, s.len,
+         |    CASE WHEN s.pos <= s.len THEN s.pos +
+         |      length(coalesce(v4.piece, v3.piece, v2.piece, v1.piece))
+         |    ELSE s.pos END AS pos,
+         |    CASE WHEN s.pos <= s.len THEN s.acc || ' ' ||
+         |      coalesce(v4.piece, v3.piece, v2.piece, v1.piece)
+         |    ELSE s.acc END AS acc
+         |  FROM st${k - 1} s
+         |  LEFT JOIN v4 ON substr(s.word, s.pos, 4) = v4.piece
+         |  LEFT JOIN v3 ON substr(s.word, s.pos, 3) = v3.piece
+         |  LEFT JOIN v2 ON substr(s.word, s.pos, 2) = v2.piece
+         |  LEFT JOIN v1 ON substr(s.word, s.pos, 1) = v1.piece)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wc AS (
+      |  SELECT word, count(*) AS n_word
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) >= 1 GROUP BY 1),
+      |subs AS (
+      |  SELECT substr(word, CAST(i.i AS INT), CAST(l.l AS INT)) AS piece,
+      |    CAST(l.l AS INT) AS l, n_word
+      |  FROM wc,
+      |    LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) i,
+      |    LATERAL (SELECT unnest(generate_series(1,
+      |      least(4, length(word) - i.i + 1))) AS l) l),
+      |top AS (
+      |  SELECT piece FROM (
+      |    SELECT piece, SUM(n_word) AS n FROM subs GROUP BY 1
+      |    ORDER BY n DESC, piece LIMIT $topPieces)),
+      |vocab AS (
+      |  SELECT DISTINCT piece FROM (
+      |    SELECT piece FROM top
+      |    UNION ALL SELECT DISTINCT piece FROM subs WHERE l = 1)),
+      |v1 AS (SELECT piece FROM vocab WHERE length(piece) = 1),
+      |v2 AS (SELECT piece FROM vocab WHERE length(piece) = 2),
+      |v3 AS (SELECT piece FROM vocab WHERE length(piece) = 3),
+      |v4 AS (SELECT piece FROM vocab WHERE length(piece) = 4),
+      |st0 AS (
+      |  SELECT word, n_word, length(word) AS len, 1 AS pos, '' AS acc
+      |  FROM wc WHERE length(word) <= $maxLen),
+      |$steps
+      |SELECT word, n_word, ltrim(acc) AS pieces,
+      |  CAST(len(string_split(ltrim(acc), ' ')) AS BIGINT) AS n_pieces
+      |FROM st$maxLen
+      |UNION ALL
+      |SELECT word, n_word, '[UNK]', CAST(1 AS BIGINT)
+      |FROM wc WHERE length(word) > $maxLen
+      |ORDER BY word""".stripMargin
+  }
 }

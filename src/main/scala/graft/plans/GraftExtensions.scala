@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         AdjacentGrams(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("greedy_pieces"),
+      GreedyPieces.info,
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GreedyPieces(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("opaque"),
       Opaque.info,
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -168,6 +168,32 @@ class ExprsSpec extends SparkSuite {
     }
   }
 
+  test("greedy_pieces: longest-match-first, char fallback, empty word") {
+    val vocab = typedlit(Seq("ab", "abc", "c", "d", "a", "b"))
+    val df = Seq("abcd", "abca", "xabc", "").toDF("w")
+      .select(col("w"),
+        call_function("greedy_pieces", col("w"), vocab).as("ps"))
+    val got = df.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // 'abc' (len 3) beats 'ab' (len 2) at position 0 — longest-first
+    assert(got("abcd") == Seq("abc", "d"))
+    assert(got("abca") == Seq("abc", "a"))
+    // 'x' is not in the vocabulary: the single-char fallback emits it
+    // verbatim rather than failing the row
+    assert(got("xabc") == Seq("x", "abc"))
+    assert(got("") == Seq())
+    // codegen and interpreted paths agree (the DataFrame run above is
+    // codegen; evaluate the expression directly for the interpreted path)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val expr = graft.plans.GreedyPieces(Literal("abcd"),
+      Literal.create(Seq("ab", "abc", "c", "d", "a", "b"),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))
+    val r = expr.eval(null).asInstanceOf[ArrayData]
+    assert((0 until r.numElements()).map(r.getUTF8String(_).toString) ==
+      Seq("abc", "d"))
+  }
+
   test("adjacent_grams refuses null tokens (containsNull=false is enforced)") {
     // dataType promises containsNull = false; a null token would otherwise
     // flow through UTF8String.concat into a no-null array — UB downstream.

@@ -687,6 +687,28 @@ class OperatorsSpec extends SparkSuite {
     } finally srv.stop(0)
   }
 
+  test("wordpiece: pieces reconstruct the word losslessly, greedy pieces are <= 4 chars") {
+    val rows = TextOps.wordpieceEncode(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var multi = 0
+    rows.foreach { r =>
+      val (word, pieces, n) = (r.getString(0), r.getString(2), r.getLong(3))
+      if (pieces == "[UNK]") assert(word.length > 16 && n == 1L)
+      else {
+        val ps = pieces.split(" ")
+        assert(ps.mkString("") == word,
+          s"segmentation lost characters: '$word' -> '$pieces'")
+        assert(ps.forall(p => p.nonEmpty && p.length <= 4))
+        assert(n == ps.length.toLong)
+        if (ps.length > 1) multi += 1
+      }
+    }
+    // the vocabulary is finite (256 + alphabet), so real words segment
+    // into multiple pieces — a degenerate whole-word vocab would hide a
+    // broken greedy loop
+    assert(multi > rows.length / 4, s"only $multi multi-piece words")
+  }
+
   test("ppl buckets: per-language terciles balance and means order head > middle > tail") {
     val rows = TextOps.pplBuckets(spark, sfDir).collect()
       .groupBy(_.getString(0))
