@@ -435,6 +435,17 @@ class StreamingSpec extends SparkSuite {
       assert(!Files.list(dir).iterator().asScala
         .exists(_.getFileName.toString.startsWith(".tmp-")), "partial segment")
     }
+    // a producer killed mid-append leaves only a temp file (the rename
+    // never happened): readers and the offset allocator must not see it
+    val p0dir = Paths.get(root, "pedidos", "p0")
+    val debris = Files.createTempFile(p0dir, ".tmp-", "")
+    Files.writeString(debris, "999\tdead\tGARBAGE")
+    val before = EmbeddedLog.end(root, "pedidos", 0)
+    assert(EmbeddedLog.poll(root, "pedidos", 0, 0L).length == before.toInt,
+      "crash debris leaked into a poll")
+    assert(EmbeddedLog.end(root, "pedidos", 0) == before,
+      "crash debris shifted the offset allocator")
+
     // consume: poll → the REAL A6 subscriber decode → idempotent apply
     // (G2 anti-join on uuid) → commit AFTER apply
     val applied = Files.createTempDirectory("graft_log_out")
