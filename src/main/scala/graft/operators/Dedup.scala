@@ -1182,10 +1182,16 @@ object Dedup {
     // each side replays the full Lloyd chain
     val cents = Clustering.trainedCentroids(spark, sfDir).localCheckpoint()
       .agg(collect_list(struct(col("cid"), col("c"))).as("cs"))
+    // checkpoint the ASSIGNMENT too: three actions read it — subSplit's
+    // cell census (a driver collect) and both sides of the pair self-join
+    // — and without a lineage cut each re-runs the Lloyd chain + broadcast
+    // assignment. One materialization, three readers (released with the
+    // centroids by Hygiene.releaseAll).
     val assigned0 = Clustering.embDouble(spark, sfDir)
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), Similarity.norm(col("v")).as("n"),
         Clustering.nearest(col("v"), col("cs")).as("cid"))
+      .localCheckpoint()
     // Per-cell pair-cost cap (see [[subSplit]]): cells above `cellCap`
     // rows get their blocking key refined with secondary sign-LSH bits so
     // one degenerate mega-cell can't take Σ cell² quadratic. The fixture

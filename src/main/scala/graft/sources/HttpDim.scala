@@ -22,8 +22,14 @@ import java.util.concurrent.atomic.AtomicLong
   * is asserted, not assumed.
   *
   * Scale: the per-partition client amortizes connection setup the way a
-  * real enrichment edge must; the HTTP boundary here is where the
-  * scoped-out I7/I9 concerns (retry/backoff, rate limits) would attach. */
+  * real enrichment edge must. The I7 retry envelope the reference wraps
+  * around every API call (`api_to_gcs/main.py:56` — tenacity, exponential
+  * backoff, bounded attempts) attaches HERE: [[lookupValues]] retries
+  * transient failures (connect errors, 5xx) with bounded exponential
+  * backoff and fails the task once attempts exhaust. Only 404 maps to
+  * null — a 500/503 must surface as an error, never masquerade as an
+  * absent key (left-join semantics are for MISSING rows, not sick
+  * servers). I9 (rate limits) stays scoped out. */
 object HttpDim {
   import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
@@ -58,26 +64,56 @@ object HttpDim {
     (srv, s"http://127.0.0.1:${srv.getAddress.getPort}/dim")
   }
 
+  /** Fetch one key with the I7 envelope: up to `attempts` tries,
+    * exponential backoff (`baseBackoffMs · 2^i`). 200 → Some(body),
+    * 404 → None (a genuinely absent key), anything else — 5xx, or a
+    * connect/IO error while the server is down — is transient and
+    * retried; the LAST failure is rethrown so a sick server fails the
+    * task loudly instead of leaking nulls into the enrichment. */
+  private[graft] def fetchWithRetry(client: java.net.http.HttpClient,
+      url: String, attempts: Int, baseBackoffMs: Long): Option[String] = {
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(url)).GET().build()
+    var i = 0
+    while (true) {
+      val outcome: Either[Throwable, Option[String]] =
+        try {
+          val resp = client.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          resp.statusCode() match {
+            case 200 => Right(Some(resp.body()))
+            case 404 => Right(None)
+            case s => Left(new java.io.IOException(
+              s"transient HTTP $s from $url"))
+          }
+        } catch { case e: java.io.IOException => Left(e) }
+      outcome match {
+        case Right(v) => return v
+        case Left(e) if i >= attempts - 1 => throw e
+        case Left(_) =>
+          Thread.sleep(baseBackoffMs << i)
+          i += 1
+      }
+    }
+    None // unreachable
+  }
+
   /** The client pass: one `HttpClient` + key cache per partition, one
-    * GET per distinct key, 404 → null. Returns (key, value) rows the
-    * caller joins back — keeping the edge a narrow keyed fetch, exactly
-    * the reference's lookup grain. */
+    * GET per distinct key, 404 → null, transient failures retried with
+    * bounded exponential backoff (then thrown). Returns (key, value)
+    * rows the caller joins back — keeping the edge a narrow keyed
+    * fetch, exactly the reference's lookup grain. */
   def lookupValues(keys: org.apache.spark.sql.Dataset[Long],
-      baseUrl: String): DataFrame = {
+      baseUrl: String, attempts: Int = 4,
+      baseBackoffMs: Long = 50L): DataFrame = {
     val spark = keys.sparkSession
     import spark.implicits._
     keys.mapPartitions { it =>
       val client = java.net.http.HttpClient.newHttpClient()
       val cache = scala.collection.mutable.Map.empty[Long, Option[String]]
       it.map { k =>
-        val v = cache.getOrElseUpdate(k, {
-          val req = java.net.http.HttpRequest
-            .newBuilder(java.net.URI.create(s"$baseUrl?key=$k"))
-            .GET().build()
-          val resp = client.send(req,
-            java.net.http.HttpResponse.BodyHandlers.ofString())
-          if (resp.statusCode() == 200) Some(resp.body()) else None
-        })
+        val v = cache.getOrElseUpdate(k,
+          fetchWithRetry(client, s"$baseUrl?key=$k", attempts, baseBackoffMs))
         (k, v.orNull)
       }
     }.toDF("key", "value")

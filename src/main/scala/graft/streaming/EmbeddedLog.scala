@@ -82,18 +82,30 @@ object EmbeddedLog {
     (base, base + records.size)
   }
 
-  /** Records with offset ≥ `from`, in offset order, at most `max`. */
+  /** Records with offset ≥ `from`, in offset order, at most `max`.
+    * Segment names carry the base offset, so a segment entirely below
+    * `from` is skipped WITHOUT reading it when its successor's base
+    * proves its extent (dense offsets: a segment ends where the next
+    * begins); only the boundary segment and later ones are read, once
+    * each. */
   def poll(root: String, topic: String, partition: Int, from: Long,
-      max: Int = Int.MaxValue): Seq[Rec] =
-    segments(partDir(root, topic, partition)).flatMap { seg =>
-      val base = seg.getFileName.toString.stripSuffix(".seg").toLong
-      val n = Files.readAllLines(seg).size
-      if (base + n <= from) Nil
-      else Files.readAllLines(seg).asScala.map { l =>
-        val Array(o, k, d) = l.split("\t", 3)
-        Rec(o.toLong, k, d)
-      }.filter(_.offset >= from)
+      max: Int = Int.MaxValue): Seq[Rec] = {
+    val segs = segments(partDir(root, topic, partition))
+    val bases = segs.map(_.getFileName.toString.stripSuffix(".seg").toLong)
+    segs.zip(bases).zipWithIndex.flatMap { case ((seg, base), i) =>
+      // Known end without I/O when the next segment's base bounds this one.
+      val knownEnd = bases.lift(i + 1)
+      if (knownEnd.exists(_ <= from)) Nil
+      else {
+        val lines = Files.readAllLines(seg).asScala
+        if (base + lines.size <= from) Nil
+        else lines.map { l =>
+          val Array(o, k, d) = l.split("\t", 3)
+          Rec(o.toLong, k, d)
+        }.filter(_.offset >= from)
+      }
     }.sortBy(_.offset).take(max)
+  }
 
   private def groupFile(root: String, group: String, topic: String,
       partition: Int): Path =

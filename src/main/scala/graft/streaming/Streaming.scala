@@ -397,9 +397,17 @@ object Streaming {
   def bloomReplay(spark: SparkSession, sfDir: String, mBits: Int = 1 << 20,
       k: Int = 4, nShards: Int = 64, epochs: Int = 4): DataFrame = {
     import spark.implicits._
+    // DISTINCT ids: "first delivery" is only well-defined if each id
+    // enters once. The fixture's event_id happens to be unique, but the
+    // oracle's seen=(occ==2) contract must not hang on a fixture
+    // accident — a duplicate id would make its second in-fixture
+    // occurrence probe seen=true and hash-fail with a confusing
+    // signature. Dedup here (and DISTINCT in the SQL) makes the
+    // invariant structural.
     val ids = graft.Tables.events(spark, sfDir)
       .filter(col("event_id").isNotNull)
       .select(col("event_id").cast("long").as("event_id"))
+      .distinct()
     val first = ids
       .withColumn("epoch", pmod(xxhash64(col("event_id")), lit(epochs - 1)))
       .withColumn("occ", lit(1L))
@@ -420,13 +428,15 @@ object Streaming {
       .orderBy("event_id", "occ")
   }
 
-  /** The one-sided Bloom guarantee, stated relationally. */
+  /** The one-sided Bloom guarantee, stated relationally (DISTINCT ids
+    * mirror the replay's structural first-delivery dedup). */
   val bloomReplaySql: String =
-    """SELECT CAST(event_id AS BIGINT) AS event_id,
+    """SELECT DISTINCT CAST(event_id AS BIGINT) AS event_id,
       |  CAST(1 AS BIGINT) AS occ, false AS seen
       |FROM events WHERE event_id IS NOT NULL
       |UNION ALL
-      |SELECT CAST(event_id AS BIGINT), CAST(2 AS BIGINT), true FROM events
+      |SELECT DISTINCT CAST(event_id AS BIGINT), CAST(2 AS BIGINT), true
+      |FROM events
       |WHERE event_id IS NOT NULL AND event_id % 13 = 0
       |ORDER BY event_id, occ""".stripMargin
 

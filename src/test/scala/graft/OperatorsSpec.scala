@@ -687,6 +687,70 @@ class OperatorsSpec extends SparkSuite {
     } finally srv.stop(0)
   }
 
+  test("HTTP edge I7: retry absorbs a mid-pass kill+restart; a dead or sick server fails cleanly, never nulls") {
+    import spark.implicits._
+    import graft.sources.HttpDim
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    def serveOn(port: Int, status: Int, body: String): HttpServer = {
+      val s = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
+      s.createContext("/dim", new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          if (status == 200) {
+            val b = body.getBytes("UTF-8")
+            ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b)
+          } else ex.sendResponseHeaders(status, -1)
+          ex.close()
+        }
+      })
+      s.start(); s
+    }
+    val client = java.net.http.HttpClient.newHttpClient()
+    // (a) kill mid-pass, restart during the backoff window: the bounded
+    // exponential retry (50·2^i ms, 5 attempts = 750 ms of headroom) must
+    // ride out the outage and return the value — the reference's tenacity
+    // envelope shape (api_to_gcs/main.py:56)
+    val s1 = serveOn(0, 200, "alive")
+    val port = s1.getAddress.getPort
+    val url = s"http://127.0.0.1:$port/dim?key=1"
+    assert(HttpDim.fetchWithRetry(client, url, 2, 10) == Some("alive"))
+    s1.stop(0) // the kill
+    val restarter = new Thread(() => {
+      Thread.sleep(150)
+      var up: HttpServer = null
+      var tries = 0
+      while (up == null && tries < 50) { // port may linger in TIME_WAIT
+        try up = serveOn(port, 200, "recovered")
+        catch { case _: java.io.IOException => tries += 1; Thread.sleep(50) }
+      }
+    })
+    restarter.start()
+    try assert(HttpDim.fetchWithRetry(client, url, 6, 50) == Some("recovered"),
+      "retry must recover once the server is back")
+    finally restarter.join()
+    // (b) a server that stays down fails the fetch CLEANLY after the
+    // bounded attempts — and through the Spark pass, fails the TASK: a
+    // sick server must never masquerade as absent keys (nulls)
+    val deadPort = { val t = serveOn(0, 200, "x"); val p = t.getAddress.getPort; t.stop(0); p }
+    intercept[java.io.IOException] {
+      HttpDim.fetchWithRetry(client, s"http://127.0.0.1:$deadPort/dim?key=1", 2, 5)
+    }
+    intercept[org.apache.spark.SparkException] {
+      HttpDim.lookupValues(Seq(1L).toDS(), s"http://127.0.0.1:$deadPort/dim",
+        attempts = 2, baseBackoffMs = 5).collect()
+    }
+    // (c) 5xx is transient-then-fatal, 404 is data: a 503 throws after
+    // retries (ADVICE fix: it must NOT map to null), a 404 maps to None
+    val sick = serveOn(0, 503, "")
+    try intercept[java.io.IOException] {
+      HttpDim.fetchWithRetry(client,
+        s"http://127.0.0.1:${sick.getAddress.getPort}/dim?key=1", 3, 5)
+    } finally sick.stop(0)
+    val notFound = serveOn(0, 404, "")
+    try assert(HttpDim.fetchWithRetry(client,
+      s"http://127.0.0.1:${notFound.getAddress.getPort}/dim?key=1", 3, 5).isEmpty)
+    finally notFound.stop(0)
+  }
+
   test("wordpiece: pieces reconstruct the word losslessly, greedy pieces are <= 4 chars") {
     val rows = TextOps.wordpieceEncode(spark, sfDir).collect()
     assert(rows.nonEmpty)
