@@ -20,14 +20,16 @@ case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
   * image/audio/video as opaque `binary` columns with typed metadata, and run
   * decode / feature-extraction as a typed per-partition pass.
   *
-  * [[multimodalFeatures]]/[[mediaFrames]] STUB their codec step —
-  * audio/video libraries are not in this container — with a deterministic
-  * fake (byte length + byte sum stand in for decoded dimensions/content);
-  * [[multimodalDecode]] closes the loop with a REAL image codec (the JDK's
-  * `javax.imageio` PNG reader/writer). The Spark-side plumbing is real
-  * everywhere: binary column, typed `Dataset[MediaRow]`, `mapPartitions`
-  * batch shape (the Scala analogue of `mapInPandas` — one iterator per
-  * partition, so decoders amortize codec init per-partition, not per-row).
+  * Two modalities run REAL codecs end-to-end: [[multimodalDecode]] (the
+  * JDK's `javax.imageio` PNG reader/writer) and [[multimodalAudio]] (the
+  * JDK's `javax.sound.sampled` PCM WAV reader/writer). Only VIDEO remains
+  * a deterministic stand-in ([[multimodalFeatures]]/[[mediaFrames]] — no
+  * video codec ships with the JDK and this container has no media libs);
+  * its sampling geometry, schema, and partitioning are the real operator.
+  * The Spark-side plumbing is real everywhere: binary column, typed
+  * `Dataset[MediaRow]`, `mapPartitions` batch shape (the Scala analogue of
+  * `mapInPandas` — one iterator per partition, so decoders amortize codec
+  * init per-partition, not per-row).
   *
   * Scale notes: payloads never shuffle — the per-partition map runs where
   * the bytes were read; only the tiny feature rows move afterwards.
@@ -44,9 +46,13 @@ object Multimodal {
         .otherwise(lit("video/mp4")).as("mime"))
       .as[MediaRow]
     media.mapPartitions { rows =>
-      // STUB: a real implementation would init a codec here (once per
-      // partition) and decode each payload; this container has no media
-      // libs, so features are a deterministic function of the raw bytes.
+      // STUB (video-only, by necessity): a real implementation inits a
+      // codec here (once per partition) and decodes each payload — which
+      // is EXACTLY what [[multimodalDecode]] (PNG via javax.imageio) and
+      // [[multimodalAudio]] (PCM WAV via javax.sound.sampled) do with the
+      // same mapPartitions shape. No video codec ships with the JDK, so
+      // this mixed-mime feature pass keeps a deterministic function of
+      // the raw bytes as the decoded-content stand-in.
       rows.map { r =>
         val n = r.payload.length.toLong
         val sum = r.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
@@ -237,6 +243,142 @@ object Multimodal {
       |  floor(CAST(SUM(g) AS DOUBLE) / (w * h) * 10000 + 0.5) / 10000 AS mean_g,
       |  floor(CAST(SUM(b) AS DOUBLE) / (w * h) * 10000 + 0.5) / 10000 AS mean_b
       |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
+  /** Decoded per-clip audio statistics. */
+  case class AudioStats(doc_id: Long, sample_rate: Long, channels: Long,
+    n_frames: Long, duration_us: Long, sum_amp: Long, sum_sq: Long,
+    rms: Double)
+
+  /** Audio decode with a REAL codec in the loop — the last stubbed
+    * modality closed the same way [[multimodalDecode]] closed image.
+    * Each document id derives a small deterministic PCM clip — channels =
+    * 1 + id%2 (mono/stereo), frames = 50 + id%64 at 8 kHz, sample value
+    * for (frame f, channel c) = ((id·31 + f·7 + c·13) mod 65536) − 32768,
+    * a signed 16-bit integer formula — which one `mapPartitions` pass
+    * ENCODES to a real RIFF/WAVE payload (`javax.sound.sampled
+    * .AudioSystem.write`, the JDK's built-in codec, no external library;
+    * little-endian 16-bit PCM, interleaved) into the same opaque-binary
+    * [[MediaRow]] column, and a second pass DECODES with
+    * `AudioSystem.getAudioInputStream`, emitting per-clip format fields
+    * (sample rate, channels, frame count, microsecond duration) and
+    * content statistics (signed amplitude sum, energy sum, grid-rounded
+    * RMS) computed from the DECODED bytes only.
+    *
+    * Verification logic (the [[multimodalDecodeSql]] precedent): DuckDB
+    * cannot parse WAV, but it replays the sample FORMULA exactly — every
+    * emitted quantity is integer arithmetic (or one sqrt of an exact
+    * integer ratio, grid-rounded; IEEE sqrt/divide are correctly rounded
+    * on both engines), so the hash matches iff the encode→WAV→decode
+    * roundtrip reproduced every sample bit-for-bit, header fields
+    * included. WAV byte length is deliberately not emitted (header
+    * padding is codec detail; decoded content is the contract).
+    *
+    * Scale: payloads are born and die inside one scan partition — encode
+    * and decode fuse into one no-shuffle stage before the final doc-grain
+    * sort; like the PNG path, the clip table is NOT fanned out at fixture
+    * scale (javax.sound's provider registry is also a global structure),
+    * and real corpora arrive in many splits anyway. */
+  def multimodalAudio(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+    decodeAudioStats(encodeWav(ids)).orderBy("doc_id")
+  }
+
+  /** Formula samples → real RIFF/WAVE bytes, per-partition codec. */
+  private[graft] def encodeWav(
+      ids: org.apache.spark.sql.Dataset[Long]): org.apache.spark.sql.Dataset[MediaRow] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val channels = 1 + (id % 2).toInt
+        val nFrames = 50 + (id % 64).toInt
+        val pcm = new Array[Byte](nFrames * channels * 2)
+        var f = 0
+        var j = 0
+        while (f < nFrames) {
+          var c = 0
+          while (c < channels) {
+            val v = ((id * 31 + f.toLong * 7 + c.toLong * 13) % 65536 - 32768).toInt
+            pcm(j) = (v & 0xff).toByte          // little-endian 16-bit PCM
+            pcm(j + 1) = ((v >> 8) & 0xff).toByte
+            j += 2
+            c += 1
+          }
+          f += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, channels, /*signed=*/ true, /*bigEndian=*/ false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRow(id, bos.toByteArray, "audio/wav")
+      }
+    }
+  }
+
+  /** Real `AudioSystem` decode of an opaque WAV payload column: format
+    * fields come from the parsed header, content statistics from the
+    * decoded sample stream. */
+  private[graft] def decodeAudioStats(
+      encoded: org.apache.spark.sql.Dataset[MediaRow]): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    encoded.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"unexpected decoded format: $fmt")
+        val channels = fmt.getChannels
+        val rate = fmt.getSampleRate.toLong
+        val bytes = ais.readAllBytes()
+        val nSamples = bytes.length / 2
+        val nFrames = nSamples / channels
+        var sumAmp = 0L
+        var sumSq = 0L
+        var i = 0
+        while (i < nSamples) {
+          val v = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff))
+            .toShort.toLong
+          sumAmp += v
+          sumSq += v * v
+          i += 1
+        }
+        def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+        AudioStats(r.doc_id, rate, channels.toLong, nFrames.toLong,
+          nFrames.toLong * 1000000L / rate, sumAmp, sumSq,
+          r4(math.sqrt(sumSq.toDouble / nSamples)))
+      }
+    }.toDF()
+  }
+
+  /** The sample formula replayed relationally — matches iff the WAV
+    * roundtrip above is bit-exact (header fields AND every sample). */
+  val multimodalAudioSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 1 + doc_id % 2 AS ch, 50 + doc_id % 64 AS nf
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, ch, nf, unnest(range(0, nf * ch)) AS i FROM d),
+      |v AS (
+      |  SELECT doc_id, ch, nf,
+      |    (doc_id * 31 + (i // ch) * 7 + (i % ch) * 13) % 65536 - 32768 AS a
+      |  FROM s)
+      |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(ch AS BIGINT) AS channels, CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(nf * 125 AS BIGINT) AS duration_us,
+      |  CAST(SUM(a) AS BIGINT) AS sum_amp,
+      |  CAST(SUM(a * a) AS BIGINT) AS sum_sq,
+      |  floor(sqrt(CAST(SUM(a * a) AS DOUBLE) / (nf * ch)) * 10000 + 0.5)
+      |    / 10000 AS rms
+      |FROM v GROUP BY doc_id, ch, nf ORDER BY doc_id""".stripMargin
 
   /** Shares [[multimodalFeaturesSql]]'s ASCII parity contract (byte ==
     * codepoint on this fixture). */

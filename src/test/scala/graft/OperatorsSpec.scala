@@ -163,6 +163,33 @@ class OperatorsSpec extends SparkSuite {
       s"sum_r ${stats.getLong(3)} != formula $expected — codec not lossless")
   }
 
+  test("multimodal audio: payloads are genuine RIFF/WAVE and the codec roundtrip is lossless") {
+    import spark.implicits._
+    // encoded column must be a REAL WAV container (RIFF....WAVE magic),
+    // mono and stereo both exercised
+    val payloads = Multimodal.encodeWav(Seq(2L, 7L).toDS()).collect()
+    payloads.foreach { m =>
+      val hdr = m.payload
+      assert(new String(hdr.slice(0, 4), "US-ASCII") == "RIFF" &&
+        new String(hdr.slice(8, 12), "US-ASCII") == "WAVE",
+        s"doc ${m.doc_id}: payload is not a WAV container")
+    }
+    // decode-side stats equal the generating formula (bit-exact roundtrip)
+    // for the stereo clip (id=7: 2 channels, 57 frames)
+    val stats = Multimodal.decodeAudioStats(Seq(
+      payloads.find(_.doc_id == 7L).get).toDS()).collect().head
+    assert(stats.getLong(1) == 8000L && stats.getLong(2) == 2L &&
+      stats.getLong(3) == 57L && stats.getLong(4) == 57L * 125)
+    val expected = (for { f <- 0 until 57; c <- 0 until 2 }
+      yield (7L * 31 + f * 7 + c * 13) % 65536 - 32768).sum
+    assert(stats.getLong(5) == expected,
+      s"sum_amp ${stats.getLong(5)} != formula $expected — codec not lossless")
+    // negative samples must survive the signed round-trip: the formula
+    // spans both signs over 57×2 samples
+    assert(expected < 0 || stats.getLong(6) > stats.getLong(5),
+      "energy must dominate a signed amplitude sum")
+  }
+
   test("multimodal: features are a deterministic function of payload bytes") {
     val res = Multimodal.multimodalFeatures(spark, sfDir)
     val bad = res.join(Tables.documents(spark, sfDir), "doc_id")

@@ -751,4 +751,11 @@ class PlanAuditSpec extends SparkSuite {
       "encode→decode must fuse in one stage:\n" + p.take(1200))
     assert(p.split("Exchange rangepartitioning").length - 1 == 1)
   }
+
+  test("multimodal audio: WAV payloads never shuffle — the doc sort is the only exchange") {
+    val p = plan(Multimodal.multimodalAudio(spark, sfDir))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 0,
+      "encode→decode must fuse in one stage:\n" + p.take(1200))
+    assert(p.split("Exchange rangepartitioning").length - 1 == 1)
+  }
 }
