@@ -175,6 +175,7 @@ object SparkEntry {
     "media_frames" -> ((s, dir) => Multimodal.mediaFrames(tune(s), dir)),
     "multimodal_decode" -> ((s, dir) => Multimodal.multimodalDecode(tune(s), dir)),
     "multimodal_audio" -> ((s, dir) => Multimodal.multimodalAudio(tune(s), dir)),
+    "lr_quality" -> ((s, dir) => CorpusOps.lrQuality(tune(s), dir)),
     "ann_ivfpq_res" -> ((s, dir) => Similarity.annIvfPqRes(tune(s), dir)),
     "dsir_weights" -> ((s, dir) => TextOps.dsirWeights(tune(s), dir)),
     "ppl_buckets" -> ((s, dir) => TextOps.pplBuckets(tune(s), dir)),
@@ -374,6 +375,7 @@ object SparkEntry {
     "media_frames" -> Multimodal.mediaFramesSql,
     "multimodal_decode" -> Multimodal.multimodalDecodeSql,
     "multimodal_audio" -> Multimodal.multimodalAudioSql,
+    "lr_quality" -> CorpusOps.lrQualitySql(),
     "ann_ivfpq_res" -> Similarity.annIvfPqResSql(),
     "dsir_weights" -> TextOps.dsirWeightsSql(),
     "ppl_buckets" -> TextOps.pplBucketsSql,

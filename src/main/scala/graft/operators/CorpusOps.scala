@@ -694,4 +694,190 @@ object CorpusOps {
        |  md5(array_to_string(list_slice(toks, chunk_id * $stride + 1,
        |    chunk_id * $stride + $size), ' ')) AS chunk_md5
        |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---- trained quality classifier (GPT-3-style LR over hashed features) --
+
+  /** The squashing function for [[lrQuality]], built ONLY from IEEE
+    * `+ − × ÷` so both engines compute bit-identical doubles:
+    * σ̃(z) = 1 / (1 + ê(−z̄)) with z̄ = clamp(z, ±30) and
+    * ê(u) = (1 + u/1024)^1024 evaluated as TEN EXPLICIT SQUARINGS.
+    * libm `exp` is NOT cross-engine-deterministic on this box (measured:
+    * 192 of 200k sigmoid evaluations differ by 1–2 ulp between
+    * `Math.exp` and DuckDB `exp`), while every elementary IEEE operation
+    * is correctly rounded and therefore identical given identical
+    * evaluation order — the scaling-and-squaring form keeps the whole
+    * training loop inside that guarantee. ê tracks exp within ~z²/2048
+    * relative error on the clamped range: a smooth monotone sigmoid,
+    * which is all gradient training needs. */
+  private[graft] def sigmoid1024(z: Column): Column = {
+    val zc = least(greatest(z, lit(-30.0)), lit(30.0))
+    val t0 = lit(1.0) + (-zc) / lit(1024.0)
+    val e = (1 to 10).foldLeft(t0)((c, _) => c * c)
+    lit(1.0) / (lit(1.0) + e)
+  }
+
+  /** The deterministic label both engines replay: [[qualityFilter]]'s
+    * rule verdict as a 0/1 long — the production shape for a trained
+    * quality classifier is exactly this (label a stratum by a cheap
+    * rule / curated source, train LR to generalize it; GPT-3's filter
+    * labeled WebText-vs-CommonCrawl the same way). */
+  private[graft] def lrLabeled(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val nWords = size(w).cast("long")
+    val nDistinct = size(array_distinct(w)).cast("long")
+    val stop = array(Seq("the", "a", "of", "and", "is").map(lit): _*)
+    val nStop = size(filter(w, x => array_contains(stop, x))).cast("long")
+    val awl = length(regexp_replace(col("text"), " ", "")).cast("double") / nWords
+    val dupFrac = lit(1d) - nDistinct.cast("double") / nWords
+    val keep = nWords >= 30 && nWords <= 2000 &&
+      awl >= 2d && awl <= 4.8d && nStop > 0 && dupFrac <= 0.6d
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), keep.cast("long").as("y"))
+  }
+
+  /** Hashed bag-of-words features at a FIXED `buckets` width (the
+    * [[graft.operators.TextOps]] `dsir_weights` model-size contract:
+    * corpus-size-free), bias as bucket −1 with x = 1. */
+  private def lrFeatures(labeled: DataFrame, buckets: Int): DataFrame =
+    labeled
+      .select(col("doc_id"), col("y"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("y"),
+        pmod(Exprs.md5num(col("tok")), lit(buckets.toLong)).as("b"))
+      .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("x"))
+      .unionByName(labeled.select(col("doc_id"), col("y"),
+        lit(-1L).as("b"), lit(1L).as("x")))
+
+  /** `steps` deterministic full-batch gradient descent steps, lr = 1/2.
+    * Weights live on a 1e-6 LONG grid (`wq`), so every per-doc logit
+    * zᵢ = Σ wq·x and every per-bucket gradient Σ(s̃ − 10⁶y)·x is EXACT
+    * integer arithmetic; the only floating point per step is the
+    * [[sigmoid1024]] evaluation (bit-identical cross-engine) and the
+    * update rounding floor(g/2N + 0.5) on doubles that are exact
+    * integer conversions (all < 2^53). Returns the trained bucket →
+    * wq map — model size is `buckets`+1 regardless of corpus size
+    * (the WordPiece-vocab-sized driver collect precedent). */
+  private[graft] def lrTrain(labeled: DataFrame, steps: Int = 3,
+      buckets: Int = 4096): Map[Long, Long] = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val feat = lrFeatures(labeled, buckets).localCheckpoint()
+    val n = labeled.count()
+    var w: Map[Long, Long] =
+      ((-1L) +: (0L until buckets.toLong)).map(_ -> 0L).toMap
+    for (_ <- 1 to steps) {
+      val wDf = broadcast(w.toSeq.toDF("b", "wq"))
+      val sg = feat.join(wDf, "b")
+        .groupBy("doc_id")
+        .agg(sum(col("x") * col("wq")).as("zi"))
+        .select(col("doc_id"),
+          floor(sigmoid1024(col("zi").cast("double") / lit(1000000.0))
+            * lit(1000000.0) + lit(0.5)).cast("long").as("s"))
+      val grad = feat.join(sg, "doc_id")
+        .groupBy("b")
+        .agg(sum((col("s") - col("y") * lit(1000000L)) * col("x")).as("g"))
+        .collect()
+      w = grad.foldLeft(w) { case (acc, r) =>
+        val delta = math.floor(r.getLong(1).toDouble / (2.0 * n) + 0.5).toLong
+        acc.updated(r.getLong(0), acc(r.getLong(0)) - delta)
+      }
+    }
+    w
+  }
+
+  /** Score a labeled corpus against broadcast trained weights: one
+    * feature pass, one doc-grain sum, the σ̃ squash — per-row work, no
+    * model-side shuffle. */
+  private[graft] def lrScore(labeled: DataFrame,
+      w: Map[Long, Long], buckets: Int = 4096): DataFrame = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val wDf = broadcast(w.toSeq.toDF("b", "wq"))
+    val s = sigmoid1024(col("zi").cast("double") / lit(1000000.0))
+    lrFeatures(labeled, buckets).join(wDf, "b")
+      .groupBy("doc_id", "y")
+      .agg(sum(col("x") * col("wq")).as("zi"))
+      .select(col("doc_id"), col("y"), Exprs.r4(s).as("score"),
+        (floor(s * lit(1000000.0) + lit(0.5)).cast("long") >=
+          lit(500000L)).as("pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Trained quality classifier — the missing step between the rule
+    * filter ([[qualityFilter]]) and the importance samplers
+    * (`dsir_weights` / `moore_lewis`): logistic regression over hashed
+    * bag-of-words features (fixed 4096-bucket model, bias term), trained
+    * with 3 deterministic full-batch gradient steps on the rule verdict
+    * as label, then scoring every document against the broadcast
+    * weights. Output: doc grain (doc_id, y, score, pred).
+    *
+    * Scale: the MODEL is corpus-size-free (4097 longs — driver-collected
+    * per step like the WordPiece vocab literal); the corpus does 3+1
+    * linear passes (full-batch gradient is one doc-grain and one
+    * bucket-grain aggregate per step), every join's small side
+    * broadcast. Oracle: the steps unroll as CTEs ([[lrQualitySql]] —
+    * the `pca_project` unrolled-iteration precedent), bit-exact because
+    * weights are integer-grid and the squash is libm-free. */
+  def lrQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val labeled = lrLabeled(spark, sfDir)
+    lrScore(labeled, lrTrain(labeled))
+  }
+
+  /** The K training steps + final scoring, unrolled relationally. */
+  def lrQualitySql(steps: Int = 3, buckets: Int = 4096): String = {
+    // the ten explicit squarings of σ̃'s scaling-and-squaring exponential,
+    // carried per tagged step over (doc_id[, extra], t)
+    def sigChain(tag: String, src: String, extra: String): String = {
+      val t0 = s"c${tag}0 AS (SELECT doc_id, ${extra}1.0 + " +
+        s"(-least(greatest(zi / 1000000.0, -30.0), 30.0)) / 1024.0 AS t FROM $src)"
+      val sq = (1 to 10).map(i =>
+        s"c$tag$i AS (SELECT doc_id, ${extra}t * t AS t FROM c$tag${i - 1})")
+      (t0 +: sq).mkString(",\n")
+    }
+    val upd = s"CAST(floor(CAST(g AS DOUBLE) / (2 * (SELECT n FROM nn)) + 0.5) AS BIGINT)"
+    val later = (2 to steps).map { k =>
+      s"""z$k AS (SELECT f.doc_id, SUM(f.x * w.wq) AS zi
+         |  FROM fl f JOIN w${k - 1} w USING(b) GROUP BY 1),
+         |${sigChain(s"s$k", s"z$k", "")},
+         |s$k AS (SELECT doc_id,
+         |  CAST(floor((1.0 / (1.0 + t)) * 1000000 + 0.5) AS BIGINT) AS s
+         |  FROM cs${k}10),
+         |g$k AS (SELECT f.b, SUM((s.s - 1000000 * f.y) * f.x) AS g
+         |  FROM fl f JOIN s$k s USING(doc_id) GROUP BY 1),
+         |w$k AS (SELECT w.b, w.wq - $upd AS wq
+         |  FROM w${k - 1} w JOIN g$k g USING(b))""".stripMargin
+    }.map(_ + ",").mkString("\n")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS w,
+       |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS awl
+       |  FROM documents),
+       |lbl AS (
+       |  SELECT doc_id, text, CAST(CASE WHEN len(w) BETWEEN 30 AND 2000
+       |    AND awl BETWEEN 2.0 AND 4.8
+       |    AND len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) > 0
+       |    AND 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.6
+       |    THEN 1 ELSE 0 END AS BIGINT) AS y
+       |  FROM t),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM lbl),
+       |feat AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+       |    % $buckets AS b, count(*) AS x
+       |  FROM tok GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT doc_id, -1, 1 FROM lbl),
+       |fl AS (SELECT f.doc_id, l.y, f.b, f.x FROM feat f JOIN lbl l USING(doc_id)),
+       |nn AS (SELECT count(*) AS n FROM lbl),
+       |-- step 1: w = 0 ⇒ σ̃ = 1/2 exactly ⇒ s̃ = 500000 for every doc
+       |g1 AS (SELECT b, SUM((500000 - 1000000 * y) * x) AS g FROM fl GROUP BY 1),
+       |w1 AS (SELECT b, -$upd AS wq FROM g1),
+       |$later
+       |zf AS (SELECT f.doc_id, f.y, SUM(f.x * w.wq) AS zi
+       |  FROM fl f JOIN w$steps w USING(b) GROUP BY 1, 2),
+       |${sigChain("f", "zf", "y, ")}
+       |SELECT doc_id, y,
+       |  floor((1.0 / (1.0 + t)) * 10000 + 0.5) / 10000 AS score,
+       |  CAST(floor((1.0 / (1.0 + t)) * 1000000 + 0.5) AS BIGINT) >= 500000 AS pred
+       |FROM cf10 ORDER BY doc_id""".stripMargin
+  }
 }

@@ -190,6 +190,35 @@ class OperatorsSpec extends SparkSuite {
       "energy must dominate a signed amplitude sum")
   }
 
+  test("lr quality: trained weights separate a planted low-quality stratum held out from training") {
+    import spark.implicits._
+    // plant two strata by construction (labels GIVEN, not rule-derived):
+    // good docs share a common-word vocabulary, junk docs are one token
+    // repeated — the classifier must generalize from the train half to
+    // ids it never saw
+    def good(i: Int) = (Seq.fill(5)("the data of table and value is row")
+      .mkString(" ") + s" u$i v$i", 1L)
+    def junk(i: Int) = (Seq.fill(40)("spam").mkString(" ") + s" j$i", 0L)
+    val docs = (0 until 200).map { i =>
+      val (t, y) = if (i % 2 == 0) good(i) else junk(i)
+      (i.toLong, t, y)
+    }.toDF("doc_id", "text", "y")
+    val w = CorpusOps.lrTrain(docs.filter(col("doc_id") < 100))
+    val held = CorpusOps.lrScore(docs.filter(col("doc_id") >= 100), w)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val hi = held.filter(_._1 == 1L).map(_._2)
+    val lo = held.filter(_._1 == 0L).map(_._2)
+    assert(hi.length == 50 && lo.length == 50)
+    assert(hi.min > lo.max,
+      s"strata overlap on held-out docs: good>=${hi.min}, junk<=${lo.max}")
+    assert(hi.sum / hi.length - lo.sum / lo.length > 0.5,
+      "mean separation under 0.5 — training barely moved the weights")
+    val acc = held.count { case (y, _, p) => p == (y == 1L) } / 200.0 * 2
+    assert(acc >= 0.9, s"held-out accuracy $acc")
+    // the model is corpus-size-free: exactly buckets+1 weights
+    assert(w.size == 4097)
+  }
+
   test("multimodal: features are a deterministic function of payload bytes") {
     val res = Multimodal.multimodalFeatures(spark, sfDir)
     val bad = res.join(Tables.documents(spark, sfDir), "doc_id")

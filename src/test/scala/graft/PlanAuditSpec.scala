@@ -752,6 +752,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.split("Exchange rangepartitioning").length - 1 == 1)
   }
 
+  test("lr quality: the weight table broadcasts, no cartesian anywhere in the scoring plan") {
+    val p = plan(operators.CorpusOps.lrQuality(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"),
+      "the 4097-row model must broadcast, never shuffle the corpus to it")
+  }
+
   test("multimodal audio: WAV payloads never shuffle — the doc sort is the only exchange") {
     val p = plan(Multimodal.multimodalAudio(spark, sfDir))
     assert(p.split("Exchange hashpartitioning").length - 1 == 0,

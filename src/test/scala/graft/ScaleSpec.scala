@@ -283,7 +283,8 @@ class ScaleSpec extends SparkSuite {
       "dedup_components" -> (() => operators.Dedup.dedupComponents(spark, sfDir)),
       "dedup_semantic" -> (() => operators.Dedup.dedupSemantic(spark, sfDir)),
       "ann_ivfpq_res" -> (() => operators.Similarity.annIvfPqRes(spark, sfDir)),
-      "bpe_merges" -> (() => operators.TextOps.bpeMerges(spark, sfDir)))
+      "bpe_merges" -> (() => operators.TextOps.bpeMerges(spark, sfDir)),
+      "lr_quality" -> (() => operators.CorpusOps.lrQuality(spark, sfDir)))
     chain.foreach { case (name, q) =>
       q().queryExecution.toRdd.count()
       // operator-owned round release: only terminal checkpoints (the ones
