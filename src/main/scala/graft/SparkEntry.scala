@@ -176,6 +176,7 @@ object SparkEntry {
     "multimodal_decode" -> ((s, dir) => Multimodal.multimodalDecode(tune(s), dir)),
     "multimodal_audio" -> ((s, dir) => Multimodal.multimodalAudio(tune(s), dir)),
     "lr_quality" -> ((s, dir) => CorpusOps.lrQuality(tune(s), dir)),
+    "unigram_lm" -> ((s, dir) => TextOps.unigramLm(tune(s), dir)),
     "ann_ivfpq_res" -> ((s, dir) => Similarity.annIvfPqRes(tune(s), dir)),
     "dsir_weights" -> ((s, dir) => TextOps.dsirWeights(tune(s), dir)),
     "ppl_buckets" -> ((s, dir) => TextOps.pplBuckets(tune(s), dir)),
@@ -376,6 +377,7 @@ object SparkEntry {
     "multimodal_decode" -> Multimodal.multimodalDecodeSql,
     "multimodal_audio" -> Multimodal.multimodalAudioSql,
     "lr_quality" -> CorpusOps.lrQualitySql(),
+    "unigram_lm" -> TextOps.unigramLmSql(),
     "ann_ivfpq_res" -> Similarity.annIvfPqResSql(),
     "dsir_weights" -> TextOps.dsirWeightsSql(),
     "ppl_buckets" -> TextOps.pplBucketsSql,

@@ -1618,4 +1618,220 @@ object TextOps {
       |FROM wc WHERE length(word) > $maxLen
       |ORDER BY word""".stripMargin
   }
+
+  // ---- Unigram-LM (SentencePiece) tokenizer training ---------------------
+
+  /** Distinct-token table (word, freq) — the vocabulary grain every
+    * tokenizer-training operator works at. */
+  private[graft] def unigramWordTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Candidate pieces: every 1..`pieceMax`-char substring of every
+    * distinct word, weighted by corpus frequency (SentencePiece's
+    * suffix-array seed, bounded to short pieces). */
+  private def unigramSubs(wt: DataFrame, pieceMax: Int): DataFrame =
+    wt.select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("freq"), explode(sequence(lit(1),
+        least(lit(pieceMax), length(col("word")) - col("i") + 1))).as("l"),
+        expr("substring(word, i, l)").as("piece"))
+
+  /** Prune-and-score: keep the `multiCap` most frequent multi-char pieces
+    * (count desc, piece asc — a total order) plus EVERY corpus character
+    * with its count floored at 1 (SentencePiece's character-coverage
+    * guarantee: segmentation can never fail), then score each kept piece
+    * ln(c) − ln(T) on a 1e-6 LONG grid. ln runs at vocab grain on exact
+    * integer-valued doubles — the cross-engine ln-parity contract every
+    * log-scored oracle here rides on. The collects are vocab-bounded by
+    * construction (multiCap + alphabet). */
+  private def unigramScores(counts: DataFrame, charSet: Seq[String],
+      multiCap: Int): Map[String, Long] = {
+    val multi = counts.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(multiCap)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val charCnt = counts.filter(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = multi.toMap ++
+      charSet.map(c => c -> math.max(1L, charCnt.getOrElse(c, 0L))).toMap
+    val t = kept.values.sum
+    kept.map { case (p, c) =>
+      p -> math.floor((math.log(c.toDouble) - math.log(t.toDouble)) * 1e6 + 0.5).toLong
+    }
+  }
+
+  /** Exact Viterbi segmentation under a piece-score literal, as a NARROW
+    * word-grain map: the DP over prefix lengths unrolls into `maxLen`
+    * derived columns, each cell a single STRING
+    * `lpad(10⁹ − Σscore, 10) ‖ '|' ‖ path` — padding makes lexicographic
+    * `least` equal numeric argmin with deterministic path tie-break, and
+    * plain-string `least` is engine-portable where struct `least` is
+    * not. Piece lookups hit a foldable map literal (the
+    * `greedy_pieces`-vocab precedent), so the whole pass is join-free. */
+  private[graft] def unigramViterbi(wt: DataFrame, scores: Map[String, Long],
+      maxLen: Int, pieceMax: Int): DataFrame = {
+    val m = typedlit(scores)
+    var cur = wt.withColumn("b0", lit("1000000000|"))
+    for (j <- 1 to maxLen) {
+      val cands = (math.max(0, j - pieceMax) until j).map { i =>
+        val piece = expr(s"substring(word, ${i + 1}, ${j - i})")
+        val sc = element_at(m, piece)
+        val prevNs = expr(s"substring(b$i, 1, 10)").cast("long")
+        val prevPath = expr(s"substring(b$i, 12)")
+        when(length(piece) === lit(j - i),
+          concat(lpad((prevNs - sc).cast("string"), 10, "0"), lit("|"),
+            when(prevPath === lit(""), piece)
+              .otherwise(concat(prevPath, lit(" "), piece))))
+      }
+      cur = cur.withColumn(s"b$j",
+        if (cands.size == 1) cands.head else least(cands: _*))
+    }
+    val best = (1 to maxLen).foldLeft(lit(null).cast("string")) { (acc, j) =>
+      when(length(col("word")) === j, col(s"b$j")).otherwise(acc)
+    }
+    cur.select(col("word"), col("freq"), best.as("best"))
+  }
+
+  /** Piece usage counts out of a Viterbi pass (the hard-EM E-step). */
+  private def unigramCounts(best: DataFrame): DataFrame =
+    best.select(col("freq"),
+        explode(split(expr("substring(best, 12)"), " ")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+
+  /** `rounds` rounds of hard (Viterbi) EM: E-step segments every distinct
+    * word optimally under the current scores and counts piece usage;
+    * M-step re-estimates scores from those counts with the prune rule.
+    * rounds = 0 returns the seed (substring-frequency) scores. */
+  private[graft] def unigramTrain(wt: DataFrame, rounds: Int = 2,
+      multiCap: Int = 200, maxLen: Int = 16, pieceMax: Int = 4): Map[String, Long] = {
+    val subs = unigramSubs(wt, pieceMax)
+    val charSet = subs.filter(col("l") === 1).select("piece").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    var scores = unigramScores(
+      subs.groupBy("piece").agg(sum("freq").as("cnt")), charSet, multiCap)
+    for (_ <- 1 to rounds) {
+      val counts = unigramCounts(unigramViterbi(wt, scores, maxLen, pieceMax))
+      scores = unigramScores(counts, charSet, multiCap)
+    }
+    scores
+  }
+
+  /** Unigram-LM (SentencePiece; Kudo 2018) tokenizer training — completes
+    * the tokenizer family (BPE train+encode, WordPiece encode): seed a
+    * candidate vocabulary from substring frequencies, run hard-EM rounds
+    * (optimal Viterbi segmentation under current piece log-probs →
+    * re-estimated counts → prune to `multiCap` + alphabet), then emit the
+    * final Viterbi segmentation per distinct word with its gridded
+    * negative log-likelihood. Words over `maxLen` chars escape to
+    * '[UNK]' ([[wordpieceEncode]]'s contract).
+    *
+    * Spark-first shape: everything past the one word-count aggregate runs
+    * at VOCABULARY grain; each EM round is one join-free narrow map (the
+    * DP columns) plus one piece-grain aggregate, with the model a
+    * driver-bounded literal (multiCap + alphabet entries). Corpus text
+    * never shuffles. Determinism: scores are exact integer counts pushed
+    * through grid-rounded ln at vocab grain; the DP compares only integer
+    * sums of those grid scores (string-encoded, tie-broken
+    * lexicographically), so the oracle — which replays the EM counts and
+    * the unrolled DP relationally, [[unigramLmSql]] — is bit-exact. */
+  def unigramLm(spark: SparkSession, sfDir: String, rounds: Int = 2,
+      multiCap: Int = 200, maxLen: Int = 16, pieceMax: Int = 4): DataFrame = {
+    val wt = unigramWordTable(spark, sfDir)
+    val short = wt.filter(length(col("word")) <= maxLen)
+    val scores = unigramTrain(short, rounds, multiCap, maxLen, pieceMax)
+    val seg = unigramViterbi(short, scores, maxLen, pieceMax)
+      .select(col("word"), col("freq"),
+        expr("substring(best, 12)").as("pieces"),
+        size(split(expr("substring(best, 12)"), " ")).cast("long").as("n_pieces"),
+        (expr("substring(best, 1, 10)").cast("long") - lit(1000000000L)).as("nll"))
+    val unk = wt.filter(length(col("word")) > maxLen)
+      .select(col("word"), col("freq"), lit("[UNK]").as("pieces"),
+        lit(1L).as("n_pieces"), lit(0L).as("nll"))
+    seg.unionByName(unk).orderBy("word")
+  }
+
+  /** Seed counts → (prune → score → DP → count)×rounds → final DP, all
+    * relational: the DP unrolls as lateral column aliases (b0..bN in one
+    * SELECT), piece scores come from a map built off the round's vocab
+    * CTE, and every round's counts are recomputed from the previous
+    * round's segmentations — the EM replayed from first principles. */
+  def unigramLmSql(rounds: Int = 2, multiCap: Int = 200, maxLen: Int = 16,
+      pieceMax: Int = 4): String = {
+    // one physical line per candidate: an embedded line beginning with
+    // '||' would lose a pipe to the OUTER template's stripMargin
+    def cand(i: Int, j: Int): String = {
+      val p = s"substr(word, ${i + 1}, ${j - i})"
+      s"CASE WHEN length($p) = ${j - i} THEN " +
+        s"lpad(CAST(CAST(substr(b$i, 1, 10) AS BIGINT) - " +
+        s"list_extract(map_extract(m, $p), 1) AS VARCHAR), 10, '0') " +
+        s"|| '|' || (CASE WHEN substr(b$i, 12) = '' THEN $p " +
+        s"ELSE substr(b$i, 12) || ' ' || $p END) END"
+    }
+    // one CTE per DP position: lateral column aliases are expanded by
+    // SUBSTITUTION (b16 would inline b15 four times, 4^16 nodes); a CTE
+    // chain materializes each column once, like the wordpiece unroll
+    def dpChain(r: Int): String = (1 to maxLen).map { j =>
+      val cs = (math.max(0, j - pieceMax) until j).map(i => cand(i, j))
+      val body = if (cs.size == 1) cs.head else s"least(${cs.mkString(",\n")})"
+      val src = if (j == 1) s"dp${r}_0" else s"dp${r}_${j - 1}"
+      s"dp${r}_$j AS (SELECT *, $body AS b$j FROM $src)"
+    }.mkString(",\n")
+    val bestCase = s"CASE length(word) " +
+      (1 to maxLen).map(j => s"WHEN $j THEN b$j").mkString(" ") + " END"
+    // round r uses cnt{r} → voc{r}/sc{r}/m{r} → dp{r}/bb{r} → cnt{r+1}
+    def round(r: Int): String =
+      s"""voc$r AS (
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt FROM cnt$r WHERE length(piece) > 1
+         |    ORDER BY cnt DESC, piece LIMIT $multiCap)
+         |  UNION ALL
+         |  SELECT c.piece, greatest(coalesce(k.cnt, 0), 1) AS cnt
+         |  FROM chars c LEFT JOIN cnt$r k ON c.piece = k.piece),
+         |sc$r AS (
+         |  SELECT piece, CAST(floor((ln(CAST(cnt AS DOUBLE))
+         |    - ln(CAST((SELECT SUM(cnt) FROM voc$r) AS DOUBLE)))
+         |    * 1000000 + 0.5) AS BIGINT) AS s
+         |  FROM voc$r),
+         |m$r AS (SELECT map(list(piece ORDER BY piece),
+         |  list(s ORDER BY piece)) AS m FROM sc$r),
+         |dp${r}_0 AS (
+         |  SELECT word, freq, m, '1000000000|' AS b0 FROM ws CROSS JOIN m$r),
+         |${dpChain(r)},
+         |bb$r AS (SELECT word, freq, $bestCase AS best FROM dp${r}_$maxLen)""".stripMargin
+    def recount(r: Int): String =
+      s"""cnt$r AS (
+         |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(string_split(substr(best, 12), ' '))
+         |        AS piece FROM bb${r - 1})
+         |  GROUP BY 1)""".stripMargin
+    val rs = (1 to rounds + 1).map { r =>
+      (if (r == 1) "" else recount(r) + ",\n") + round(r)
+    }.mkString(",\n")
+    s"""WITH wc AS (
+       |  SELECT word, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) >= 1 GROUP BY 1),
+       |ws AS (SELECT word, freq FROM wc WHERE length(word) <= $maxLen),
+       |subs AS (
+       |  SELECT substr(word, CAST(i.i AS INT), CAST(l.l AS INT)) AS piece,
+       |    CAST(l.l AS INT) AS l, freq
+       |  FROM ws,
+       |    LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) i,
+       |    LATERAL (SELECT unnest(generate_series(1,
+       |      least($pieceMax, length(word) - i.i + 1))) AS l) l),
+       |chars AS (SELECT DISTINCT piece FROM subs WHERE l = 1),
+       |cnt1 AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM subs GROUP BY 1),
+       |$rs
+       |SELECT word, freq, substr(best, 12) AS pieces,
+       |  CAST(len(string_split(substr(best, 12), ' ')) AS BIGINT) AS n_pieces,
+       |  CAST(substr(best, 1, 10) AS BIGINT) - 1000000000 AS nll
+       |FROM bb${rounds + 1}
+       |UNION ALL
+       |SELECT word, freq, '[UNK]', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+       |FROM wc WHERE length(word) > $maxLen
+       |ORDER BY word""".stripMargin
+  }
 }

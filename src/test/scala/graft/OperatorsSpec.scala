@@ -219,6 +219,42 @@ class OperatorsSpec extends SparkSuite {
     assert(w.size == 4097)
   }
 
+  test("unigram lm: pieces reconstruct the word, nll is the trained optimal score, EM moves the model") {
+    val wt = TextOps.unigramWordTable(spark, sfDir)
+      .filter(length(col("word")) <= 16)
+    val trained = TextOps.unigramTrain(wt)
+    val seed = TextOps.unigramTrain(wt, rounds = 0)
+    val rows = TextOps.unigramLm(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var multi = 0
+    rows.foreach { r =>
+      val (word, pieces, n, nll) =
+        (r.getString(0), r.getString(2), r.getLong(3), r.getLong(4))
+      if (pieces == "[UNK]") assert(word.length > 16 && n == 1L)
+      else {
+        val ps = pieces.split(" ")
+        assert(ps.mkString("") == word,
+          s"segmentation lost characters: '$word' -> '$pieces'")
+        assert(n == ps.length.toLong)
+        // nll is exactly the negated sum of trained piece scores...
+        assert(nll == -ps.map(trained).sum,
+          s"'$word': nll $nll != recomputed ${-ps.map(trained).sum}")
+        // ...and Viterbi-optimal: no segmentation beats it, in particular
+        // not the always-available all-single-char one
+        val single = -word.map(c => trained(c.toString)).sum
+        assert(nll <= single, s"'$word': $nll worse than single-char $single")
+        if (ps.length > 1) multi += 1
+      }
+    }
+    assert(multi > 0, "no word needed more than one piece — degenerate vocab")
+    // hard-EM re-estimation must actually move the model off the seed
+    assert(trained != seed, "EM rounds left every score unchanged")
+    // character coverage survives every prune round
+    val chars = rows.filter(_.getString(2) != "[UNK]")
+      .flatMap(_.getString(0).toCharArray.map(_.toString)).toSet
+    assert(chars.forall(trained.contains), "a corpus char fell out of the vocab")
+  }
+
   test("multimodal: features are a deterministic function of payload bytes") {
     val res = Multimodal.multimodalFeatures(spark, sfDir)
     val bad = res.join(Tables.documents(spark, sfDir), "doc_id")

@@ -760,6 +760,13 @@ class PlanAuditSpec extends SparkSuite {
       "the 4097-row model must broadcast, never shuffle the corpus to it")
   }
 
+  test("unigram lm: the emitted plan is join-free — the model rides as a literal") {
+    val p = plan(operators.TextOps.unigramLm(spark, sfDir))
+    assert(!p.contains("Join"),
+      "piece lookups must hit the vocab literal, not a join:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("multimodal audio: WAV payloads never shuffle — the doc sort is the only exchange") {
     val p = plan(Multimodal.multimodalAudio(spark, sfDir))
     assert(p.split("Exchange hashpartitioning").length - 1 == 0,
