@@ -217,6 +217,42 @@ object StreamDemo {
       admitted >= nIds - 2 && resentFlagged == 100 + (nIds - admitted),
       s"admitted=$admitted/$nIds resent_flagged=$resentFlagged")
 
+    // --- A6 end-to-end under the engine: produce the wire messages into
+    // the EmbeddedLog (2 partitions, several segments), then let a
+    // Structured Streaming query consume the LOG with apply-then-commit
+    // semantics; a second pass over appended segments must flow exactly
+    // once and drain the consumer group to the log ends.
+    import graft.streaming.EmbeddedLog
+    val logRoot = s"$work/elog"
+    val wire = operators.Messages.syntheticMessages(spark, sfDir)
+      .collect().map(_.getString(0))
+    val logParts = wire.map(w => (Integer.toHexString(w.hashCode), w))
+      .groupBy(kv => math.floorMod(kv._1.hashCode, 2))
+    logParts.foreach { case (p, recs) =>
+      recs.grouped(recs.length / 4 + 1)
+        .foreach(g => EmbeddedLog.append(logRoot, "pedidos", p, g.toSeq))
+    }
+    Streaming.logConsume(spark, logRoot, "pedidos", "bq",
+      s"$work/elog_applied", s"$work/elog_ck", Some(3)).awaitTermination()
+    val applied1 = spark.read.parquet(s"$work/elog_applied")
+    check("engine-driven log consume applies every message exactly once",
+      applied1.count() == wire.length.toLong &&
+        applied1.select("uuid").distinct().count() == wire.length.toLong,
+      s"applied=${applied1.count()}/${wire.length}")
+    logParts.foreach { case (p, recs) =>
+      EmbeddedLog.append(logRoot, "pedidos", p,
+        recs.take(5).map { case (k, v) => (k + "_redo", v) })
+    }
+    Streaming.logConsume(spark, logRoot, "pedidos", "bq",
+      s"$work/elog_applied", s"$work/elog_ck", Some(3)).awaitTermination()
+    val drained = (0 to 1).forall(p =>
+      EmbeddedLog.committed(logRoot, "bq", "pedidos", p) ==
+        EmbeddedLog.end(logRoot, "pedidos", p))
+    check("log redelivery absorbed, consumer group drained to the log ends",
+      spark.read.parquet(s"$work/elog_applied").count() == wire.length.toLong
+        && drained,
+      s"count=${spark.read.parquet(s"$work/elog_applied").count()} drained=$drained")
+
     spark.stop()
     if (failed) sys.exit(1)
   }

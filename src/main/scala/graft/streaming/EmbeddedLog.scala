@@ -36,7 +36,14 @@ import scala.jdk.CollectionConverters._
   * serialize externally, as the reference's one enricher function does.
   * Scale shape: partitions are the parallelism unit, segments are
   * append-batch-sized, and a consumer's read amplification is bounded by
-  * segment granularity — the standard log-compaction-free Kafka core. */
+  * segment granularity — the standard log-compaction-free Kafka core.
+  *
+  * The ENGINE consumes this log end to end: [[Streaming.logStream]] tails
+  * the segment files as a Structured Streaming source (atomic rename is
+  * exactly the file-source contract) and [[Streaming.logApplyBatch]] runs
+  * the subscriber's apply-then-ack shape with [[commit]] as the durable
+  * group ack — kill-and-restart over the log is spec-proven loss- and
+  * duplicate-free (StreamingSpec "under the ENGINE"). */
 object EmbeddedLog {
 
   /** One delivered record. */

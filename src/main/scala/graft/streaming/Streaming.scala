@@ -557,6 +557,81 @@ object Streaming {
       }
   }
 
+  // ---- A6 end-to-end: the engine consuming the EmbeddedLog ------------
+
+  /** The [[EmbeddedLog]] as a Structured Streaming SOURCE: segment files
+    * are append-only, atomically-renamed text files, which is exactly the
+    * contract Spark's file stream source requires — so the engine can
+    * tail the log the way `gcs_to_bq/main.py:351` tails its Pub/Sub
+    * subscription, one micro-batch per segment bite. Rows come back as
+    * (partition, offset, key, data) with the partition recovered from the
+    * segment's path (`_metadata.file_path`). */
+  def logStream(spark: SparkSession, root: String, topic: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.text(s"$root/$topic/p*")
+      .select(
+        regexp_extract(col("_metadata.file_path"), "/p([0-9]+)/", 1)
+          .cast("int").as("partition"),
+        split(col("value"), "\t", 3).as("f"))
+      .select(col("partition"),
+        element_at(col("f"), 1).cast("long").as("offset"),
+        element_at(col("f"), 2).as("key"),
+        element_at(col("f"), 3).as("data"))
+  }
+
+  /** One micro-batch of the log consumer — the reference subscriber's
+    * apply-then-ack shape (`gcs_to_bq/main.py:351-372`): decode the wire
+    * form, idempotent-apply via the G2 anti-join on uuid, and only THEN
+    * advance the consumer group's committed offsets (monotonic per
+    * partition, via [[EmbeddedLog.commit]]'s durable rename). A crash at
+    * ANY point replays the batch — before apply it is simply redone;
+    * after apply but before the engine checkpoints, the redelivered rows
+    * are absorbed by the anti-join — so the sink stays exactly-once while
+    * the group file tracks real consumer progress for external pollers. */
+  def logApplyBatch(batch: DataFrame, root: String, topic: String,
+      group: String, appliedDir: String): Unit = {
+    val spark = batch.sparkSession
+    val rows = batch.persist()
+    val decoded = rows
+      .select(col("partition"), col("offset"),
+        graft.operators.Messages.decode(col("data"),
+          graft.operators.Messages.fullMessageSchema).as("m"))
+      .select(col("partition"), col("offset"), col("m.uuid").as("uuid"),
+        size(col("m.produto_data")).cast("long").as("n_itens"))
+    val fresh =
+      if (!new java.io.File(appliedDir).isDirectory) decoded
+      else decoded.join(spark.read.parquet(appliedDir).select("uuid"),
+        Seq("uuid"), "left_anti")
+    fresh.select("uuid", "n_itens").write.mode("append").parquet(appliedDir)
+    // ack AFTER apply, monotonic per partition (a redelivered batch must
+    // never rewind the group's durable position)
+    rows.groupBy("partition").agg(max(col("offset")).as("mx"))
+      .collect().foreach { r =>
+        val (p, next) = (r.getInt(0), r.getLong(1) + 1)
+        if (next > EmbeddedLog.committed(root, group, topic, p))
+          EmbeddedLog.commit(root, group, topic, p, next)
+      }
+    rows.unpersist()
+    ()
+  }
+
+  /** The A6 edge under the real engine: a Structured Streaming query over
+    * the log's segments whose `foreachBatch` runs [[logApplyBatch]] —
+    * exactly-once apply (G2 anti-join + engine checkpoint) with durable
+    * consumer-group commits, end to end. */
+  def logConsume(spark: SparkSession, root: String, topic: String,
+      group: String, appliedDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    logStream(spark, root, topic, maxFilesPerTrigger).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        logApplyBatch(b, root, topic, group, appliedDir)
+      }
+      .start()
+
   /** splitmix64: the streaming side never needs cross-engine hash parity,
     * only self-consistency, so a Scala mixer beats hauling xxhash64 here. */
   private[graft] def splitmix(z0: Long): Long = {

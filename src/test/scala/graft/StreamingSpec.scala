@@ -488,6 +488,67 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("embedded log under the ENGINE: streaming consume, crash after apply before checkpoint, restart stays exactly-once") {
+    import graft.streaming.{EmbeddedLog, Streaming}
+    import graft.operators.Messages
+    val root = Files.createTempDirectory("graft_elog").toString
+    val wire = Messages.syntheticMessages(spark, sfDir)
+      .collect().map(_.getString(0))
+    assert(wire.length > 50)
+    val parts = wire.map(w => (Integer.toHexString(w.hashCode), w))
+      .groupBy(kv => math.floorMod(kv._1.hashCode, 2))
+    // many small segments so maxFilesPerTrigger=2 yields several batches
+    parts.foreach { case (p, recs) =>
+      recs.grouped(recs.length / 6 + 1)
+        .foreach(g => EmbeddedLog.append(root, "pedidos", p, g.toSeq))
+    }
+    val work = Files.createTempDirectory("graft_elog_out").toString
+    val (applied, ckpt) = (s"$work/applied", s"$work/ckpt")
+    // phase 1: the engine consumes the LOG; an injected crash lands at the
+    // worst point — AFTER the apply + group commit, BEFORE the engine
+    // checkpoints the batch — so that batch MUST be redelivered on restart
+    @volatile var crashes = 0
+    val q1 = Streaming.logStream(spark, root, "pedidos", Some(2)).writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streaming.logApplyBatch(b, root, "pedidos", "bq", applied)
+        if (id == 1 && crashes == 0) {
+          crashes += 1; throw new RuntimeException("injected crash")
+        }
+      }
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(crashes == 1, "the injected crash never fired")
+    val afterCrash = spark.read.parquet(applied).count()
+    assert(afterCrash > 0 && afterCrash < wire.length.toLong,
+      s"crash must land mid-stream, saw $afterCrash of ${wire.length}")
+    // phase 2: restart over the SAME checkpoint — the engine redelivers
+    // the un-checkpointed batch, the G2 anti-join absorbs it
+    Streaming.logConsume(spark, root, "pedidos", "bq", applied, ckpt, Some(2))
+      .awaitTermination()
+    val out = spark.read.parquet(applied)
+    assert(out.count() == wire.length.toLong,
+      s"exactly-once violated: ${out.count()} vs ${wire.length}")
+    assert(out.select("uuid").distinct().count() == wire.length.toLong)
+    // phase 3: live appends + another engine pass — new records flow
+    // exactly once, drained group offsets match the log ends
+    parts.foreach { case (p, recs) =>
+      EmbeddedLog.append(root, "pedidos", p,
+        recs.take(3).map { case (k, v) => (k + "_redo", v) })
+    }
+    Streaming.logConsume(spark, root, "pedidos", "bq", applied, ckpt, Some(2))
+      .awaitTermination()
+    // re-sent payloads carry previously-applied uuids: absorbed, count holds
+    assert(spark.read.parquet(applied).count() == wire.length.toLong)
+    (0 to 1).foreach { p =>
+      assert(EmbeddedLog.committed(root, "bq", "pedidos", p) ==
+        EmbeddedLog.end(root, "pedidos", p), s"partition $p not drained")
+    }
+  }
+
   test("windowed counts equal the batch computation on closed windows") {
     val ev = Seq(
       ("2024-01-01 00:10:00", "a", 1.0), ("2024-01-01 00:20:00", "a", 2.0),
