@@ -708,12 +708,22 @@ object CorpusOps {
     * evaluation order — the scaling-and-squaring form keeps the whole
     * training loop inside that guarantee. ê tracks exp within ~z²/2048
     * relative error on the clamped range: a smooth monotone sigmoid,
-    * which is all gradient training needs. */
-  private[graft] def sigmoid1024(z: Column): Column = {
-    val zc = least(greatest(z, lit(-30.0)), lit(30.0))
-    val t0 = lit(1.0) + (-zc) / lit(1024.0)
-    val e = (1 to 10).foldLeft(t0)((c, _) => c * c)
-    lit(1.0) / (lit(1.0) + e)
+    * which is all gradient training needs.
+    *
+    * NOTE the squarings must be MATERIALIZED columns, not one folded
+    * expression: `c * c` references its operand twice, so a folded tree
+    * holds 2¹⁰ copies of the logit subexpression — measured ~3.5 s of
+    * pure analysis/codegen per use. This chains `withColumn` steps (the
+    * Spark mirror of the oracle's CTE chain), keeping the tree linear;
+    * the arithmetic ORDER is identical either way, so the oracle is
+    * unaffected. Adds `outCol` = σ̃(zi/10⁶). */
+  private[graft] def withSigmoid(df: DataFrame, ziCol: String,
+      outCol: String): DataFrame = {
+    val zc = least(greatest(col(ziCol).cast("double") / lit(1000000.0),
+      lit(-30.0)), lit(30.0))
+    var cur = df.withColumn("_t", lit(1.0) + (-zc) / lit(1024.0))
+    for (_ <- 1 to 10) cur = cur.withColumn("_t", col("_t") * col("_t"))
+    cur.withColumn(outCol, lit(1.0) / (lit(1.0) + col("_t"))).drop("_t")
   }
 
   /** The deterministic label both engines replay: [[qualityFilter]]'s
@@ -752,27 +762,40 @@ object CorpusOps {
     * Weights live on a 1e-6 LONG grid (`wq`), so every per-doc logit
     * zᵢ = Σ wq·x and every per-bucket gradient Σ(s̃ − 10⁶y)·x is EXACT
     * integer arithmetic; the only floating point per step is the
-    * [[sigmoid1024]] evaluation (bit-identical cross-engine) and the
+    * [[withSigmoid]] evaluation (bit-identical cross-engine) and the
     * update rounding floor(g/2N + 0.5) on doubles that are exact
     * integer conversions (all < 2^53). Returns the trained bucket →
     * wq map — model size is `buckets`+1 regardless of corpus size
     * (the WordPiece-vocab-sized driver collect precedent). */
+  /** Features partitioned by doc and materialized ONCE: every gradient
+    * step runs a doc-grain aggregate and a doc-keyed join against this
+    * frame, so pre-partitioning makes all of them exchange-free per step
+    * — only the bucket-grain gradient (model-sized after map-side
+    * combine) crosses the wire each iteration. */
+  private def lrFeatFrame(labeled: DataFrame, buckets: Int): DataFrame =
+    lrFeatures(labeled, buckets).repartition(col("doc_id")).localCheckpoint()
+
   private[graft] def lrTrain(labeled: DataFrame, steps: Int = 3,
-      buckets: Int = 4096): Map[Long, Long] = {
-    val spark = labeled.sparkSession
+      buckets: Int = 4096): Map[Long, Long] =
+    lrTrainOnFeat(lrFeatFrame(labeled, buckets), steps, buckets)
+
+  /** Training core over a MATERIALIZED feature frame, so [[lrQuality]]
+    * can share one checkpoint between the gradient steps and the final
+    * scoring pass instead of recomputing the corpus features. */
+  private def lrTrainOnFeat(feat: DataFrame, steps: Int,
+      buckets: Int): Map[Long, Long] = {
+    val spark = feat.sparkSession
     import spark.implicits._
-    val feat = lrFeatures(labeled, buckets).localCheckpoint()
-    val n = labeled.count()
+    val n = feat.filter(col("b") === -1L).count() // one bias row per doc
     var w: Map[Long, Long] =
       ((-1L) +: (0L until buckets.toLong)).map(_ -> 0L).toMap
     for (_ <- 1 to steps) {
       val wDf = broadcast(w.toSeq.toDF("b", "wq"))
-      val sg = feat.join(wDf, "b")
-        .groupBy("doc_id")
-        .agg(sum(col("x") * col("wq")).as("zi"))
+      val sg = withSigmoid(feat.join(wDf, "b")
+          .groupBy("doc_id")
+          .agg(sum(col("x") * col("wq")).as("zi")), "zi", "sig")
         .select(col("doc_id"),
-          floor(sigmoid1024(col("zi").cast("double") / lit(1000000.0))
-            * lit(1000000.0) + lit(0.5)).cast("long").as("s"))
+          floor(col("sig") * lit(1000000.0) + lit(0.5)).cast("long").as("s"))
       val grad = feat.join(sg, "doc_id")
         .groupBy("b")
         .agg(sum((col("s") - col("y") * lit(1000000L)) * col("x")).as("g"))
@@ -789,16 +812,19 @@ object CorpusOps {
     * feature pass, one doc-grain sum, the σ̃ squash — per-row work, no
     * model-side shuffle. */
   private[graft] def lrScore(labeled: DataFrame,
-      w: Map[Long, Long], buckets: Int = 4096): DataFrame = {
-    val spark = labeled.sparkSession
+      w: Map[Long, Long], buckets: Int = 4096): DataFrame =
+    lrScoreOnFeat(lrFeatures(labeled, buckets), w)
+
+  private def lrScoreOnFeat(feat: DataFrame,
+      w: Map[Long, Long]): DataFrame = {
+    val spark = feat.sparkSession
     import spark.implicits._
     val wDf = broadcast(w.toSeq.toDF("b", "wq"))
-    val s = sigmoid1024(col("zi").cast("double") / lit(1000000.0))
-    lrFeatures(labeled, buckets).join(wDf, "b")
-      .groupBy("doc_id", "y")
-      .agg(sum(col("x") * col("wq")).as("zi"))
-      .select(col("doc_id"), col("y"), Exprs.r4(s).as("score"),
-        (floor(s * lit(1000000.0) + lit(0.5)).cast("long") >=
+    withSigmoid(feat.join(wDf, "b")
+        .groupBy("doc_id", "y")
+        .agg(sum(col("x") * col("wq")).as("zi")), "zi", "sig")
+      .select(col("doc_id"), col("y"), Exprs.r4(col("sig")).as("score"),
+        (floor(col("sig") * lit(1000000.0) + lit(0.5)).cast("long") >=
           lit(500000L)).as("pred"))
       .orderBy("doc_id")
   }
@@ -819,8 +845,8 @@ object CorpusOps {
     * the `pca_project` unrolled-iteration precedent), bit-exact because
     * weights are integer-grid and the squash is libm-free. */
   def lrQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val labeled = lrLabeled(spark, sfDir)
-    lrScore(labeled, lrTrain(labeled))
+    val feat = lrFeatFrame(lrLabeled(spark, sfDir), 4096)
+    lrScoreOnFeat(feat, lrTrainOnFeat(feat, 3, 4096))
   }
 
   /** The K training steps + final scoring, unrolled relationally. */
