@@ -178,11 +178,13 @@ object Analytics {
         col("frequency"), col("monetary"))
     val qs = array(Seq(0.2, 0.4, 0.6, 0.8).map(lit): _*)
     // cuts are exactly rank-⌈p·n⌉ (= the oracle's quantile_disc) only while
-    // the GK sketch retains every sample, i.e. n ≤ accuracy. 1e5 covers the
-    // engine's verify/bench scales (sf0.1 = 14,999 customers — the default
-    // 10,000 silently compressed there, which the guard below now catches);
-    // past it the guard fails loudly and the caller raises the knob.
-    val accuracy = 100000
+    // the GK sketch retains every sample, i.e. n ≤ accuracy. 1e6 covers the
+    // engine's verify/bench scales AND the sf1 soak (149,990 customers —
+    // the r10 sweep tripped the old 1e5 bound exactly as designed) at
+    // ~1 MB/metric of retained samples; past it the guard fails loudly
+    // and the caller raises the knob. The point of the guard is that the
+    // sketch must never compress SILENTLY — drifted cuts with no signal.
+    val accuracy = 1000000
     val cuts = base.agg(
       percentile_approx(col("recency_days"), qs, lit(accuracy)).as("rc"),
       percentile_approx(col("frequency"), qs, lit(accuracy)).as("fc"),

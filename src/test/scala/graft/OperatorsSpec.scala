@@ -180,6 +180,19 @@ class OperatorsSpec extends SparkSuite {
       payloads.find(_.doc_id == 7L).get).toDS()).collect().head
     assert(stats.getLong(1) == 8000L && stats.getLong(2) == 2L &&
       stats.getLong(3) == 57L && stats.getLong(4) == 57L * 125)
+    // the REAL javax.sound reader stays in the verification loop: it must
+    // agree with the RIFF chunk-walk the hot path uses (AudioSystem is
+    // kept out of the per-row path only because its provider discovery is
+    // a measured lock convoy, not because the parse differs)
+    payloads.foreach { m =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      val wav = Multimodal.parseWav(m.payload)
+      assert(ais.getFormat.getChannels == wav.channels &&
+        ais.getFormat.getSampleRate.toLong == wav.sampleRate)
+      assert(ais.readAllBytes().toSeq == wav.data.toSeq,
+        s"doc ${m.doc_id}: RIFF parse disagrees with the javax.sound codec")
+    }
     val expected = (for { f <- 0 until 57; c <- 0 until 2 }
       yield (7L * 31 + f * 7 + c * 13) % 65536 - 32768).sum
     assert(stats.getLong(5) == expected,
