@@ -177,6 +177,7 @@ object SparkEntry {
     "multimodal_audio" -> ((s, dir) => Multimodal.multimodalAudio(tune(s), dir)),
     "lr_quality" -> ((s, dir) => CorpusOps.lrQuality(tune(s), dir)),
     "unigram_lm" -> ((s, dir) => TextOps.unigramLm(tune(s), dir)),
+    "multimodal_video" -> ((s, dir) => Multimodal.multimodalVideo(tune(s), dir)),
     "ann_ivfpq_res" -> ((s, dir) => Similarity.annIvfPqRes(tune(s), dir)),
     "dsir_weights" -> ((s, dir) => TextOps.dsirWeights(tune(s), dir)),
     "ppl_buckets" -> ((s, dir) => TextOps.pplBuckets(tune(s), dir)),
@@ -378,6 +379,7 @@ object SparkEntry {
     "multimodal_audio" -> Multimodal.multimodalAudioSql,
     "lr_quality" -> CorpusOps.lrQualitySql(),
     "unigram_lm" -> TextOps.unigramLmSql(),
+    "multimodal_video" -> Multimodal.multimodalVideoSql,
     "ann_ivfpq_res" -> Similarity.annIvfPqResSql(),
     "dsir_weights" -> TextOps.dsirWeightsSql(),
     "ppl_buckets" -> TextOps.pplBucketsSql,

@@ -268,6 +268,34 @@ class OperatorsSpec extends SparkSuite {
     assert(chars.forall(trained.contains), "a corpus char fell out of the vocab")
   }
 
+  test("multimodal video: payloads are genuine animated GIFs, frame sampling decodes losslessly") {
+    import spark.implicits._
+    val payloads = Multimodal.encodeGif(Seq(4L, 11L).toDS()).collect()
+    payloads.foreach { m =>
+      assert(new String(m.payload.take(6), "US-ASCII") == "GIF89a",
+        s"doc ${m.doc_id}: payload is not an animated GIF")
+    }
+    // id=11: 8 frames, 9x9 — sampled frames are 0, 4, 7; stats must equal
+    // the generating formula (bit-exact multi-frame roundtrip)
+    val rows = Multimodal.decodeFrameStats(Seq(
+      payloads.find(_.doc_id == 11L).get).toDS())
+      .orderBy("frame_idx").collect()
+    assert(rows.map(_.getLong(4)).toSeq == Seq(0L, 4L, 7L))
+    rows.foreach { r =>
+      assert(r.getLong(1) == 8L && r.getLong(2) == 9L && r.getLong(3) == 9L)
+      val f = r.getLong(4)
+      val expect = (0 until 81).map(p => (11L * 13 + f * 17 + p * 5) % 256).sum
+      assert(r.getLong(5) == expect,
+        s"frame $f: pix_sum ${r.getLong(5)} != formula $expect — codec not lossless")
+    }
+    // the sampled set collapses correctly on a short clip (id=4: 7 frames
+    // -> 0,3,6; and a hypothetical 1-frame clip would emit one row via
+    // distinct — the geometry mediaFrames pins)
+    val short = Multimodal.decodeFrameStats(Seq(
+      payloads.find(_.doc_id == 4L).get).toDS()).collect()
+    assert(short.map(_.getLong(4)).sorted.toSeq == Seq(0L, 3L, 6L))
+  }
+
   test("multimodal: features are a deterministic function of payload bytes") {
     val res = Multimodal.multimodalFeatures(spark, sfDir)
     val bad = res.join(Tables.documents(spark, sfDir), "doc_id")

@@ -767,6 +767,13 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("multimodal video: GIF payloads never shuffle — the doc sort is the only exchange") {
+    val p = plan(Multimodal.multimodalVideo(spark, sfDir))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 0,
+      "encode→frame-sample must fuse in one stage:\n" + p.take(1200))
+    assert(p.split("Exchange rangepartitioning").length - 1 == 1)
+  }
+
   test("multimodal audio: WAV payloads never shuffle — the doc sort is the only exchange") {
     val p = plan(Multimodal.multimodalAudio(spark, sfDir))
     assert(p.split("Exchange hashpartitioning").length - 1 == 0,
