@@ -178,6 +178,7 @@ object SparkEntry {
     "lr_quality" -> ((s, dir) => CorpusOps.lrQuality(tune(s), dir)),
     "unigram_lm" -> ((s, dir) => TextOps.unigramLm(tune(s), dir)),
     "multimodal_video" -> ((s, dir) => Multimodal.multimodalVideo(tune(s), dir)),
+    "unigram_encode" -> ((s, dir) => TextOps.unigramEncode(tune(s), dir)),
     "ann_ivfpq_res" -> ((s, dir) => Similarity.annIvfPqRes(tune(s), dir)),
     "dsir_weights" -> ((s, dir) => TextOps.dsirWeights(tune(s), dir)),
     "ppl_buckets" -> ((s, dir) => TextOps.pplBuckets(tune(s), dir)),
@@ -380,6 +381,7 @@ object SparkEntry {
     "lr_quality" -> CorpusOps.lrQualitySql(),
     "unigram_lm" -> TextOps.unigramLmSql(),
     "multimodal_video" -> Multimodal.multimodalVideoSql,
+    "unigram_encode" -> TextOps.unigramEncodeSql(),
     "ann_ivfpq_res" -> Similarity.annIvfPqResSql(),
     "dsir_weights" -> TextOps.dsirWeightsSql(),
     "ppl_buckets" -> TextOps.pplBucketsSql,

@@ -1834,4 +1834,53 @@ object TextOps {
        |FROM wc WHERE length(word) > $maxLen
        |ORDER BY word""".stripMargin
   }
+
+  /** Apply the TRAINED unigram tokenizer to the corpus — [[bpeEncode]]'s
+    * contract for the unigram family: per-document word/piece budgets and
+    * fertility under the [[unigramLm]] segmentation. Everything past the
+    * one (doc, word) aggregate runs at vocabulary grain — the per-word
+    * piece counts come from the trained word table and join back to
+    * doc-grain counts; corpus text never re-segments per document.
+    * Oracle: [[unigramLmSql]] embedded as the segmentation subquery. */
+  def unigramEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val seg = unigramLm(spark, sfDir).select(col("word"), col("n_pieces"))
+    val docWords = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    val perDoc = docWords.join(seg, "word")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_words"),
+        sum(col("cnt") * col("n_pieces")).as("n_pieces"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        when(col("n_words") > 0,
+          Exprs.r4(col("n_pieces").cast("double") / col("n_words")))
+          .as("pieces_per_word"))
+      .orderBy("doc_id")
+  }
+
+  def unigramEncodeSql(): String =
+    s"""WITH seg AS (
+       |${unigramLmSql()}
+       |),
+       |dw AS (
+       |  SELECT doc_id, word, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE length(word) >= 1 GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+       |    CAST(SUM(cnt * s.n_pieces) AS BIGINT) AS n_pieces
+       |  FROM dw JOIN seg s USING(word) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+       |  coalesce(n_pieces, 0) AS n_pieces,
+       |  CASE WHEN n_words > 0
+       |    THEN floor(CAST(n_pieces AS DOUBLE) / n_words * 10000 + 0.5) / 10000
+       |  END AS pieces_per_word
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -268,6 +268,23 @@ class OperatorsSpec extends SparkSuite {
     assert(chars.forall(trained.contains), "a corpus char fell out of the vocab")
   }
 
+  test("unigram encode: per-doc budgets agree with the trained word-grain segmentation") {
+    val seg = TextOps.unigramLm(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextOps.unigramEncode(spark, sfDir).collect()
+    assert(rows.length == docs.size)
+    rows.take(50).foreach { r =>
+      val toks = docs(r.getLong(0)).split(" ").filter(_.nonEmpty)
+      assert(r.getLong(1) == toks.length.toLong, s"doc ${r.getLong(0)} n_words")
+      assert(r.getLong(2) == toks.map(seg).sum,
+        s"doc ${r.getLong(0)}: budget disagrees with word-grain segmentation")
+      if (toks.nonEmpty) assert(r.getDouble(3) >= 1.0,
+        "fertility under 1 — a word segmented into zero pieces")
+    }
+  }
+
   test("multimodal video: payloads are genuine animated GIFs, frame sampling decodes losslessly") {
     import spark.implicits._
     val payloads = Multimodal.encodeGif(Seq(4L, 11L).toDS()).collect()
