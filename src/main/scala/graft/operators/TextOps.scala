@@ -1662,36 +1662,25 @@ object TextOps {
     }
   }
 
-  /** Exact Viterbi segmentation under a piece-score literal, as a NARROW
-    * word-grain map: the DP over prefix lengths unrolls into `maxLen`
-    * derived columns, each cell a single STRING
-    * `lpad(10⁹ − Σscore, 10) ‖ '|' ‖ path` — padding makes lexicographic
-    * `least` equal numeric argmin with deterministic path tie-break, and
-    * plain-string `least` is engine-portable where struct `least` is
-    * not. Piece lookups hit a foldable map literal (the
-    * `greedy_pieces`-vocab precedent), so the whole pass is join-free. */
+  /** Exact Viterbi segmentation under the trained piece model, as a
+    * NARROW word-grain map on the [[graft.plans.ViterbiBest]] codegen
+    * kernel (7th custom expression): the model rides as foldable
+    * parallel literals, and each word's optimal DP cell comes back as
+    * the SAME string encoding — `lpad(10⁹ + Σ(−score), 10) ‖ '|' ‖
+    * path`, ties broken by lexicographically smallest path — that the
+    * relational DP computes, so the oracle's unrolled CTE chain
+    * ([[unigramLmSql]]) hash-checks the kernel from first principles
+    * every run (the `greedy_pieces` contract). The kernel replaced
+    * `maxLen` derived `least()` columns that cost ~3 s of pure
+    * plan/codegen overhead at any data size. `maxLen` bounds the words
+    * the CALLERS feed (longer → '[UNK]'); `pieceMax` bounds the model
+    * the trainer derives — the kernel itself handles any length. */
   private[graft] def unigramViterbi(wt: DataFrame, scores: Map[String, Long],
       maxLen: Int, pieceMax: Int): DataFrame = {
-    val m = typedlit(scores)
-    var cur = wt.withColumn("b0", lit("1000000000|"))
-    for (j <- 1 to maxLen) {
-      val cands = (math.max(0, j - pieceMax) until j).map { i =>
-        val piece = expr(s"substring(word, ${i + 1}, ${j - i})")
-        val sc = element_at(m, piece)
-        val prevNs = expr(s"substring(b$i, 1, 10)").cast("long")
-        val prevPath = expr(s"substring(b$i, 12)")
-        when(length(piece) === lit(j - i),
-          concat(lpad((prevNs - sc).cast("string"), 10, "0"), lit("|"),
-            when(prevPath === lit(""), piece)
-              .otherwise(concat(prevPath, lit(" "), piece))))
-      }
-      cur = cur.withColumn(s"b$j",
-        if (cands.size == 1) cands.head else least(cands: _*))
-    }
-    val best = (1 to maxLen).foldLeft(lit(null).cast("string")) { (acc, j) =>
-      when(length(col("word")) === j, col(s"b$j")).otherwise(acc)
-    }
-    cur.select(col("word"), col("freq"), best.as("best"))
+    val ps = scores.keys.toSeq.sorted
+    wt.select(col("word"), col("freq"),
+      call_function("viterbi_best", col("word"),
+        typedlit(ps), typedlit(ps.map(scores))).as("best"))
   }
 
   /** Piece usage counts out of a Viterbi pass (the hard-EM E-step). */

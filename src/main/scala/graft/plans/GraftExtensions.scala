@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GreedyPieces(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("viterbi_best"),
+      ViterbiBest.info,
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ViterbiBest(args(0), args(1), args(2))))
+    ext.injectFunction((
       FunctionIdentifier("opaque"),
       Opaque.info,
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

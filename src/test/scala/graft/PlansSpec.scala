@@ -307,6 +307,29 @@ class PlansSpec extends SparkSuite {
     assert(nd.length == 50 && ok.forall(_.getString(4).matches("\\d{4}-\\d{2}-\\d{2}")))
   }
 
+  test("viterbi_best kernel: numeric argmin, lexicographic path tie-break, loud on coverage gaps") {
+    import spark.implicits._
+    def vb(word: String, model: Map[String, Long]): String = {
+      val ps = model.keys.toSeq.sorted
+      Seq(word).toDF("word")
+        .select(call_function("viterbi_best", col("word"),
+          typedlit(ps), typedlit(ps.map(model))).as("b"))
+        .collect().head.getString(0)
+    }
+    // equal total score (a+b == ab): the relational least() picks the
+    // lexicographically smaller path string — 'a b' < 'ab' (space < 'b')
+    assert(vb("ab", Map("a" -> -10L, "b" -> -10L, "ab" -> -20L))
+      == "1000000020|a b")
+    // strictly cheaper whole piece wins
+    assert(vb("ab", Map("a" -> -10L, "b" -> -10L, "ab" -> -15L))
+      == "1000000015|ab")
+    // longer DP: abc via (ab,c) beats (a,bc) and singles
+    assert(vb("abc", Map("a" -> -10L, "b" -> -10L, "c" -> -10L,
+      "ab" -> -12L, "bc" -> -15L)) == "1000000022|ab c")
+    // a character outside the model must throw, never silently mis-segment
+    intercept[Exception] { vb("ax", Map("a" -> -10L)) }
+  }
+
   test("A2/D10: raw-zone scan extracts filename keys and processed-id set") {
     val zone = Files.createTempDirectory("zone").toString
     val uuid = "0123abcd-0123-abcd-0123-0123456789ab"
