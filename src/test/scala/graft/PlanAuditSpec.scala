@@ -760,6 +760,18 @@ class PlanAuditSpec extends SparkSuite {
       "the 4097-row model must broadcast, never shuffle the corpus to it")
   }
 
+  test("unigram encode: vocabulary-grain join, no cartesian — corpus text never re-segments") {
+    val df = operators.TextOps.unigramEncode(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // the segmentation is ONE kernel call at word grain — it lands inside
+    // the word HashAggregate's result projection, which executedPlan's
+    // toString elides, so assert on the optimized logical plan
+    val lp = df.queryExecution.optimizedPlan.toString
+    assert(lp.contains("viterbi_best"), "segmentation must run on the kernel")
+  }
+
   test("unigram lm: the emitted plan is join-free — the model rides as a literal") {
     val p = plan(operators.TextOps.unigramLm(spark, sfDir))
     assert(!p.contains("Join"),
