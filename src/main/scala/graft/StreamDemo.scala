@@ -217,6 +217,26 @@ object StreamDemo {
       admitted >= nIds - 2 && resentFlagged == 100 + (nIds - admitted),
       s"admitted=$admitted/$nIds resent_flagged=$resentFlagged")
 
+    // --- train offline, score online: the trained LR quality model
+    // applied IN-STREAM (a stateless per-row fold + sigmoid — the
+    // quality-filter-the-firehose deployment); scores must equal the
+    // batch run of the same code path on the same staged docs.
+    val lrW = operators.CorpusOps.lrTrain(
+      operators.CorpusOps.lrLabeled(spark, sfDir))
+    operators.CorpusOps.lrScoreRowwise(docStream(), lrW)
+      .writeStream.option("checkpointLocation", s"$work/lrs_ck")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", s"$work/lrs_out").start()
+      .awaitTermination()
+    val streamScored = spark.read.parquet(s"$work/lrs_out")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batchScored = operators.CorpusOps.lrScoreRowwise(
+      spark.read.schema(docSchema).json(s"$work/docs_drop"), lrW)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    check("in-stream LR quality scores equal the batch run",
+      streamScored == batchScored && streamScored.nonEmpty,
+      s"docs=${streamScored.size}")
+
     // --- A6 end-to-end under the engine: produce the wire messages into
     // the EmbeddedLog (2 partitions, several segments), then let a
     // Structured Streaming query consume the LOG with apply-then-commit

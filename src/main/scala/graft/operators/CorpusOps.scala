@@ -829,6 +829,28 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Row-wise scoring against broadcast trained weights — the STREAMING
+    * shape of [[lrScore]]: the logit folds per row over the token list
+    * (Σ over occurrences ≡ Σ over bucket counts, exact integer sums, so
+    * it equals the grouped path bit-for-bit), with the model as a
+    * foldable map literal. Zero shuffle, zero state — safe in a
+    * Structured Streaming select, which is exactly the production
+    * "train offline, quality-filter the firehose online" deployment.
+    * Input needs (doc_id, text); emits (doc_id, score, pred). */
+  def lrScoreRowwise(docs: DataFrame, w: Map[Long, Long],
+      buckets: Int = 4096): DataFrame = {
+    val wmap = typedlit(w)
+    val zi = aggregate(
+      transform(split(col("text"), " "),
+        tok => coalesce(element_at(wmap,
+          pmod(Exprs.md5num(tok), lit(buckets.toLong))), lit(0L))),
+      lit(w.getOrElse(-1L, 0L)), (acc, x) => acc + x)
+    withSigmoid(docs.select(col("doc_id"), zi.as("zi")), "zi", "sig")
+      .select(col("doc_id"), Exprs.r4(col("sig")).as("score"),
+        (floor(col("sig") * lit(1000000.0) + lit(0.5)).cast("long") >=
+          lit(500000L)).as("pred"))
+  }
+
   /** Trained quality classifier — the missing step between the rule
     * filter ([[qualityFilter]]) and the importance samplers
     * (`dsir_weights` / `moore_lewis`): logistic regression over hashed

@@ -268,6 +268,21 @@ class OperatorsSpec extends SparkSuite {
     assert(chars.forall(trained.contains), "a corpus char fell out of the vocab")
   }
 
+  test("lr rowwise scoring: the streaming shape equals the grouped path bit-for-bit") {
+    val labeled = CorpusOps.lrLabeled(spark, sfDir)
+    val w = CorpusOps.lrTrain(labeled)
+    val grouped = CorpusOps.lrScore(labeled, w).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    val rowwise = CorpusOps.lrScoreRowwise(labeled, w).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(rowwise.keySet == grouped.keySet)
+    // per-row token fold == grouped bucket-count dot product, exactly
+    // (both are integer sums into the identical sigmoid)
+    rowwise.foreach { case (id, s) =>
+      assert(s == grouped(id), s"doc $id: rowwise $s != grouped ${grouped(id)}")
+    }
+  }
+
   test("unigram encode: per-doc budgets agree with the trained word-grain segmentation") {
     val seg = TextOps.unigramLm(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(3)).toMap
