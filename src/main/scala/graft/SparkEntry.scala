@@ -134,6 +134,7 @@ object SparkEntry {
     "contamination_check" -> ((s, dir) => Dedup.contaminationCheck(tune(s), dir)),
     "corpus_sample" -> ((s, dir) => Sampling.corpusSample(tune(s), dir)),
     "mix_temperature" -> ((s, dir) => Sampling.mixTemperature(tune(s), dir)),
+    "domain_mix" -> ((s, dir) => Sampling.domainMix(tune(s), dir)),
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopk(tune(s), dir)),
     "tfidf_topk" -> ((s, dir) => TextOps.tfidfTopk(tune(s), dir)),
     "inverted_index" -> ((s, dir) => TextOps.invertedIndex(tune(s), dir)),
@@ -347,6 +348,7 @@ object SparkEntry {
     "contamination_check" -> Dedup.contaminationCheckSql,
     "corpus_sample" -> Sampling.corpusSampleSql,
     "mix_temperature" -> Sampling.mixTemperatureSql,
+    "domain_mix" -> Sampling.domainMixSql(),
     "vocab_topk" -> TextOps.vocabTopkSql,
     "tfidf_topk" -> TextOps.tfidfTopkSql,
     "inverted_index" -> TextOps.invertedIndexSql(),

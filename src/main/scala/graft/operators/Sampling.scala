@@ -334,4 +334,164 @@ object Sampling {
       |WHERE CAST(('0x' || substr(md5('mix1_' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       |  < r.thresh
       |ORDER BY d.doc_id""".stripMargin
+
+  /** DoReMi-style TRAINED domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining") — the
+    * learned upgrade of [[mixTemperature]]'s static nₛ^α rule: domain
+    * weights are OPTIMIZED by multiplicative-weights ascent toward the
+    * domains with the highest excess loss, which is how production mixes
+    * (The Pile replication in the paper) are actually tuned. One model
+    * snapshot stands in for the proxy run: each domain's loss is its
+    * per-token cross-entropy under the corpus unigram LM with add-one
+    * smoothing, and K rounds of w_d ← normalize(w_d · ê(η·(L_d − Σ w·L)))
+    * with uniform smoothing ε follow the paper's Group-DRO update (the
+    * excess-loss reference is the current weighted mean, so the dynamics
+    * genuinely depend on w and the K rounds do not collapse into one).
+    *
+    * Cross-engine determinism (the [[graft.operators.CorpusOps]]
+    * `lr_quality` trainer contract): each vocabulary term is ONE ln over
+    * an exact integer rational ln((N+V)/(c_t+1)) grid-rounded to a 1e-6
+    * LONG at VOCAB grain; domain sums are exact integer arithmetic
+    * (DECIMAL(38,0)/HUGEINT for the occurrence-weighted numerator, so the
+    * sum stays exact past the 2⁶³ token-count scale); weights live on the
+    * 1e-6 LONG grid between rounds; and the only transcendental inside
+    * the loop is ê(u) = (1 + u/1024)¹⁰²⁴ as ten MATERIALIZED squarings —
+    * libm-free, elementary IEEE ops on identical operands in pinned
+    * order, so the oracle's unrolled-CTE replay is bit-exact.
+    *
+    * Scale: the corpus is touched by ONE token explode feeding two hash
+    * aggregates (map-side combined); the (domain, token) table joins the
+    * vocab-grain term table shuffle-hash (occurrences never carry text);
+    * everything after `dom` is k-row (k = #domains) — the training loop
+    * is corpus-size-free, exactly like the paper's 30-domain setup. */
+  /** The corpus-grain half of [[domainMix]]: per-domain token volume and
+    * 1e-6-grid unigram cross-entropy. Split out so the plan audit can see
+    * the pre-checkpoint corpus plan (the trainer cuts lineage). */
+  private[graft] def domainLoss(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("token"))
+    val cdt = toks.groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val ct = cdt.groupBy("token").agg(sum("c").as("ct"))
+    val tot = ct.agg(sum("ct").as("n"), count(lit(1)).as("v"))
+    val lt = ct.crossJoin(broadcast(tot))
+      .select(col("token"),
+        floor(log((col("n") + col("v")).cast("double")
+            / (col("ct") + lit(1L)).cast("double"))
+          * lit(1e6) + lit(0.5d)).cast("long").as("lt"))
+    val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    cdt.join(lt.hint("shuffle_hash"), "token")
+      .groupBy("source")
+      .agg(sum(col("c").cast("decimal(38,0)") * col("lt")).as("num"),
+        sum("c").as("n_tokens"))
+      .join(broadcast(nd), "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        floor(col("num").cast("double") / col("n_tokens").cast("double")
+          + lit(0.5d)).cast("long").as("ld"))
+  }
+
+  def domainMix(spark: SparkSession, sfDir: String,
+    rounds: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dom = domainLoss(spark, sfDir)
+    // k rows from here down — the corpus pipeline materializes ONCE
+    // (localCheckpoint; without it every round's two scalar aggregates
+    // re-ran the whole corpus chain — measured 48 s), and each ROUND
+    // checkpoints too: round t's plan contains round t−1 twice (main
+    // branch + the excess-loss reference aggregate), so an uncut lineage
+    // doubles per round and re-executes every inner broadcast job
+    // (measured ~6 s of pure k-row plan churn). Rounds 2..K−1 release
+    // inside the loop (the [[graft.operators.Dedup]] iterative pattern);
+    // round 1 stays pinned for the output's weight_r1 column, and the
+    // session owner's Hygiene.releaseAll drops the rest between queries.
+    var cur = dom.localCheckpoint().withColumn("w", lit(50000L))
+    var after1: DataFrame = null
+    var prevRound: DataFrame = null
+    for (t <- 1 to rounds) {
+      val r = cur.agg(sum(col("w") * col("ld")).as("r"))
+      val u = least(greatest(lit(0.5) * ((col("ld").cast("double")
+          - col("r").cast("double") / lit(1000000.0)) / lit(1000000.0)),
+        lit(-8.0)), lit(8.0))
+      var e = cur.crossJoin(broadcast(r))
+        .withColumn("_t", lit(1.0) + u / lit(1024.0))
+      for (_ <- 1 to 10) e = e.withColumn("_t", col("_t") * col("_t"))
+      val bw = e
+        .withColumn("bw", floor(col("w").cast("double") * col("_t")
+          * lit(1000.0) + lit(0.5d)).cast("long"))
+        .drop("_t", "w", "r")
+      val s = bw.agg(sum("bw").as("s"))
+      cur = bw.crossJoin(broadcast(s))
+        .withColumn("w", floor(col("bw").cast("double")
+            / col("s").cast("double") * lit(990000.0) + lit(500.0)
+          + lit(0.5d)).cast("long"))
+        .drop("bw", "s")
+        .localCheckpoint()
+      if (prevRound != null) graft.Hygiene.release(prevRound)
+      prevRound = if (t == 1) null else cur // round 1 pins for weight_r1
+      if (t == 1) after1 = cur.select(col("source"), col("w").as("w1"))
+    }
+    val totDocs = docs.agg(count(lit(1)).as("tot_docs"))
+    cur.join(after1, "source").crossJoin(broadcast(totDocs))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        Exprs.r4(col("ld").cast("double") / lit(1e6)).as("ce"),
+        Exprs.r4(col("w1").cast("double") / lit(1e6)).as("weight_r1"),
+        Exprs.r4(col("w").cast("double") / lit(1e6)).as("weight"),
+        expr("(tot_docs * w) div 1000000").as("planned_docs"))
+      .orderBy("source")
+  }
+
+  /** The K Group-DRO rounds unrolled as a CTE chain (the `lr_quality`
+    * oracle pattern; each ê squaring is its OWN CTE because DuckDB
+    * lateral aliases expand by substitution). Requires rounds ≥ 2. */
+  def domainMixSql(rounds: Int = 4): String = {
+    def expChain(t: Int): String = {
+      val t0 = s"e${t}0 AS (SELECT source, ld, w, 1.0 + u / 1024.0 AS t FROM u$t)"
+      val sq = (1 to 10).map(i =>
+        s"e$t$i AS (SELECT source, ld, w, t * t AS t FROM e$t${i - 1})")
+      (t0 +: sq).mkString(",\n")
+    }
+    val roundsSql = (1 to rounds).map { t =>
+      s"""r$t AS (SELECT SUM(w * ld) AS r FROM w${t - 1}),
+         |u$t AS (SELECT source, ld, w,
+         |  least(greatest(0.5 * ((CAST(ld AS DOUBLE)
+         |      - CAST((SELECT r FROM r$t) AS DOUBLE) / 1000000.0) / 1000000.0),
+         |    -8.0), 8.0) AS u
+         |  FROM w${t - 1}),
+         |${expChain(t)},
+         |b$t AS (SELECT source, ld,
+         |  CAST(floor(CAST(w AS DOUBLE) * t * 1000.0 + 0.5) AS BIGINT) AS bw
+         |  FROM e${t}10),
+         |s$t AS (SELECT SUM(bw) AS s FROM b$t),
+         |w$t AS (SELECT source, ld,
+         |  CAST(floor(CAST(bw AS DOUBLE) / CAST((SELECT s FROM s$t) AS DOUBLE)
+         |    * 990000.0 + 500.0 + 0.5) AS BIGINT) AS w
+         |  FROM b$t)""".stripMargin
+    }.map(_ + ",").mkString("\n")
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+       |cdt AS (SELECT source, token, count(*) AS c FROM toks GROUP BY 1, 2),
+       |ct AS (SELECT token, CAST(SUM(c) AS BIGINT) AS ct FROM cdt GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS n, count(*) AS v FROM ct),
+       |lt AS (SELECT token,
+       |  CAST(floor(ln(CAST((SELECT n FROM tot) + (SELECT v FROM tot) AS DOUBLE)
+       |    / CAST(ct + 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lt
+       |  FROM ct),
+       |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |dom AS (SELECT c.source, SUM(CAST(c.c AS HUGEINT) * l.lt) AS num,
+       |  CAST(SUM(c.c) AS BIGINT) AS n_tokens
+       |  FROM cdt c JOIN lt l USING (token) GROUP BY 1),
+       |w0 AS (SELECT d.source, n.n_docs, d.n_tokens,
+       |  CAST(floor(CAST(d.num AS DOUBLE) / CAST(d.n_tokens AS DOUBLE) + 0.5) AS BIGINT) AS ld,
+       |  CAST(50000 AS BIGINT) AS w
+       |  FROM dom d JOIN nd n USING (source)),
+       |$roundsSql
+       |td AS (SELECT count(*) AS tot_docs FROM documents)
+       |SELECT w0.source, w0.n_docs, w0.n_tokens,
+       |  floor(CAST(w0.ld AS DOUBLE) / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS ce,
+       |  floor(CAST(w1.w AS DOUBLE) / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS weight_r1,
+       |  floor(CAST(w$rounds.w AS DOUBLE) / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS weight,
+       |  ((SELECT tot_docs FROM td) * w$rounds.w) // 1000000 AS planned_docs
+       |FROM w0 JOIN w1 USING (source) JOIN w$rounds USING (source)
+       |ORDER BY source""".stripMargin
+  }
 }

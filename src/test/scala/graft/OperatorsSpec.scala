@@ -412,6 +412,30 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("domain mix: Group-DRO rounds move mass toward high-CE domains") {
+    val rows = Sampling.domainMix(spark, sfDir).collect()
+    assert(rows.length > 1, "fixture must have several sources")
+    val byCe = rows.sortBy(_.getDouble(3))
+    // same uniform start + update factor monotone in CE ⇒ final weights
+    // must be ordered like the losses (multiplicative weights preserve it)
+    val w = byCe.map(_.getDouble(5))
+    assert(w.zip(w.tail).forall { case (a, b) => a <= b + 1e-9 },
+      s"weights not CE-ordered: ${byCe.map(r => (r.getString(0), r.getDouble(3), r.getDouble(5))).mkString(", ")}")
+    // normalized + ε-smoothed: mass stays ~1 after both recorded rounds
+    assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 0.01)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 0.01)
+    val uniform = 1.0 / rows.length
+    assert(byCe.last.getDouble(5) >= uniform - 1e-4, "max-CE domain must not fall below uniform")
+    assert(byCe.head.getDouble(5) <= uniform + 1e-4, "min-CE domain must not rise above uniform")
+    // the later rounds keep tilting (real dynamics, not a collapsed update)
+    assert(byCe.last.getDouble(5) >= byCe.last.getDouble(4) - 1e-9)
+    // planned docs follow the final weights against the corpus total
+    val tot = rows.map(_.getLong(1)).sum
+    val planned = rows.map(_.getLong(6)).sum
+    assert(planned <= (tot * 1.02).toLong && planned >= (tot * 0.9).toLong,
+      s"planned $planned vs corpus $tot")
+  }
+
   test("temperature mix: small strata keep a larger share than big ones") {
     val kept = Sampling.mixTemperature(spark, sfDir)
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))

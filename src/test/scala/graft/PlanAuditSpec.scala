@@ -507,6 +507,24 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p.take(1200))
   }
 
+  test("domain mix: corpus-size-free trainer — one token explode, map-side " +
+    "combines, no cartesian on any corpus-grain side") {
+    // audit the corpus-grain half pre-checkpoint (the trainer cuts lineage)
+    val p = plan(Sampling.domainLoss(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the (domain, token) and vocab aggregates must combine map-side")
+    // the token scan reads exactly (source, text) — nothing else leaves the files
+    assert(p.contains("ReadSchema: struct<source:string,text:string>") ||
+      p.contains("ReadSchema: struct<text:string,source:string>"), p.take(1200))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "nothing in the loss build may range-partition")
+    // the full query's k-row training loop never touches the corpus again:
+    // every scalar-aggregate round runs on checkpointed k-row frames
+    val full = plan(Sampling.domainMix(spark, sfDir))
+    assert(!full.contains("CartesianProduct"), full.take(1200))
+  }
+
   test("brand/nation margin: nation keeps its hint when stats can't broadcast; " +
     "part and supplier degrade to shuffle joins, never a forced broadcast") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -284,7 +284,10 @@ class ScaleSpec extends SparkSuite {
       "dedup_semantic" -> (() => operators.Dedup.dedupSemantic(spark, sfDir)),
       "ann_ivfpq_res" -> (() => operators.Similarity.annIvfPqRes(spark, sfDir)),
       "bpe_merges" -> (() => operators.TextOps.bpeMerges(spark, sfDir)),
-      "lr_quality" -> (() => operators.CorpusOps.lrQuality(spark, sfDir)))
+      "lr_quality" -> (() => operators.CorpusOps.lrQuality(spark, sfDir)),
+      // pins 3 terminal checkpoints: the loss frame, round 1 (weight_r1),
+      // and the final round — rounds 2..K−1 release inside the loop
+      "domain_mix" -> (() => operators.Sampling.domainMix(spark, sfDir)))
     chain.foreach { case (name, q) =>
       q().queryExecution.toRdd.count()
       // operator-owned round release: only terminal checkpoints (the ones
