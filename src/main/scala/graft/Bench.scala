@@ -126,18 +126,25 @@ object Bench {
     println(line)
     // The driver's BENCH_r{N}.json artifact clips the stdout line at 2 kB,
     // so only a prefix of the 165+ per-query "runs" lists survives into the
-    // committed record. Persist the COMPLETE line to bench_gates/r{N}.json
-    // (N = max existing BENCH_r*.json round + 1, i.e. the round this gate
-    // feeds) so round-over-round per-query diffs never depend on driver
-    // truncation. Best-effort: a read-only cwd must not fail the bench.
+    // committed record. Persist the COMPLETE line to bench_gates/<tag>.json
+    // so round-over-round per-query diffs never depend on driver
+    // truncation. The tag comes from SPARK_GRAFT_BENCH_TAG when set (the
+    // way ScaleBench takes its tag) — inferring it from cwd contents
+    // mislabels a re-run after the driver's snapshot lands, and a non-repo
+    // cwd would label everything r01. The inference remains only as the
+    // no-env fallback for the driver's own invocation. Best-effort: a
+    // read-only cwd must not fail the bench.
     try {
       val repo = new java.io.File(".").getCanonicalFile
-      val round = Option(repo.list()).getOrElse(Array.empty[String])
-        .flatMap("""BENCH_r(\d+)\.json""".r.findFirstMatchIn(_))
-        .map(_.group(1).toInt).foldLeft(0)(math.max) + 1
+      val tag = sys.env.get("SPARK_GRAFT_BENCH_TAG").getOrElse {
+        val round = Option(repo.list()).getOrElse(Array.empty[String])
+          .flatMap("""BENCH_r(\d+)\.json""".r.findFirstMatchIn(_))
+          .map(_.group(1).toInt).foldLeft(0)(math.max) + 1
+        f"r$round%02d"
+      }
       val dir = new java.io.File(repo, "bench_gates")
       dir.mkdirs()
-      val out = new java.io.File(dir, f"r$round%02d.json")
+      val out = new java.io.File(dir, s"$tag.json")
       java.nio.file.Files.write(out.toPath,
         (line + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] full per-query runs written to $out")

@@ -39,7 +39,23 @@ object ScaleBench {
       Hygiene.releaseAll(spark, blocking = true)
       t
     }
+    // JSON-safe error text: e.getMessage can be null (NPE in the catch
+    // would abort the sweep and lose every line), and backslashes /
+    // control chars would make the artifact invalid JSON.
+    def jsonSafe(e: Throwable): String =
+      String.valueOf(e.getMessage).take(80)
+        .map(c => if (c == '"' || c == '\\' || c.isControl) ' ' else c)
+    val out = new java.io.File("bench_gates", s"scale_$tag.json")
+    out.getParentFile.mkdirs()
     val lines = collection.mutable.ArrayBuffer.empty[String]
+    // incremental best-effort write after each query: a crash or an
+    // unwritable dir mid-sweep must not lose the lines already measured
+    def flush(): Unit =
+      try java.nio.file.Files.write(out.toPath,
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[scalebench] artifact write skipped: $e")
+      }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         run(fn, "/root/testdata/sf0.001") // warm
@@ -49,14 +65,11 @@ object ScaleBench {
         val l = s"""{"query":"$name","t01":${fmt(t01)},"t1":${fmt(t1)},"exp":${fmt(exp)}}"""
         println(l); lines += l
       } catch { case e: Throwable =>
-        val l = s"""{"query":"$name","err":"${e.getMessage.take(80).replace('"', ' ')}"}"""
+        val l = s"""{"query":"$name","err":"${jsonSafe(e)}"}"""
         println(l); lines += l
       }
+      flush()
     }
-    val out = new java.io.File("bench_gates", s"scale_$tag.json")
-    out.getParentFile.mkdirs()
-    java.nio.file.Files.write(out.toPath,
-      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
     println(s"[scalebench] written $out (${lines.size} queries)")
     spark.stop()
   }

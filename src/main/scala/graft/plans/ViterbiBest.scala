@@ -114,6 +114,14 @@ case class ViterbiBest(first: Expression, second: Expression,
     require(path(n) != null,
       s"viterbi_best: no segmentation for '$word' — the model must cover " +
         "every character (character-coverage prune)")
+    // the 10-digit cell encoding holds only while 1e9 + Σ(−score) stays
+    // below 1e10; past 8 999 999 999 the manual pad would silently emit an
+    // 11-char prefix (diverging from the oracle's truncating lpad). Fail
+    // loudly instead — unreachable at the 1e-6 grid / maxLen 16, but a
+    // future grid change must not corrupt the encoding.
+    require(ns(n) < 9000000000L,
+      s"viterbi_best: total negated score ${ns(n)} overflows the 10-digit " +
+        "cell encoding — widen the pad alongside the oracle's lpad")
     val padded = (1000000000L + ns(n)).toString
     "0" * (10 - padded.length) + padded + "|" + path(n)
   }

@@ -600,6 +600,15 @@ object Streaming {
           graft.operators.Messages.fullMessageSchema).as("m"))
       .select(col("partition"), col("offset"), col("m.uuid").as("uuid"),
         size(col("m.produto_data")).cast("long").as("n_itens"))
+      // a producer resend can land in the SAME micro-batch as the original
+      // (AvailableNow groups segments) — the prior-batch anti-join below
+      // can't see those, so collapse them here first, keeping the earliest
+      // (partition, offset) delivery deterministically
+      .groupBy("uuid")
+      .agg(min(struct(col("partition"), col("offset"), col("n_itens")))
+        .as("first"))
+      .select(col("first.partition"), col("first.offset"), col("uuid"),
+        col("first.n_itens"))
     val fresh =
       if (!new java.io.File(appliedDir).isDirectory) decoded
       else decoded.join(spark.read.parquet(appliedDir).select("uuid"),

@@ -549,6 +549,29 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("embedded log: producer resend landing in the SAME micro-batch as the original is deduped") {
+    import graft.streaming.{EmbeddedLog, Streaming}
+    import graft.operators.Messages
+    val root = Files.createTempDirectory("graft_elog_sb").toString
+    val wire = Messages.syntheticMessages(spark, sfDir)
+      .collect().map(_.getString(0)).take(20)
+    // original delivery and the producer's redo segment are appended
+    // BEFORE any consume runs, and AvailableNow with no
+    // maxFilesPerTrigger groups them into ONE micro-batch — the
+    // prior-batch anti-join alone cannot see these duplicates
+    EmbeddedLog.append(root, "pedidos", 0,
+      wire.zipWithIndex.map { case (w, i) => (s"k$i", w) }.toSeq)
+    EmbeddedLog.append(root, "pedidos", 0,
+      wire.take(7).zipWithIndex.map { case (w, i) => (s"k${i}_redo", w) }.toSeq)
+    val work = Files.createTempDirectory("graft_elog_sb_out").toString
+    Streaming.logConsume(spark, root, "pedidos", "bq",
+      s"$work/applied", s"$work/ckpt").awaitTermination()
+    val out = spark.read.parquet(s"$work/applied")
+    assert(out.count() == wire.length.toLong,
+      s"in-batch resend not deduped: ${out.count()} vs ${wire.length}")
+    assert(out.select("uuid").distinct().count() == wire.length.toLong)
+  }
+
   test("windowed counts equal the batch computation on closed windows") {
     val ev = Seq(
       ("2024-01-01 00:10:00", "a", 1.0), ("2024-01-01 00:20:00", "a", 2.0),
