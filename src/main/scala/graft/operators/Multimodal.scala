@@ -12,9 +12,14 @@ case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String)
 case class MediaSample(doc_id: Long, kind: String, idx: Long, off: Long,
   len: Long, byte_sum: Long)
 
-/** Deterministic stand-in for decoded media features. */
-case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
-  width: Long, height: Long, sum_bytes: Long)
+/** Unified decoded-media feature row out of the mime dispatcher: image
+  * fills width/height (n_frames=1), audio fills n_frames/sample_rate,
+  * video fills width/height/n_frames; content_sum/content_mean are the
+  * decoded-content statistics in each modality's native unit (channel
+  * sum, signed amplitude sum, sampled-frame gray sum). */
+case class MediaFeatures(doc_id: Long, mime: String, width: Long,
+  height: Long, n_frames: Long, sample_rate: Long, content_sum: Long,
+  content_mean: Double)
 
 /** Multimodal-column plumbing (BASELINE.json extension surface): treat
   * image/audio/video as opaque `binary` columns with typed metadata, and run
@@ -37,29 +42,114 @@ case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Long,
   */
 object Multimodal {
 
+  /** The MIXED-modality ingest shape — a single binary column whose rows
+    * are images, audio clips, and video clips, dispatched BY MIME to the
+    * three real JDK codecs ([[multimodalDecode]]'s PNG,
+    * [[multimodalAudio]]'s RIFF/WAVE, [[multimodalVideo]]'s animated GIF).
+    * Each doc id derives its modality (id%3) and the same deterministic
+    * content formula as the dedicated operator for that modality; ONE
+    * `mapPartitions` pass resolves all three writers per partition and
+    * encodes each row's real payload, a second resolves the two ImageIO
+    * readers (WAV decodes via the chunk-walk [[parseWav]]) and emits one
+    * unified [[MediaFeatures]] row per payload. No byte-stat branches
+    * remain — every content statistic comes out of a decoded payload.
+    *
+    * Verification: the oracle is a 3-way CASE over the three formula
+    * replays, so the hash matches iff every per-mime roundtrip is
+    * bit-exact. Scale: payloads are born and die inside one scan
+    * partition (encode and decode fuse, no shuffle before the final
+    * doc-grain sort); all codec instances amortize per partition. */
   def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val media = Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      col("text").cast("binary").as("payload"),
-      when(pmod(col("doc_id"), lit(3)) === 0, lit("image/png"))
-        .when(pmod(col("doc_id"), lit(3)) === 1, lit("audio/wav"))
-        .otherwise(lit("video/mp4")).as("mime"))
-      .as[MediaRow]
-    media.mapPartitions { rows =>
-      // STUB (video-only, by necessity): a real implementation inits a
-      // codec here (once per partition) and decodes each payload — which
-      // is EXACTLY what [[multimodalDecode]] (PNG via javax.imageio) and
-      // [[multimodalAudio]] (PCM WAV via javax.sound.sampled) do with the
-      // same mapPartitions shape. No video codec ships with the JDK, so
-      // this mixed-mime feature pass keeps a deterministic function of
-      // the raw bytes as the decoded-content stand-in.
-      rows.map { r =>
-        val n = r.payload.length.toLong
-        val sum = r.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
-        MediaFeatures(r.doc_id, r.mime, n, n % 640, (n * 7) % 480, sum)
+    val ids = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      import scala.jdk.CollectionConverters._
+      val png = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val gif = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      val wav = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala
+        .find(_.isFileTypeSupported(wave))
+        .getOrElse(sys.error("no WAVE AudioFileWriter provider"))
+      it.map { id =>
+        (id % 3) match {
+          case 0 => MediaRow(id, pngPayload(png, id), "image/png")
+          case 1 => MediaRow(id, wavPayload(wav, id), "audio/wav")
+          case _ => MediaRow(id, gifPayload(gif, id), "video/gif")
+        }
       }
-    }.toDF().orderBy("doc_id")
+    }
+    dispatchDecode(media).orderBy("doc_id")
+  }
+
+  /** Mime-dispatched decode of a mixed binary column: every row runs the
+    * REAL decoder for its mime and lands in the unified feature shape. */
+  private[graft] def dispatchDecode(
+      media: org.apache.spark.sql.Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val pngR = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      val gifR = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      def r4(v: Double) = math.floor(v * 10000 + 0.5) / 10000
+      rows.map { r =>
+        r.mime match {
+          case "image/png" =>
+            pngR.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(r.payload)))
+            val img = pngR.read(0)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var s = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            MediaFeatures(r.doc_id, r.mime, w.toLong, h.toLong, 1L, 0L,
+              s, r4(s.toDouble / (3L * w * h)))
+          case "audio/wav" =>
+            val wavPcm = parseWav(r.payload)
+            val nSamples = wavPcm.data.length / 2
+            var s = 0L
+            var i = 0
+            while (i < nSamples) {
+              s += (((wavPcm.data(2 * i + 1) & 0xff) << 8) |
+                (wavPcm.data(2 * i) & 0xff)).toShort.toLong
+              i += 1
+            }
+            MediaFeatures(r.doc_id, r.mime, 0L, 0L,
+              (nSamples / wavPcm.channels).toLong, wavPcm.sampleRate,
+              s, r4(s.toDouble / nSamples))
+          case _ => // video/gif: container frame count + SAMPLED frames only
+            gifR.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(r.payload)))
+            val n = gifR.getNumImages(true)
+            val sampled = Seq(0, n / 2, n - 1).distinct
+            var s = 0L
+            var wh = (0, 0)
+            sampled.foreach { idx =>
+              val img = gifR.read(idx)
+              wh = (img.getWidth, img.getHeight)
+              var y = 0
+              while (y < wh._2) {
+                var x = 0
+                while (x < wh._1) { s += img.getRGB(x, y) & 0xff; x += 1 }
+                y += 1
+              }
+            }
+            MediaFeatures(r.doc_id, r.mime, wh._1.toLong, wh._2.toLong,
+              n.toLong, 0L, s,
+              r4(s.toDouble / (sampled.length.toLong * wh._1 * wh._2)))
+        }
+      }
+    }.toDF()
   }
 
   /** Resize + frame-sample plumbing — the remaining two media verbs (the
@@ -173,32 +263,39 @@ object Multimodal {
     ids.mapPartitions { it =>
       val writer = javax.imageio.ImageIO
         .getImageWritersByFormatName("png").next()
-      it.map { id =>
-        val w = 4 + (id % 5).toInt
-        val h = 3 + (id % 4).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val base = id * 7 + (y.toLong * w + x) * 3
-            val r = ((base) % 256).toInt
-            val g = ((base + 11) % 256).toInt
-            val b = ((base + 22) % 256).toInt
-            img.setRGB(x, y, (r << 16) | (g << 8) | b)
-            x += 1
-          }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-        writer.setOutput(ios)
-        writer.write(img)
-        ios.close()
-        MediaRow(id, bos.toByteArray, "image/png")
-      }
+      it.map(id => MediaRow(id, pngPayload(writer, id), "image/png"))
     }
+  }
+
+  /** One id's formula grid as real PNG bytes (writer reused across rows —
+    * resolved once per partition by every caller). */
+  private[graft] def pngPayload(writer: javax.imageio.ImageWriter,
+      id: Long): Array[Byte] = {
+    val w = 4 + (id % 5).toInt
+    val h = 3 + (id % 4).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = id * 7 + (y.toLong * w + x) * 3
+        val r = ((base) % 256).toInt
+        val g = ((base + 11) % 256).toInt
+        val b = ((base + 22) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    // direct memory-backed stream: the ImageIO.create*Stream factories
+    // registry-scan per call AND default to a TEMP-FILE cache per image
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(img)
+    ios.close()
+    bos.toByteArray
   }
 
   /** Real PNG decode of an opaque binary payload column — reader per
@@ -320,32 +417,38 @@ object Multimodal {
         .iterator().asScala
         .find(_.isFileTypeSupported(wave))
         .getOrElse(sys.error("no WAVE AudioFileWriter provider"))
-      it.map { id =>
-        val channels = 1 + (id % 2).toInt
-        val nFrames = 50 + (id % 64).toInt
-        val pcm = new Array[Byte](nFrames * channels * 2)
-        var f = 0
-        var j = 0
-        while (f < nFrames) {
-          var c = 0
-          while (c < channels) {
-            val v = ((id * 31 + f.toLong * 7 + c.toLong * 13) % 65536 - 32768).toInt
-            pcm(j) = (v & 0xff).toByte          // little-endian 16-bit PCM
-            pcm(j + 1) = ((v >> 8) & 0xff).toByte
-            j += 2
-            c += 1
-          }
-          f += 1
-        }
-        val fmt = new javax.sound.sampled.AudioFormat(
-          8000f, 16, channels, /*signed=*/ true, /*bigEndian=*/ false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        writer.write(ais, wave, bos)
-        MediaRow(id, bos.toByteArray, "audio/wav")
-      }
+      it.map(id => MediaRow(id, wavPayload(writer, id), "audio/wav"))
     }
+  }
+
+  /** One id's formula clip as real RIFF/WAVE bytes (writer resolved once
+    * per partition by every caller — the SPI-discovery lesson). */
+  private[graft] def wavPayload(
+      writer: javax.sound.sampled.spi.AudioFileWriter,
+      id: Long): Array[Byte] = {
+    val channels = 1 + (id % 2).toInt
+    val nFrames = 50 + (id % 64).toInt
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var f = 0
+    var j = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val v = ((id * 31 + f.toLong * 7 + c.toLong * 13) % 65536 - 32768).toInt
+        pcm(j) = (v & 0xff).toByte          // little-endian 16-bit PCM
+        pcm(j + 1) = ((v >> 8) & 0xff).toByte
+        j += 2
+        c += 1
+      }
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 16, channels, /*signed=*/ true, /*bigEndian=*/ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Parsed RIFF/WAVE container: PCM format fields + raw sample bytes. */
@@ -483,40 +586,45 @@ object Multimodal {
     ids.mapPartitions { it =>
       val writer = javax.imageio.ImageIO
         .getImageWritersByFormatName("gif").next()
-      it.map { id =>
-        val w = 8 + (id % 5).toInt
-        val h = 6 + (id % 4).toInt
-        val nFrames = 3 + (id % 6).toInt
-        val bos = new java.io.ByteArrayOutputStream()
-        // direct memory-backed stream: the ImageIO.create*Stream factories
-        // registry-scan per call AND default to a TEMP-FILE cache per image
-        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-        writer.setOutput(ios)
-        writer.prepareWriteSequence(null)
-        var f = 0
-        while (f < nFrames) {
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val g = ((id * 13 + f.toLong * 17 +
-                (y.toLong * w + x) * 5) % 256).toInt
-              img.getRaster.setSample(x, y, 0, g)
-              x += 1
-            }
-            y += 1
-          }
-          writer.writeToSequence(
-            new javax.imageio.IIOImage(img, null, null), null)
-          f += 1
-        }
-        writer.endWriteSequence()
-        ios.close()
-        MediaRow(id, bos.toByteArray, "video/gif")
-      }
+      it.map(id => MediaRow(id, gifPayload(writer, id), "video/gif"))
     }
+  }
+
+  /** One id's formula frames as one real animated GIF (writer reused
+    * across rows — resolved once per partition by every caller). */
+  private[graft] def gifPayload(writer: javax.imageio.ImageWriter,
+      id: Long): Array[Byte] = {
+    val w = 8 + (id % 5).toInt
+    val h = 6 + (id % 4).toInt
+    val nFrames = 3 + (id % 6).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    // direct memory-backed stream: the ImageIO.create*Stream factories
+    // registry-scan per call AND default to a TEMP-FILE cache per image
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = ((id * 13 + f.toLong * 17 +
+            (y.toLong * w + x) * 5) % 256).toInt
+          img.getRaster.setSample(x, y, 0, g)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
   }
 
   /** Real multi-frame decode: container-reported frame count + stats for
@@ -616,20 +724,65 @@ object Multimodal {
       |ORDER BY doc_id, kind, idx""".stripMargin
   }
 
-  /** Oracle parity note: Spark computes over UTF-8 BYTES (binary length,
-    * byte-wise sum); the DuckDB mirror uses `strlen` (byte length — exact
-    * for any input) and a per-character codepoint sum with the `s` regex
-    * flag (so newlines count). Codepoint == byte only for ASCII, so
-    * `sum_bytes` assumes the ASCII `documents` fixture — a non-ASCII
-    * corpus would need a byte-level oracle (e.g. unnesting the blob). */
+  /** The mixed-mime dispatcher's oracle: a 3-way CASE over the three
+    * formula replays ([[multimodalDecodeSql]] / [[multimodalAudioSql]] /
+    * [[multimodalVideoSql]]'s pixel/sample/frame formulas), each branch
+    * filtered to its doc_id%3 slice and projected into the unified
+    * feature shape — the hash matches iff every per-mime real-codec
+    * roundtrip is bit-exact. */
   val multimodalFeaturesSql: String =
-    """SELECT doc_id,
-      |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-      |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
-      |       ELSE 'video/mp4' END AS mime,
-      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-      |  CAST(strlen(text) % 640 AS BIGINT) AS width,
-      |  CAST((strlen(text) * 7) % 480 AS BIGINT) AS height,
-      |  CAST(list_sum(list_transform(regexp_extract_all(text, '.', 0, 's'), c -> ascii(c))) AS BIGINT) AS sum_bytes
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH png_d AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |png_v AS (
+      |  SELECT doc_id, w, h,
+      |    (doc_id * 7 + p * 3) % 256 + (doc_id * 7 + p * 3 + 11) % 256
+      |      + (doc_id * 7 + p * 3 + 22) % 256 AS rgb
+      |  FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM png_d)),
+      |png AS (
+      |  SELECT doc_id, 'image/png' AS mime, CAST(w AS BIGINT) AS width,
+      |    CAST(h AS BIGINT) AS height, CAST(1 AS BIGINT) AS n_frames,
+      |    CAST(0 AS BIGINT) AS sample_rate,
+      |    CAST(SUM(rgb) AS BIGINT) AS content_sum,
+      |    floor(CAST(SUM(rgb) AS DOUBLE) / (3 * w * h) * 10000 + 0.5) / 10000
+      |      AS content_mean
+      |  FROM png_v GROUP BY doc_id, w, h),
+      |wav_d AS (
+      |  SELECT doc_id, 1 + doc_id % 2 AS ch, 50 + doc_id % 64 AS nf
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |wav_v AS (
+      |  SELECT doc_id, ch, nf,
+      |    (doc_id * 31 + (i // ch) * 7 + (i % ch) * 13) % 65536 - 32768 AS a
+      |  FROM (SELECT doc_id, ch, nf, unnest(range(0, nf * ch)) AS i FROM wav_d)),
+      |wav AS (
+      |  SELECT doc_id, 'audio/wav' AS mime, CAST(0 AS BIGINT) AS width,
+      |    CAST(0 AS BIGINT) AS height, CAST(nf AS BIGINT) AS n_frames,
+      |    CAST(8000 AS BIGINT) AS sample_rate,
+      |    CAST(SUM(a) AS BIGINT) AS content_sum,
+      |    floor(CAST(SUM(a) AS DOUBLE) / (nf * ch) * 10000 + 0.5) / 10000
+      |      AS content_mean
+      |  FROM wav_v GROUP BY doc_id, ch, nf),
+      |gif_d AS (
+      |  SELECT doc_id, 3 + doc_id % 6 AS f, 8 + doc_id % 5 AS w,
+      |    6 + doc_id % 4 AS h,
+      |    len(list_distinct([0, (3 + doc_id % 6) // 2, 2 + doc_id % 6]))
+      |      AS n_sampled
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |gif_v AS (
+      |  SELECT doc_id, f, w, h, n_sampled,
+      |    (doc_id * 13 + idx * 17 + p * 5) % 256 AS g
+      |  FROM (SELECT doc_id, f, w, h, n_sampled,
+      |          unnest(list_distinct([0, f // 2, f - 1])) AS idx
+      |        FROM gif_d),
+      |    LATERAL (SELECT unnest(range(0, w * h)) AS p)),
+      |gif AS (
+      |  SELECT doc_id, 'video/gif' AS mime, CAST(w AS BIGINT) AS width,
+      |    CAST(h AS BIGINT) AS height, CAST(f AS BIGINT) AS n_frames,
+      |    CAST(0 AS BIGINT) AS sample_rate,
+      |    CAST(SUM(g) AS BIGINT) AS content_sum,
+      |    floor(CAST(SUM(g) AS DOUBLE) / (n_sampled * w * h) * 10000 + 0.5)
+      |      / 10000 AS content_mean
+      |  FROM gif_v GROUP BY doc_id, f, w, h, n_sampled)
+      |SELECT * FROM png UNION ALL SELECT * FROM wav UNION ALL
+      |SELECT * FROM gif ORDER BY doc_id""".stripMargin
 }

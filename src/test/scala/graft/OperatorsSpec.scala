@@ -328,13 +328,37 @@ class OperatorsSpec extends SparkSuite {
     assert(short.map(_.getLong(4)).sorted.toSeq == Seq(0L, 3L, 6L))
   }
 
-  test("multimodal: features are a deterministic function of payload bytes") {
-    val res = Multimodal.multimodalFeatures(spark, sfDir)
-    val bad = res.join(Tables.documents(spark, sfDir), "doc_id")
-      .filter(col("n_bytes") =!= length(col("text")) ||
-        col("width") =!= col("n_bytes") % 640).count()
-    assert(bad == 0)
+  test("multimodal: mime dispatcher routes every row through its real codec") {
+    val res = Multimodal.multimodalFeatures(spark, sfDir).cache()
     assert(res.count() == Tables.documents(spark, sfDir).count())
+    // each doc_id%3 slice must agree with the DEDICATED codec operator —
+    // the dispatcher is the same decode, routed by mime
+    val png = res.filter(col("mime") === "image/png")
+      .join(Multimodal.multimodalDecode(spark, sfDir)
+        .withColumnRenamed("width", "p_w").withColumnRenamed("height", "p_h"),
+        "doc_id")
+    assert(png.filter(col("content_sum") =!=
+      col("sum_r") + col("sum_g") + col("sum_b") ||
+      col("width") =!= col("p_w") || col("height") =!= col("p_h"))
+      .count() == 0)
+    val wav = res.filter(col("mime") === "audio/wav")
+      .join(Multimodal.multimodalAudio(spark, sfDir)
+        .select(col("doc_id"), col("n_frames").as("a_frames"),
+          col("sample_rate").as("a_rate"), col("sum_amp")), "doc_id")
+    assert(wav.filter(col("content_sum") =!= col("sum_amp") ||
+      col("n_frames") =!= col("a_frames") ||
+      col("sample_rate") =!= col("a_rate")).count() == 0)
+    val gifSums = Multimodal.multimodalVideo(spark, sfDir)
+      .groupBy("doc_id").agg(sum("pix_sum").as("v_sum"),
+        max(col("n_frames")).as("v_frames"))
+      .select(col("doc_id"), col("v_sum"), col("v_frames"))
+    val gif = res.filter(col("mime") === "video/gif").join(gifSums, "doc_id")
+    assert(gif.filter(col("content_sum") =!= col("v_sum") ||
+      col("n_frames") =!= col("v_frames")).count() == 0)
+    assert(Seq("image/png", "audio/wav", "video/gif").forall(m =>
+      res.filter(col("mime") === m).count() > 0))
+    res.unpersist()
+    ()
   }
 
   test("bm25 retrieval: scores rank monotonically and the query doc self-retrieves") {

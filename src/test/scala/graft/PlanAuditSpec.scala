@@ -810,4 +810,11 @@ class PlanAuditSpec extends SparkSuite {
       "encode→decode must fuse in one stage:\n" + p.take(1200))
     assert(p.split("Exchange rangepartitioning").length - 1 == 1)
   }
+
+  test("multimodal dispatch: mixed-mime payloads never shuffle — encode and per-mime decode fuse") {
+    val p = plan(Multimodal.multimodalFeatures(spark, sfDir))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 0,
+      "mime-dispatched encode→decode must fuse in one stage:\n" + p.take(1200))
+    assert(p.split("Exchange rangepartitioning").length - 1 == 1)
+  }
 }
