@@ -193,6 +193,8 @@ object SparkEntry {
     "typed_pesquisa" -> ((s, dir) => Typed.typedPesquisa(tune(s), dir)),
     // A6/D4/J7: composite Pub/Sub message channel, produce → decode → dispatch
     "message_roundtrip" -> ((s, dir) => Messages.messageRoundtrip(tune(s), dir)),
+    "message_pedidos_fact" -> ((s, dir) => Messages.messagePedidosFact(tune(s), dir)),
+    "message_itens_fact" -> ((s, dir) => Messages.messageItensFact(tune(s), dir)),
     // A2/D10: real staged blob zone scanned with input_file_name provenance
     "zone_scan" -> ((s, dir) => Ingest.zoneScan(tune(s), dir)),
     // A4/E1/D6: paginated CSV export read with explicit schema + provenance
@@ -394,6 +396,8 @@ object SparkEntry {
     "typed_pedidos_fact" -> Typed.typedPedidosFactSql,
     "typed_pesquisa" -> Typed.typedPesquisaSql,
     "message_roundtrip" -> Messages.messageRoundtripSql,
+    "message_pedidos_fact" -> Messages.messagePedidosFactSql,
+    "message_itens_fact" -> Messages.messageItensFactSql,
     "zone_scan" -> Ingest.zoneScanSql,
     "csv_zone_scan" -> Ingest.csvZoneScanSql,
     "schema_drift_scan" -> Ingest.schemaDriftScanSql,

@@ -273,6 +273,28 @@ object StreamDemo {
         && drained,
       s"count=${spark.read.parquet(s"$work/elog_applied").count()} drained=$drained")
 
+    // --- the SECOND subscriber off the SAME log (its own consumer group):
+    // the reference's sales_to_bq fact builder — typed pedidos + itens
+    // facts, day-partitioned, exactly-once even over the redo segments the
+    // raw subscriber already absorbed above.
+    Streaming.factConsume(spark, logRoot, "pedidos", "facts",
+      s"$work/elog_pedidos", s"$work/elog_itens", s"$work/elog_fact_ck",
+      Some(3)).awaitTermination()
+    val streamedPed = spark.read.parquet(s"$work/elog_pedidos")
+      .drop("ingest_batch", "dia")
+    val batchPed = operators.Messages.messagePedidosFact(spark, sfDir)
+    check("fact subscriber: streamed pedidos facts equal the batch build",
+      streamedPed.count() == batchPed.count() &&
+        streamedPed.exceptAll(batchPed).isEmpty,
+      s"streamed=${streamedPed.count()} batch=${batchPed.count()}")
+    val streamedIt = spark.read.parquet(s"$work/elog_itens")
+      .drop("ingest_batch", "dia")
+    val batchIt = operators.Messages.messageItensFact(spark, sfDir)
+    check("fact subscriber: streamed itens facts equal the batch build",
+      streamedIt.count() == batchIt.count() &&
+        streamedIt.exceptAll(batchIt).isEmpty,
+      s"streamed=${streamedIt.count()} batch=${batchIt.count()}")
+
     spark.stop()
     if (failed) sys.exit(1)
   }

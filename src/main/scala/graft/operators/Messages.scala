@@ -229,6 +229,306 @@ object Messages {
       .orderBy("pedido_id")
   }
 
+  // ---- the second subscriber: typed FACTS from the message ---------------
+  //
+  // `data_transformation/sales_to_bq/main.py:318-365` builds the pedidos and
+  // itens_pedido fact rows from the SAME composite message the raw loader
+  // consumes. Spark-first shape: the message is self-contained per order —
+  // the produto "lookup" is an array find inside the message's own
+  // produto_data[], the vendedor is the first pesquisa entry — so BOTH fact
+  // grains are pure per-row array algebra: zero joins, zero shuffles before
+  // the final sort. At 100 TB this is the plan you want: the fact build
+  // rides the scan, and nothing but finished fact rows ever moves.
+
+  /** Consumer-side pruned pdv envelope for the fact build: exactly the
+    * fields the two fact grains touch. */
+  private[graft] val factPdvEnvelope: StructType = StructType(Seq(
+    StructField("retorno", StructType(Seq(
+      StructField("status_processamento", StringType),
+      StructField("pedido", StructType(Seq(
+        StructField("id", LongType),
+        StructField("data", StringType),
+        StructField("desconto", StringType),
+        StructField("totalVenda", DoubleType),
+        StructField("formaPagamento", StringType),
+        StructField("contato", StructType(Seq(
+          StructField("cpfCnpj", StringType)))),
+        StructField("itens", ArrayType(StructType(Seq(
+          StructField("id", LongType),
+          StructField("idProduto", LongType),
+          StructField("valor", StringType),
+          StructField("quantidade", StringType),
+          StructField("desconto", StringType)))))))))))))
+
+  /** Message schema the fact subscriber parses with. */
+  private[graft] def factMessageSchema: StructType = messageSchema(
+    factPdvEnvelope, prunedProdutoEnvelope, graft.Schemas.pesquisaEnvelope)
+
+  private def iValor(i: Column): Column = i.getField("valor").cast("double")
+  private def iQtd(i: Column): Column = i.getField("quantidade").cast("double")
+  private def iDPct(i: Column): Column =
+    coalesce(i.getField("desconto").cast("double"), lit(0d))
+  private def iDescUnit(i: Column): Column =
+    iValor(i) / (lit(1d) - iDPct(i) / 100) - iValor(i)
+
+  /** C2 first-match produto lookup INSIDE the message: produto_data[]
+    * carries this order's envelopes, so the lookup is an array find (first
+    * gated match wins, `FactsFromRaw`'s dropDuplicates semantics); a
+    * missing/ungated produto yields null, which the matched-only folds
+    * skip — the reference's `if item_data:` branch. */
+  private def produtoOf(pd: Column, i: Column): Column =
+    element_at(filter(pd, p =>
+      p.getField("retorno").getField("status_processamento") === "3" &&
+        p.getField("retorno").getField("produto").getField("id").isNotNull &&
+        p.getField("retorno").getField("produto").getField("id")
+          === i.getField("idProduto")), 1)
+      .getField("retorno").getField("produto")
+
+  /** G3 first pesquisa entry (lexicographic struct min, the grouped-form
+    * semantics), null when the search returned no pedidos. */
+  private def firstVendedor: Column = when(
+    col("pedidos_pesquisa_data.retorno.status_processamento") === "3",
+    element_at(sort_array(transform(
+      col("pedidos_pesquisa_data.retorno.pedidos"),
+      p => struct(p.getField("pedido").getField("id_vendedor").as("id_vendedor"),
+        p.getField("pedido").getField("nome_vendedor").as("nome_vendedor")))), 1))
+
+  /** Decode + B3-gate the wire column into the slim fact-subscriber frame
+    * (uuid, file_ts, the three payloads). Shared by the batch oracle
+    * queries and the streaming `foreachBatch`. */
+  def decodeForFacts(wire: DataFrame): DataFrame = wire
+    .select(decode(col("data"), factMessageSchema).as("m"))
+    .filter(col("m.pdv_pedido_data.retorno.status_processamento") === "3")
+    .select(col("m.uuid").as("uuid"), col("m.timestamp").as("file_ts"),
+      col("m.pdv_pedido_data").as("pdv_pedido_data"),
+      col("m.produto_data").as("produto_data"),
+      col("m.pedidos_pesquisa_data").as("pedidos_pesquisa_data"))
+
+  /** Order-grain fact from decoded messages — `sales_to_bq`'s pedidos row,
+    * [[FactsFromRaw.pedidos]]'s arithmetic (F1-F10 including the
+    * matched-only F1/F5 asymmetry) computed as per-message array folds. */
+  def pedidosFactOf(msg: DataFrame): DataFrame = {
+    val ped = col("pdv_pedido_data.retorno.pedido")
+    val itens = ped.getField("itens")
+    val pd = col("produto_data")
+    msg.select(
+      col("uuid").as("msg_uuid"),
+      ped.getField("id").as("pedido_id"),
+      Exprs.brDate(ped.getField("data")).as("pedido_dia"),
+      ped.getField("contato").getField("cpfCnpj").as("cliente_cpf"),
+      ped.getField("formaPagamento").as("forma_pagamento"),
+      firstVendedor.getField("id_vendedor").as("vendedor_id"),
+      firstVendedor.getField("nome_vendedor").as("nome_vendedor"),
+      Exprs.gsumArray(itens, i => iValor(i) / (lit(1d) - iDPct(i) / 100))
+        .as("valor_sem_desconto"), // F2 per-unit quirk
+      Exprs.gsumArray(itens, iValor).as("valor_com_desconto"),
+      Exprs.gsumArray(itens, i => iValor(i) * iQtd(i)).as("base_pre_desconto"),
+      // F1/F5 matched-only: an unmatched item's term is null, skipped
+      coalesce(Exprs.gsumArray(itens, i =>
+        produtoOf(pd, i).getField("preco_custo").cast("double") * iQtd(i)),
+        lit(0d)).as("custo_total"),
+      coalesce(Exprs.gsumArray(itens, i =>
+        when(produtoOf(pd, i).getField("id").isNotNull, iDescUnit(i) * iQtd(i))),
+        lit(0d)).as("total_desconto_produtos"),
+      Exprs.parseDesconto(ped.getField("desconto"), ped.getField("totalVenda"))
+        .as("desconto_pedido"),
+      ped.getField("totalVenda").as("valor_faturado"))
+      .withColumn("desconto_total",
+        col("total_desconto_produtos") + col("desconto_pedido"))
+      .withColumn("valor_lucro", col("valor_faturado") - col("custo_total"))
+  }
+
+  /** Item-grain fact from decoded messages — `sales_to_bq`'s
+    * itens_pedido rows, [[FactsFromRaw.itensPedido]]'s arithmetic with the
+    * produto lookup as the in-message array find; unmatched items dropped
+    * (C2 inner semantics). Header folds (F6 discount, F7 denominator over
+    * ALL items) are computed BEFORE the explode and carried per row. */
+  def itensFactOf(msg: DataFrame): DataFrame = {
+    val ped = col("pdv_pedido_data.retorno.pedido")
+    val it = msg.select(
+      col("uuid").as("msg_uuid"),
+      ped.getField("id").as("pedido_id"),
+      Exprs.brDate(ped.getField("data")).as("pedido_dia"),
+      ped.getField("contato").getField("cpfCnpj").as("cliente_cpf"),
+      Exprs.parseDesconto(ped.getField("desconto"), ped.getField("totalVenda"))
+        .as("desconto_pedido"),
+      Exprs.gsumArray(ped.getField("itens"), i => iValor(i) * iQtd(i))
+        .as("total_pre"),
+      col("produto_data").as("pd"),
+      posexplode(ped.getField("itens")).as(Seq("pos", "item")))
+    val prod = produtoOf(col("pd"), col("item"))
+    val custo = prod.getField("preco_custo").cast("double")
+    val qtd = iQtd(col("item"))
+    val valorTotal = iValor(col("item")) * qtd
+    val share = valorTotal / col("total_pre")
+    it.filter(prod.getField("id").isNotNull) // inner: unmatched dropped
+      .select(
+        col("msg_uuid"), col("pedido_id"),
+        col("item.id").as("item_id"),
+        col("item.idProduto").as("produto_id"),
+        col("pedido_dia"), col("cliente_cpf"),
+        Exprs.categoriaPrincipal(prod.getField("categoria"))
+          .as("categoria_principal"),
+        Exprs.categoriaSecundaria(prod.getField("categoria"))
+          .as("categoria_secundaria"),
+        qtd.as("quantidade"),
+        iValor(col("item")).as("valor_unitario"),
+        valorTotal.as("valor_total"),
+        iDescUnit(col("item")).as("desconto_unitario"),
+        (iDescUnit(col("item")) * qtd).as("desconto_produto"),
+        (col("desconto_pedido") * share).as("desconto_alocado"),
+        custo.as("preco_custo"),
+        (custo * qtd).as("custo_total"),
+        (valorTotal - iDescUnit(col("item")) * qtd
+          - col("desconto_pedido") * share - custo * qtd).as("lucro_item"))
+  }
+
+  /** Display projection for the order grain, mirrored on
+    * [[Typed.typedPedidosFact]] (+ the message uuid the reference threads
+    * into every fact row). Shared by the batch oracle query and the
+    * streaming fact sink so both emit identical rows. */
+  def pedidosFactFinal(df: DataFrame): DataFrame = df
+    .select(col("msg_uuid"), col("pedido_id"), col("pedido_dia"),
+      col("cliente_cpf"), col("forma_pagamento"),
+      col("vendedor_id"), col("nome_vendedor"),
+      col("valor_sem_desconto"), col("valor_com_desconto"),
+      col("base_pre_desconto"), col("total_desconto_produtos"),
+      col("custo_total"),
+      Exprs.r4(col("desconto_pedido")).as("desconto_pedido"),
+      Exprs.r4(col("desconto_total")).as("desconto_total"),
+      Exprs.r4(col("valor_faturado")).as("valor_faturado"),
+      Exprs.r4(col("valor_lucro")).as("valor_lucro"))
+
+  /** Display projection for the item grain, mirrored on
+    * [[Typed.typedItensFact]] (+ msg_uuid). */
+  def itensFactFinal(df: DataFrame): DataFrame = df
+    .select(
+      col("msg_uuid"), col("pedido_id"), col("item_id"), col("produto_id"),
+      col("pedido_dia"), col("cliente_cpf"),
+      col("categoria_principal"), col("categoria_secundaria"),
+      col("quantidade"),
+      Exprs.r4(col("valor_unitario")).as("valor_unitario"),
+      Exprs.r4(col("valor_total")).as("valor_total"),
+      Exprs.r4(col("desconto_unitario")).as("desconto_unitario"),
+      Exprs.r4(col("desconto_produto")).as("desconto_produto"),
+      Exprs.r4(col("desconto_alocado")).as("desconto_alocado"),
+      Exprs.r4(col("preco_custo")).as("preco_custo"),
+      Exprs.r4(col("custo_total")).as("custo_total"),
+      Exprs.r4(col("lucro_item")).as("lucro_item"))
+
+  /** Oracle-gated batch form of the fact subscriber's order grain: the
+    * whole channel (produce → wire → decode → fact build) as one query. */
+  def messagePedidosFact(spark: SparkSession, sfDir: String): DataFrame =
+    pedidosFactFinal(pedidosFactOf(decodeForFacts(syntheticMessages(spark, sfDir))))
+      .orderBy("pedido_id")
+
+  /** Oracle-gated batch form of the fact subscriber's item grain. */
+  def messageItensFact(spark: SparkSession, sfDir: String): DataFrame =
+    itensFactFinal(itensFactOf(decodeForFacts(syntheticMessages(spark, sfDir))))
+      .orderBy("pedido_id", "item_id", "produto_id", "quantidade", "valor_total")
+
+  /** [[Typed.typedPedidosFactSql]]'s arithmetic with the message channel's
+    * complete catalog (every item's produto rides the message, so the
+    * matched set is ALL items) + the message uuid. */
+  val messagePedidosFactSql: String =
+    """WITH it AS (
+      |  SELECT l_orderkey AS pedido_id, l_partkey,
+      |    l_extendedprice / l_quantity AS valor_unit,
+      |    l_quantity AS qtd,
+      |    CAST(l_partkey % 30 AS DOUBLE) AS d_pct
+      |  FROM lineitem),
+      |hdr AS (
+      |  SELECT o_orderkey AS pedido_id, o_custkey, o_totalprice,
+      |    strftime(o_orderdate, '%Y-%m-%d') AS pedido_dia,
+      |    ['credito', 'boleto', 'pix'][CAST(o_orderkey % 3 AS INT) + 1] AS forma_pagamento,
+      |    GREATEST(0, COALESCE(CASE WHEN contains(ds, '%')
+      |      THEN TRY_CAST(replace(ds, '%', '') AS DOUBLE) / 100 * o_totalprice
+      |      ELSE TRY_CAST(replace(ds, ',', '.') AS DOUBLE) END, 0)) AS desconto_pedido
+      |  FROM (SELECT *,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN CAST((o_orderkey % 7) + 1 AS VARCHAR) || '%'
+      |         WHEN o_orderkey % 3 = 1 THEN CAST(o_orderkey % 50 AS VARCHAR) || ',' || CAST(o_orderkey % 10 AS VARCHAR)
+      |         ELSE 'xx' END AS ds FROM orders
+      |    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem))),
+      |allagg AS (
+      |  SELECT pedido_id,
+      |    CAST(SUM(CAST(floor(valor_unit / (1 - d_pct / 100) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS valor_sem_desconto,
+      |    CAST(SUM(CAST(floor(valor_unit * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS valor_com_desconto,
+      |    CAST(SUM(CAST(floor(valor_unit * qtd * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS base_pre_desconto,
+      |    CAST(SUM(CAST(floor(p.p_retailprice * qtd * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS custo_total,
+      |    CAST(SUM(CAST(floor((valor_unit / (1 - d_pct / 100) - valor_unit) * qtd * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS total_desconto_produtos
+      |  FROM it JOIN part p ON it.l_partkey = p.p_partkey
+      |  GROUP BY pedido_id),
+      |vend AS (
+      |  SELECT pedido_id, min(id_vendedor) AS vendedor_id,
+      |    'vend ' || min(id_vendedor) AS nome_vendedor
+      |  FROM (
+      |    SELECT o_orderkey AS pedido_id, CAST(o_custkey % 100 AS VARCHAR) AS id_vendedor
+      |    FROM orders WHERE o_orderkey % 7 <> 0
+      |    UNION ALL
+      |    SELECT o_orderkey, CAST(o_custkey % 100 + 1 AS VARCHAR)
+      |    FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0)
+      |  GROUP BY pedido_id)
+      |SELECT md5(CAST(h.pedido_id AS VARCHAR)) AS msg_uuid,
+      |  h.pedido_id, h.pedido_dia, CAST(h.o_custkey AS VARCHAR) AS cliente_cpf,
+      |  h.forma_pagamento, v.vendedor_id, v.nome_vendedor,
+      |  a.valor_sem_desconto, a.valor_com_desconto, a.base_pre_desconto,
+      |  COALESCE(a.total_desconto_produtos, 0) AS total_desconto_produtos,
+      |  COALESCE(a.custo_total, 0) AS custo_total,
+      |  floor(h.desconto_pedido * 10000 + 0.5) / 10000 AS desconto_pedido,
+      |  floor((COALESCE(a.total_desconto_produtos, 0) + h.desconto_pedido) * 10000 + 0.5) / 10000 AS desconto_total,
+      |  floor(h.o_totalprice * 10000 + 0.5) / 10000 AS valor_faturado,
+      |  floor((h.o_totalprice - COALESCE(a.custo_total, 0)) * 10000 + 0.5) / 10000 AS valor_lucro
+      |FROM hdr h
+      |LEFT JOIN allagg a USING (pedido_id)
+      |LEFT JOIN vend v USING (pedido_id)
+      |ORDER BY pedido_id""".stripMargin
+
+  /** [[Typed.typedItensFactSql]]'s arithmetic with the complete in-message
+    * catalog (every item matches) + msg_uuid. */
+  val messageItensFactSql: String =
+    """WITH it AS (
+      |  SELECT l_orderkey AS pedido_id, CAST(l_linenumber AS BIGINT) AS item_id,
+      |    l_partkey AS produto_id,
+      |    l_quantity AS quantidade,
+      |    l_extendedprice / l_quantity AS valor_unitario,
+      |    (l_extendedprice / l_quantity) * l_quantity AS valor_total,
+      |    CAST(l_partkey % 30 AS DOUBLE) AS d_pct
+      |  FROM lineitem),
+      |hdr AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |    strftime(o_orderdate, '%Y-%m-%d') AS pedido_dia,
+      |    GREATEST(0, COALESCE(CASE WHEN contains(ds, '%')
+      |      THEN TRY_CAST(replace(ds, '%', '') AS DOUBLE) / 100 * o_totalprice
+      |      ELSE TRY_CAST(replace(ds, ',', '.') AS DOUBLE) END, 0)) AS desconto_pedido
+      |  FROM (SELECT *,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN CAST((o_orderkey % 7) + 1 AS VARCHAR) || '%'
+      |         WHEN o_orderkey % 3 = 1 THEN CAST(o_orderkey % 50 AS VARCHAR) || ',' || CAST(o_orderkey % 10 AS VARCHAR)
+      |         ELSE 'xx' END AS ds FROM orders)),
+      |tot AS (SELECT pedido_id,
+      |  CAST(SUM(CAST(floor(valor_total * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS total_pre
+      |  FROM it GROUP BY pedido_id)
+      |SELECT md5(CAST(it.pedido_id AS VARCHAR)) AS msg_uuid,
+      |  it.pedido_id, it.item_id, it.produto_id,
+      |  hdr.pedido_dia, CAST(hdr.o_custkey AS VARCHAR) AS cliente_cpf,
+      |  trim(split_part(p.p_brand || ' >> ' || p.p_type, ' >> ', 1)) AS categoria_principal,
+      |  trim(split_part(p.p_brand || ' >> ' || p.p_type, ' >> ', 2)) AS categoria_secundaria,
+      |  it.quantidade,
+      |  floor(valor_unitario * 10000 + 0.5) / 10000 AS valor_unitario,
+      |  floor(valor_total * 10000 + 0.5) / 10000 AS valor_total,
+      |  floor((valor_unitario / (1 - d_pct / 100) - valor_unitario) * 10000 + 0.5) / 10000 AS desconto_unitario,
+      |  floor((valor_unitario / (1 - d_pct / 100) - valor_unitario) * quantidade * 10000 + 0.5) / 10000 AS desconto_produto,
+      |  floor(hdr.desconto_pedido * (valor_total / tot.total_pre) * 10000 + 0.5) / 10000 AS desconto_alocado,
+      |  floor(p.p_retailprice * 10000 + 0.5) / 10000 AS preco_custo,
+      |  floor(p.p_retailprice * quantidade * 10000 + 0.5) / 10000 AS custo_total,
+      |  floor((valor_total - (valor_unitario / (1 - d_pct / 100) - valor_unitario) * quantidade
+      |    - hdr.desconto_pedido * (valor_total / tot.total_pre)
+      |    - p.p_retailprice * quantidade) * 10000 + 0.5) / 10000 AS lucro_item
+      |FROM it
+      |JOIN hdr ON it.pedido_id = hdr.o_orderkey
+      |JOIN tot USING (pedido_id)
+      |JOIN part p ON it.produto_id = p.p_partkey
+      |ORDER BY pedido_id, item_id, produto_id, quantidade, valor_total""".stripMargin
+
   val messageRoundtripSql: String =
     """WITH li AS (
       |  SELECT l_orderkey,

@@ -614,17 +614,22 @@ object Streaming {
       else decoded.join(spark.read.parquet(appliedDir).select("uuid"),
         Seq("uuid"), "left_anti")
     fresh.select("uuid", "n_itens").write.mode("append").parquet(appliedDir)
-    // ack AFTER apply, monotonic per partition (a redelivered batch must
-    // never rewind the group's durable position)
+    ackOffsets(rows, root, topic, group)
+    rows.unpersist()
+    ()
+  }
+
+  /** Ack AFTER apply, monotonic per partition (a redelivered batch must
+    * never rewind the group's durable position). The per-partition maxima
+    * collect is bounded by the log's partition count. */
+  private def ackOffsets(rows: DataFrame, root: String, topic: String,
+      group: String): Unit =
     rows.groupBy("partition").agg(max(col("offset")).as("mx"))
       .collect().foreach { r =>
         val (p, next) = (r.getInt(0), r.getLong(1) + 1)
         if (next > EmbeddedLog.committed(root, group, topic, p))
           EmbeddedLog.commit(root, group, topic, p, next)
       }
-    rows.unpersist()
-    ()
-  }
 
   /** The A6 edge under the real engine: a Structured Streaming query over
     * the log's segments whose `foreachBatch` runs [[logApplyBatch]] —
@@ -638,6 +643,73 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, _: Long) =>
         logApplyBatch(b, root, topic, group, appliedDir)
+      }
+      .start()
+
+  /** One micro-batch of the SECOND log subscriber — the reference's fact
+    * builder (`data_transformation/sales_to_bq/main.py:318-365`): decode
+    * the composite message and build BOTH typed fact grains from it
+    * ([[graft.operators.Messages.pedidosFactOf]]/[[graft.operators.Messages.itensFactOf]]
+    * — per-row array algebra, no joins), landing each in day-partitioned
+    * parquet. Exactly-once without a dedicated applied-set sink:
+    *  - engine REDELIVERY (crash before checkpoint) re-executes under the
+    *    original batchId, and every write goes to an `ingest_batch=<id>`
+    *    subdirectory in OVERWRITE mode (the [[fanOutBatch]] idempotence
+    *    pattern), so a re-run leaves the sinks as a single run would;
+    *  - producer RESENDS land in new batches, so fresh rows anti-join on
+    *    msg_uuid against the pedidos sink EXCLUDING this batch's own
+    *    subdirectory (a redelivered batch must not be masked by its own
+    *    partial output), after first collapsing duplicate uuids WITHIN the
+    *    batch (min partition/offset wins — the log consumer's rule). */
+  def factApplyBatch(batch: DataFrame, batchId: Long, pedidosDir: String,
+      itensDir: String, root: String, topic: String, group: String): Unit = {
+    val spark = batch.sparkSession
+    val rows = batch.persist()
+    // in-batch resend collapse: uuid extracted WITHOUT the full decode
+    val firstPerUuid = rows
+      .withColumn("uuid",
+        get_json_object(unbase64(col("data")).cast("string"), "$.uuid"))
+      .groupBy("uuid")
+      .agg(min(struct(col("partition"), col("offset"), col("data"))).as("f"))
+      .select(col("uuid"), col("f.data").as("data"))
+    val applied: Option[DataFrame] =
+      if (!new java.io.File(pedidosDir).isDirectory) None
+      else scala.util.Try(
+        spark.read.parquet(pedidosDir)
+          .filter(col("ingest_batch") =!= batchId)
+          .select(col("msg_uuid").as("uuid"))).toOption
+    val fresh = applied.fold(firstPerUuid)(a =>
+      firstPerUuid.join(a, Seq("uuid"), "left_anti"))
+    val msg = graft.operators.Messages.decodeForFacts(fresh).persist()
+    graft.operators.Messages.pedidosFactFinal(
+        graft.operators.Messages.pedidosFactOf(msg))
+      .withColumn("dia", col("pedido_dia")) // J2 day partitioning, data intact
+      .write.mode("overwrite").partitionBy("dia")
+      .parquet(s"$pedidosDir/ingest_batch=$batchId")
+    graft.operators.Messages.itensFactFinal(
+        graft.operators.Messages.itensFactOf(msg))
+      .withColumn("dia", col("pedido_dia"))
+      .write.mode("overwrite").partitionBy("dia")
+      .parquet(s"$itensDir/ingest_batch=$batchId")
+    msg.unpersist()
+    ackOffsets(rows, root, topic, group)
+    rows.unpersist()
+    ()
+  }
+
+  /** The reference's 3.1 composition under the real engine, second leg:
+    * webhook → enrich → LOG → typed facts, as a Structured Streaming query
+    * whose `foreachBatch` runs [[factApplyBatch]] — day-partitioned fact
+    * parquet, exactly-once, with durable consumer-group commits. */
+  def factConsume(spark: SparkSession, root: String, topic: String,
+      group: String, pedidosDir: String, itensDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    logStream(spark, root, topic, maxFilesPerTrigger).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        factApplyBatch(b, id, pedidosDir, itensDir, root, topic, group)
       }
       .start()
 

@@ -811,6 +811,29 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.split("Exchange rangepartitioning").length - 1 == 1)
   }
 
+  test("message facts: the self-contained message makes both fact grains join- and shuffle-free") {
+    // plan over a materialized wire (what the log subscriber reads) so the
+    // producer fixture's joins don't obscure the claim: the fact BUILD is
+    // pure per-row array algebra — no join, no hash exchange, the final
+    // sort is the only exchange
+    val dir = java.nio.file.Files.createTempDirectory("wire").toString
+    operators.Messages.syntheticMessages(spark, sfDir)
+      .write.mode("overwrite").parquet(dir)
+    val wire = spark.read.parquet(dir)
+    Seq(
+      operators.Messages.pedidosFactFinal(operators.Messages.pedidosFactOf(
+        operators.Messages.decodeForFacts(wire))).orderBy("pedido_id"),
+      operators.Messages.itensFactFinal(operators.Messages.itensFactOf(
+        operators.Messages.decodeForFacts(wire))).orderBy("pedido_id", "item_id")
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Join"), "fact build must be join-free:\n" + p.take(1200))
+      assert(p.split("Exchange hashpartitioning").length - 1 == 0,
+        "fact build must not shuffle:\n" + p.take(1200))
+      assert(p.split("Exchange rangepartitioning").length - 1 == 1)
+    }
+  }
+
   test("multimodal dispatch: mixed-mime payloads never shuffle — encode and per-mime decode fuse") {
     val p = plan(Multimodal.multimodalFeatures(spark, sfDir))
     assert(p.split("Exchange hashpartitioning").length - 1 == 0,

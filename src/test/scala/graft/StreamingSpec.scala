@@ -549,6 +549,70 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("fact subscriber under the ENGINE: typed facts from the log equal the batch build, across crash, restart, and resend") {
+    import graft.streaming.{EmbeddedLog, Streaming}
+    import graft.operators.Messages
+    val root = Files.createTempDirectory("graft_flog").toString
+    val wire = Messages.syntheticMessages(spark, sfDir)
+      .collect().map(_.getString(0))
+    assert(wire.length > 50)
+    val parts = wire.map(w => (Integer.toHexString(w.hashCode), w))
+      .groupBy(kv => math.floorMod(kv._1.hashCode, 2))
+    parts.foreach { case (p, recs) =>
+      recs.grouped(recs.length / 6 + 1)
+        .foreach(g => EmbeddedLog.append(root, "pedidos", p, g.toSeq))
+    }
+    val work = Files.createTempDirectory("graft_flog_out").toString
+    val (pedDir, itDir, ckpt) = (s"$work/pedidos", s"$work/itens", s"$work/ckpt")
+    // phase 1: crash AFTER the apply + group commit of batch 1, BEFORE the
+    // engine checkpoints it — that batch must be redelivered on restart and
+    // its ingest_batch overwrite must leave the sinks exactly-once
+    @volatile var crashes = 0
+    val q1 = Streaming.logStream(spark, root, "pedidos", Some(2)).writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streaming.factApplyBatch(b, id, pedDir, itDir, root, "pedidos", "facts")
+        if (id == 1 && crashes == 0) {
+          crashes += 1; throw new RuntimeException("injected crash")
+        }
+      }
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(crashes == 1, "the injected crash never fired")
+    // phase 2: restart over the SAME checkpoint; then a producer resend of
+    // a few originals plus another engine pass — absorbed by the anti-join
+    Streaming.factConsume(spark, root, "pedidos", "facts", pedDir, itDir,
+      ckpt, Some(2)).awaitTermination()
+    parts.foreach { case (p, recs) =>
+      EmbeddedLog.append(root, "pedidos", p,
+        recs.take(3).map { case (k, v) => (k + "_redo", v) }.toSeq)
+    }
+    Streaming.factConsume(spark, root, "pedidos", "facts", pedDir, itDir,
+      ckpt, Some(2)).awaitTermination()
+    // the streamed facts equal the BATCH build of the same channel, exactly
+    val streamedPed = spark.read.parquet(pedDir).drop("ingest_batch", "dia")
+    val batchPed = Messages.messagePedidosFact(spark, sfDir)
+    assert(streamedPed.count() == batchPed.count(),
+      s"pedidos exactly-once violated: ${streamedPed.count()} vs ${batchPed.count()}")
+    assert(streamedPed.exceptAll(batchPed).isEmpty &&
+      batchPed.exceptAll(streamedPed).isEmpty,
+      "streamed pedidos facts diverge from the batch build")
+    val streamedIt = spark.read.parquet(itDir).drop("ingest_batch", "dia")
+    val batchIt = Messages.messageItensFact(spark, sfDir)
+    assert(streamedIt.count() == batchIt.count(),
+      s"itens exactly-once violated: ${streamedIt.count()} vs ${batchIt.count()}")
+    assert(streamedIt.exceptAll(batchIt).isEmpty &&
+      batchIt.exceptAll(streamedIt).isEmpty,
+      "streamed itens facts diverge from the batch build")
+    (0 to 1).foreach { p =>
+      assert(EmbeddedLog.committed(root, "facts", "pedidos", p) ==
+        EmbeddedLog.end(root, "pedidos", p), s"partition $p not drained")
+    }
+  }
+
   test("embedded log: producer resend landing in the SAME micro-batch as the original is deduped") {
     import graft.streaming.{EmbeddedLog, Streaming}
     import graft.operators.Messages
