@@ -178,6 +178,7 @@ object SparkEntry {
     "multimodal_audio" -> ((s, dir) => Multimodal.multimodalAudio(tune(s), dir)),
     "lr_quality" -> ((s, dir) => CorpusOps.lrQuality(tune(s), dir)),
     "unigram_lm" -> ((s, dir) => TextOps.unigramLm(tune(s), dir)),
+    "unigram_soft" -> ((s, dir) => TextOps.unigramSoft(tune(s), dir)),
     "multimodal_video" -> ((s, dir) => Multimodal.multimodalVideo(tune(s), dir)),
     "unigram_encode" -> ((s, dir) => TextOps.unigramEncode(tune(s), dir)),
     "ann_ivfpq_res" -> ((s, dir) => Similarity.annIvfPqRes(tune(s), dir)),
@@ -384,6 +385,7 @@ object SparkEntry {
     "multimodal_audio" -> Multimodal.multimodalAudioSql,
     "lr_quality" -> CorpusOps.lrQualitySql(),
     "unigram_lm" -> TextOps.unigramLmSql(),
+    "unigram_soft" -> TextOps.unigramSoftSql(),
     "multimodal_video" -> Multimodal.multimodalVideoSql,
     "unigram_encode" -> TextOps.unigramEncodeSql(),
     "ann_ivfpq_res" -> Similarity.annIvfPqResSql(),

@@ -1746,29 +1746,37 @@ object TextOps {
     * SELECT), piece scores come from a map built off the round's vocab
     * CTE, and every round's counts are recomputed from the previous
     * round's segmentations — the EM replayed from first principles. */
+  // Shared relational-DP generators for the hard- and soft-EM oracles.
+  // One physical line per candidate: an embedded line beginning with
+  // '||' would lose a pipe to the OUTER template's stripMargin.
+  private def vitCand(i: Int, j: Int): String = {
+    val p = s"substr(word, ${i + 1}, ${j - i})"
+    s"CASE WHEN length($p) = ${j - i} THEN " +
+      s"lpad(CAST(CAST(substr(b$i, 1, 10) AS BIGINT) - " +
+      s"list_extract(map_extract(m, $p), 1) AS VARCHAR), 10, '0') " +
+      s"|| '|' || (CASE WHEN substr(b$i, 12) = '' THEN $p " +
+      s"ELSE substr(b$i, 12) || ' ' || $p END) END"
+  }
+
+  // one CTE per DP position: lateral column aliases are expanded by
+  // SUBSTITUTION (b16 would inline b15 four times, 4^16 nodes); a CTE
+  // chain materializes each column once, like the wordpiece unroll
+  private def vitDpChain(tag: String, maxLen: Int, pieceMax: Int): String =
+    (1 to maxLen).map { j =>
+      val cs = (math.max(0, j - pieceMax) until j).map(i => vitCand(i, j))
+      val body = if (cs.size == 1) cs.head else s"least(${cs.mkString(",\n")})"
+      val src = if (j == 1) s"dp${tag}_0" else s"dp${tag}_${j - 1}"
+      s"dp${tag}_$j AS (SELECT *, $body AS b$j FROM $src)"
+    }.mkString(",\n")
+
+  private def vitBestCase(maxLen: Int): String =
+    s"CASE length(word) " +
+      (1 to maxLen).map(j => s"WHEN $j THEN b$j").mkString(" ") + " END"
+
   def unigramLmSql(rounds: Int = 2, multiCap: Int = 200, maxLen: Int = 16,
       pieceMax: Int = 4): String = {
-    // one physical line per candidate: an embedded line beginning with
-    // '||' would lose a pipe to the OUTER template's stripMargin
-    def cand(i: Int, j: Int): String = {
-      val p = s"substr(word, ${i + 1}, ${j - i})"
-      s"CASE WHEN length($p) = ${j - i} THEN " +
-        s"lpad(CAST(CAST(substr(b$i, 1, 10) AS BIGINT) - " +
-        s"list_extract(map_extract(m, $p), 1) AS VARCHAR), 10, '0') " +
-        s"|| '|' || (CASE WHEN substr(b$i, 12) = '' THEN $p " +
-        s"ELSE substr(b$i, 12) || ' ' || $p END) END"
-    }
-    // one CTE per DP position: lateral column aliases are expanded by
-    // SUBSTITUTION (b16 would inline b15 four times, 4^16 nodes); a CTE
-    // chain materializes each column once, like the wordpiece unroll
-    def dpChain(r: Int): String = (1 to maxLen).map { j =>
-      val cs = (math.max(0, j - pieceMax) until j).map(i => cand(i, j))
-      val body = if (cs.size == 1) cs.head else s"least(${cs.mkString(",\n")})"
-      val src = if (j == 1) s"dp${r}_0" else s"dp${r}_${j - 1}"
-      s"dp${r}_$j AS (SELECT *, $body AS b$j FROM $src)"
-    }.mkString(",\n")
-    val bestCase = s"CASE length(word) " +
-      (1 to maxLen).map(j => s"WHEN $j THEN b$j").mkString(" ") + " END"
+    def dpChain(r: Int): String = vitDpChain(r.toString, maxLen, pieceMax)
+    val bestCase = vitBestCase(maxLen)
     // round r uses cnt{r} → voc{r}/sc{r}/m{r} → dp{r}/bb{r} → cnt{r+1}
     def round(r: Int): String =
       s"""voc$r AS (
@@ -1818,6 +1826,264 @@ object TextOps {
        |  CAST(len(string_split(substr(best, 12), ' ')) AS BIGINT) AS n_pieces,
        |  CAST(substr(best, 1, 10) AS BIGINT) - 1000000000 AS nll
        |FROM bb${rounds + 1}
+       |UNION ALL
+       |SELECT word, freq, '[UNK]', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+       |FROM wc WHERE length(word) > $maxLen
+       |ORDER BY word""".stripMargin
+  }
+
+  // ---- Soft-EM (forward-backward) unigram training -----------------------
+
+  /** The soft E-step over the corpus: every distinct word's lattice
+    * expected counts from the [[graft.plans.LatticeCounts]] kernel (8th
+    * custom expression), freq-weighted into corpus piece counts with
+    * exact integer arithmetic (the kernel grid-rounds each word's
+    * contribution, so the aggregate is order-free). Piece grain ⊆ the
+    * current model — driver-bounded. */
+  private[graft] def unigramSoftCounts(wt: DataFrame,
+      scores: Map[String, Long]): DataFrame = {
+    val ps = scores.keys.toSeq.sorted
+    wt.select(col("freq"),
+        explode(split(call_function("lattice_counts", col("word"),
+          typedlit(ps), typedlit(ps.map(scores))), " ")).as("kv"))
+      .select(col("freq"),
+        expr("substring(kv, instr(kv, ':') + 1)").as("piece"),
+        substring_index(col("kv"), ":", 1).cast("long").as("eg"))
+      .groupBy("piece").agg(sum(col("freq") * col("eg")).as("cnt"))
+  }
+
+  /** The soft M-step with SentencePiece's LIKELIHOOD-LOSS pruning rule:
+    * score every candidate from its expected count (char floor = one
+    * grid unit, coverage guarantee), rank multi-char pieces by the
+    * likelihood lost if the piece were removed — its expected count ×
+    * (its score − the score of its character fallback, the guaranteed
+    * alternative segmentation; SentencePiece §3.2's loss with the
+    * char-path lower bound as the alternative) — keep the top `multiCap`
+    * plus every character, and re-score over the kept set. All exact
+    * integer/BigInt arithmetic except the two lns per piece at vocab
+    * grain (cross-engine ln parity contract); the oracle replays the
+    * same ranking in HUGEINT. */
+  private[graft] def unigramSoftScores(counts: Map[String, Long],
+      charSet: Seq[String], multiCap: Int): Map[String, Long] = {
+    val floored: Map[String, Long] =
+      counts.filter { case (p, c) => p.length > 1 && c > 0L } ++
+        charSet.map(c => c -> math.max(1000000L, counts.getOrElse(c, 0L))).toMap
+    def sc(c: Long, t: Long): Long =
+      math.floor((math.log(c.toDouble) - math.log(t.toDouble)) * 1e6 + 0.5).toLong
+    val t0 = floored.values.sum
+    val pre = floored.map { case (p, c) => p -> sc(c, t0) }
+    val keptMulti = floored.collect { case (p, c) if p.length > 1 =>
+      p -> BigInt(c) * BigInt(pre(p) - p.map(ch => pre(ch.toString)).sum)
+    }.toSeq
+      .sortBy { case (p, l) => (l, p) }(
+        Ordering.Tuple2(Ordering[BigInt].reverse, Ordering[String]))
+      .take(multiCap).map(_._1).toSet
+    val kept = floored.filter { case (p, _) => p.length == 1 || keptMulti(p) }
+    val t = kept.values.sum
+    kept.map { case (p, c) => p -> sc(c, t) }
+  }
+
+  /** `rounds` rounds of SOFT EM from the same substring-frequency seed
+    * the hard trainer uses: E-step = lattice expected counts
+    * (forward-backward), M-step = loss-pruned re-scoring. */
+  private[graft] def unigramSoftTrain(wt: DataFrame, rounds: Int = 2,
+      multiCap: Int = 200, pieceMax: Int = 4): Map[String, Long] = {
+    val subs = unigramSubs(wt, pieceMax)
+    val charSet = subs.filter(col("l") === 1).select("piece").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    var scores = unigramScores(
+      subs.groupBy("piece").agg(sum("freq").as("cnt")), charSet, multiCap)
+    for (_ <- 1 to rounds) {
+      val counts = unigramSoftCounts(wt, scores)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      scores = unigramSoftScores(counts, charSet, multiCap)
+    }
+    scores
+  }
+
+  /** Unigram-LM training with SOFT (forward-backward) EM — SentencePiece
+    * proper's E-step, where [[unigramLm]] runs the recognized hard-EM
+    * (Viterbi) variant: each round counts every piece's EXPECTED usage
+    * over all segmentations of every word (the [[graft.plans.LatticeCounts]]
+    * kernel), and the M-step prunes by likelihood loss instead of raw
+    * count. Decoding is Viterbi under the soft-trained scores (also
+    * SentencePiece's inference rule), so the output shape matches
+    * [[unigramLm]] exactly and the two variants are directly comparable.
+    *
+    * Spark-first shape: identical to the hard trainer — one corpus
+    * word-count aggregate, then every EM round is one vocabulary-grain
+    * kernel map plus one piece-grain aggregate with the model riding as
+    * foldable literals; corpus text never shuffles. Determinism: the
+    * kernel's IEEE fold order and libm-free ê surrogate are replayed by
+    * the oracle's unrolled CTE chains ([[unigramSoftSql]]), and
+    * everything that crosses rows is grid-rounded LONG / HUGEINT. */
+  def unigramSoft(spark: SparkSession, sfDir: String, rounds: Int = 2,
+      multiCap: Int = 200, maxLen: Int = 16, pieceMax: Int = 4): DataFrame = {
+    val wt = unigramWordTable(spark, sfDir)
+    val short = wt.filter(length(col("word")) <= maxLen)
+    val scores = unigramSoftTrain(short, rounds, multiCap, pieceMax)
+    val seg = unigramViterbi(short, scores, maxLen, pieceMax)
+      .select(col("word"), col("freq"),
+        expr("substring(best, 12)").as("pieces"),
+        size(split(expr("substring(best, 12)"), " ")).cast("long").as("n_pieces"),
+        (expr("substring(best, 1, 10)").cast("long") - lit(1000000000L)).as("nll"))
+    val unk = wt.filter(length(col("word")) > maxLen)
+      .select(col("word"), col("freq"), lit("[UNK]").as("pieces"),
+        lit(1L).as("n_pieces"), lit(0L).as("nll"))
+    seg.unionByName(unk).orderBy("word")
+  }
+
+  /** The soft-EM trainer replayed relationally from first principles:
+    * the ê surrogate as twenty squaring CTEs at piece grain, the
+    * forward/backward lattice folds as per-position CTE chains whose
+    * term order and association mirror the kernel exactly, occurrence
+    * posteriors grid-rounded before the order-free corpus aggregate, the
+    * loss prune in HUGEINT, and the final Viterbi decode on the shared
+    * DP chain. */
+  def unigramSoftSql(rounds: Int = 2, multiCap: Int = 200, maxLen: Int = 16,
+      pieceMax: Int = 4): String = {
+    def look(mapCol: String, piece: String): String =
+      s"list_extract(map_extract($mapCol, $piece), 1)"
+    // ê: x0 = 1 + ((s/1e6)/2^20), then twenty squaring CTEs (lateral
+    // aliases substitute — 2^20 nodes — so each squaring materializes)
+    def phChain(r: Int): String = {
+      val x0 = s"ph${r}_0 AS (SELECT piece, " +
+        s"1.0 + ((CAST(s AS DOUBLE) / 1000000.0) / 1048576.0) AS x FROM sc$r)"
+      val sq = (1 to 20).map(k =>
+        s"ph${r}_$k AS (SELECT piece, x * x AS x FROM ph${r}_${k - 1})")
+      (x0 +: sq).mkString(",\n")
+    }
+    // forward fold: a_j = Σ ascending-i of a_i·p̂(w[i,j)) — missing
+    // pieces contribute +0.0, which IEEE leaves bit-identical
+    def fwChain(r: Int): String = (1 to maxLen).map { j =>
+      val ts = (math.max(0, j - pieceMax) until j).map { i =>
+        val p = s"substr(word, ${i + 1}, ${j - i})"
+        s"COALESCE(CASE WHEN length($p) = ${j - i} THEN " +
+          s"a$i * ${look("mp", p)} END, 0.0)"
+      }
+      val src = if (j == 1) s"fw${r}_0" else s"fw${r}_${j - 1}"
+      s"fw${r}_$j AS (SELECT *, ${ts.mkString("\n + ")} AS a$j FROM $src)"
+    }.mkString(",\n")
+    // backward fold in distance-from-end coordinates: g_d = Σ ascending-l
+    // of p̂(w[len-d, len-d+l))·g_{d-l}
+    def bwChain(r: Int): String = (1 to maxLen).map { d =>
+      val ts = (1 to math.min(pieceMax, d)).map { l =>
+        val p = s"substr(word, length(word) - $d + 1, $l)"
+        s"COALESCE(CASE WHEN length(word) >= $d AND length($p) = $l THEN " +
+          s"${look("mp", p)} * g${d - l} END, 0.0)"
+      }
+      val src = if (d == 1) s"bw${r}_0" else s"bw${r}_${d - 1}"
+      s"bw${r}_$d AS (SELECT *, ${ts.mkString("\n + ")} AS g$d FROM $src)"
+    }.mkString(",\n")
+    val aCase = s"CASE CAST(i.i AS INT) " +
+      (0 until maxLen).map(i => s"WHEN $i THEN a$i").mkString(" ") + " END"
+    val gCase = s"CASE CAST(length(word) - (i.i + l.l) AS INT) " +
+      (0 to maxLen).map(d => s"WHEN $d THEN g$d").mkString(" ") + " END"
+    val zCase = s"CASE length(word) " +
+      (1 to maxLen).map(j => s"WHEN $j THEN a$j").mkString(" ") + " END"
+    // one soft round: model sc{r} → lattice → expected counts cntS{r+1}
+    def lattice(r: Int): String =
+      s"""${phChain(r)},
+         |mp$r AS (SELECT map(list(piece ORDER BY piece),
+         |  list(x ORDER BY piece)) AS mp FROM ph${r}_20),
+         |fw${r}_0 AS (
+         |  SELECT word, freq, mp, CAST(1.0 AS DOUBLE) AS a0
+         |  FROM ws CROSS JOIN mp$r),
+         |${fwChain(r)},
+         |bw${r}_0 AS (SELECT *, CAST(1.0 AS DOUBLE) AS g0 FROM fw${r}_$maxLen),
+         |${bwChain(r)},
+         |oc$r AS (
+         |  SELECT word, freq,
+         |    substr(word, CAST(i.i + 1 AS INT), CAST(l.l AS INT)) AS piece,
+         |    $aCase AS ai,
+         |    $gCase AS gj,
+         |    $zCase AS z,
+         |    ${look("mp", "substr(word, CAST(i.i + 1 AS INT), CAST(l.l AS INT))")} AS ph
+         |  FROM bw${r}_$maxLen,
+         |    LATERAL (SELECT unnest(generate_series(0, length(word) - 1)) AS i) i,
+         |    LATERAL (SELECT unnest(generate_series(1,
+         |      least($pieceMax, length(word) - i.i))) AS l) l),
+         |cntS${r + 1} AS (
+         |  SELECT piece, CAST(SUM(freq *
+         |    CAST(floor(((ai * ph) * gj) / z * 1000000 + 0.5) AS BIGINT))
+         |    AS BIGINT) AS cnt
+         |  FROM oc$r WHERE ph IS NOT NULL GROUP BY 1)""".stripMargin
+    // loss prune + re-score: chars floored at one grid unit; multi ranked
+    // by HUGEINT likelihood loss vs the char-fallback path
+    def softScore(r: Int): String = {
+      val charSum = (1 to pieceMax).map { k =>
+        val term = look("mc", s"substr(p.piece, $k, 1)")
+        if (k == 1) term
+        else s"CASE WHEN length(p.piece) >= $k THEN $term ELSE 0 END"
+      }.mkString("\n + ")
+      s"""flo$r AS (
+         |  SELECT piece, cnt FROM cntS$r WHERE length(piece) > 1 AND cnt > 0
+         |  UNION ALL
+         |  SELECT c.piece, greatest(coalesce(k.cnt, 0), 1000000) AS cnt
+         |  FROM chars c LEFT JOIN cntS$r k ON c.piece = k.piece),
+         |pre$r AS (
+         |  SELECT piece, cnt, CAST(floor((ln(CAST(cnt AS DOUBLE))
+         |    - ln(CAST((SELECT SUM(cnt) FROM flo$r) AS DOUBLE)))
+         |    * 1000000 + 0.5) AS BIGINT) AS s0
+         |  FROM flo$r),
+         |mcc$r AS (SELECT map(list(piece ORDER BY piece),
+         |  list(s0 ORDER BY piece)) AS mc
+         |  FROM (SELECT piece, s0 FROM pre$r WHERE length(piece) = 1)),
+         |lo$r AS (
+         |  SELECT p.piece, p.cnt,
+         |    CAST(p.cnt AS HUGEINT) * (p.s0 - ($charSum)) AS loss
+         |  FROM pre$r p CROSS JOIN mcc$r WHERE length(p.piece) > 1),
+         |voc$r AS (
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt FROM lo$r ORDER BY loss DESC, piece LIMIT $multiCap)
+         |  UNION ALL
+         |  SELECT piece, cnt FROM flo$r WHERE length(piece) = 1),
+         |sc$r AS (
+         |  SELECT piece, CAST(floor((ln(CAST(cnt AS DOUBLE))
+         |    - ln(CAST((SELECT SUM(cnt) FROM voc$r) AS DOUBLE)))
+         |    * 1000000 + 0.5) AS BIGINT) AS s
+         |  FROM voc$r)""".stripMargin
+    }
+    val emRounds = (1 to rounds).map(r =>
+      lattice(r) + ",\n" + softScore(r + 1)).mkString(",\n")
+    s"""WITH wc AS (
+       |  SELECT word, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) >= 1 GROUP BY 1),
+       |ws AS (SELECT word, freq FROM wc WHERE length(word) <= $maxLen),
+       |subs AS (
+       |  SELECT substr(word, CAST(i.i AS INT), CAST(l.l AS INT)) AS piece,
+       |    CAST(l.l AS INT) AS l, freq
+       |  FROM ws,
+       |    LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) i,
+       |    LATERAL (SELECT unnest(generate_series(1,
+       |      least($pieceMax, length(word) - i.i + 1))) AS l) l),
+       |chars AS (SELECT DISTINCT piece FROM subs WHERE l = 1),
+       |cnt1 AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM subs GROUP BY 1),
+       |voc1 AS (
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM cnt1 WHERE length(piece) > 1
+       |    ORDER BY cnt DESC, piece LIMIT $multiCap)
+       |  UNION ALL
+       |  SELECT c.piece, greatest(coalesce(k.cnt, 0), 1) AS cnt
+       |  FROM chars c LEFT JOIN cnt1 k ON c.piece = k.piece),
+       |sc1 AS (
+       |  SELECT piece, CAST(floor((ln(CAST(cnt AS DOUBLE))
+       |    - ln(CAST((SELECT SUM(cnt) FROM voc1) AS DOUBLE)))
+       |    * 1000000 + 0.5) AS BIGINT) AS s
+       |  FROM voc1),
+       |$emRounds,
+       |mF AS (SELECT map(list(piece ORDER BY piece),
+       |  list(s ORDER BY piece)) AS m FROM sc${rounds + 1}),
+       |dpF_0 AS (
+       |  SELECT word, freq, m, '1000000000|' AS b0 FROM ws CROSS JOIN mF),
+       |${vitDpChain("F", maxLen, pieceMax)},
+       |bbF AS (SELECT word, freq, ${vitBestCase(maxLen)} AS best FROM dpF_$maxLen)
+       |SELECT word, freq, substr(best, 12) AS pieces,
+       |  CAST(len(string_split(substr(best, 12), ' ')) AS BIGINT) AS n_pieces,
+       |  CAST(substr(best, 1, 10) AS BIGINT) - 1000000000 AS nll
+       |FROM bbF
        |UNION ALL
        |SELECT word, freq, '[UNK]', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
        |FROM wc WHERE length(word) > $maxLen

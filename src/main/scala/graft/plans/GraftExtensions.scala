@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ViterbiBest(args(0), args(1), args(2))))
     ext.injectFunction((
+      FunctionIdentifier("lattice_counts"),
+      LatticeCounts.info,
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LatticeCounts(args(0), args(1), args(2))))
+    ext.injectFunction((
       FunctionIdentifier("opaque"),
       Opaque.info,
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

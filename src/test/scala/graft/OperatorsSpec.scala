@@ -268,6 +268,50 @@ class OperatorsSpec extends SparkSuite {
     assert(chars.forall(trained.contains), "a corpus char fell out of the vocab")
   }
 
+  test("unigram soft: expected counts are the exact forward-backward posteriors, fractional where hard-EM is all-or-nothing") {
+    import graft.plans.LatticeCounts
+    import spark.implicits._
+    // ambiguous word: 'ab' segments as [ab] or [a b]; the model scores
+    // make [ab] the Viterbi winner (2.5 < 1.0 + 2.0)
+    val scores = Map("a" -> -1000000L, "b" -> -2000000L, "ab" -> -2500000L)
+    val wt = Seq(("ab", 10L)).toDF("word", "freq")
+    val soft = TextOps.unigramSoftCounts(wt, scores).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hand forward-backward in the kernel's exact op order
+    val (pa, pb, pab) = (LatticeCounts.ehat(-1000000L),
+      LatticeCounts.ehat(-2000000L), LatticeCounts.ehat(-2500000L))
+    val a1 = 1.0 * pa
+    val z = 1.0 * pab + a1 * pb // fwd(2): ascending i — "ab" then "b"
+    def grid(e: Double) = math.floor(e * 1e6 + 0.5).toLong
+    assert(soft("ab") == 10L * grid(((1.0 * pab) * 1.0) / z))
+    assert(soft("a") == 10L * grid(((1.0 * pa) * (pb * 1.0)) / z))
+    assert(soft("b") == 10L * grid(((a1 * pb) * 1.0) / z))
+    // fractional posteriors: every piece used SOMEWHERE but nowhere fully
+    Seq("a", "b", "ab").foreach { p =>
+      assert(soft(p) > 0L && soft(p) < 10L * 1000000L,
+        s"'$p' expected count ${soft(p)} not fractional")
+    }
+    // hard-EM on the same word is all-or-nothing: Viterbi picks [ab], so
+    // 'a'/'b' get zero usage — the contrast soft EM exists to fix
+    val best = TextOps.unigramViterbi(wt, scores, 16, 4)
+      .collect().head.getString(2)
+    assert(best.endsWith("|ab"), s"expected [ab] Viterbi path, got $best")
+    // corpus-level: soft training converges to a model that differs from
+    // the hard-EM one (the E-steps count differently), yet still
+    // segments every word losslessly with full character coverage
+    val cwt = TextOps.unigramWordTable(spark, sfDir)
+      .filter(length(col("word")) <= 16)
+    val softModel = TextOps.unigramSoftTrain(cwt)
+    val hardModel = TextOps.unigramTrain(cwt)
+    assert(softModel != hardModel,
+      "soft and hard EM trained identical models — E-step not soft")
+    val rows = TextOps.unigramSoft(spark, sfDir).collect()
+    rows.filter(_.getString(2) != "[UNK]").foreach { r =>
+      assert(r.getString(2).split(" ").mkString("") == r.getString(0),
+        s"segmentation lost characters: '${r.getString(0)}'")
+    }
+  }
+
   test("lr rowwise scoring: the streaming shape equals the grouped path bit-for-bit") {
     val labeled = CorpusOps.lrLabeled(spark, sfDir)
     val w = CorpusOps.lrTrain(labeled)

@@ -797,6 +797,13 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("unigram soft: the emitted plan is join-free — the soft-trained model rides as a literal") {
+    val p = plan(operators.TextOps.unigramSoft(spark, sfDir))
+    assert(!p.contains("Join"),
+      "piece lookups must hit the vocab literal, not a join:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("multimodal video: GIF payloads never shuffle — the doc sort is the only exchange") {
     val p = plan(Multimodal.multimodalVideo(spark, sfDir))
     assert(p.split("Exchange hashpartitioning").length - 1 == 0,
