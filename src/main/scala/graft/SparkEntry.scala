@@ -135,6 +135,7 @@ object SparkEntry {
     "corpus_sample" -> ((s, dir) => Sampling.corpusSample(tune(s), dir)),
     "mix_temperature" -> ((s, dir) => Sampling.mixTemperature(tune(s), dir)),
     "domain_mix" -> ((s, dir) => Sampling.domainMix(tune(s), dir)),
+    "corpus_remix" -> ((s, dir) => Sampling.corpusRemix(tune(s), dir)),
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopk(tune(s), dir)),
     "tfidf_topk" -> ((s, dir) => TextOps.tfidfTopk(tune(s), dir)),
     "inverted_index" -> ((s, dir) => TextOps.invertedIndex(tune(s), dir)),
@@ -352,6 +353,7 @@ object SparkEntry {
     "corpus_sample" -> Sampling.corpusSampleSql,
     "mix_temperature" -> Sampling.mixTemperatureSql,
     "domain_mix" -> Sampling.domainMixSql(),
+    "corpus_remix" -> Sampling.corpusRemixSql(),
     "vocab_topk" -> TextOps.vocabTopkSql,
     "tfidf_topk" -> TextOps.tfidfTopkSql,
     "inverted_index" -> TextOps.invertedIndexSql(),

@@ -443,6 +443,61 @@ object Sampling {
   /** The K Group-DRO rounds unrolled as a CTE chain (the `lr_quality`
     * oracle pattern; each ê squaring is its OWN CTE because DuckDB
     * lateral aliases expand by substitution). Requires rounds ≥ 2. */
+  /** corpus_remix — APPLY the DoReMi-trained domain weights: emit the
+    * resampled corpus [[domainMix]] only plans. Each domain's
+    * `planned_docs` budget is realized EXACTLY by the deterministic
+    * hash-draw rank ([[sourceQuota]]'s rule — md5 draw, doc_id
+    * tie-break): every doc gets `planned div n_docs` full repetitions
+    * (epoch-style oversampling when a domain is upweighted past its
+    * size) and the first `planned mod n_docs` ranked docs get one more;
+    * docs beyond an undersampled domain's budget drop out (n_rep = 0).
+    * Σ n_rep per domain == planned_docs by construction — the spec and
+    * oracle pin it.
+    *
+    * Scale: one corpus scan; the rank window shuffles only slim
+    * (doc_id, source, u) rows — text never moves — and the k-row plan
+    * table broadcasts. Output is the manifest (doc_id, rank, n_rep), the
+    * [[shardManifest]] shape a 100 TB remix materializes from. */
+  def corpusRemix(spark: SparkSession, sfDir: String,
+      seed: String = "remix1"): DataFrame = {
+    val mixPlan = domainMix(spark, sfDir)
+      .select(col("source"), col("planned_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("u"), col("doc_id"))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), draw(seed).as("u"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n_docs", count(lit(1)).over(cw))
+      .join(broadcast(mixPlan), "source")
+      .withColumn("n_rep", expr("planned_docs div n_docs") +
+        when(col("rank") <= pmod(col("planned_docs"), col("n_docs")), lit(1L))
+          .otherwise(lit(0L)))
+      .filter(col("n_rep") > 0)
+      .select(col("doc_id"), col("source"), col("rank"), col("n_rep"))
+      .orderBy("doc_id")
+  }
+
+  def corpusRemixSql(seed: String = "remix1"): String =
+    s"""WITH mix AS (
+       |${domainMixSql()}
+       |),
+       |ranked AS (
+       |  SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+       |      CAST(('0x' || substr(md5('${seed}_' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+       |      doc_id) AS BIGINT) AS rank,
+       |    count(*) OVER (PARTITION BY source) AS n_docs
+       |  FROM documents),
+       |rep AS (
+       |  SELECT r.doc_id, r.source, r.rank,
+       |    CAST(m.planned_docs // r.n_docs
+       |      + CASE WHEN r.rank <= m.planned_docs % r.n_docs
+       |             THEN 1 ELSE 0 END AS BIGINT) AS n_rep
+       |  FROM ranked r JOIN mix m USING (source))
+       |SELECT doc_id, source, rank, n_rep FROM rep
+       |WHERE n_rep > 0 ORDER BY doc_id""".stripMargin
+
   def domainMixSql(rounds: Int = 4): String = {
     def expChain(t: Int): String = {
       val t0 = s"e${t}0 AS (SELECT source, ld, w, 1.0 + u / 1024.0 AS t FROM u$t)"

@@ -268,6 +268,36 @@ class OperatorsSpec extends SparkSuite {
     assert(chars.forall(trained.contains), "a corpus char fell out of the vocab")
   }
 
+  test("corpus remix: realized per-domain repetitions equal planned_docs exactly") {
+    val planned = Sampling.domainMix(spark, sfDir)
+      .select("source", "planned_docs").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val remix = Sampling.corpusRemix(spark, sfDir).cache()
+    val realized = remix.groupBy("source").agg(sum("n_rep").as("got"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    planned.foreach { case (src, p) =>
+      assert(realized.getOrElse(src, 0L) == p,
+        s"domain $src: realized ${realized.getOrElse(src, 0L)} != planned $p")
+    }
+    // the draw is a permutation rank within each domain: ranks are dense
+    // from 1, and every emitted doc repeats at least once
+    assert(remix.filter(col("n_rep") < 1).count() == 0)
+    val headRanks = remix.filter(col("rank") === 1)
+      .select("source").distinct().count()
+    assert(headRanks == realized.size, "a domain lost its rank-1 doc")
+    // DoReMi upweights at least one domain past its size at this fixture:
+    // epoch-style oversampling must appear (n_rep >= 2 somewhere) whenever
+    // some planned budget exceeds the domain's doc count
+    val nDocs = Tables.documents(spark, sfDir).groupBy("source")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (planned.exists { case (s, p) => p > nDocs(s) })
+      assert(remix.filter(col("n_rep") >= 2).count() > 0,
+        "an oversampled domain emitted no repeated docs")
+    remix.unpersist()
+    ()
+  }
+
   test("unigram soft: expected counts are the exact forward-backward posteriors, fractional where hard-EM is all-or-nothing") {
     import graft.plans.LatticeCounts
     import spark.implicits._
