@@ -231,6 +231,7 @@ object SparkEntry {
     // classifier-cutoff calibration: survival curve over 101 score buckets
     "quality_threshold_sweep" -> ((s, dir) => CorpusOps.qualityThresholdSweep(tune(s), dir)),
     "pii_scrub" -> ((s, dir) => CorpusOps.piiScrub(tune(s), dir)),
+    "html_extract" -> ((s, dir) => CorpusOps.htmlExtract(tune(s), dir)),
     "seq_pack" -> ((s, dir) => CorpusOps.seqPack(tune(s), dir)),
     "rep_ngrams" -> ((s, dir) => CorpusOps.repNgrams(tune(s), dir)),
     "bm25_score" -> ((s, dir) => CorpusOps.bm25Score(tune(s), dir)),
@@ -422,6 +423,7 @@ object SparkEntry {
     "quality_filter" -> CorpusOps.qualityFilterSql,
     "quality_threshold_sweep" -> CorpusOps.qualityThresholdSweepSql,
     "pii_scrub" -> CorpusOps.piiScrubSql,
+    "html_extract" -> CorpusOps.htmlExtractSql,
     "seq_pack" -> CorpusOps.seqPackSql(),
     "rep_ngrams" -> CorpusOps.repNgramsSql,
     "bm25_score" -> CorpusOps.bm25ScoreSql,

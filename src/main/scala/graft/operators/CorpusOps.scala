@@ -350,6 +350,108 @@ object CorpusOps {
       |    '\+[0-9][0-9\-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** HTML boilerplate extraction — the jusText/trafilatura curation stage
+    * (tag-strip + main-content-by-text-density), the one common LLM
+    * corpus-prep step with no representative until now. Each document is
+    * wrapped in a deterministic HTML page (head/style/title, a link-heavy
+    * nav, a short promo div, the text as two paragraph blocks, a footer
+    * with a link — the [[piiScrub]] injected-fixture pattern), then the
+    * extractor recovers the main content with a pure expression chain:
+    * drop `<style>`/`<title>` subtrees, split on block-level tags, strip
+    * inline tags per block, and classify a block GOOD iff its text is
+    * long (≥ 40 chars) and link-free — the jusText rule with length
+    * standing in for stopword density (the fixture corpus has no natural
+    * stopword list). Emits per doc: block counts, extracted length,
+    * dropped-boilerplate length, and the extracted text itself.
+    *
+    * Spark-first shape: the whole pipeline is codegen'd array lambdas
+    * (`split` → `filter` → `transform` → `array_join`) — one narrow
+    * doc-grain map, NO explode/shuffle; block order is array order so the
+    * extraction is deterministic and the DuckDB oracle replays the same
+    * list pipeline (Java∩RE2-portable regexes only). */
+  def htmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>.m{color:#333}</style></head><body>"),
+      lit("""<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>"""),
+      lit("""<div class="promo">Subscribe now! Limited offer!</div>"""),
+      lit("<p>"), expr("substring(text, 1, cast(length(text) div 2 as int))"),
+      lit("</p><p>"), expr("substring(text, cast(length(text) div 2 as int) + 1)"),
+      lit("</p>"),
+      lit("""<footer>Copyright 2024 Example Corp - <a href="/tos">Terms</a></footer></body></html>"""))
+    val noHead = regexp_replace(
+      regexp_replace(html, "<title[^>]*>[^<]*</title>", " "),
+      "<style[^>]*>[^<]*</style>", " ")
+    val blockRe = "</?(?:html|head|body|nav|p|div|footer)[^>]*>"
+    def stripped(b: Column): Column =
+      trim(regexp_replace(b, "<[^>]*>", ""))
+    val nonEmpty = filter(split(noHead, blockRe),
+      b => length(stripped(b)) > 0)
+    val good = filter(nonEmpty, b =>
+      length(stripped(b)) >= 40 && !b.contains("<a "))
+    val boiler = filter(nonEmpty, b =>
+      length(stripped(b)) < 40 || b.contains("<a "))
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(nonEmpty).cast("long").as("n_blocks"),
+      size(good).cast("long").as("n_good"),
+      array_join(transform(good, stripped _), " ").as("extracted"),
+      length(array_join(transform(good, stripped _), " ")).cast("long")
+        .as("extracted_len"),
+      aggregate(transform(boiler, b => length(stripped(b)).cast("long")),
+        lit(0L), (a, x) => a + x).as("boiler_len"))
+      .orderBy("doc_id")
+  }
+
+  val htmlExtractSql: String =
+    """WITH page AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+      |    || '</title><style>.m{color:#333}</style></head><body>'
+      |    || '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>'
+      |    || '<div class="promo">Subscribe now! Limited offer!</div>'
+      |    || '<p>' || substr(text, 1, CAST(length(text) // 2 AS INT))
+      |    || '</p><p>' || substr(text, CAST(length(text) // 2 AS INT) + 1)
+      |    || '</p>'
+      |    || '<footer>Copyright 2024 Example Corp - <a href="/tos">Terms</a></footer></body></html>'
+      |      AS html
+      |  FROM documents),
+      |cleaned AS (
+      |  SELECT doc_id, regexp_replace(
+      |    regexp_replace(html, '<title[^>]*>[^<]*</title>', ' ', 'g'),
+      |    '<style[^>]*>[^<]*</style>', ' ', 'g') AS html
+      |  FROM page),
+      |blk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(html,
+      |      '</?(?:html|head|body|nav|p|div|footer)[^>]*>'),
+      |      b -> length(trim(regexp_replace(b, '<[^>]*>', '', 'g'))) > 0)
+      |      AS blocks
+      |  FROM cleaned),
+      |cls AS (
+      |  SELECT doc_id, blocks,
+      |    list_filter(blocks, b ->
+      |      length(trim(regexp_replace(b, '<[^>]*>', '', 'g'))) >= 40
+      |      AND NOT contains(b, '<a ')) AS good,
+      |    list_filter(blocks, b ->
+      |      length(trim(regexp_replace(b, '<[^>]*>', '', 'g'))) < 40
+      |      OR contains(b, '<a ')) AS boiler
+      |  FROM blk)
+      |SELECT doc_id,
+      |  CAST(len(blocks) AS BIGINT) AS n_blocks,
+      |  CAST(len(good) AS BIGINT) AS n_good,
+      |  -- DuckDB array_to_string of an EMPTY list is NULL where Spark's
+      |  -- array_join is '' — coalesce both derived columns
+      |  coalesce(array_to_string(list_transform(good,
+      |    b -> trim(regexp_replace(b, '<[^>]*>', '', 'g'))), ' '), '') AS extracted,
+      |  CAST(coalesce(length(array_to_string(list_transform(good,
+      |    b -> trim(regexp_replace(b, '<[^>]*>', '', 'g'))), ' ')), 0) AS BIGINT)
+      |    AS extracted_len,
+      |  CAST(coalesce(list_sum(list_transform(boiler,
+      |    b -> length(trim(regexp_replace(b, '<[^>]*>', '', 'g'))))), 0)
+      |    AS BIGINT) AS boiler_len
+      |FROM cls ORDER BY doc_id""".stripMargin
+
   /** Sequence packing — assign documents to fixed token-budget packs
     * (concat-and-chunk: a running token total per source; a document's pack
     * is the budget-chunk its first token lands in). The final corpus-prep

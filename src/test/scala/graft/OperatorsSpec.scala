@@ -268,6 +268,38 @@ class OperatorsSpec extends SparkSuite {
     assert(chars.forall(trained.contains), "a corpus char fell out of the vocab")
   }
 
+  test("html extract: boilerplate drops, main content survives tag-stripping intact") {
+    val res = CorpusOps.htmlExtract(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    res.collect().foreach { r =>
+      val (id, nBlocks, nGood, extracted) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      // the page always has 5 non-empty blocks: nav, promo, 2 paragraphs,
+      // footer (a paragraph can be empty only for degenerate short text)
+      assert(nBlocks >= 3 && nBlocks <= 5, s"doc $id: $nBlocks blocks")
+      assert(nGood <= 2, s"doc $id: boilerplate leaked into good blocks")
+      // no boilerplate strings in the extraction, ever
+      Seq("Home", "Subscribe now", "Copyright", "<").foreach(t =>
+        assert(!extracted.contains(t), s"doc $id: '$t' leaked"))
+      // good blocks are the two text halves: their concatenation (modulo
+      // the mid-split whitespace seam) reconstructs the original text
+      if (nGood == 2) {
+        val txt = docs(id)
+        val half = txt.length / 2
+        val expected = (txt.substring(0, half).trim + " " +
+          txt.substring(half).trim).trim
+        assert(extracted == expected,
+          s"doc $id: extraction mangled the content")
+      }
+      assert(r.getLong(4) == extracted.length.toLong)
+      assert(r.getLong(5) > 0L, s"doc $id: no boilerplate measured")
+    }
+    res.unpersist()
+    ()
+  }
+
   test("corpus remix: realized per-domain repetitions equal planned_docs exactly") {
     val planned = Sampling.domainMix(spark, sfDir)
       .select("source", "planned_docs").collect()
