@@ -183,6 +183,7 @@ object SparkEntry {
     "multimodal_video" -> ((s, dir) => Multimodal.multimodalVideo(tune(s), dir)),
     "unigram_encode" -> ((s, dir) => TextOps.unigramEncode(tune(s), dir)),
     "ann_ivfpq_res" -> ((s, dir) => Similarity.annIvfPqRes(tune(s), dir)),
+    "ann_nndescent" -> ((s, dir) => Similarity.annNndescent(tune(s), dir)),
     "dsir_weights" -> ((s, dir) => TextOps.dsirWeights(tune(s), dir)),
     "ppl_buckets" -> ((s, dir) => TextOps.pplBuckets(tune(s), dir)),
     "wordpiece_encode" -> ((s, dir) => TextOps.wordpieceEncode(tune(s), dir)),
@@ -232,6 +233,7 @@ object SparkEntry {
     "quality_threshold_sweep" -> ((s, dir) => CorpusOps.qualityThresholdSweep(tune(s), dir)),
     "pii_scrub" -> ((s, dir) => CorpusOps.piiScrub(tune(s), dir)),
     "html_extract" -> ((s, dir) => CorpusOps.htmlExtract(tune(s), dir)),
+    "url_dedup" -> ((s, dir) => CorpusOps.urlDedup(tune(s), dir)),
     "seq_pack" -> ((s, dir) => CorpusOps.seqPack(tune(s), dir)),
     "rep_ngrams" -> ((s, dir) => CorpusOps.repNgrams(tune(s), dir)),
     "bm25_score" -> ((s, dir) => CorpusOps.bm25Score(tune(s), dir)),
@@ -392,6 +394,7 @@ object SparkEntry {
     "multimodal_video" -> Multimodal.multimodalVideoSql,
     "unigram_encode" -> TextOps.unigramEncodeSql(),
     "ann_ivfpq_res" -> Similarity.annIvfPqResSql(),
+    "ann_nndescent" -> Similarity.annNndescentSql(),
     "dsir_weights" -> TextOps.dsirWeightsSql(),
     "ppl_buckets" -> TextOps.pplBucketsSql,
     "wordpiece_encode" -> TextOps.wordpieceEncodeSql(),
@@ -424,6 +427,7 @@ object SparkEntry {
     "quality_threshold_sweep" -> CorpusOps.qualityThresholdSweepSql,
     "pii_scrub" -> CorpusOps.piiScrubSql,
     "html_extract" -> CorpusOps.htmlExtractSql,
+    "url_dedup" -> CorpusOps.urlDedupSql,
     "seq_pack" -> CorpusOps.seqPackSql(),
     "rep_ngrams" -> CorpusOps.repNgramsSql,
     "bm25_score" -> CorpusOps.bm25ScoreSql,

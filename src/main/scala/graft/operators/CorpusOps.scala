@@ -350,6 +350,123 @@ object CorpusOps {
       |    '\+[0-9][0-9\-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** URL canonicalization + dedup — the C4/CCNet curation stage that runs
+    * BEFORE any text is fetched: collapse crawl-frontier URL variants
+    * (scheme/host case, `www.` prefix, default ports, duplicate slashes,
+    * trailing slash, fragments, tracking parameters, query-parameter
+    * order) to one canonical form and keep one document per canonical URL.
+    * The fixture corpus carries no URL column, so (the [[piiScrub]]
+    * injected-fixture pattern) a deterministic raw URL is synthesized per
+    * document, exercising every rule: mixed-case scheme/host, optional
+    * `WWW.`, explicit default vs non-default ports, `//` runs, optional
+    * trailing slash, tracking params in two different orders, fragments.
+    *
+    * Spark-first shape: the whole normalization is one narrow codegen'd
+    * expression chain (regexp_extract / split / filter / array_sort /
+    * array_join) — no explode; the dedup is a hash groupBy on the
+    * canonical string (map-side combine, slim rows — at 100 TB this is
+    * the cheapest shuffle in the pipeline because only URLs move, never
+    * text). Keeper = min doc_id, the deterministic first-crawled rule.
+    * Every regex stays in the Java∩RE2 intersection so the DuckDB oracle
+    * replays the identical chain. */
+  def urlDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = col("doc_id")
+    val raw = concat(
+      when(d % 2 === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
+      when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"),
+      when(d % 3 === 0, lit(".Example.COM")).otherwise(lit(".example.com")),
+      when(d % 4 === 0,
+        when(d % 2 === 0, lit(":443")).otherwise(lit(":80")))
+        .otherwise(when(d % 4 === 1, lit(":8080")).otherwise(lit(""))),
+      lit("/Articles//item-"), (d % 50).cast("string"),
+      when(d % 5 === 0, lit("/")).otherwise(lit("")),
+      when(d % 2 === 0,
+        concat(lit("?utm_source=feed&page=2&id="), (d % 25).cast("string")))
+        .otherwise(concat(lit("?id="), (d % 25).cast("string"),
+          lit("&utm_campaign=x&page=2"))),
+      lit("#sec"), (d % 3).cast("string"))
+    val u = col("raw_url")
+    val scheme = lower(regexp_extract(u, "^([A-Za-z]+)://", 1))
+    val hostport = regexp_extract(u, "^[A-Za-z]+://([^/?#]+)", 1)
+    val host =
+      regexp_replace(lower(split_part(hostport, lit(":"), lit(1))),
+        "^www\\.", "")
+    val port = split_part(hostport, lit(":"), lit(2))
+    val portN = when(port === "" ||
+        (scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path0 = regexp_replace(regexp_replace(
+      regexp_extract(u, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+      "/{2,}", "/"), "/$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val kept = array_sort(filter(split(
+      regexp_extract(u, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" &&
+        !regexp_like(p, lit("^(utm_[a-z]+|ref|fbclid|gclid)="))))
+    val qpart = when(size(kept) > 0,
+      concat(lit("?"), array_join(kept, "&"))).otherwise(lit(""))
+    Tables.documents(spark, sfDir)
+      .select(d, raw.as("raw_url"))
+      .select(col("doc_id"), u,
+        concat(scheme, lit("://"), host, portN, path, qpart)
+          .as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("keeper_doc_id"),
+        min("raw_url").as("sample_raw"))
+      .orderBy("canonical_url")
+  }
+
+  val urlDedupSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
+      |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+      |    || source
+      |    || (CASE WHEN doc_id % 3 = 0 THEN '.Example.COM' ELSE '.example.com' END)
+      |    || (CASE WHEN doc_id % 4 = 0 THEN
+      |          (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+      |        WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+      |    || '/Articles//item-' || CAST(doc_id % 50 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+      |    || (CASE WHEN doc_id % 2 = 0
+      |        THEN '?utm_source=feed&page=2&id=' || CAST(doc_id % 25 AS VARCHAR)
+      |        ELSE '?id=' || CAST(doc_id % 25 AS VARCHAR) || '&utm_campaign=x&page=2' END)
+      |    || '#sec' || CAST(doc_id % 3 AS VARCHAR) AS raw_url
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, raw_url,
+      |    lower(regexp_extract(raw_url, '^([A-Za-z]+)://', 1)) AS scheme,
+      |    regexp_replace(lower(split_part(
+      |      regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]+)', 1), ':', 1)),
+      |      '^www\.', '') AS host,
+      |    split_part(regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]+)', 1),
+      |      ':', 2) AS port,
+      |    regexp_replace(regexp_replace(
+      |      regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+      |      '/{2,}', '/', 'g'), '/$', '') AS path0,
+      |    list_sort(list_filter(string_split(
+      |      regexp_extract(raw_url, '\?([^#]*)', 1), '&'),
+      |      x -> x <> '' AND NOT regexp_matches(x,
+      |        '^(utm_[a-z]+|ref|fbclid|gclid)='))) AS kept
+      |  FROM u),
+      |c AS (
+      |  SELECT doc_id, raw_url,
+      |    scheme || '://' || host
+      |    || (CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+      |          OR (scheme = 'http' AND port = '80')
+      |        THEN '' ELSE ':' || port END)
+      |    || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+      |    || (CASE WHEN len(kept) > 0
+      |        THEN '?' || array_to_string(kept, '&') ELSE '' END)
+      |      AS canonical_url
+      |  FROM p)
+      |SELECT canonical_url, count(*) AS n_docs,
+      |  min(doc_id) AS keeper_doc_id, min(raw_url) AS sample_raw
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** HTML boilerplate extraction — the jusText/trafilatura curation stage
     * (tag-strip + main-content-by-text-density), the one common LLM
     * corpus-prep step with no representative until now. Each document is

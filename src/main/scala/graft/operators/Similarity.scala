@@ -1117,4 +1117,123 @@ object Similarity {
        |  cos, adc
        |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** NN-descent k-NN-graph construction (Dong et al., WWW 2011) — the
+    * build step of the graph-based ANN family (the HNSW/NSG lineage),
+    * complementing the IVF/PQ routing family above: start from an
+    * arbitrary k-NN guess and repeatedly improve it with the observation
+    * that a neighbor's neighbor is likely a neighbor. Each round takes the
+    * undirected current graph (edges + reversed edges), expands every
+    * 2-hop pair as a candidate, re-scores, and keeps each node's top-k —
+    * since the candidate set always CONTAINS the current edges, per-node
+    * neighborhood quality is monotonically non-decreasing (spec-checked).
+    *
+    * Spark-first scale shape: the init graph is FIXED-size id-range
+    * cliques (`vec_id div blockSize`) plus long-range stride links
+    * (`u → u + j·stride`, stride coprime with the block size), so the
+    * block count grows with the corpus, the init stays LINEAR in n
+    * (n·(blockSize+k) pairs), and — unlike cliques alone, which the
+    * 2-hop expansion can never leave — the init graph is CONNECTED, the
+    * property the classic random init provides (at 100 TB you'd seed
+    * with [[Dedup]]'s sign-LSH buckets; the descent loop is identical;
+    * the deterministic strides exist because the oracle must replay the
+    * exact graph, which `rand()` can't). Each
+    * round moves only slim (u, w) id pairs (≤ n·(k + 4k²) rows) through
+    * hash joins; vectors are fetched by two id-grain hash joins against
+    * the (id → vector) side — the standard distributed gather — and the
+    * per-node top-k is one window at node grain. Edges are
+    * `localCheckpoint`ed per round so the self-join and the next round
+    * read ONE materialization instead of re-executing the lineage tree.
+    *
+    * Determinism: cosine snaps to the 1e-4 grid ([[Exprs.r4]]) before the
+    * (cos DESC, w ASC) rank, so the DuckDB oracle replays the whole
+    * unrolled descent bit-exactly. */
+  def annNndescent(spark: SparkSession, sfDir: String, k: Int = 5,
+      blockSize: Int = 100, rounds: Int = 2, stride: Int = 137): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", norm(col("v")))
+    val w = Window.partitionBy("u").orderBy(col("cos").desc, col("w").asc)
+    def topk(pairs: DataFrame): DataFrame = pairs
+      .join(e.select(col("vec_id").as("u"), col("v").as("uv"),
+        col("n").as("un")), "u")
+      .join(e.select(col("vec_id").as("w"), col("v").as("wv"),
+        col("n").as("wn")), "w")
+      .select(col("u"), col("w"),
+        Exprs.r4(dot(col("uv"), col("wv")) / (col("un") * col("wn")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val blocks = e.select(floor(col("vec_id") / blockSize).cast("long")
+      .as("blk"), col("vec_id").as("u"))
+    val clique = blocks.as("a").join(blocks.as("b"), Seq("blk"))
+      .select(col("a.u").as("u"), col("b.u").as("w"))
+      .filter(col("u") =!= col("w"))
+    // long-range links: u → u + j·stride for j = 1..k, kept only where the
+    // target id exists (the id-grain semi-join is the whole cost — slim)
+    val strides = e.select(col("vec_id").as("u"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .select(col("u"), (col("u") + col("j") * stride).as("w"))
+      .join(e.select(col("vec_id").as("w")), Seq("w"), "left_semi")
+      .select("u", "w")
+    var edges = topk(clique.union(strides))
+    (1 to rounds).foreach { _ =>
+      // pin the previous round to ONE materialization: it is read three
+      // times below (two self-join arms + the candidate union), and the
+      // next round would otherwise re-execute the whole lineage tree
+      val cur = edges.localCheckpoint()
+      val und = cur.select("u", "w")
+        .union(cur.select(col("w").as("u"), col("u").as("w")))
+      val cand = und.as("x").join(und.as("y"), col("x.w") === col("y.u"))
+        .select(col("x.u").as("u"), col("y.w").as("w"))
+        .filter(col("u") =!= col("w"))
+      edges = topk(cur.select("u", "w").union(cand).distinct())
+    }
+    edges.select(col("u").as("vec_id"), col("rank").cast("long").as("rank"),
+      col("w").as("neighbor_id"), col("cos"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Oracle for [[annNndescent]] — the descent unrolled round by round as
+    * CTEs (the [[graft.operators.Clustering]] Lloyd-chain precedent):
+    * g_0 = in-block top-k, then each g_r re-ranks the DISTINCT union of
+    * g_{r-1}'s edges and its undirected 2-hop expansion. */
+  def annNndescentSql(k: Int = 5, blockSize: Int = 100,
+      rounds: Int = 2, stride: Int = 137): String = {
+    val c = cosSqlFragment.replace("QV", "q.v").replace("TV", "t.v")
+    def ranked(pairsCte: String): String =
+      s"""SELECT u, w, cos, ROW_NUMBER() OVER (PARTITION BY u
+         |    ORDER BY cos DESC, w ASC) AS rank
+         |  FROM (SELECT p.u, p.w, $c AS cos
+         |    FROM $pairsCte p JOIN e q ON p.u = q.vec_id
+         |    JOIN e t ON p.w = t.vec_id)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""und_$r AS (
+         |  SELECT u, w FROM g_${r - 1} WHERE rank <= $k
+         |  UNION ALL SELECT w AS u, u AS w FROM g_${r - 1} WHERE rank <= $k),
+         |p_$r AS (
+         |  SELECT DISTINCT u, w FROM (
+         |    SELECT x.u, y.w FROM und_$r x JOIN und_$r y ON x.w = y.u
+         |    WHERE x.u <> y.w
+         |    UNION ALL SELECT u, w FROM g_${r - 1} WHERE rank <= $k)),
+         |g_$r AS (
+         |  ${ranked(s"p_$r")})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |p_0 AS (
+       |  SELECT a.vec_id AS u, b.vec_id AS w
+       |  FROM e a JOIN e b ON a.vec_id // $blockSize = b.vec_id // $blockSize
+       |    AND a.vec_id <> b.vec_id
+       |  UNION ALL
+       |  SELECT a.vec_id AS u, b.vec_id AS w
+       |  FROM e a CROSS JOIN range(1, ${k + 1}) j
+       |  JOIN e b ON b.vec_id = a.vec_id + j.range * $stride),
+       |g_0 AS (
+       |  ${ranked("p_0")}),
+       |$roundCtes
+       |SELECT u AS vec_id, CAST(rank AS BIGINT) AS rank, w AS neighbor_id, cos
+       |FROM g_$rounds WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
+  }
 }

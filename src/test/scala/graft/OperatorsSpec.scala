@@ -92,6 +92,35 @@ class OperatorsSpec extends SparkSuite {
     assert(a.sameElements(b))
   }
 
+  test("nn-descent: each round's neighborhoods dominate the previous round's") {
+    def byNode(rounds: Int): Map[Long, Seq[(Long, Double)]] =
+      Similarity.annNndescent(spark, sfDir, rounds = rounds).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+        .groupBy(_._1).map { case (u, rs) =>
+          u -> rs.sortBy(_._2).map(t => (t._2, t._3)).toSeq
+        }
+    val g = (0 to 2).map(byNode)
+    // shape: every node keeps ≤ 5 distinct non-self neighbors
+    g(2).foreach { case (u, ns) =>
+      assert(ns.size <= 5 && ns.map(_._1).distinct.size == ns.size)
+      assert(!ns.exists(_._1 == u), s"node $u is its own neighbor")
+    }
+    // the candidate set of round r contains round r-1's edges, so every
+    // node's sorted similarity profile is pointwise non-decreasing
+    var improved = 0
+    (1 to 2).foreach { r =>
+      g(r).keySet.intersect(g(r - 1).keySet).foreach { u =>
+        val prev = g(r - 1)(u).map(_._2).sorted.reverse
+        val cur = g(r)(u).map(_._2).sorted.reverse
+        prev.zip(cur).zipWithIndex.foreach { case ((p, c), i) =>
+          assert(c >= p, s"node $u rank ${i + 1} regressed $p -> $c (round $r)")
+        }
+        if (cur.sum > prev.sum + 1e-9) improved += 1
+      }
+    }
+    assert(improved > 0, "two descent rounds improved no neighborhood at all")
+  }
+
   test("ann_ivf returns a subset of cells consistent with routing") {
     val res = Similarity.annIvf(spark, sfDir).collect()
     assert(res.nonEmpty)
@@ -295,6 +324,41 @@ class OperatorsSpec extends SparkSuite {
       }
       assert(r.getLong(4) == extracted.length.toLong)
       assert(r.getLong(5) > 0L, s"doc $id: no boilerplate measured")
+    }
+    res.unpersist()
+    ()
+  }
+
+  test("url dedup: every canonical form is normalized and keeper-consistent") {
+    val res = CorpusOps.urlDedup(spark, sfDir).cache()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val rows = res.collect()
+    // fixture variants collapse: the canonical URL is a function of
+    // doc_id % 100 (source = doc_id % 20, path item = % 50, query id =
+    // % 25, scheme = parity, port class = % 4), so 500 docs → ≤ 100 urls
+    assert(rows.map(_.getLong(1)).sum == nDocs, "dedup lost or grew rows")
+    assert(rows.length < nDocs && rows.length <= 100,
+      s"${rows.length} canonicals — normalization failed to collapse variants")
+    val shape =
+      "^(https?)://src[0-9]+\\.example\\.com(:8080)?/Articles/item-([0-9]+)\\?id=([0-9]+)&page=2$".r
+    rows.foreach { r =>
+      val (canon, keeper) = (r.getString(0), r.getLong(2))
+      canon match {
+        case shape(scheme, port, item, id) =>
+          // scheme/port/path/query all recoverable from the keeper id —
+          // normalization preserved exactly the identity-bearing parts
+          assert(scheme == (if (keeper % 2 == 0) "https" else "http"), canon)
+          assert((port == ":8080") == (keeper % 4 == 1), canon)
+          assert(item.toLong == keeper % 50, canon)
+          assert(id.toLong == keeper % 25, canon)
+        case _ => fail(s"canonical '$canon' is not in normal form")
+      }
+      // nothing a normalizer must strip survives
+      Seq("WWW", "www.", "#", "utm_", ":443", ":80/", "//A").foreach(t =>
+        assert(!canon.contains(t), s"'$t' survived in '$canon'"))
+      // keeper is the min doc_id of its group: its raw sample must parse
+      // back to the same canonical class
+      assert(r.getString(3).toLowerCase.contains("src" + (keeper % 20)), canon)
     }
     res.unpersist()
     ()

@@ -38,6 +38,32 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("url dedup: one slim hash shuffle, no text column in the aggregate") {
+    val p = plan(CorpusOps.urlDedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // normalization + dedup is scan → project → partial agg → exchange →
+    // final agg → sort: exactly one hash exchange, and it carries urls,
+    // never the document text (the scan must not even read `text`)
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p.take(800))
+    val scans = p.split("\n").filter(_.contains("ReadSchema"))
+    assert(scans.nonEmpty && scans.forall(!_.contains("text")),
+      s"text column read by a url-only query:\n${scans.mkString("\n")}")
+  }
+
+  test("nn-descent: equi-joins only, node-grain windows, group-limit pushdown") {
+    val p = plan(Similarity.annNndescent(spark, sfDir, rounds = 1))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // every top-k window is partitioned by the node id — a global window
+    // here would serialize the whole candidate set through one task
+    val winLines = p.split("\n").filter(_.contains("Window [row_number()"))
+    assert(winLines.nonEmpty, p.take(500))
+    assert(winLines.forall(_.contains("], [u#")),
+      s"top-k window lost its node partitioning:\n${winLines.mkString("\n")}")
+    assert(p.contains("WindowGroupLimit"), "rank filter did not push down")
+  }
+
   test("tfidf: the top-k window partitions by doc_id, with group-limit pushdown") {
     val p = plan(TextOps.tfidfTopk(spark, sfDir))
     // the 1-row n_docs aggregate legitimately plans an Exchange
