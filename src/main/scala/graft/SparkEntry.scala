@@ -184,6 +184,7 @@ object SparkEntry {
     "unigram_encode" -> ((s, dir) => TextOps.unigramEncode(tune(s), dir)),
     "ann_ivfpq_res" -> ((s, dir) => Similarity.annIvfPqRes(tune(s), dir)),
     "ann_nndescent" -> ((s, dir) => Similarity.annNndescent(tune(s), dir)),
+    "ann_graph_search" -> ((s, dir) => Similarity.annGraphSearch(tune(s), dir)),
     "dsir_weights" -> ((s, dir) => TextOps.dsirWeights(tune(s), dir)),
     "ppl_buckets" -> ((s, dir) => TextOps.pplBuckets(tune(s), dir)),
     "wordpiece_encode" -> ((s, dir) => TextOps.wordpieceEncode(tune(s), dir)),
@@ -395,6 +396,7 @@ object SparkEntry {
     "unigram_encode" -> TextOps.unigramEncodeSql(),
     "ann_ivfpq_res" -> Similarity.annIvfPqResSql(),
     "ann_nndescent" -> Similarity.annNndescentSql(),
+    "ann_graph_search" -> Similarity.annGraphSearchSql(),
     "dsir_weights" -> TextOps.dsirWeightsSql(),
     "ppl_buckets" -> TextOps.pplBucketsSql,
     "wordpiece_encode" -> TextOps.wordpieceEncodeSql(),

@@ -1149,7 +1149,16 @@ object Similarity {
     * (cos DESC, w ASC) rank, so the DuckDB oracle replays the whole
     * unrolled descent bit-exactly. */
   def annNndescent(spark: SparkSession, sfDir: String, k: Int = 5,
-      blockSize: Int = 100, rounds: Int = 2, stride: Int = 137): DataFrame = {
+      blockSize: Int = 100, rounds: Int = 2, stride: Int = 137): DataFrame =
+    nndescentEdges(spark, sfDir, k, blockSize, rounds, stride)
+      .select(col("u").as("vec_id"), col("rank").cast("long").as("rank"),
+        col("w").as("neighbor_id"), col("cos"))
+      .orderBy("vec_id", "rank")
+
+  /** The raw descent result (u, w, cos, rank ≤ k) — shared by
+    * [[annNndescent]]'s presentation and [[annGraphSearch]]'s graph. */
+  private def nndescentEdges(spark: SparkSession, sfDir: String, k: Int,
+      blockSize: Int, rounds: Int, stride: Int): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("n", norm(col("v")))
@@ -1189,17 +1198,17 @@ object Similarity {
         .filter(col("u") =!= col("w"))
       edges = topk(cur.select("u", "w").union(cand).distinct())
     }
-    edges.select(col("u").as("vec_id"), col("rank").cast("long").as("rank"),
-      col("w").as("neighbor_id"), col("cos"))
-      .orderBy("vec_id", "rank")
+    edges
   }
 
-  /** Oracle for [[annNndescent]] — the descent unrolled round by round as
-    * CTEs (the [[graft.operators.Clustering]] Lloyd-chain precedent):
-    * g_0 = in-block top-k, then each g_r re-ranks the DISTINCT union of
-    * g_{r-1}'s edges and its undirected 2-hop expansion. */
-  def annNndescentSql(k: Int = 5, blockSize: Int = 100,
-      rounds: Int = 2, stride: Int = 137): String = {
+  /** The descent unrolled round by round as a CTE chain (the
+    * [[graft.operators.Clustering]] Lloyd-chain precedent): g_0 =
+    * init top-k, then each g_r re-ranks the DISTINCT union of g_{r-1}'s
+    * edges and its undirected 2-hop expansion. Shared by the
+    * [[annNndescentSql]] and [[annGraphSearchSql]] oracles; the final
+    * graph CTE is `g_<rounds>`. */
+  private def nndescentCtes(k: Int, blockSize: Int, rounds: Int,
+      stride: Int): String = {
     val c = cosSqlFragment.replace("QV", "q.v").replace("TV", "t.v")
     def ranked(pairsCte: String): String =
       s"""SELECT u, w, cos, ROW_NUMBER() OVER (PARTITION BY u
@@ -1219,7 +1228,7 @@ object Similarity {
          |g_$r AS (
          |  ${ranked(s"p_$r")})""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |p_0 AS (
@@ -1232,8 +1241,115 @@ object Similarity {
        |  JOIN e b ON b.vec_id = a.vec_id + j.range * $stride),
        |g_0 AS (
        |  ${ranked("p_0")}),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  /** Oracle for [[annNndescent]]. */
+  def annNndescentSql(k: Int = 5, blockSize: Int = 100,
+      rounds: Int = 2, stride: Int = 137): String =
+    s"""WITH ${nndescentCtes(k, blockSize, rounds, stride)}
        |SELECT u AS vec_id, CAST(rank AS BIGINT) AS rank, w AS neighbor_id, cos
        |FROM g_$rounds WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
+
+  /** Graph-ANN query search — the SEARCH half of the HNSW/NSG family over
+    * the [[annNndescent]] graph (its BUILD half): greedy beam search.
+    * Each query (every 200th id, the [[annTopk]] member-query set) starts
+    * at its own node and repeatedly expands the current beam's undirected
+    * graph neighbors, re-scores against the query vector, and keeps the
+    * top-`beam` frontier; after `hops` expansions the non-self top-k is
+    * the answer. The candidate set at each hop CONTAINS the previous
+    * beam, so beam quality is monotonically non-decreasing in hops
+    * (spec-checked) — the greedy-convergence property graph ANN relies
+    * on.
+    *
+    * Why this matters at 100 TB: once the graph is built (amortized over
+    * all queries), a search touches ≤ beam·(k+1)·hops candidate ids per
+    * query NO MATTER the corpus size — corpus-independent per-query cost,
+    * vs IVF's cell-sized probes. The per-hop work is slim (query_id,
+    * node) pairs through one equi-join against the edge table, one
+    * id-grain vector gather, and a per-query window — the same
+    * distributed shapes as the descent itself.
+    *
+    * Member queries (the dedup / recommendation shape) enter at their own
+    * node; an out-of-sample query would enter via its id-range anchor or
+    * an LSH bucket — the walk is identical. */
+  def annGraphSearch(spark: SparkSession, sfDir: String, k: Int = 5,
+      blockSize: Int = 100, rounds: Int = 2, stride: Int = 137,
+      beam: Int = 10, hops: Int = 3, topk: Int = 5): DataFrame = {
+    require(hops >= 1, "annGraphSearch needs at least one hop")
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", norm(col("v")))
+    val g = nndescentEdges(spark, sfDir, k, blockSize, rounds, stride)
+      .select("u", "w")
+    val und = g.union(g.select(col("w").as("u"), col("u").as("w")))
+      .distinct().localCheckpoint()
+    val qv = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n").as("qn"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("node").asc)
+    def score(cands: DataFrame): DataFrame = cands
+      .join(e.select(col("vec_id").as("node"), col("v").as("nv"),
+        col("n").as("nn")), "node")
+      .join(qv, "query_id")
+      .select(col("query_id"), col("node"),
+        Exprs.r4(dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(rankW))
+    var state = qv.select(col("query_id"), col("query_id").as("node"))
+    var scored = state
+    (1 to hops).foreach { _ =>
+      val cur = state.localCheckpoint()
+      val cand = cur.join(und, cur("node") === und("u"))
+        .select(col("query_id"), col("w").as("node"))
+        .union(cur).distinct()
+      scored = score(cand).filter(col("rank") <= beam)
+      state = scored.select("query_id", "node")
+    }
+    scored.filter(col("node") =!= col("query_id"))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= topk)
+      .select(col("query_id"), col("rk").cast("long").as("rank"),
+        col("node").as("target_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Oracle for [[annGraphSearch]] — the descent chain plus the beam walk
+    * unrolled hop by hop. */
+  def annGraphSearchSql(k: Int = 5, blockSize: Int = 100, rounds: Int = 2,
+      stride: Int = 137, beam: Int = 10, hops: Int = 3,
+      topk: Int = 5): String = {
+    val c = cosSqlFragment.replace("QV", "qq.v").replace("TV", "t.v")
+    val hopCtes = (1 to hops).map { h =>
+      s"""c_$h AS (
+         |  SELECT DISTINCT query_id, node FROM (
+         |    SELECT s.query_id, g.w AS node
+         |    FROM s_${h - 1} s JOIN und g ON s.node = g.u
+         |    UNION ALL SELECT query_id, node FROM s_${h - 1})),
+         |r_$h AS (
+         |  SELECT query_id, node, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, node ASC) AS rank
+         |  FROM (SELECT cd.query_id, cd.node, $c AS cos
+         |    FROM c_$h cd JOIN e t ON cd.node = t.vec_id
+         |    JOIN e qq ON cd.query_id = qq.vec_id)),
+         |s_$h AS (SELECT query_id, node FROM r_$h WHERE rank <= $beam)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${nndescentCtes(k, blockSize, rounds, stride)},
+       |und AS (
+       |  SELECT DISTINCT u, w FROM (
+       |    SELECT u, w FROM g_$rounds WHERE rank <= $k
+       |    UNION ALL SELECT w AS u, u AS w FROM g_$rounds WHERE rank <= $k)),
+       |s_0 AS (SELECT vec_id AS query_id, vec_id AS node FROM e
+       |  WHERE vec_id % 200 = 0),
+       |$hopCtes
+       |SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, node ASC) AS BIGINT) AS rank,
+       |  node AS target_id, cos
+       |FROM r_$hops WHERE rank <= $beam AND node <> query_id
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, node ASC) <= $topk
+       |ORDER BY query_id, rank""".stripMargin
   }
 }

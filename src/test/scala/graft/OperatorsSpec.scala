@@ -121,6 +121,40 @@ class OperatorsSpec extends SparkSuite {
     assert(improved > 0, "two descent rounds improved no neighborhood at all")
   }
 
+  test("graph search: more hops never worsen the beam; overlap with exact top-k") {
+    def byQuery(hops: Int): Map[Long, Seq[(Long, Double)]] =
+      Similarity.annGraphSearch(spark, sfDir, hops = hops).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+        .groupBy(_._1).map { case (q, rs) =>
+          q -> rs.sortBy(-_._3).map(t => (t._2, t._3)).toSeq
+        }
+    val walks = (1 to 3).map(byQuery)
+    // each hop's candidate set contains the previous beam, so the sorted
+    // similarity profile of the answer is pointwise non-decreasing
+    (1 until 3).foreach { i =>
+      walks(i).keySet.intersect(walks(i - 1).keySet).foreach { q =>
+        walks(i - 1)(q).map(_._2).zip(walks(i)(q).map(_._2))
+          .foreach { case (p, c) =>
+            assert(c >= p, s"query $q: hop ${i + 1} regressed $p -> $c")
+          }
+      }
+    }
+    // the walk must find genuinely near neighbors: non-trivial overlap with
+    // the exact brute-force top-5, and never a self-hit
+    val exact = Similarity.annTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    var hit = 0; var tot = 0
+    walks(2).foreach { case (q, ns) =>
+      assert(!ns.exists(_._1 == q), s"query $q returned itself")
+      exact.get(q).foreach { ex =>
+        hit += ns.map(_._1).count(ex); tot += ex.size
+      }
+    }
+    assert(tot > 0 && hit.toDouble / tot >= 0.3,
+      s"graph-search recall vs exact collapsed: $hit/$tot")
+  }
+
   test("ann_ivf returns a subset of cells consistent with routing") {
     val res = Similarity.annIvf(spark, sfDir).collect()
     assert(res.nonEmpty)

@@ -64,6 +64,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), "rank filter did not push down")
   }
 
+  test("graph search: equi-joins only, query-grain windows") {
+    val p = plan(Similarity.annGraphSearch(spark, sfDir, hops = 1))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    val winLines = p.split("\n").filter(_.contains("Window [row_number()"))
+    assert(winLines.nonEmpty, p.take(500))
+    assert(winLines.forall(_.contains("], [query_id#")),
+      s"beam window lost its query partitioning:\n${winLines.mkString("\n")}")
+  }
+
   test("tfidf: the top-k window partitions by doc_id, with group-limit pushdown") {
     val p = plan(TextOps.tfidfTopk(spark, sfDir))
     // the 1-row n_docs aggregate legitimately plans an Exchange
