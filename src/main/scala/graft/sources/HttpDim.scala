@@ -22,14 +22,29 @@ import java.util.concurrent.atomic.AtomicLong
   * is asserted, not assumed.
   *
   * Scale: the per-partition client amortizes connection setup the way a
-  * real enrichment edge must. The I7 retry envelope the reference wraps
-  * around every API call (`api_to_gcs/main.py:56` — tenacity, exponential
-  * backoff, bounded attempts) attaches HERE: [[lookupValues]] retries
-  * transient failures (connect errors, 5xx) with bounded exponential
-  * backoff and fails the task once attempts exhaust. Only 404 maps to
-  * null — a 500/503 must surface as an error, never masquerade as an
-  * absent key (left-join semantics are for MISSING rows, not sick
-  * servers). I9 (rate limits) stays scoped out. */
+  * real enrichment edge must. The full status-code state machine the
+  * reference's envelope implies is now explicit, each class with its own
+  * recovery:
+  *
+  *  - I7 retry (`api_to_gcs/main.py:56` — tenacity, exponential backoff,
+  *    bounded attempts): connect errors and 5xx are TRANSIENT — retried
+  *    with bounded exponential backoff, then thrown. Only 404 maps to
+  *    null; a sick server must never masquerade as absent keys.
+  *  - I9 rate limits (the reference's ERP API meters requests and
+  *    answers 429): [[serveRateLimited]] meters with a token bucket and
+  *    emits `429 + Retry-After`, and the client side honors it twice
+  *    over — [[lookupValues]]' `maxRps` PACES proactively (on a cluster,
+  *    give each task `globalBudget / concurrentTasks`), and
+  *    [[fetchWithRetry]] sleeps the server-advised `Retry-After` on any
+  *    429 that still slips through, on its own bounded budget separate
+  *    from the transient-failure attempts (a metered server is not a
+  *    sick server).
+  *  - A7 auth ([[Secrets]]): 401/403 is PERMANENT at the fetch grain —
+  *    never retried blindly (hammering a dead credential is how edges
+  *    get locked out). One level up, [[lookupWithAuth]] runs the
+  *    token-expiry loop: on 401 it invalidates the cached secret,
+  *    re-resolves `latest`, and retries ONCE with the fresh token —
+  *    the rotation-recovery shape every OAuth-ish integration needs. */
 object HttpDim {
   import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
@@ -37,24 +52,75 @@ object HttpDim {
     * probe (single-JVM local[] tests share this counter with the server). */
   val requests = new AtomicLong(0)
 
+  /** 429s emitted by [[serveRateLimited]] since start — lets the spec
+    * distinguish "paced under the limit" (0) from "absorbed by the
+    * Retry-After envelope" (>0). */
+  val rejected429 = new AtomicLong(0)
+
+  /** 401s emitted by an auth-checking server — the spec's probe that a
+    * dead credential fails FAST (one request, no blind retries). */
+  val rejected401 = new AtomicLong(0)
+
+  private def writeBody(ex: HttpExchange, status: Int, body: String): Unit = {
+    val b = body.getBytes("UTF-8")
+    ex.sendResponseHeaders(status, b.length)
+    ex.getResponseBody.write(b)
+  }
+
+  private def keyOf(ex: HttpExchange): String = {
+    val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+    q.split("&").map(_.split("=", 2)).collectFirst {
+      case Array("key", v) => java.net.URLDecoder.decode(v, "UTF-8")
+    }.getOrElse("")
+  }
+
   /** Serve `dim` as `GET <base>?key=K` on an ephemeral localhost port;
-    * returns (server, baseUrl). Caller stops the server. */
-  def serve(dim: Map[String, String]): (HttpServer, String) = {
+    * returns (server, baseUrl). Caller stops the server.
+    *
+    * `bearerToken`: when set, requests must carry
+    * `Authorization: Bearer <token>` or get 401 (the A7 edge).
+    * `bucketCapacity`/`refillPerSec`: when capacity > 0, a token bucket
+    * meters requests; an empty bucket answers `429` with a
+    * `Retry-After` header (delta-seconds, ceiling) — the I9 edge. Auth
+    * is checked BEFORE the meter (a real gateway rejects bad
+    * credentials without spending quota). */
+  def serve(dim: Map[String, String], bearerToken: Option[String] = None,
+      bucketCapacity: Int = 0, refillPerSec: Double = 0d,
+      port: Int = 0): (HttpServer, String) = {
     val srv = HttpServer.create(
-      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    // token bucket in nanos: tokens = min(cap, tokens + elapsed*rate)
+    val lock = new Object
+    var tokens = bucketCapacity.toDouble
+    var lastNs = System.nanoTime()
     srv.createContext("/dim", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         requests.incrementAndGet()
-        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-        val key = q.split("&").map(_.split("=", 2)).collectFirst {
-          case Array("key", v) => java.net.URLDecoder.decode(v, "UTF-8")
-        }.getOrElse("")
-        dim.get(key) match {
-          case Some(v) =>
-            val b = v.getBytes("UTF-8")
-            ex.sendResponseHeaders(200, b.length)
-            ex.getResponseBody.write(b)
-          case None => ex.sendResponseHeaders(404, -1)
+        val authed = bearerToken.forall { t =>
+          Option(ex.getRequestHeaders.getFirst("Authorization"))
+            .contains(s"Bearer $t")
+        }
+        if (!authed) {
+          rejected401.incrementAndGet()
+          ex.sendResponseHeaders(401, -1)
+        } else {
+          val admitted = bucketCapacity <= 0 || lock.synchronized {
+            val now = System.nanoTime()
+            tokens = math.min(bucketCapacity.toDouble,
+              tokens + (now - lastNs) / 1e9 * refillPerSec)
+            lastNs = now
+            if (tokens >= 1d) { tokens -= 1d; true } else false
+          }
+          if (!admitted) {
+            rejected429.incrementAndGet()
+            // delta-seconds ceiling, the header's wire grain
+            val waitS = math.max(1L, math.ceil(1d / refillPerSec).toLong)
+            ex.getResponseHeaders.set("Retry-After", waitS.toString)
+            ex.sendResponseHeaders(429, -1)
+          } else dim.get(keyOf(ex)) match {
+            case Some(v) => writeBody(ex, 200, v)
+            case None => ex.sendResponseHeaders(404, -1)
+          }
         }
         ex.close()
       }
@@ -64,31 +130,62 @@ object HttpDim {
     (srv, s"http://127.0.0.1:${srv.getAddress.getPort}/dim")
   }
 
-  /** Fetch one key with the I7 envelope: up to `attempts` tries,
-    * exponential backoff (`baseBackoffMs · 2^i`). 200 → Some(body),
-    * 404 → None (a genuinely absent key), anything else — 5xx, or a
-    * connect/IO error while the server is down — is transient and
-    * retried; the LAST failure is rethrown so a sick server fails the
-    * task loudly instead of leaking nulls into the enrichment. */
+  /** The I9 form of [[serve]]: same dimension, metered. */
+  def serveRateLimited(dim: Map[String, String], capacity: Int,
+      refillPerSec: Double, bearerToken: Option[String] = None)
+      : (HttpServer, String) =
+    serve(dim, bearerToken, capacity, refillPerSec)
+
+  /** Thrown on 401/403 — permanent at the fetch grain, never blindly
+    * retried. [[lookupWithAuth]] catches it ONCE to refresh the token. */
+  final class AuthFailure(msg: String) extends RuntimeException(msg)
+
+  /** Fetch one key with the full envelope: up to `attempts` tries for
+    * TRANSIENT failures (connect/IO errors, 5xx) with exponential
+    * backoff (`baseBackoffMs · 2^i`), a separate `max429Waits` budget of
+    * server-advised `Retry-After` sleeps for 429 (capped at 2 s per
+    * wait — a local test server never advises more than 1 s; a
+    * production cap belongs in config), 200 → Some(body), 404 → None (a
+    * genuinely absent key), 401/403 → [[AuthFailure]] immediately. The
+    * LAST transient failure is rethrown so a sick server fails the task
+    * loudly instead of leaking nulls into the enrichment. */
   private[graft] def fetchWithRetry(client: java.net.http.HttpClient,
-      url: String, attempts: Int, baseBackoffMs: Long): Option[String] = {
-    val req = java.net.http.HttpRequest
-      .newBuilder(java.net.URI.create(url)).GET().build()
+      url: String, attempts: Int, baseBackoffMs: Long,
+      headers: Map[String, String] = Map.empty,
+      max429Waits: Int = 8): Option[String] = {
+    val b = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(url)).GET()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val req = b.build()
     var i = 0
+    var waits429 = 0
     while (true) {
-      val outcome: Either[Throwable, Option[String]] =
+      // Left(transient) | Right(Left(retryAfterMs)) | Right(Right(value))
+      val outcome: Either[Throwable, Either[Long, Option[String]]] =
         try {
           val resp = client.send(req,
             java.net.http.HttpResponse.BodyHandlers.ofString())
           resp.statusCode() match {
-            case 200 => Right(Some(resp.body()))
-            case 404 => Right(None)
+            case 200 => Right(Right(Some(resp.body())))
+            case 404 => Right(Right(None))
+            case 401 | 403 => throw new AuthFailure(
+              s"auth rejected (${resp.statusCode()}) at $url")
+            case 429 =>
+              val ra = resp.headers().firstValue("Retry-After")
+              val ms = if (ra.isPresent) ra.get().trim.toLong * 1000L else 1000L
+              Right(Left(math.min(ms, 2000L)))
             case s => Left(new java.io.IOException(
               s"transient HTTP $s from $url"))
           }
         } catch { case e: java.io.IOException => Left(e) }
       outcome match {
-        case Right(v) => return v
+        case Right(Right(v)) => return v
+        case Right(Left(waitMs)) =>
+          if (waits429 >= max429Waits)
+            throw new java.io.IOException(
+              s"rate limit persisted past $max429Waits waits at $url")
+          Thread.sleep(waitMs)
+          waits429 += 1
         case Left(e) if i >= attempts - 1 => throw e
         case Left(_) =>
           Thread.sleep(baseBackoffMs << i)
@@ -100,22 +197,75 @@ object HttpDim {
 
   /** The client pass: one `HttpClient` + key cache per partition, one
     * GET per distinct key, 404 → null, transient failures retried with
-    * bounded exponential backoff (then thrown). Returns (key, value)
-    * rows the caller joins back — keeping the edge a narrow keyed
-    * fetch, exactly the reference's lookup grain. */
+    * bounded exponential backoff (then thrown), 429 absorbed via
+    * Retry-After. `maxRps > 0` PACES the partition proactively — a
+    * fixed inter-request interval of 1000/maxRps ms, the client half of
+    * I9; on a cluster each task gets `globalBudget / concurrentTasks`.
+    * Returns (key, value) rows the caller joins back — keeping the edge
+    * a narrow keyed fetch, exactly the reference's lookup grain. */
   def lookupValues(keys: org.apache.spark.sql.Dataset[Long],
       baseUrl: String, attempts: Int = 4,
-      baseBackoffMs: Long = 50L): DataFrame = {
+      baseBackoffMs: Long = 50L, maxRps: Double = 0d,
+      headers: Map[String, String] = Map.empty): DataFrame = {
     val spark = keys.sparkSession
     import spark.implicits._
     keys.mapPartitions { it =>
       val client = java.net.http.HttpClient.newHttpClient()
       val cache = scala.collection.mutable.Map.empty[Long, Option[String]]
+      val intervalNs = if (maxRps > 0) (1e9 / maxRps).toLong else 0L
+      var nextOkNs = 0L
       it.map { k =>
-        val v = cache.getOrElseUpdate(k,
-          fetchWithRetry(client, s"$baseUrl?key=$k", attempts, baseBackoffMs))
+        val v = cache.getOrElseUpdate(k, {
+          if (intervalNs > 0) {
+            val now = System.nanoTime()
+            if (now < nextOkNs)
+              Thread.sleep((nextOkNs - now) / 1000000L + 1)
+            nextOkNs = math.max(now, nextOkNs) + intervalNs
+          }
+          fetchWithRetry(client, s"$baseUrl?key=$k", attempts,
+            baseBackoffMs, headers)
+        })
         (k, v.orNull)
       }
+    }.toDF("key", "value")
+  }
+
+  /** A7 composition: the keyed lookup authenticated by a [[Secrets]]
+    * token, with the rotation-recovery loop — on [[AuthFailure]] the
+    * task invalidates the cached secret, re-resolves `latest`, and
+    * retries the partition's remaining fetches with the fresh token
+    * (one refresh per failure; a second 401 with a fresh token is a
+    * genuinely dead credential and fails the task). */
+  def lookupWithAuth(keys: org.apache.spark.sql.Dataset[Long],
+      baseUrl: String, secretRoot: String, secretName: String,
+      attempts: Int = 4, baseBackoffMs: Long = 50L,
+      maxRps: Double = 0d): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys.mapPartitions { it =>
+      val client = java.net.http.HttpClient.newHttpClient()
+      val cache = scala.collection.mutable.Map.empty[Long, Option[String]]
+      val intervalNs = if (maxRps > 0) (1e9 / maxRps).toLong else 0L
+      var nextOkNs = 0L
+      def fetch(k: Long): Option[String] = {
+        if (intervalNs > 0) {
+          val now = System.nanoTime()
+          if (now < nextOkNs)
+            Thread.sleep((nextOkNs - now) / 1000000L + 1)
+          nextOkNs = math.max(now, nextOkNs) + intervalNs
+        }
+        def once(): Option[String] = fetchWithRetry(client,
+          s"$baseUrl?key=$k", attempts, baseBackoffMs,
+          Map("Authorization" ->
+            s"Bearer ${Secrets.get(secretRoot, secretName)}"))
+        try once()
+        catch {
+          case _: AuthFailure =>
+            Secrets.invalidate(secretRoot, secretName)
+            once() // fresh token; a second 401 propagates
+        }
+      }
+      it.map { k => (k, cache.getOrElseUpdate(k, fetch(k)).orNull) }
     }.toDF("key", "value")
   }
 }

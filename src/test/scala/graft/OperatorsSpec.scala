@@ -1168,6 +1168,93 @@ class OperatorsSpec extends SparkSuite {
     finally notFound.stop(0)
   }
 
+  test("HTTP edge I9: pacing under the meter sees zero 429s; an unpaced burst is absorbed via Retry-After and stays exact") {
+    import spark.implicits._
+    import graft.sources.HttpDim
+    val dim = (1 to 40).map(i => i.toString -> s"v$i").toMap
+    val expect = (1L to 40L).map(k => k -> s"v$k").toSet
+    // capacity 5, refill 30/s: a 20 rps paced pass never drains the
+    // bucket; an unpaced 32-thread-free single-partition burst must
+    val (srv, url) = HttpDim.serveRateLimited(dim, capacity = 5,
+      refillPerSec = 30d)
+    try {
+      val keys = (1L to 40L).toDS().repartition(1)
+      HttpDim.rejected429.set(0)
+      val paced = HttpDim.lookupValues(keys, url, maxRps = 20d).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSet
+      assert(paced == expect, "paced lookup must be exact")
+      assert(HttpDim.rejected429.get() == 0L,
+        s"client paced at 20 rps under a 30 rps meter still drew ${HttpDim.rejected429.get()} 429s")
+    } finally srv.stop(0)
+    // burst phase against a much tighter meter (capacity 3, 5 rps —
+    // far below a localhost client's natural rate): 429s MUST occur,
+    // the Retry-After envelope absorbs them, the rows stay exact
+    val (tight, tightUrl) = HttpDim.serveRateLimited(dim, capacity = 3,
+      refillPerSec = 5d)
+    try {
+      HttpDim.rejected429.set(0)
+      val keys15 = (1L to 15L).toDS().repartition(1)
+      val burst = HttpDim.lookupValues(keys15, tightUrl).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSet
+      assert(burst == (1L to 15L).map(k => k -> s"v$k").toSet,
+        "429s must be absorbed by Retry-After, never surface as wrong rows")
+      assert(HttpDim.rejected429.get() > 0L,
+        "an unpaced burst against a capacity-3, 5 rps bucket must meter")
+    } finally tight.stop(0)
+  }
+
+  test("HTTP edge A7: bearer token from the secret store; rotation recovers via one refresh; a dead credential fails fast") {
+    import spark.implicits._
+    import graft.sources.{HttpDim, Secrets}
+    val root = java.nio.file.Files.createTempDirectory("secrets").toString
+    val name = "api-token"
+    Secrets.put(root, name, 1, "tokA")
+    // manager semantics: latest resolves then caches per version; a
+    // direct file edit is invisible until rotation (new version) +
+    // invalidate — the reference's instance-cache shape
+    assert(Secrets.get(root, name) == "tokA")
+    assert(Secrets.get(root, name, "1") == "tokA")
+    val dim = (1 to 8).map(i => i.toString -> s"v$i").toMap
+    val expect = (1L to 8L).map(k => k -> s"v$k").toSet
+    val (s1, url) = HttpDim.serve(dim, bearerToken = Some("tokA"))
+    val port = java.net.URI.create(url).getPort
+    def viaAuth(ks: Seq[Long]) = HttpDim.lookupWithAuth(
+      ks.toDS().repartition(1), s"http://127.0.0.1:$port/dim", root, name,
+      attempts = 2, baseBackoffMs = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    try assert(viaAuth(1L to 8L) == expect)
+    finally s1.stop(0)
+    // rotate: new secret version + server restart requiring it; the
+    // executor's cached tokA draws one 401, the refresh loop
+    // invalidates, re-resolves latest and the pass completes
+    Secrets.put(root, name, 2, "tokB")
+    var s2: com.sun.net.httpserver.HttpServer = null
+    var tries = 0
+    while (s2 == null && tries < 50) { // port may linger in TIME_WAIT
+      try s2 = HttpDim.serve(dim, bearerToken = Some("tokB"),
+        port = port)._1
+      catch { case _: java.io.IOException => tries += 1; Thread.sleep(50) }
+    }
+    try {
+      HttpDim.rejected401.set(0)
+      assert(viaAuth(1L to 8L) == expect,
+        "rotation must recover through one secret refresh")
+      assert(HttpDim.rejected401.get() == 1L,
+        s"expected exactly one 401 (single partition, one refresh), saw ${HttpDim.rejected401.get()}")
+      // dead credential: latest now resolves to a token the server
+      // rejects — refresh buys ONE retry, the second 401 fails the task
+      // after exactly 2 requests (no blind exponential hammering)
+      Secrets.put(root, name, 3, "dead")
+      Secrets.invalidate(root, name)
+      HttpDim.requests.set(0)
+      intercept[org.apache.spark.SparkException] {
+        viaAuth(Seq(1L))
+      }
+      assert(HttpDim.requests.get() == 2L,
+        s"a dead credential must fail after refresh+retry, saw ${HttpDim.requests.get()} requests")
+    } finally if (s2 != null) s2.stop(0)
+  }
+
   test("wordpiece: pieces reconstruct the word losslessly, greedy pieces are <= 4 chars") {
     val rows = TextOps.wordpieceEncode(spark, sfDir).collect()
     assert(rows.nonEmpty)
