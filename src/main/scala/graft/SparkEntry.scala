@@ -247,6 +247,7 @@ object SparkEntry {
     "kmeans_train" -> ((s, dir) => Clustering.kmeansTrain(tune(s), dir)),
     // cluster-quality grade of the trained quantizer (simplified silhouette)
     "kmeans_silhouette" -> ((s, dir) => Clustering.kmeansSilhouette(tune(s), dir)),
+    "cluster_sample" -> ((s, dir) => Clustering.clusterSample(tune(s), dir)),
     "embedding_drift" -> ((s, dir) => Clustering.embeddingDrift(tune(s), dir)),
     // Single-pass mergeable outer-product accumulator (PCA building block)
     "embedding_gram" -> ((s, dir) => Clustering.embeddingGram(tune(s), dir)),
@@ -439,6 +440,7 @@ object SparkEntry {
     "doc_chunks" -> CorpusOps.docChunksSql(),
     "kmeans_train" -> Clustering.kmeansTrainSql,
     "kmeans_silhouette" -> Clustering.kmeansSilhouetteSql(),
+    "cluster_sample" -> Clustering.clusterSampleSql(),
     "embedding_drift" -> Clustering.embeddingDriftSql,
     "embedding_gram" -> Clustering.embeddingGramSql,
     "pca_project" -> Clustering.pcaProjectSql(),

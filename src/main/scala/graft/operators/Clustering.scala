@@ -215,6 +215,95 @@ object Clustering {
       |    / 1000000 / count(*)) * 10000 + 0.5) / 10000 AS mean_silhouette
       |FROM sv GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  /** Diversity (cluster-balanced) corpus sampling — the curation stage
+    * between clustering and mixing: assign every vector to the trained
+    * coarse centroids ([[trainedCentroids]] — the same quantizer the IVF
+    * index routes through), then keep a fixed QUOTA per cluster by
+    * deterministic md5-draw rank (the [[Sampling]] hash-draw, never an
+    * RNG). This is the "sample evenly across semantic space" primitive
+    * modern corpus builds use to stop one dense region (boilerplate,
+    * one domain) from dominating the training mix — the selection
+    * counterpart of SemDeDup's dedup-within-cells.
+    *
+    * Scale shape: assignment is the k-centroid broadcast fold (corpus
+    * never shuffles); the per-cluster quota draw reuses
+    * [[TopKAggregator]] with score = −u, so partial quota-buffers
+    * combine MAP-SIDE and the one shuffle carries ≤ quota rows per
+    * (partition, cluster) — never the corpus, and never a k-partition
+    * global window sort (k is small; a window would funnel the whole
+    * corpus through k reducers). Determinism: u = md5("cs1_"‖vec_id)
+    * first-8-hex ∈ [0,2³²) is exact in a double, ties break by vec_id —
+    * the aggregator's (cos desc, id asc) order IS (u asc, vec_id asc). */
+  /** (vec_id, cluster_id) under the trained (un-rounded) centroids — the
+    * assignment half of [[clusterSample]], exposed for specs and any
+    * downstream per-cluster operator. */
+  private[graft] def clusterAssignments(spark: SparkSession, sfDir: String,
+      k: Int = 8, iters: Int = 2): DataFrame = {
+    val cents = trainedCentroids(spark, sfDir, k, iters)
+      .agg(collect_list(struct(col("cid"), col("c"))).as("cs"))
+    embDouble(spark, sfDir)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), nearest(col("v"), col("cs")).as("cluster_id"))
+  }
+
+  def clusterSample(spark: SparkSession, sfDir: String, k: Int = 8,
+      iters: Int = 2, quota: Int = 24): DataFrame = {
+    import spark.implicits._
+    val assigned = clusterAssignments(spark, sfDir, k, iters)
+    val drawn = assigned.select(
+        col("cluster_id").as("query_id"), col("vec_id").as("target_id"),
+        (-Exprs.md5num(concat(lit("cs1_"), col("vec_id").cast("string")))
+          .cast("double")).as("cos"))
+      .as[Scored]
+    drawn.groupByKey(_.query_id)
+      .agg(new TopKAggregator(quota).toColumn.name("top"))
+      .toDF("cluster_id", "top")
+      .select(col("cluster_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("cluster_id"), (col("i") + 1).cast("long").as("draw_rank"),
+        col("t._1").as("vec_id"), (-col("t._2")).cast("long").as("u"))
+      .orderBy("cluster_id", "draw_rank")
+  }
+
+  /** Oracle: the kmeansTrain CTE chain + the d3 assignment pass (the
+    * silhouette oracle's prefix), then the quota draw as a per-cluster
+    * row_number over (u, vec_id). */
+  def clusterSampleSql(quota: Int = 24): String =
+    s"""WITH emb AS (
+      |  SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, pos, x AS c FROM emb WHERE vec_id < 8),
+      |d1 AS (SELECT e.vec_id, c.cid,
+      |         SUM(CAST(floor((e.x-c.c)*(e.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
+      |       FROM emb e JOIN c0 c ON e.pos = c.pos GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, min({'d': d, 'c': cid}).c AS cid FROM d1 GROUP BY 1),
+      |m1 AS (SELECT a.cid, e.pos,
+      |         CAST(SUM(CAST(floor(e.x*1000000+0.5) AS BIGINT)) AS DOUBLE)
+      |           / count(*) / 1000000.0 AS c
+      |       FROM emb e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
+      |d2 AS (SELECT e.vec_id, c.cid,
+      |         SUM(CAST(floor((e.x-c.c)*(e.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
+      |       FROM emb e JOIN m1 c ON e.pos = c.pos GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, min({'d': d, 'c': cid}).c AS cid FROM d2 GROUP BY 1),
+      |m2 AS (SELECT a.cid, e.pos,
+      |         CAST(SUM(CAST(floor(e.x*1000000+0.5) AS BIGINT)) AS DOUBLE)
+      |           / count(*) / 1000000.0 AS c
+      |       FROM emb e JOIN a2 a ON e.vec_id = a.vec_id GROUP BY 1, 2),
+      |d3 AS (SELECT e.vec_id, c.cid,
+      |         SUM(CAST(floor((e.x-c.c)*(e.x-c.c)*1000000 + 0.5) AS BIGINT)) AS d
+      |       FROM emb e JOIN m2 c ON e.pos = c.pos GROUP BY 1, 2),
+      |a3 AS (SELECT vec_id, min({'d': d, 'c': cid}).c AS cluster_id
+      |       FROM d3 GROUP BY 1),
+      |u AS (SELECT vec_id, cluster_id,
+      |        CAST(('0x' || substr(md5('cs1_' || CAST(vec_id AS VARCHAR)), 1, 8))
+      |          AS BIGINT) AS u
+      |      FROM a3),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+      |        ORDER BY u, vec_id) AS draw_rank FROM u)
+      |SELECT cluster_id, CAST(draw_rank AS BIGINT) AS draw_rank, vec_id, u
+      |FROM r WHERE draw_rank <= $quota
+      |ORDER BY cluster_id, draw_rank""".stripMargin
+
   /** Embedding drift monitor — per label, the cosine between the centroids
     * of two deterministic halves of the corpus (vec_id parity stands in
     * for the before/after snapshots a production pipeline compares:

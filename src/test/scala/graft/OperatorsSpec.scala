@@ -2380,6 +2380,56 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("cluster sample: aggregator quota draw equals the window reference, balanced across full cells") {
+    val quota = 24
+    val rows = Clustering.clusterSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // ranks are contiguous from 1 and capped at the quota; u ascends
+    // with rank within a cluster (the draw order IS the rank order)
+    rows.groupBy(_._1).foreach { case (cid, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"cluster $cid ranks not contiguous")
+      assert(sorted.length <= quota)
+      val us = sorted.map(_._4)
+      assert(us.zip(us.tail).forall { case (a, b) => a <= b },
+        s"cluster $cid draw not ordered by u")
+    }
+    // the map-side-combining aggregator must agree with the obvious
+    // window formulation computed over the same assignment
+    val cents = Clustering.kmeansTrain(spark, sfDir)
+      .groupBy(col("cluster_id").as("cid"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("centroid")))),
+        p => p.getField("centroid")).as("c"))
+      .agg(collect_list(struct(col("cid"), col("c"))).as("cs"))
+    // NOTE kmeansTrain emits r4-rounded centroids; recompute assignment
+    // via the un-rounded internal path instead
+    val expected = {
+      import org.apache.spark.sql.expressions.Window
+      val assigned = Clustering.clusterAssignments(spark, sfDir)
+      val u = Exprs.md5num(concat(lit("cs1_"), col("vec_id").cast("string")))
+      assigned.withColumn("u", u)
+        .withColumn("draw_rank", row_number().over(
+          Window.partitionBy(col("cluster_id")).orderBy(col("u"), col("vec_id"))))
+        .filter(col("draw_rank") <= quota)
+        .select(col("cluster_id"), col("draw_rank").cast("long"),
+          col("vec_id"), col("u")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    assert(rows.toSet == expected,
+      "aggregator draw diverged from the window reference")
+    // every cluster with >= quota members contributes exactly quota —
+    // the balance property the operator exists for
+    val sizes = Clustering.clusterAssignments(spark, sfDir)
+      .groupBy("cluster_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (cid, rs) =>
+      assert(rs.length == math.min(quota.toLong, sizes(cid)),
+        s"cluster $cid drew ${rs.length} of ${sizes(cid)} (quota $quota)")
+    }
+  }
+
   test("winsorized stats: clamp counts near the cut mass, means stay in range") {
     val rows = Sketches.winsorizedStats(spark, sfDir).collect()
     assert(rows.nonEmpty)
