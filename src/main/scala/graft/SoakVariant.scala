@@ -11,10 +11,15 @@ import org.apache.spark.sql.functions._
   * constant as they grow. This variant pins family width to
   * `groupWidth` (the sf1 soak's width) at ANY copy count:
   *
-  *  - `documents`: copy i interleaves a group marker token `g<i/width>`
-  *    between every pair of words — every 3-gram shingle contains a
-  *    marker, so cross-group shingle sets are DISJOINT (Jaccard 0) and
-  *    only the `groupWidth` copies within a group pair up;
+  *  - `documents`: copy i NAMESPACES the vocabulary — every token gets
+  *    the group tag `g<i/width>` prefixed. Within a group the corpus is
+  *    token-for-token isomorphic to the base dir (identical shingle
+  *    counts, identical Jaccard structure — the first cut of this
+  *    harness instead INTERLEAVED marker tokens, which created
+  *    `(g,w,g)` shingles shared by every doc in the group and blew the
+  *    prefix filter's candidate set up superlinearly; measured, killed);
+  *    across groups shingle sets are DISJOINT (Jaccard 0), so only the
+  *    `groupWidth` copies within a group can pair up;
   *  - `part`: copy i suffixes `p_brand` with `#g<i/width>` — the
   *    (brand, first-name-token) blocking key never matches across
   *    groups, so block size stays `groupWidth` × base.
@@ -40,7 +45,8 @@ object SoakVariant {
       val g = s"g${i / groupWidth}"
       docs.withColumn("doc_id", col("doc_id") + lit(i * K))
         .withColumn("text",
-          concat(lit(g + " "), regexp_replace(col("text"), " ", s" $g ")))
+          array_join(transform(split(col("text"), " "),
+            w => concat(lit(g), w)), " "))
         .withColumn("n_chars", length(col("text")))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")

@@ -260,6 +260,7 @@ object SparkEntry {
     "stratified_split" -> ((s, dir) => Sampling.stratifiedSplit(tune(s), dir)),
     "split_decontaminate" -> ((s, dir) => Sampling.splitDecontaminate(tune(s), dir)),
     "global_shuffle" -> ((s, dir) => Sampling.globalShuffle(tune(s), dir)),
+    "curriculum_order" -> ((s, dir) => Sampling.curriculumOrder(tune(s), dir)),
     "shard_manifest" -> ((s, dir) => Sampling.shardManifest(tune(s), dir)),
     "source_quota" -> ((s, dir) => Sampling.sourceQuota(tune(s), dir)),
     "weighted_sample" -> ((s, dir) => Sampling.weightedSample(tune(s), dir)),
@@ -448,6 +449,7 @@ object SparkEntry {
     "stratified_split" -> Sampling.stratifiedSplitSql,
     "split_decontaminate" -> Sampling.splitDecontaminateSql,
     "global_shuffle" -> Sampling.globalShuffleSql,
+    "curriculum_order" -> Sampling.curriculumOrderSql(),
     "shard_manifest" -> Sampling.shardManifestSql,
     "source_quota" -> Sampling.sourceQuotaSql,
     "weighted_sample" -> Sampling.weightedSampleSql(),

@@ -549,4 +549,108 @@ object Sampling {
        |FROM w0 JOIN w1 USING (source) JOIN w$rounds USING (source)
        |ORDER BY source""".stripMargin
   }
+
+  /** Curriculum manifest — the pacing schedule between scoring and
+    * training (Bengio et al. 2009's curriculum learning, as production
+    * pipelines run it: order the corpus easy→hard across epochs, shuffle
+    * WITHIN the admitted pool). Difficulty is the [[TextOps.docLmScore]]
+    * bigram-LM predictability (the CCNet signal [[TextOps.pplBuckets]]
+    * buckets by): global terciles cut the corpus into easy (most
+    * predictable, bucket 1) / medium (2) / hard (3); unscored docs
+    * (< 2 tokens) count as easy. Epoch e admits buckets ≤ e — epoch 1
+    * trains on easy only, epoch 3 sees everything — and each epoch gets
+    * its OWN deterministic [[globalShuffle]] (seed `ep<e>`), because a
+    * curriculum that replays one fixed order every epoch overfits
+    * sequence position.
+    *
+    * Scale shape: one score pass (the shared bigram machinery), one
+    * 2-pass exact tercile cut broadcast as a 1-row frame, then 3 gated
+    * projections unioned — each a pure per-row map until the per-(epoch,
+    * shard) rank, which is [[globalShuffle]]'s accepted window shape
+    * (nShards scales with the corpus; a shard's rows sort in one task).
+    * Emits (epoch, doc_id, bucket, shard, pos) — the manifest a trainer
+    * consumes shard-sequentially per epoch. */
+  def curriculumOrder(spark: SparkSession, sfDir: String,
+      nShards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "shard").orderBy(col("u"), col("doc_id"))
+    val scores = TextOps.docLmScore(spark, sfDir)
+      .select(col("doc_id"), col("lm_score"))
+    val cuts = Sketches.groupQuantilesOf(
+        scores.withColumn("g", lit("all")), "g", "lm_score",
+        Seq(1.0 / 3, 2.0 / 3))
+      .groupBy("g")
+      .agg(min(when(col("q") < 0.5, col("value"))).as("c33"),
+        min(when(col("q") > 0.5, col("value"))).as("c67"))
+      .select("c33", "c67")
+    val bucketed = scores.crossJoin(broadcast(cuts))
+      .select(col("doc_id"),
+        when(col("lm_score").isNull, lit(1L))
+          .when(col("lm_score") >= col("c67"), lit(1L))
+          .when(col("lm_score") >= col("c33"), lit(2L))
+          .otherwise(lit(3L)).as("bucket"))
+    (1 to 3).map { e =>
+      bucketed.filter(col("bucket") <= e)
+        .select(lit(e.toLong).as("epoch"), col("doc_id"), col("bucket"),
+          Exprs.md5num(concat(lit(s"ep${e}_"),
+            col("doc_id").cast("string"))).as("u"))
+    }.reduce(_ unionByName _)
+      .withColumn("shard", pmod(col("u"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("doc_id"), col("bucket"),
+        col("shard"), col("pos"))
+      .orderBy("epoch", "doc_id")
+  }
+
+  /** Oracle: the docLmScore CTE chain, global quantile_disc tercile cuts
+    * (the [[Sketches.groupQuantilesOf]] contract), the bucket CASE, an
+    * epoch series cross join gated on bucket ≤ epoch, and the per-(epoch,
+    * shard) rank over (u, doc_id). */
+  def curriculumOrderSql(nShards: Int = 8): String =
+    s"""WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |b AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      |  FROM w WHERE len(ws) >= 2),
+      |c AS (SELECT bg, count(*) AS n12 FROM b GROUP BY 1),
+      |pr AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(n12) AS n1
+      |       FROM c GROUP BY 1),
+      |lm AS (
+      |  SELECT CAST(('0x' || substr(md5(c.bg), 1, 8)) AS BIGINT) AS h,
+      |    CAST(floor(CAST(c.n12 AS DOUBLE) / pr.n1 * 1000000 + 0.5) AS BIGINT)
+      |      AS p_grid
+      |  FROM c JOIN pr ON string_split(c.bg, ' ')[1] = pr.w1),
+      |db AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(bg), 1, 8)) AS BIGINT) AS h FROM b),
+      |sc AS (
+      |  SELECT doc_id, count(*) AS n_bigrams, SUM(p_grid) AS s
+      |  FROM db JOIN lm USING (h) GROUP BY 1),
+      |scores AS (
+      |  SELECT d.doc_id,
+      |    floor(CAST(sc.s AS DOUBLE) / sc.n_bigrams / 1000000 * 10000 + 0.5)
+      |      / 10000 AS lm_score
+      |  FROM documents d LEFT JOIN sc USING (doc_id)),
+      |cuts AS (
+      |  SELECT quantile_disc(lm_score, 0.3333333333333333) AS c33,
+      |    quantile_disc(lm_score, 0.6666666666666666) AS c67
+      |  FROM scores WHERE lm_score IS NOT NULL),
+      |bk AS (
+      |  SELECT s.doc_id,
+      |    CASE WHEN s.lm_score IS NULL THEN 1
+      |         WHEN s.lm_score >= c.c67 THEN 1
+      |         WHEN s.lm_score >= c.c33 THEN 2
+      |         ELSE 3 END AS bucket
+      |  FROM scores s CROSS JOIN cuts c),
+      |ep AS (
+      |  SELECT e.epoch, bk.doc_id, CAST(bk.bucket AS BIGINT) AS bucket,
+      |    CAST(('0x' || substr(md5('ep' || e.epoch || '_'
+      |      || CAST(bk.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+      |  FROM bk JOIN (SELECT unnest(generate_series(1, 3)) AS epoch) e
+      |    ON bk.bucket <= e.epoch)
+      |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, bucket,
+      |  u % $nShards AS shard,
+      |  CAST(row_number() OVER (PARTITION BY epoch, u % $nShards
+      |    ORDER BY u, doc_id) AS BIGINT) AS pos
+      |FROM ep ORDER BY epoch, doc_id""".stripMargin
 }

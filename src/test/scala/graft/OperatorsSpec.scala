@@ -2430,6 +2430,46 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("curriculum: epochs nest by bucket admission, shard positions contiguous, terciles populated") {
+    val rows = Sampling.curriculumOrder(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val byEpoch = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byEpoch.keySet == Set(1L, 2L, 3L))
+    // epoch 3 admits the whole corpus; pools nest as the pacing grows
+    assert(byEpoch(3L).size.toLong == nDocs)
+    assert(byEpoch(1L).subsetOf(byEpoch(2L)) && byEpoch(2L).subsetOf(byEpoch(3L)),
+      "curriculum pools must nest")
+    // admission is exactly bucket <= epoch, and a doc's bucket is stable
+    val bucketOf = rows.map(r => r._2 -> r._3).toMap
+    rows.foreach { case (e, d, b, _, _) =>
+      assert(b == bucketOf(d), s"doc $d changed bucket")
+      assert(b <= e, s"doc $d (bucket $b) admitted to epoch $e")
+    }
+    byEpoch.foreach { case (e, ds) =>
+      val expected = bucketOf.filter(_._2 <= e).keySet
+      assert(ds == expected, s"epoch $e pool is not exactly buckets <= $e")
+    }
+    // every tercile is populated (the cut actually splits the corpus)
+    val bSizes = bucketOf.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bSizes.keySet == Set(1L, 2L, 3L), s"missing bucket: $bSizes")
+    bSizes.values.foreach(n => assert(n >= nDocs / 10, s"degenerate tercile: $bSizes"))
+    // within each (epoch, shard) lane, positions are contiguous from 1
+    // and strictly follow the u-order (they are the lane's read order)
+    rows.groupBy(r => (r._1, r._4)).foreach { case ((e, s), lane) =>
+      val ps = lane.map(_._5).sorted
+      assert(ps.toSeq == (1L to lane.length).toSeq,
+        s"epoch $e shard $s positions not contiguous")
+    }
+    // epochs reshuffle: the easy pool's doc->pos map must not be the
+    // identical order in epoch 2 (fresh seed per epoch)
+    val lane1 = rows.filter(r => r._1 == 1L).map(r => (r._2, r._4, r._5)).toSet
+    val lane2 = rows.filter(r => r._1 == 2L && byEpoch(1L)(r._2))
+      .map(r => (r._2, r._4, r._5)).toSet
+    assert(lane1 != lane2, "per-epoch seeds must re-shuffle the pool")
+  }
+
   test("winsorized stats: clamp counts near the cut mass, means stay in range") {
     val rows = Sketches.winsorizedStats(spark, sfDir).collect()
     assert(rows.nonEmpty)
