@@ -576,8 +576,12 @@ object Sampling {
       .partitionBy("epoch", "shard").orderBy(col("u"), col("doc_id"))
     val scores = TextOps.docLmScore(spark, sfDir)
       .select(col("doc_id"), col("lm_score"))
+    // the "group" is the whole corpus — but a LITERAL group key would
+    // constant-fold out of the quantile machinery's equi-joins and
+    // degenerate them to cartesians; pmod(doc_id, 1) is 0 on every row
+    // yet stays an attribute, keeping every join keyed
     val cuts = Sketches.groupQuantilesOf(
-        scores.withColumn("g", lit("all")), "g", "lm_score",
+        scores.withColumn("g", pmod(col("doc_id"), lit(1L))), "g", "lm_score",
         Seq(1.0 / 3, 2.0 / 3))
       .groupBy("g")
       .agg(min(when(col("q") < 0.5, col("value"))).as("c33"),

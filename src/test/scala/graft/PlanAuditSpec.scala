@@ -883,4 +883,39 @@ class PlanAuditSpec extends SparkSuite {
       "mime-dispatched encode→decode must fuse in one stage:\n" + p.take(1200))
     assert(p.split("Exchange rangepartitioning").length - 1 == 1)
   }
+
+  test("cluster sample: centroids broadcast, quota draw is an object agg — never a corpus window") {
+    val p = plan(Clustering.clusterSample(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // assignment attaches the k-centroid row via broadcast; the quota
+    // draw must run as the map-side-combining typed aggregator, and NO
+    // row_number window may touch the corpus (a k-partition window
+    // would funnel everything through k reducers)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "expected the typed TopKAggregator:\n" + p.take(1200))
+    assert(!p.contains("Window [row_number()"),
+      "quota draw degenerated to a window rank:\n" + p.take(1200))
+    // exactly three 1-row centroid-list attachments: the two Lloyd
+    // assign passes and the final assignment — each a broadcast of a
+    // single collected row, the documented acceptable BNLJ shape
+    val bnlj = p.split("BroadcastNestedLoopJoin").length - 1
+    assert(bnlj == 3, s"unexpected nested-loop joins ($bnlj)")
+  }
+
+  test("curriculum: tercile cuts broadcast back; ranks only inside (epoch, shard) lanes") {
+    val p = plan(Sampling.curriculumOrder(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // every row_number window is either the (epoch, shard) lane rank or
+    // the 2-pass quantile machinery's hit-bucket selection (partitioned
+    // by its g/b keys, touching only the two hit buckets' rows) — a
+    // global or epoch-only window would serialize the corpus
+    val winLines = p.split("\n").filter(_.contains("Window [row_number()"))
+    assert(winLines.exists(l => l.contains("epoch") && l.contains("shard")),
+      "missing the lane-partitioned rank window")
+    winLines.foreach { l =>
+      assert((l.contains("epoch") && l.contains("shard"))
+          || l.contains("windowspecdefinition(g#"),
+        s"window not lane- or bucket-partitioned:\n$l")
+    }
+  }
 }
