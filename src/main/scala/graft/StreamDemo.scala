@@ -295,6 +295,42 @@ object StreamDemo {
         streamedIt.exceptAll(batchIt).isEmpty,
       s"streamed=${streamedIt.count()} batch=${batchIt.count()}")
 
+    // --- A5 live edge under the FULL envelope: A7 bearer auth from the
+    // secret store + I9 token-bucket metering, driven as the demo's
+    // enrichment pass — the reference's api_to_gcs call shape with every
+    // recovery path active at once. The tight meter guarantees 429s; the
+    // client must absorb them all and still reproduce the broadcast join.
+    {
+      import graft.sources.{HttpDim, Secrets}
+      import spark.implicits._
+      val secretRoot = s"$work/secrets"
+      Secrets.put(secretRoot, "erp-token", 1, "demo-token-v1")
+      val dim = Tables.part(spark, sfDir)
+        .select(col("p_partkey").cast("string"), col("p_name"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val (srv, url) = HttpDim.serve(dim,
+        bearerToken = Some(Secrets.get(secretRoot, "erp-token")),
+        bucketCapacity = 2, refillPerSec = 8d)
+      try {
+        HttpDim.rejected429.set(0)
+        val keys = Tables.lineitem(spark, sfDir)
+          .select(col("l_partkey").cast("long")).distinct()
+          .limit(60).as[Long].repartition(1)
+        val enriched = HttpDim.lookupWithAuth(keys, url, secretRoot,
+          "erp-token").collect()
+        val expectDim = enriched.map(r => r.getLong(0).toString).toSet
+          .map((k: String) => k -> dim(k))
+        check("live edge: authed+metered enrichment equals the dimension, no nulls",
+          enriched.forall(!_.isNullAt(1)) &&
+            enriched.map(r => r.getLong(0).toString -> r.getString(1))
+              .toSet == expectDim,
+          s"rows=${enriched.length} 429s_absorbed=${HttpDim.rejected429.get()}")
+        check("live edge: the capacity-2 meter actually metered the burst",
+          HttpDim.rejected429.get() > 0,
+          s"429s=${HttpDim.rejected429.get()}")
+      } finally srv.stop(0)
+    }
+
     spark.stop()
     if (failed) sys.exit(1)
   }

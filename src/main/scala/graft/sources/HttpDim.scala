@@ -125,7 +125,15 @@ object HttpDim {
         ex.close()
       }
     })
-    srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    // daemon threads: HttpServer.stop() does NOT shut down a user
+    // executor, and a non-daemon pool would pin the JVM open after main
+    // returns (found the hard way — StreamDemo hung at exit)
+    srv.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+      (r: Runnable) => {
+        val t = new Thread(r, "httpdim-worker")
+        t.setDaemon(true)
+        t
+      }))
     srv.start()
     (srv, s"http://127.0.0.1:${srv.getAddress.getPort}/dim")
   }
