@@ -177,6 +177,8 @@ object SparkEntry {
     "media_frames" -> ((s, dir) => Multimodal.mediaFrames(tune(s), dir)),
     "multimodal_decode" -> ((s, dir) => Multimodal.multimodalDecode(tune(s), dir)),
     "multimodal_audio" -> ((s, dir) => Multimodal.multimodalAudio(tune(s), dir)),
+    "image_dedup" -> ((s, dir) => Multimodal.imageDedup(tune(s), dir)),
+    "sft_render" -> ((s, dir) => CorpusOps.sftRender(tune(s), dir)),
     "lr_quality" -> ((s, dir) => CorpusOps.lrQuality(tune(s), dir)),
     "unigram_lm" -> ((s, dir) => TextOps.unigramLm(tune(s), dir)),
     "unigram_soft" -> ((s, dir) => TextOps.unigramSoft(tune(s), dir)),
@@ -391,6 +393,8 @@ object SparkEntry {
     "media_frames" -> Multimodal.mediaFramesSql,
     "multimodal_decode" -> Multimodal.multimodalDecodeSql,
     "multimodal_audio" -> Multimodal.multimodalAudioSql,
+    "image_dedup" -> Multimodal.imageDedupSql,
+    "sft_render" -> CorpusOps.sftRenderSql,
     "lr_quality" -> CorpusOps.lrQualitySql(),
     "unigram_lm" -> TextOps.unigramLmSql(),
     "unigram_soft" -> TextOps.unigramSoftSql(),

@@ -1147,4 +1147,92 @@ object CorpusOps {
        |  CAST(floor((1.0 / (1.0 + t)) * 1000000 + 0.5) AS BIGINT) >= 500000 AS pred
        |FROM cf10 ORDER BY doc_id""".stripMargin
   }
+
+  /** SFT chat-template rendering with loss-mask spans — the
+    * instruction-tuning prep stage: multi-turn conversations are rendered
+    * into one training string per conversation (`<|user|>\n…\n<|assistant|>
+    * \n…\n` role headers, the ChatML/Alpaca shape), and each ASSISTANT turn
+    * emits its loss-mask span — the 1-based [span_start, span_end) char
+    * range of the turn's raw text inside the rendered string, i.e. exactly
+    * the tokens a supervised fine-tune computes loss on (user turns and
+    * role headers are masked out).
+    *
+    * Fixture: conversation = doc_id/4, turn = doc_id%4, roles alternate
+    * user/assistant by turn parity; null-text turns are dropped (a real
+    * SFT prep drops empty messages) with surviving turns keeping their
+    * indices. Each emitted row carries the conv-level stats (n_turns,
+    * conv_chars = rendered length) and `span_text` — the rendered string
+    * SLICED at the computed offsets, so the oracle hash only matches if
+    * the offset arithmetic is consistent with the actual rendering
+    * (ASCII fixture: char offsets are byte offsets on both engines).
+    *
+    * Scale: one shuffle total. The ordered window (running offset), the
+    * whole-partition window (conv stats + the fold-concatenated rendering
+    * over the turn-sorted piece list), and nothing else — conversations
+    * are few-turn, so per-group state is bounded; no join, the final sort
+    * is the only other exchange. At 100 TB the conversation key
+    * partitions the corpus evenly (family grain, no skew). */
+  def sftRender(spark: SparkSession, sfDir: String): DataFrame = {
+    val turns = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(expr("doc_id div 4").as("conv_id"),
+        (col("doc_id") % 4).as("turn"), col("text"))
+      .withColumn("role",
+        when(col("turn") % 2 === 0, lit("user")).otherwise(lit("assistant")))
+      .withColumn("piece",
+        concat(lit("<|"), col("role"), lit("|>\n"), col("text"), lit("\n")))
+    val wOrd = Window.partitionBy("conv_id").orderBy("turn")
+    val wAll = Window.partitionBy("conv_id")
+    turns
+      .withColumn("off",
+        sum(length(col("piece"))).over(wOrd) - length(col("piece")))
+      .withColumn("n_turns", count(lit(1)).over(wAll))
+      .withColumn("conv_chars", sum(length(col("piece"))).over(wAll))
+      .withColumn("rendered", aggregate(
+        array_sort(collect_list(struct(col("turn"), col("piece"))).over(wAll)),
+        lit(""), (acc, x) => concat(acc, x.getField("piece"))))
+      .filter(col("role") === "assistant")
+      // assistant header '<|assistant|>\n' is 14 chars; spans are 1-based,
+      // end-exclusive
+      .select(col("conv_id"), col("turn"),
+        (col("off") + 15).as("span_start"),
+        (col("off") + 15 + length(col("text"))).as("span_end"),
+        col("n_turns"), col("conv_chars"),
+        col("rendered").substr(col("off") + 15, length(col("text")))
+          .as("span_text"))
+      .orderBy("conv_id", "turn")
+  }
+
+  /** The render + offset arithmetic replayed relationally (string_agg in
+    * turn order = the fold-concatenated rendering; substr at the computed
+    * offsets must recover the raw text). */
+  val sftRenderSql: String =
+    """WITH t AS (
+      |  SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    text
+      |  FROM documents WHERE text IS NOT NULL),
+      |p AS (
+      |  SELECT conv_id, turn, role, text,
+      |    '<|' || role || '|>' || chr(10) || text || chr(10) AS piece
+      |  FROM t),
+      |o AS (
+      |  SELECT conv_id, turn, role, text, piece,
+      |    SUM(length(piece)) OVER (PARTITION BY conv_id ORDER BY turn)
+      |      - length(piece) AS off
+      |  FROM p),
+      |c AS (
+      |  SELECT conv_id, string_agg(piece, '' ORDER BY turn) AS rendered,
+      |    COUNT(*) AS n_turns, SUM(length(piece)) AS conv_chars
+      |  FROM p GROUP BY conv_id)
+      |SELECT o.conv_id, CAST(o.turn AS BIGINT) AS turn,
+      |  CAST(o.off + 15 AS BIGINT) AS span_start,
+      |  CAST(o.off + 15 + length(o.text) AS BIGINT) AS span_end,
+      |  CAST(c.n_turns AS BIGINT) AS n_turns,
+      |  CAST(c.conv_chars AS BIGINT) AS conv_chars,
+      |  substr(c.rendered, CAST(o.off + 15 AS BIGINT),
+      |    length(o.text)) AS span_text
+      |FROM o JOIN c USING (conv_id)
+      |WHERE o.role = 'assistant'
+      |ORDER BY conv_id, turn""".stripMargin
 }

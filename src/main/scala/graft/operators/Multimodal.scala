@@ -785,4 +785,177 @@ object Multimodal {
       |  FROM gif_v GROUP BY doc_id, f, w, h, n_sampled)
       |SELECT * FROM png UNION ALL SELECT * FROM wav UNION ALL
       |SELECT * FROM gif ORDER BY doc_id""".stripMargin
+
+  /** Per-image dHash signature split into four 16-bit LSH bands. */
+  case class ImageBands(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Perceptual-hash near-duplicate detection over REAL PNG payloads —
+    * the image-modality member of the near-dup family ([[graft.operators
+    * .Dedup]] covers text MinHash/SimHash/Jaccard and embedding cosine;
+    * a multimodal corpus needs the same verb on its image column).
+    *
+    * Pipeline (the standard dHash shape): each doc id derives an 18×16
+    * grayscale image — value(p) = 10 + ((fam % 1000003)·(p²+17) + 11p +
+    * pert) % 231 with fam = doc_id/4, and variants v = doc_id%4 > 0
+    * perturbing the single pixel p = 96+v by +115 (a small localized edit:
+    * the near-duplicate fixture) — which one `mapPartitions` pass ENCODES
+    * to a real PNG ([[pngPayload]]'s writer discipline: codec resolved
+    * once per partition, memory-backed streams) and immediately DECODES
+    * with the real reader; the perceptual hash is computed from DECODED
+    * pixels only: 2×2 block sums of gray = r+g+b on the 9×8 grid, then
+    * dHash bit k = [blocksum(bx+1,by) > blocksum(bx,by)] (brightness- and
+    * contrast-shift invariant), packed into FOUR 16-bit bands.
+    *
+    * Candidate generation is banded LSH, never all-pairs: explode the 4
+    * (band_idx, band_val) keys, equi-join on them (hamming ≤ 3·bits-per-
+    * band guarantees a shared band by pigeonhole — here any pair within
+    * hamming 3 of 64 is always found, and the fixture's single-pixel edits
+    * stay ≤ 4 bits all inside one band, so family recall is total), then
+    * verify candidates exactly: hamming = Σ bit_count(xor(band_i)) over
+    * the carried signatures, threshold `maxHamming`.
+    *
+    * Scale: payloads are born and die inside the scan partition (encode +
+    * decode + hash fuse into one no-shuffle stage); only 5-long signature
+    * rows shuffle. Join cost ∝ Σ bucket² per band — at larger corpora
+    * widen the bands (more bits ⇒ smaller buckets, the
+    * [[graft.operators.Dedup.dedupEmbeddingLsh]] sizing rule) and recover
+    * recall with more bands. Verification: the oracle replays pixel
+    * formula → block sums → bit packing → the SAME band join relationally,
+    * so the hash matches iff the PNG roundtrip is bit-exact AND the LSH
+    * candidate set and hamming arithmetic agree. */
+  def imageDedup(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 6): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+    val sig = ids.mapPartitions { it =>
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
+      it.map { id =>
+        val payload = dhashPayload(writer, id)
+        reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload)))
+        val img = reader.read(0)
+        // 2x2 block sums of decoded gray (r+g+b) over the 9x8 block grid
+        val bsum = Array.ofDim[Long](8, 9) // [by][bx]
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 18) {
+            val p = img.getRGB(x, y)
+            bsum(y / 2)(x / 2) +=
+              ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val bands = Array.fill(4)(0L)
+        var k = 0
+        while (k < 64) {
+          val by = k / 8
+          val bx = k % 8
+          if (bsum(by)(bx + 1) > bsum(by)(bx)) bands(k / 16) |= 1L << (k % 16)
+          k += 1
+        }
+        ImageBands(id, bands(0), bands(1), bands(2), bands(3))
+      }
+    }.toDF()
+    val bands = sig.select(col("doc_id"),
+        col("b0"), col("b1"), col("b2"), col("b3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band_idx", "band_val")))
+    val hamming = (0 until 4).map(i =>
+        call_function("bit_count",
+          col(s"a.b$i").bitwiseXOR(col(s"b.b$i"))).cast("long"))
+      .reduce(_ + _)
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      // a pair sharing several bands appears once per shared band; the
+      // hamming is the same on every copy, so min() is pure dedup
+      .groupBy("doc_a", "doc_b").agg(min("hamming").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** One id's dHash fixture grid as real PNG bytes (18×16, r=g=b). */
+  private[graft] def dhashPayload(writer: javax.imageio.ImageWriter,
+      id: Long): Array[Byte] = {
+    val fam = id / 4
+    val v = id % 4
+    val img = new java.awt.image.BufferedImage(
+      18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < 288) {
+      val base = (fam % 1000003L) * (p.toLong * p + 17) + 11L * p
+      val pert = if (v > 0 && p == 96 + v) 115L else 0L
+      val value = (10L + (base + pert) % 231).toInt
+      img.setRGB(p % 18, p / 18, (value << 16) | (value << 8) | value)
+      p += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(img)
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** The dHash pipeline replayed relationally — pixel formula → block
+    * sums → bit packing → the SAME banded-LSH candidate join → exact
+    * hamming verify. Matches iff the PNG roundtrip is bit-exact and the
+    * LSH semantics agree. */
+  val imageDedupSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id // 4 AS fam, doc_id % 4 AS v FROM documents),
+      |px AS (
+      |  SELECT doc_id, fam, v, unnest(range(0, 288)) AS p FROM d),
+      |val AS (
+      |  SELECT doc_id, p,
+      |    10 + ((fam % 1000003) * (p * p + 17) + 11 * p
+      |          + CASE WHEN v > 0 AND p = 96 + v THEN 115 ELSE 0 END) % 231
+      |      AS val
+      |  FROM px),
+      |blk AS (
+      |  SELECT doc_id, (p % 18) // 2 AS bx, (p // 18) // 2 AS by,
+      |    SUM(3 * val) AS bsum
+      |  FROM val GROUP BY 1, 2, 3),
+      |bit AS (
+      |  SELECT l.doc_id, l.by * 8 + l.bx AS k,
+      |    CASE WHEN r.bsum > l.bsum THEN 1 ELSE 0 END AS bit
+      |  FROM blk l JOIN blk r
+      |    ON r.doc_id = l.doc_id AND r.by = l.by AND r.bx = l.bx + 1
+      |  WHERE l.bx < 8),
+      |bands AS (
+      |  SELECT doc_id, k // 16 AS band_idx,
+      |    CAST(SUM(bit * CAST(pow(2, k % 16) AS BIGINT)) AS BIGINT)
+      |      AS band_val
+      |  FROM bit GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+      |    MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+      |    MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+      |    MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+      |  FROM bands GROUP BY doc_id),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |   AND a.doc_id < b.doc_id),
+      |ham AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+      |       + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+      |      AS BIGINT) AS hamming
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.doc_a
+      |  JOIN sig sb ON sb.doc_id = c.doc_b)
+      |SELECT doc_a, doc_b, hamming FROM ham
+      |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
 }

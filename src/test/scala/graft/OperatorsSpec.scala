@@ -226,6 +226,50 @@ class OperatorsSpec extends SparkSuite {
       s"sum_r ${stats.getLong(3)} != formula $expected — codec not lossless")
   }
 
+  test("sft render: loss-mask spans slice the rendered conversation back to the raw turn text") {
+    val rows = CorpusOps.sftRender(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (conv, turn) = (r.getLong(0), r.getLong(1))
+      assert(turn % 2 == 1, s"non-assistant turn $turn emitted a span")
+      val raw = docs(conv * 4 + turn)
+      // the span substring of the RENDERED string must recover the raw
+      // text exactly — offsets consistent with the actual rendering
+      assert(r.getString(6) == raw, s"conv $conv turn $turn: span slice drifted")
+      assert(r.getLong(3) - r.getLong(2) == raw.length)
+      assert(r.getLong(2) >= 1 && r.getLong(3) - 1 <= r.getLong(5),
+        s"span outside the rendered string")
+    }
+    // every conversation with an assistant turn is represented
+    val convs = rows.map(_.getLong(0)).distinct
+    assert(convs.length == docs.keys.map(_ / 4).toSeq.distinct.length)
+  }
+
+  test("image dedup: real PNG in the loop; every single-pixel-edit family found, no cross-family pairs") {
+    // fixture payloads must be REAL PNG (the codec-in-the-loop contract)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val pngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    assert(Multimodal.dhashPayload(writer, 5L).take(8).sameElements(pngMagic))
+    val pairs = Multimodal.imageDedup(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    // dHash invariance to the +115 single-pixel edit: each variant moves
+    // at most one 2x2 block, i.e. <= 2 bits, all inside ONE 16-bit band —
+    // the other three bands match exactly, so banded LSH finds every one
+    // of the C(4,2)=6 pairs per family (recall is total by construction)
+    assert(pairs.length == (nDocs / 4) * 6, s"got ${pairs.length} pairs")
+    pairs.foreach { r =>
+      val (a, b, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a / 4 == b / 4, s"cross-family pair ($a,$b) survived hamming<=6")
+      assert(h <= 4, s"intra-family pair ($a,$b) at hamming $h > 2 bits/edit * 2")
+    }
+    // distinct families produce genuinely distinct signatures: a shifted
+    // pattern (dHash is brightness-invariant) would collapse them
+    assert(pairs.map(_.getLong(0) / 4).distinct.length == (nDocs / 4).toInt)
+  }
+
   test("multimodal audio: payloads are genuine RIFF/WAVE and the codec roundtrip is lossless") {
     import spark.implicits._
     // encoded column must be a REAL WAV container (RIFF....WAVE magic),

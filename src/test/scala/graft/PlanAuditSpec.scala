@@ -877,6 +877,26 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("sft render: one conversation shuffle — offsets, stats and render share the exchange, no join") {
+    val p = plan(operators.CorpusOps.sftRender(spark, sfDir))
+    assert(!p.contains("Join"), "render must not join conv stats back:\n" + p.take(1200))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      "the ordered and whole-partition windows must share one exchange:\n" + p.take(1200))
+    assert(p.split("Exchange rangepartitioning").length - 1 == 1)
+  }
+
+  test("image dedup: banded LSH equi-join only — no cartesian, payloads never leave the scan stage") {
+    val p = plan(Multimodal.imageDedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the band equi-join, never all-pairs:\n" +
+        p.take(1200))
+    // the mapPartitions emits 5-long signature rows; the binary payload
+    // column is born and dies inside the scan partition, so no exchange
+    // in the plan can carry it
+    assert(!p.contains("payload"), p.take(1200))
+  }
+
   test("multimodal dispatch: mixed-mime payloads never shuffle — encode and per-mime decode fuse") {
     val p = plan(Multimodal.multimodalFeatures(spark, sfDir))
     assert(p.split("Exchange hashpartitioning").length - 1 == 0,
