@@ -795,8 +795,8 @@ object Multimodal {
     * a multimodal corpus needs the same verb on its image column).
     *
     * Pipeline (the standard dHash shape): each doc id derives an 18×16
-    * grayscale image — value(p) = 10 + ((fam % 1000003)·(p²+17) + 11p +
-    * pert) % 231 with fam = doc_id/4, and variants v = doc_id%4 > 0
+    * grayscale image — value(p) = 10 + (((fam % 1000003)·(p²+17) + 11p +
+    * pert) % 1000003) % 231 with fam = doc_id/4, and variants v = doc_id%4 > 0
     * perturbing the single pixel p = 96+v by +115 (a small localized edit:
     * the near-duplicate fixture) — which one `mapPartitions` pass ENCODES
     * to a real PNG ([[pngPayload]]'s writer discipline: codec resolved
@@ -894,7 +894,12 @@ object Multimodal {
     while (p < 288) {
       val base = (fam % 1000003L) * (p.toLong * p + 17) + 11L * p
       val pert = if (v > 0 && p == 96 + v) 115L else 0L
-      val value = (10L + (base + pert) % 231).toInt
+      // the intermediate mod 1000003 (prime > any family count) keeps the
+      // pattern a function of the FULL family id: reducing straight to 231
+      // would collapse fam to fam mod 231 — families 231 apart would emit
+      // IDENTICAL images, an unintended exact-dup class whose pair count
+      // grows quadratically (measured: 52k pairs at sf0.1 vs 7.5k real)
+      val value = (10L + ((base + pert) % 1000003L) % 231).toInt
       img.setRGB(p % 18, p / 18, (value << 16) | (value << 8) | value)
       p += 1
     }
@@ -917,9 +922,9 @@ object Multimodal {
       |  SELECT doc_id, fam, v, unnest(range(0, 288)) AS p FROM d),
       |val AS (
       |  SELECT doc_id, p,
-      |    10 + ((fam % 1000003) * (p * p + 17) + 11 * p
-      |          + CASE WHEN v > 0 AND p = 96 + v THEN 115 ELSE 0 END) % 231
-      |      AS val
+      |    10 + (((fam % 1000003) * (p * p + 17) + 11 * p
+      |          + CASE WHEN v > 0 AND p = 96 + v THEN 115 ELSE 0 END)
+      |          % 1000003) % 231 AS val
       |  FROM px),
       |blk AS (
       |  SELECT doc_id, (p % 18) // 2 AS bx, (p // 18) // 2 AS by,
