@@ -179,6 +179,7 @@ object SparkEntry {
     "multimodal_audio" -> ((s, dir) => Multimodal.multimodalAudio(tune(s), dir)),
     "image_dedup" -> ((s, dir) => Multimodal.imageDedup(tune(s), dir)),
     "sft_render" -> ((s, dir) => CorpusOps.sftRender(tune(s), dir)),
+    "dpo_pairs" -> ((s, dir) => CorpusOps.dpoPairs(tune(s), dir)),
     "lr_quality" -> ((s, dir) => CorpusOps.lrQuality(tune(s), dir)),
     "unigram_lm" -> ((s, dir) => TextOps.unigramLm(tune(s), dir)),
     "unigram_soft" -> ((s, dir) => TextOps.unigramSoft(tune(s), dir)),
@@ -395,6 +396,7 @@ object SparkEntry {
     "multimodal_audio" -> Multimodal.multimodalAudioSql,
     "image_dedup" -> Multimodal.imageDedupSql,
     "sft_render" -> CorpusOps.sftRenderSql,
+    "dpo_pairs" -> CorpusOps.dpoPairsSql,
     "lr_quality" -> CorpusOps.lrQualitySql(),
     "unigram_lm" -> TextOps.unigramLmSql(),
     "unigram_soft" -> TextOps.unigramSoftSql(),

@@ -1203,6 +1203,87 @@ object CorpusOps {
       .orderBy("conv_id", "turn")
   }
 
+  /** DPO/RLHF preference-pair construction — the stage after [[sftRender]]
+    * in an alignment data pipeline: for each prompt, pick the best and
+    * worst candidate completion by a quality score, emitting the
+    * (chosen, rejected) pair plus its score margin. Fixture mapping:
+    * prompt group = doc_id/4, the group's docs with turn = doc_id%4 ≥ 1
+    * are its candidate completions; the score is a replayable quality
+    * heuristic — the letter ratio on a fixed 1e-4 grid,
+    * floor(10000·letters/chars) (both engines share the regex class and
+    * exact integer floor). Selection is fully deterministic: chosen =
+    * highest score, ties to the LOWEST turn; rejected = lowest score,
+    * ties to the HIGHEST turn — so a group of ≥ 2 candidates always
+    * yields a well-defined pair (all-tie groups pair first against last
+    * at margin 0, the degenerate case a real pipeline filters on margin).
+    *
+    * Scale: one prompt-grain shuffle. Both row_number lanes and the
+    * group count ride the same window exchange ([[sftRender]]'s shape),
+    * and the pair pivot is a same-key groupBy — no join, no second
+    * exchange; candidate text never moves — the score is computed before
+    * the shuffle, so only slim (prompt_id, turn, score) rows shuffle.
+    * The final prompt-grain sort is the only other exchange. */
+  def dpoPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val cands = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull && length(col("text")) > 0 &&
+        col("doc_id") % 4 =!= 0)
+      .select(expr("doc_id div 4").as("prompt_id"),
+        (col("doc_id") % 4).as("turn"),
+        floor(lit(10000) *
+          length(regexp_replace(col("text"), "[^A-Za-z]", "")) /
+          length(col("text"))).as("score"))
+    val part = Window.partitionBy("prompt_id")
+    val chosenLane = part.orderBy(col("score").desc, col("turn").asc)
+    val rejectedLane = part.orderBy(col("score").asc, col("turn").desc)
+    cands
+      .withColumn("rn_c", row_number().over(chosenLane))
+      .withColumn("rn_r", row_number().over(rejectedLane))
+      .withColumn("n_candidates", count(lit(1)).over(part))
+      .filter(col("n_candidates") >= 2)
+      .groupBy("prompt_id")
+      .agg(
+        max(when(col("rn_c") === 1, struct(col("turn"), col("score"))))
+          .as("c"),
+        max(when(col("rn_r") === 1, struct(col("turn"), col("score"))))
+          .as("r"),
+        max(col("n_candidates")).as("n_candidates"))
+      .select(col("prompt_id"),
+        col("c.turn").as("chosen_turn"), col("r.turn").as("rejected_turn"),
+        col("c.score").as("chosen_score"), col("r.score").as("rejected_score"),
+        (col("c.score") - col("r.score")).as("margin"),
+        col("n_candidates"))
+      .orderBy("prompt_id")
+  }
+
+  /** The pair selection replayed relationally — same score grid, same
+    * two deterministic rank lanes. */
+  val dpoPairsSql: String =
+    """WITH cands AS (
+      |  SELECT doc_id // 4 AS prompt_id, doc_id % 4 AS turn,
+      |    CAST(floor(10000.0 *
+      |      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+      |      / length(text)) AS BIGINT) AS score
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 4 <> 0),
+      |ranked AS (
+      |  SELECT prompt_id, turn, score,
+      |    row_number() OVER (PARTITION BY prompt_id
+      |      ORDER BY score DESC, turn ASC) AS rn_c,
+      |    row_number() OVER (PARTITION BY prompt_id
+      |      ORDER BY score ASC, turn DESC) AS rn_r,
+      |    COUNT(*) OVER (PARTITION BY prompt_id) AS n_candidates
+      |  FROM cands)
+      |SELECT prompt_id,
+      |  MAX(CASE WHEN rn_c = 1 THEN turn END) AS chosen_turn,
+      |  MAX(CASE WHEN rn_r = 1 THEN turn END) AS rejected_turn,
+      |  MAX(CASE WHEN rn_c = 1 THEN score END) AS chosen_score,
+      |  MAX(CASE WHEN rn_r = 1 THEN score END) AS rejected_score,
+      |  MAX(CASE WHEN rn_c = 1 THEN score END)
+      |    - MAX(CASE WHEN rn_r = 1 THEN score END) AS margin,
+      |  CAST(MAX(n_candidates) AS BIGINT) AS n_candidates
+      |FROM ranked WHERE n_candidates >= 2
+      |GROUP BY prompt_id ORDER BY prompt_id""".stripMargin
+
   /** The render + offset arithmetic replayed relationally (string_agg in
     * turn order = the fold-concatenated rendering; substr at the computed
     * offsets must recover the raw text). */

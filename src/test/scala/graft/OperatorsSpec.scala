@@ -247,6 +247,36 @@ class OperatorsSpec extends SparkSuite {
     assert(convs.length == docs.keys.map(_ / 4).toSeq.distinct.length)
   }
 
+  test("dpo pairs: deterministic chosen/rejected selection matches a direct recompute") {
+    val rows = CorpusOps.dpoPairs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def score(t: String): Long = {
+      val letters = t.count(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))
+      math.floor(10000.0 * letters / t.length).toLong
+    }
+    val groups = docs.toSeq
+      .filter { case (id, t) => id % 4 != 0 && t != null && t.nonEmpty }
+      .groupBy(_._1 / 4)
+    // exactly the >=2-candidate groups are emitted
+    assert(rows.map(_.getLong(0)).toSet ==
+      groups.filter(_._2.size >= 2).keySet)
+    rows.foreach { r =>
+      val pid = r.getLong(0)
+      val cands = groups(pid).map { case (id, t) => (id % 4, score(t)) }
+      assert(cands.size.toLong == r.getLong(6))
+      val chosen = cands.minBy { case (t, s) => (-s, t) }
+      val rejected = cands.minBy { case (t, s) => (s, -t) }
+      assert((r.getLong(1), r.getLong(3)) == chosen,
+        s"prompt $pid: chosen drifted from the tie-broken argmax")
+      assert((r.getLong(2), r.getLong(4)) == rejected,
+        s"prompt $pid: rejected drifted from the tie-broken argmin")
+      assert(r.getLong(5) == chosen._2 - rejected._2 && r.getLong(5) >= 0)
+      assert(r.getLong(1) != r.getLong(2), "chosen must never equal rejected")
+    }
+  }
+
   test("image dedup: real PNG in the loop; every single-pixel-edit family found, no cross-family pairs") {
     // fixture payloads must be REAL PNG (the codec-in-the-loop contract)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()

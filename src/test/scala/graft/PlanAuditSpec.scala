@@ -885,6 +885,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.split("Exchange rangepartitioning").length - 1 == 1)
   }
 
+  test("dpo pairs: one prompt shuffle — rank lanes, group count and pair pivot share the exchange") {
+    val p = plan(operators.CorpusOps.dpoPairs(spark, sfDir))
+    assert(!p.contains("Join"), "pair pivot must not join lanes back:\n" + p.take(1200))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      "the two rank lanes and the same-key groupBy must share one exchange:\n" + p.take(1200))
+    assert(p.split("Exchange rangepartitioning").length - 1 == 1)
+  }
+
   test("image dedup: banded LSH equi-join only — no cartesian, payloads never leave the scan stage") {
     val p = plan(Multimodal.imageDedup(spark, sfDir))
     assert(!p.contains("CartesianProduct") &&
