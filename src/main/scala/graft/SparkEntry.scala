@@ -178,6 +178,7 @@ object SparkEntry {
     "multimodal_decode" -> ((s, dir) => Multimodal.multimodalDecode(tune(s), dir)),
     "multimodal_audio" -> ((s, dir) => Multimodal.multimodalAudio(tune(s), dir)),
     "image_dedup" -> ((s, dir) => Multimodal.imageDedup(tune(s), dir)),
+    "audio_dedup" -> ((s, dir) => Multimodal.audioDedup(tune(s), dir)),
     "sft_render" -> ((s, dir) => CorpusOps.sftRender(tune(s), dir)),
     "dpo_pairs" -> ((s, dir) => CorpusOps.dpoPairs(tune(s), dir)),
     "lr_quality" -> ((s, dir) => CorpusOps.lrQuality(tune(s), dir)),
@@ -395,6 +396,7 @@ object SparkEntry {
     "multimodal_decode" -> Multimodal.multimodalDecodeSql,
     "multimodal_audio" -> Multimodal.multimodalAudioSql,
     "image_dedup" -> Multimodal.imageDedupSql,
+    "audio_dedup" -> Multimodal.audioDedupSql,
     "sft_render" -> CorpusOps.sftRenderSql,
     "dpo_pairs" -> CorpusOps.dpoPairsSql,
     "lr_quality" -> CorpusOps.lrQualitySql(),

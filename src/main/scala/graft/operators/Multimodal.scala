@@ -786,8 +786,37 @@ object Multimodal {
       |SELECT * FROM png UNION ALL SELECT * FROM wav UNION ALL
       |SELECT * FROM gif ORDER BY doc_id""".stripMargin
 
-  /** Per-image dHash signature split into four 16-bit LSH bands. */
-  case class ImageBands(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+  /** A 64-bit perceptual-hash signature split into four 16-bit LSH bands
+    * (dHash for images, envelope-gradient hash for audio). */
+  case class HashBands(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** The shared banded-LSH near-dup tail: explode the four (band_idx,
+    * band_val) keys, equi-join (candidates ∝ Σ bucket², never all-pairs),
+    * verify exactly via hamming = Σ bit_count(xor(band_i)) on the carried
+    * signatures. Any pair within hamming 3 of 64 always shares a band
+    * (pigeonhole), so single-block-edit families are found with total
+    * recall. */
+  private def bandPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = sig.select(col("doc_id"),
+      col("b0"), col("b1"), col("b2"), col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band_idx", "band_val")))
+    val hamming = (0 until 4).map(i =>
+        call_function("bit_count",
+          col(s"a.b$i").bitwiseXOR(col(s"b.b$i"))).cast("long"))
+      .reduce(_ + _)
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      // a pair sharing several bands appears once per shared band; the
+      // hamming is the same on every copy, so min() is pure dedup
+      .groupBy("doc_a", "doc_b").agg(min("hamming").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** Perceptual-hash near-duplicate detection over REAL PNG payloads —
     * the image-modality member of the near-dup family ([[graft.operators
@@ -859,28 +888,10 @@ object Multimodal {
           if (bsum(by)(bx + 1) > bsum(by)(bx)) bands(k / 16) |= 1L << (k % 16)
           k += 1
         }
-        ImageBands(id, bands(0), bands(1), bands(2), bands(3))
+        HashBands(id, bands(0), bands(1), bands(2), bands(3))
       }
     }.toDF()
-    val bands = sig.select(col("doc_id"),
-        col("b0"), col("b1"), col("b2"), col("b3"),
-        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
-          .as(Seq("band_idx", "band_val")))
-    val hamming = (0 until 4).map(i =>
-        call_function("bit_count",
-          col(s"a.b$i").bitwiseXOR(col(s"b.b$i"))).cast("long"))
-      .reduce(_ + _)
-    bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_val") === col("b.band_val") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        hamming.as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      // a pair sharing several bands appears once per shared band; the
-      // hamming is the same on every copy, so min() is pure dedup
-      .groupBy("doc_a", "doc_b").agg(min("hamming").as("hamming"))
-      .orderBy("doc_a", "doc_b")
+    bandPairs(sig, maxHamming)
   }
 
   /** One id's dHash fixture grid as real PNG bytes (18×16, r=g=b). */
@@ -936,6 +947,146 @@ object Multimodal {
       |  FROM blk l JOIN blk r
       |    ON r.doc_id = l.doc_id AND r.by = l.by AND r.bx = l.bx + 1
       |  WHERE l.bx < 8),
+      |bands AS (
+      |  SELECT doc_id, k // 16 AS band_idx,
+      |    CAST(SUM(bit * CAST(pow(2, k % 16) AS BIGINT)) AS BIGINT)
+      |      AS band_val
+      |  FROM bit GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+      |    MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+      |    MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+      |    MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+      |  FROM bands GROUP BY doc_id),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |   AND a.doc_id < b.doc_id),
+      |ham AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+      |       + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+      |      AS BIGINT) AS hamming
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.doc_a
+      |  JOIN sig sb ON sb.doc_id = c.doc_b)
+      |SELECT doc_a, doc_b, hamming FROM ham
+      |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Audio near-duplicate detection over REAL RIFF/WAVE payloads — the
+    * audio-modality member of the near-dup family, closing the verb
+    * across all corpus modalities (text / embedding / image / audio).
+    *
+    * Fingerprint (the envelope-gradient shape — [[imageDedup]]'s dHash
+    * analog on the time axis): each doc id derives a 520-frame mono 8 kHz
+    * clip — amp(f) = (((fam % 1000003)·(f²+29) + 17f + pert) % 1000003)
+    * % 65536 − 32768 with fam = doc_id/4 (the intermediate prime mod
+    * keeps the waveform a function of the FULL family id — the
+    * [[dhashPayload]] lesson), variants v = doc_id%4 > 0 perturbing the
+    * single sample f = 200+v by +9999 (a click/edit: the near-duplicate
+    * fixture). One `mapPartitions` pass ENCODES each clip through the
+    * real `javax.sound` WAV writer (SPI resolved once per partition) and
+    * immediately DECODES via the RIFF chunk walk ([[parseWav]]); the
+    * fingerprint is computed from DECODED samples only: 65 windows of 8
+    * samples, window energy = Σ|amp|, bit k = [energy(k+1) > energy(k)]
+    * (gain-shift invariant the way dHash is brightness-invariant),
+    * packed into four 16-bit bands. The single-sample edits land in ONE
+    * window → ≤ 2 flipped bits, all in band 1 → total family recall via
+    * [[bandPairs]], exact hamming verify.
+    *
+    * Scale: identical to [[imageDedup]] — payloads fuse encode→decode→
+    * hash inside the scan partition, only 5-long signature rows shuffle,
+    * candidates ∝ Σ bucket² per band. Verification: the oracle replays
+    * sample formula → window energies → bit packing → the SAME band
+    * join, so a hash match proves the WAV roundtrip bit-exact AND the
+    * LSH semantics agree. */
+  def audioDedup(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 6): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+    val sig = ids.mapPartitions { it =>
+      import scala.jdk.CollectionConverters._
+      val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      val writer = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala
+        .find(_.isFileTypeSupported(wave))
+        .getOrElse(sys.error("no WAVE AudioFileWriter provider"))
+      it.map { id =>
+        val payload = envelopePayload(writer, id)
+        val pcm = parseWav(payload).data
+        // 65 window energies over the decoded samples (8 frames/window)
+        val e = new Array[Long](65)
+        var f = 0
+        while (f < 520) {
+          val a = (((pcm(2 * f + 1) & 0xff) << 8) | (pcm(2 * f) & 0xff))
+            .toShort.toLong
+          e(f / 8) += math.abs(a)
+          f += 1
+        }
+        val bands = Array.fill(4)(0L)
+        var k = 0
+        while (k < 64) {
+          if (e(k + 1) > e(k)) bands(k / 16) |= 1L << (k % 16)
+          k += 1
+        }
+        HashBands(id, bands(0), bands(1), bands(2), bands(3))
+      }
+    }.toDF()
+    bandPairs(sig, maxHamming)
+  }
+
+  /** One id's envelope fixture clip as real RIFF/WAVE bytes (mono,
+    * 520 frames, 16-bit PCM at 8 kHz). */
+  private[graft] def envelopePayload(
+      writer: javax.sound.sampled.spi.AudioFileWriter,
+      id: Long): Array[Byte] = {
+    val fam = id / 4
+    val v = id % 4
+    val pcm = new Array[Byte](520 * 2)
+    var f = 0
+    while (f < 520) {
+      val base = (fam % 1000003L) * (f.toLong * f + 29) + 17L * f
+      val pert = if (v > 0 && f == 200 + v) 9999L else 0L
+      val a = (((base + pert) % 1000003L) % 65536L - 32768L).toInt
+      pcm(2 * f) = (a & 0xff).toByte
+      pcm(2 * f + 1) = ((a >> 8) & 0xff).toByte
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 520L)
+    val bos = new java.io.ByteArrayOutputStream()
+    writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** The envelope-hash pipeline replayed relationally — sample formula →
+    * window energies → bit packing → the SAME banded-LSH candidate join →
+    * exact hamming verify. */
+  val audioDedupSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id // 4 AS fam, doc_id % 4 AS v FROM documents),
+      |fr AS (
+      |  SELECT doc_id, fam, v, unnest(range(0, 520)) AS f FROM d),
+      |amp AS (
+      |  SELECT doc_id, f,
+      |    (((fam % 1000003) * (f * f + 29) + 17 * f
+      |      + CASE WHEN v > 0 AND f = 200 + v THEN 9999 ELSE 0 END)
+      |     % 1000003) % 65536 - 32768 AS a
+      |  FROM fr),
+      |win AS (
+      |  SELECT doc_id, f // 8 AS w, SUM(abs(a)) AS e
+      |  FROM amp GROUP BY 1, 2),
+      |bit AS (
+      |  SELECT l.doc_id, l.w AS k,
+      |    CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
+      |  FROM win l JOIN win r ON r.doc_id = l.doc_id AND r.w = l.w + 1
+      |  WHERE l.w < 64),
       |bands AS (
       |  SELECT doc_id, k // 16 AS band_idx,
       |    CAST(SUM(bit * CAST(pow(2, k % 16) AS BIGINT)) AS BIGINT)

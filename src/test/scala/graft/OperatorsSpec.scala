@@ -300,6 +300,33 @@ class OperatorsSpec extends SparkSuite {
     assert(pairs.map(_.getLong(0) / 4).distinct.length == (nDocs / 4).toInt)
   }
 
+  test("audio dedup: real WAV in the loop; every single-sample-edit family found, no cross-family pairs") {
+    import scala.jdk.CollectionConverters._
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    val writer = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala.find(_.isFileTypeSupported(wave)).get
+    // fixture payloads must be REAL RIFF/WAVE containers
+    val hdr = Multimodal.envelopePayload(writer, 9L)
+    assert(new String(hdr.slice(0, 4), "US-ASCII") == "RIFF" &&
+      new String(hdr.slice(8, 12), "US-ASCII") == "WAVE")
+    // and the real javax.sound reader agrees with the chunk-walk decode
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(hdr))
+    assert(ais.readAllBytes().toSeq == Multimodal.parseWav(hdr).data.toSeq)
+    val pairs = Multimodal.audioDedup(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    // the +9999 single-sample edits all land in window 25 → ≤ 2 flipped
+    // bits per variant, all inside band 1 → total family recall
+    assert(pairs.length == (nDocs / 4) * 6, s"got ${pairs.length} pairs")
+    pairs.foreach { r =>
+      val (a, b, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a / 4 == b / 4, s"cross-family pair ($a,$b) survived hamming<=6")
+      assert(h <= 4, s"intra-family pair ($a,$b) at hamming $h")
+    }
+    assert(pairs.map(_.getLong(0) / 4).distinct.length == (nDocs / 4).toInt)
+  }
+
   test("multimodal audio: payloads are genuine RIFF/WAVE and the codec roundtrip is lossless") {
     import spark.implicits._
     // encoded column must be a REAL WAV container (RIFF....WAVE magic),

@@ -905,6 +905,13 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("payload"), p.take(1200))
   }
 
+  test("audio dedup: banded LSH equi-join only — no cartesian, WAV payloads never leave the scan stage") {
+    val p = plan(Multimodal.audioDedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("payload"), p.take(1200))
+  }
+
   test("multimodal dispatch: mixed-mime payloads never shuffle — encode and per-mime decode fuse") {
     val p = plan(Multimodal.multimodalFeatures(spark, sfDir))
     assert(p.split("Exchange hashpartitioning").length - 1 == 0,
