@@ -1192,13 +1192,17 @@ object CorpusOps {
         array_sort(collect_list(struct(col("turn"), col("piece"))).over(wAll)),
         lit(""), (acc, x) => concat(acc, x.getField("piece"))))
       .filter(col("role") === "assistant")
-      // assistant header '<|assistant|>\n' is 14 chars; spans are 1-based,
-      // end-exclusive
+      // span start derived from the piece itself (piece = header + text +
+      // '\n', so the text begins at off + len(piece) - len(text) - 1 in
+      // 0-based, +1 for SQL's 1-based substr) — no header-width constant
+      // to keep in sync with the template; spans are 1-based, end-exclusive
+      .withColumn("span_start",
+        col("off") + length(col("piece")) - length(col("text")))
       .select(col("conv_id"), col("turn"),
-        (col("off") + 15).as("span_start"),
-        (col("off") + 15 + length(col("text"))).as("span_end"),
+        col("span_start"),
+        (col("span_start") + length(col("text"))).as("span_end"),
         col("n_turns"), col("conv_chars"),
-        col("rendered").substr(col("off") + 15, length(col("text")))
+        col("rendered").substr(col("span_start"), length(col("text")))
           .as("span_text"))
       .orderBy("conv_id", "turn")
   }
@@ -1229,7 +1233,11 @@ object CorpusOps {
         col("doc_id") % 4 =!= 0)
       .select(expr("doc_id div 4").as("prompt_id"),
         (col("doc_id") % 4).as("turn"),
-        floor(lit(10000) *
+        // 10000.0 as a DOUBLE literal, exactly like the oracle: an Int
+        // literal would multiply in 32-bit and silently wrap past ~214k
+        // letters; double*int is exact to 2^53 and the one division is
+        // correctly rounded identically on both engines
+        floor(lit(10000.0) *
           length(regexp_replace(col("text"), "[^A-Za-z]", "")) /
           length(col("text"))).as("score"))
     val part = Window.partitionBy("prompt_id")
@@ -1307,11 +1315,13 @@ object CorpusOps {
       |    COUNT(*) AS n_turns, SUM(length(piece)) AS conv_chars
       |  FROM p GROUP BY conv_id)
       |SELECT o.conv_id, CAST(o.turn AS BIGINT) AS turn,
-      |  CAST(o.off + 15 AS BIGINT) AS span_start,
-      |  CAST(o.off + 15 + length(o.text) AS BIGINT) AS span_end,
+      |  CAST(o.off + length(o.piece) - length(o.text) AS BIGINT)
+      |    AS span_start,
+      |  CAST(o.off + length(o.piece) AS BIGINT) AS span_end,
       |  CAST(c.n_turns AS BIGINT) AS n_turns,
       |  CAST(c.conv_chars AS BIGINT) AS conv_chars,
-      |  substr(c.rendered, CAST(o.off + 15 AS BIGINT),
+      |  substr(c.rendered,
+      |    CAST(o.off + length(o.piece) - length(o.text) AS BIGINT),
       |    length(o.text)) AS span_text
       |FROM o JOIN c USING (conv_id)
       |WHERE o.role = 'assistant'

@@ -790,6 +790,44 @@ object Multimodal {
     * (dHash for images, envelope-gradient hash for audio). */
   case class HashBands(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
 
+  /** Default hamming threshold for the perceptual-hash near-dup pair —
+    * one constant shared by the Scala defaults AND both oracle strings so
+    * the two sides cannot silently diverge. */
+  private val DefaultMaxHamming = 6
+
+  /** The [[bandPairs]] relational tail in oracle SQL — band pivot →
+    * signature pivot → band-equality candidates → exact hamming verify —
+    * shared verbatim by [[imageDedupSql]] and [[audioDedupSql]]; expects
+    * an upstream CTE `bit(doc_id, k, bit)`. */
+  private def bandPairsSqlTail(maxHamming: Int): String =
+    s"""bands AS (
+      |  SELECT doc_id, k // 16 AS band_idx,
+      |    CAST(SUM(bit * CAST(pow(2, k % 16) AS BIGINT)) AS BIGINT)
+      |      AS band_val
+      |  FROM bit GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+      |    MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+      |    MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+      |    MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+      |  FROM bands GROUP BY doc_id),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |   AND a.doc_id < b.doc_id),
+      |ham AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+      |       + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+      |      AS BIGINT) AS hamming
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.doc_a
+      |  JOIN sig sb ON sb.doc_id = c.doc_b)
+      |SELECT doc_a, doc_b, hamming FROM ham
+      |WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
+
   /** The shared banded-LSH near-dup tail: explode the four (band_idx,
     * band_val) keys, equi-join (candidates ∝ Σ bucket², never all-pairs),
     * verify exactly via hamming = Σ bit_count(xor(band_i)) on the carried
@@ -853,7 +891,7 @@ object Multimodal {
     * so the hash matches iff the PNG roundtrip is bit-exact AND the LSH
     * candidate set and hamming arithmetic agree. */
   def imageDedup(spark: SparkSession, sfDir: String,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = DefaultMaxHamming): DataFrame = {
     import spark.implicits._
     val ids = Tables.documents(spark, sfDir)
       .select(col("doc_id")).as[Long]
@@ -947,33 +985,7 @@ object Multimodal {
       |  FROM blk l JOIN blk r
       |    ON r.doc_id = l.doc_id AND r.by = l.by AND r.bx = l.bx + 1
       |  WHERE l.bx < 8),
-      |bands AS (
-      |  SELECT doc_id, k // 16 AS band_idx,
-      |    CAST(SUM(bit * CAST(pow(2, k % 16) AS BIGINT)) AS BIGINT)
-      |      AS band_val
-      |  FROM bit GROUP BY 1, 2),
-      |sig AS (
-      |  SELECT doc_id,
-      |    MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
-      |    MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
-      |    MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
-      |    MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
-      |  FROM bands GROUP BY doc_id),
-      |cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-      |   AND a.doc_id < b.doc_id),
-      |ham AS (
-      |  SELECT c.doc_a, c.doc_b,
-      |    CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
-      |       + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
-      |      AS BIGINT) AS hamming
-      |  FROM cand c
-      |  JOIN sig sa ON sa.doc_id = c.doc_a
-      |  JOIN sig sb ON sb.doc_id = c.doc_b)
-      |SELECT doc_a, doc_b, hamming FROM ham
-      |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
+      |""".stripMargin + bandPairsSqlTail(DefaultMaxHamming)
 
   /** Audio near-duplicate detection over REAL RIFF/WAVE payloads — the
     * audio-modality member of the near-dup family, closing the verb
@@ -1003,7 +1015,7 @@ object Multimodal {
     * join, so a hash match proves the WAV roundtrip bit-exact AND the
     * LSH semantics agree. */
   def audioDedup(spark: SparkSession, sfDir: String,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = DefaultMaxHamming): DataFrame = {
     import spark.implicits._
     val ids = Tables.documents(spark, sfDir)
       .select(col("doc_id")).as[Long]
@@ -1087,31 +1099,5 @@ object Multimodal {
       |    CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
       |  FROM win l JOIN win r ON r.doc_id = l.doc_id AND r.w = l.w + 1
       |  WHERE l.w < 64),
-      |bands AS (
-      |  SELECT doc_id, k // 16 AS band_idx,
-      |    CAST(SUM(bit * CAST(pow(2, k % 16) AS BIGINT)) AS BIGINT)
-      |      AS band_val
-      |  FROM bit GROUP BY 1, 2),
-      |sig AS (
-      |  SELECT doc_id,
-      |    MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
-      |    MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
-      |    MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
-      |    MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
-      |  FROM bands GROUP BY doc_id),
-      |cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-      |   AND a.doc_id < b.doc_id),
-      |ham AS (
-      |  SELECT c.doc_a, c.doc_b,
-      |    CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
-      |       + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
-      |      AS BIGINT) AS hamming
-      |  FROM cand c
-      |  JOIN sig sa ON sa.doc_id = c.doc_a
-      |  JOIN sig sb ON sb.doc_id = c.doc_b)
-      |SELECT doc_a, doc_b, hamming FROM ham
-      |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
+      |""".stripMargin + bandPairsSqlTail(DefaultMaxHamming)
 }

@@ -894,22 +894,46 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("image dedup: banded LSH equi-join only — no cartesian, payloads never leave the scan stage") {
-    val p = plan(Multimodal.imageDedup(spark, sfDir))
+    val df = Multimodal.imageDedup(spark, sfDir)
+    val p = plan(df)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       "candidates must come from the band equi-join, never all-pairs:\n" +
         p.take(1200))
-    // the mapPartitions emits 5-long signature rows; the binary payload
-    // column is born and dies inside the scan partition, so no exchange
-    // in the plan can carry it
-    assert(!p.contains("payload"), p.take(1200))
+    assertNoBinaryShuffles(df)
+  }
+
+  /** The typed form of "payloads never leave the scan stage": walk the
+    * executed plan's shuffle exchanges and assert none of their output
+    * attributes is binary — a string grep for a column name would pass
+    * vacuously (the payload is lambda-local inside mapPartitions and can
+    * never appear in the plan text under that name). */
+  private def assertNoBinaryShuffles(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE wraps the tree in AdaptiveSparkPlanExec, which hides the inner
+    // operators from collect() — unwrap to the current physical plan first
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val exchanges = root.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected at least the band/pair shuffles")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.dataType ==
+          org.apache.spark.sql.types.BinaryType),
+        s"an exchange carries a binary column: ${e.output.map(_.name)}")
+    }
   }
 
   test("audio dedup: banded LSH equi-join only — no cartesian, WAV payloads never leave the scan stage") {
-    val p = plan(Multimodal.audioDedup(spark, sfDir))
+    val df = Multimodal.audioDedup(spark, sfDir)
+    val p = plan(df)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
-    assert(!p.contains("payload"), p.take(1200))
+    assertNoBinaryShuffles(df)
   }
 
   test("multimodal dispatch: mixed-mime payloads never shuffle — encode and per-mime decode fuse") {
