@@ -1100,4 +1100,119 @@ object Multimodal {
       |  FROM win l JOIN win r ON r.doc_id = l.doc_id AND r.w = l.w + 1
       |  WHERE l.w < 64),
       |""".stripMargin + bandPairsSqlTail(DefaultMaxHamming)
+
+  /** Video near-duplicate detection over REAL animated-GIF payloads —
+    * the last modality of the near-dup family (text / embedding / image /
+    * audio / video all now carry the verb).
+    *
+    * Fingerprint: frame-SAMPLED perceptual hash — each doc id derives a
+    * 5-frame 18×16 grayscale clip (g(i,p) = (((fam % 1000003)·(p²+31) +
+    * 7p + 53i + pert) % 1000003) % 231 + 10, fam = doc_id/4; variants
+    * v = doc_id%4 > 0 edit the single pixel p = 96+v of the MIDDLE frame
+    * by +115), one `mapPartitions` pass ENCODES the sequence through the
+    * real JDK GIF writer and DECODES ONLY the middle frame
+    * (`reader.read(2)` — the [[multimodalVideo]] frame-sampling economics:
+    * a 2-hour clip costs one frame decode), then [[imageDedup]]'s dHash
+    * on the decoded pixels and the shared [[bandPairs]] LSH verify.
+    * Production variants hash several sampled frames and vote; the
+    * single-frame form is the unit of that composition.
+    *
+    * Scale and verification: identical to [[imageDedup]] — payloads fuse
+    * encode→decode→hash inside the scan partition (no binary crosses an
+    * exchange, typed plan audit), oracle replays the middle-frame formula
+    * through the SAME relational tail. */
+  def videoDedup(spark: SparkSession, sfDir: String,
+      maxHamming: Int = DefaultMaxHamming): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+    val sig = ids.mapPartitions { it =>
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("gif").next()
+      it.map { id =>
+        val payload = clipPayload(writer, id)
+        reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload)))
+        val img = reader.read(2) // middle of the 5 frames, random access
+        val bsum = Array.ofDim[Long](8, 9) // [by][bx]
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 18) {
+            bsum(y / 2)(x / 2) += img.getRGB(x, y) & 0xff // gray channel
+            x += 1
+          }
+          y += 1
+        }
+        val bands = Array.fill(4)(0L)
+        var k = 0
+        while (k < 64) {
+          val by = k / 8
+          val bx = k % 8
+          if (bsum(by)(bx + 1) > bsum(by)(bx)) bands(k / 16) |= 1L << (k % 16)
+          k += 1
+        }
+        HashBands(id, bands(0), bands(1), bands(2), bands(3))
+      }
+    }.toDF()
+    bandPairs(sig, maxHamming)
+  }
+
+  /** One id's fixture clip as a real 5-frame animated GIF (18×16 gray,
+    * sequence-encoded — writer reused across rows). */
+  private[graft] def clipPayload(writer: javax.imageio.ImageWriter,
+      id: Long): Array[Byte] = {
+    val fam = id / 4
+    val v = id % 4
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var i = 0
+    while (i < 5) {
+      val img = new java.awt.image.BufferedImage(
+        18, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var p = 0
+      while (p < 288) {
+        val base = (fam % 1000003L) * (p.toLong * p + 31) + 7L * p + 53L * i
+        val pert = if (v > 0 && i == 2 && p == 96 + v) 115L else 0L
+        val g = (10L + ((base + pert) % 1000003L) % 231).toInt
+        img.getRaster.setSample(p % 18, p / 18, 0, g)
+        p += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+      i += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** The middle-frame dHash replayed relationally through the shared
+    * band tail. */
+  val videoDedupSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id // 4 AS fam, doc_id % 4 AS v FROM documents),
+      |px AS (
+      |  SELECT doc_id, fam, v, unnest(range(0, 288)) AS p FROM d),
+      |val AS (
+      |  SELECT doc_id, p,
+      |    10 + (((fam % 1000003) * (p * p + 31) + 7 * p + 53 * 2
+      |          + CASE WHEN v > 0 AND p = 96 + v THEN 115 ELSE 0 END)
+      |          % 1000003) % 231 AS val
+      |  FROM px),
+      |blk AS (
+      |  SELECT doc_id, (p % 18) // 2 AS bx, (p // 18) // 2 AS by,
+      |    SUM(val) AS bsum
+      |  FROM val GROUP BY 1, 2, 3),
+      |bit AS (
+      |  SELECT l.doc_id, l.by * 8 + l.bx AS k,
+      |    CASE WHEN r.bsum > l.bsum THEN 1 ELSE 0 END AS bit
+      |  FROM blk l JOIN blk r
+      |    ON r.doc_id = l.doc_id AND r.by = l.by AND r.bx = l.bx + 1
+      |  WHERE l.bx < 8),
+      |""".stripMargin + bandPairsSqlTail(DefaultMaxHamming)
 }

@@ -327,6 +327,26 @@ class OperatorsSpec extends SparkSuite {
     assert(pairs.map(_.getLong(0) / 4).distinct.length == (nDocs / 4).toInt)
   }
 
+  test("video dedup: real animated GIF in the loop; middle-frame-edit families found with total recall") {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val payload = Multimodal.clipPayload(writer, 13L)
+    // fixture payloads must be REAL GIF containers with all 5 frames
+    assert(new String(payload.take(4), "US-ASCII") == "GIF8")
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload)))
+    assert(reader.getNumImages(true) == 5)
+    val pairs = Multimodal.videoDedup(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(pairs.length == (nDocs / 4) * 6, s"got ${pairs.length} pairs")
+    pairs.foreach { r =>
+      val (a, b, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a / 4 == b / 4, s"cross-family pair ($a,$b) survived hamming<=6")
+      assert(h <= 4, s"intra-family pair ($a,$b) at hamming $h")
+    }
+    assert(pairs.map(_.getLong(0) / 4).distinct.length == (nDocs / 4).toInt)
+  }
+
   test("multimodal audio: payloads are genuine RIFF/WAVE and the codec roundtrip is lossless") {
     import spark.implicits._
     // encoded column must be a REAL WAV container (RIFF....WAVE magic),

@@ -936,6 +936,14 @@ class PlanAuditSpec extends SparkSuite {
     assertNoBinaryShuffles(df)
   }
 
+  test("video dedup: banded LSH equi-join only — no cartesian, GIF payloads never leave the scan stage") {
+    val df = Multimodal.videoDedup(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assertNoBinaryShuffles(df)
+  }
+
   test("multimodal dispatch: mixed-mime payloads never shuffle — encode and per-mime decode fuse") {
     val p = plan(Multimodal.multimodalFeatures(spark, sfDir))
     assert(p.split("Exchange hashpartitioning").length - 1 == 0,
