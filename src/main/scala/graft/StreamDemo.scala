@@ -150,6 +150,31 @@ object StreamDemo {
     check("near-dup stream flags re-sent docs via checkpointed state",
       flagged == 50, s"flagged=$flagged/50, first-pass dups=$firstPass")
 
+    // --- streaming media near-dup: admit every image family base, then
+    // feed the single-pixel variants in a second run against the SAME
+    // checkpoint — each variant must flag against its family's admitted
+    // base signature (total recall: the edit flips band-1 bits only).
+    val mediaSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    def mediaStream() = spark.readStream.schema(mediaSchema).json(s"$work/media_drop")
+    docs.select("doc_id").filter(col("doc_id") % 4 === 0)
+      .write.mode("overwrite").json(s"$work/media_drop")
+    Streaming.mediaDedupQuery(mediaStream(), s"$work/md_out", s"$work/md_ck")
+      .awaitTermination()
+    val baseDups = spark.read.parquet(s"$work/md_out")
+      .filter(col("is_near_dup")).count()
+    val variants = docs.select("doc_id").filter(col("doc_id") % 4 =!= 0)
+    val nVariants = variants.count()
+    variants.write.mode("append").json(s"$work/media_drop")
+    Streaming.mediaDedupQuery(mediaStream(), s"$work/md_out", s"$work/md_ck")
+      .awaitTermination()
+    val variantFlags = spark.read.parquet(s"$work/md_out")
+      .filter(col("is_near_dup") && col("doc_id") % 4 =!= 0).count()
+    check("media near-dup stream flags every variant against checkpointed base signatures",
+      variantFlags == nVariants,
+      s"flagged=$variantFlags/$nVariants, base-pass dups=$baseDups")
+
     // --- streaming funnel: drive the whole events table through the live
     // state machine in one AvailableNow run and reconcile the final stage
     // distribution against the batch operator (chronological within-batch

@@ -900,36 +900,44 @@ object Multimodal {
         .getImageWritersByFormatName("png").next()
       val reader = javax.imageio.ImageIO
         .getImageReadersByFormatName("png").next()
-      it.map { id =>
-        val payload = dhashPayload(writer, id)
-        reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(payload)))
-        val img = reader.read(0)
-        // 2x2 block sums of decoded gray (r+g+b) over the 9x8 block grid
-        val bsum = Array.ofDim[Long](8, 9) // [by][bx]
-        var y = 0
-        while (y < 16) {
-          var x = 0
-          while (x < 18) {
-            val p = img.getRGB(x, y)
-            bsum(y / 2)(x / 2) +=
-              ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-            x += 1
-          }
-          y += 1
-        }
-        val bands = Array.fill(4)(0L)
-        var k = 0
-        while (k < 64) {
-          val by = k / 8
-          val bx = k % 8
-          if (bsum(by)(bx + 1) > bsum(by)(bx)) bands(k / 16) |= 1L << (k % 16)
-          k += 1
-        }
-        HashBands(id, bands(0), bands(1), bands(2), bands(3))
-      }
+      it.map(id => imageSignature(writer, reader, id))
     }.toDF()
     bandPairs(sig, maxHamming)
+  }
+
+  /** One id's dHash signature: fixture PNG encode, REAL decode, 2×2 block
+    * sums of gray (r+g+b) on the 9×8 grid, gradient-sign bits in four
+    * 16-bit bands. Shared by the batch [[imageDedup]] and the streaming
+    * ingest-edge form ([[graft.streaming.Streaming.mediaDedupStream]]) so
+    * both sides run the identical arithmetic. */
+  private[graft] def imageSignature(writer: javax.imageio.ImageWriter,
+      reader: javax.imageio.ImageReader, id: Long): HashBands = {
+    val payload = dhashPayload(writer, id)
+    reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload)))
+    val img = reader.read(0)
+    // 2x2 block sums of decoded gray (r+g+b) over the 9x8 block grid
+    val bsum = Array.ofDim[Long](8, 9) // [by][bx]
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 18) {
+        val p = img.getRGB(x, y)
+        bsum(y / 2)(x / 2) +=
+          ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val bands = Array.fill(4)(0L)
+    var k = 0
+    while (k < 64) {
+      val by = k / 8
+      val bx = k % 8
+      if (bsum(by)(bx + 1) > bsum(by)(bx)) bands(k / 16) |= 1L << (k % 16)
+      k += 1
+    }
+    HashBands(id, bands(0), bands(1), bands(2), bands(3))
   }
 
   /** One id's dHash fixture grid as real PNG bytes (18×16, r=g=b). */

@@ -32,6 +32,20 @@ case class ShardBloom(words: Array[Long])
 /** Signatures already admitted to one simhash bucket. */
 case class BucketSigs(sigs: Array[Long])
 
+/** A media item's four-band perceptual-hash signature keyed by its LSH
+  * bucket (band 0) — [[Streaming.mediaDedupStream]]'s keyed row. */
+case class MediaSig(bucket: Long, doc_id: Long, b0: Long, b1: Long,
+  b2: Long, b3: Long)
+
+/** [[Streaming.mediaDedupStream]]'s per-item verdict: the signature plus
+  * whether an admitted same-bucket signature was within the hamming
+  * threshold. */
+case class MediaSigFlag(doc_id: Long, b0: Long, b1: Long, b2: Long,
+  b3: Long, is_near_dup: Boolean)
+
+/** Admitted signatures of one media bucket, flattened as 4-long quads. */
+case class BucketQuads(sigs: Array[Long])
+
 /** The reference's event-driven dataflow (SURVEY.md §2 I1-I8, §3.1) as one
   * Structured Streaming pipeline: a JSON drop directory models the webhook/
   * GCS-event source (each request = one file, A1/A3), validation routes
@@ -810,6 +824,81 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[NearDupFlag], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Streaming MEDIA near-dup — the in-stream counterpart of the batch
+    * perceptual-hash family ([[graft.operators.Multimodal.imageDedup]]):
+    * every arriving media item is signature-hashed AT THE INGEST EDGE
+    * (real PNG codec resolved per partition inside the stateless
+    * `mapPartitions` stage — the batch operator's
+    * [[graft.operators.Multimodal.imageSignature]], so stream and batch
+    * run identical arithmetic) and checked against the corpus seen SO
+    * FAR, before the payload ever lands in the training zone. Grouped by
+    * band 0 of the four-band signature, with each bucket's ADMITTED
+    * signatures held in `flatMapGroupsWithState` state: a new item is a
+    * near-dup iff some admitted same-bucket signature is within
+    * `maxHamming` bits across all four bands.
+    *
+    * Scale notes (the [[nearDupStream]] trades, media-shaped): state
+    * partitions by the 2¹⁶-value band across executors and holds only
+    * admitted 4-long quads, checkpointed — the seen corpus survives
+    * restarts. Payload bytes never reach the stateful operator: the
+    * signature is computed in the stateless scan stage, so only 5-long
+    * rows shuffle to the state partitioning. Single-band bucketing is
+    * the LSH recall trade — a near-dup pair differing in band 0 is
+    * missed; probe more bands (the batch operator's 4-band OR) at
+    * state-size cost. In-batch order is doc_id-deterministic under
+    * replay. */
+  def mediaDedupStream(docs: DataFrame, maxHamming: Int = 6): Dataset[MediaSigFlag] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col("doc_id").isNotNull) // dead-letter guard, like nearDupStream
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        it.map { id =>
+          val s = graft.operators.Multimodal.imageSignature(writer, reader, id)
+          MediaSig(s.b0, s.doc_id, s.b0, s.b1, s.b2, s.b3)
+        }
+      }
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketQuads, MediaSigFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var quads = state.getOption.map(_.sigs).getOrElse(Array.empty[Long])
+          def hamming(o: Int, m: MediaSig): Int =
+            java.lang.Long.bitCount(quads(o) ^ m.b0) +
+              java.lang.Long.bitCount(quads(o + 1) ^ m.b1) +
+              java.lang.Long.bitCount(quads(o + 2) ^ m.b2) +
+              java.lang.Long.bitCount(quads(o + 3) ^ m.b3)
+          val out = rows.toSeq.sortBy(_.doc_id).map { m =>
+            val dup = quads.indices.by(4).exists(o => hamming(o, m) <= maxHamming)
+            if (!dup) quads = quads ++ Array(m.b0, m.b1, m.b2, m.b3)
+            MediaSigFlag(m.doc_id, m.b0, m.b1, m.b2, m.b3, dup)
+          }
+          state.update(BucketQuads(quads))
+          out.iterator
+      }
+  }
+
+  /** Runs [[mediaDedupStream]] to a parquet sink; batch-keyed overwrite
+    * dirs make re-executed micro-batches idempotent, like the other
+    * sinks. */
+  def mediaDedupQuery(docs: DataFrame, outDir: String,
+      checkpointDir: String, maxHamming: Int = 6): StreamingQuery =
+    mediaDedupStream(docs, maxHamming).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[MediaSigFlag], batchId: Long) =>
         batch.write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
         ()
       }

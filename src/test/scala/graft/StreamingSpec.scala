@@ -236,6 +236,52 @@ class StreamingSpec extends SparkSuite {
     assert(flags.size == 4)
   }
 
+  test("streaming media near-dup: ingest-edge signatures, checkpointed corpus, flags by four-band hamming") {
+    val work = Files.createTempDirectory("mediadedup").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    def src() = spark.readStream.schema(schema).json(s"$work/drop")
+    def js(id: Long) = s"""{"doc_id":$id}"""
+    // expected verdicts from the SAME signature arithmetic, batch-side
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    def sig(id: Long) = operators.Multimodal.imageSignature(w, rd, id)
+    def ham(a: operators.Multimodal.HashBands,
+        b: operators.Multimodal.HashBands): Int =
+      java.lang.Long.bitCount(a.b0 ^ b.b0) +
+        java.lang.Long.bitCount(a.b1 ^ b.b1) +
+        java.lang.Long.bitCount(a.b2 ^ b.b2) +
+        java.lang.Long.bitCount(a.b3 ^ b.b3)
+    val (s0, s1, s4, s8) = (sig(0), sig(1), sig(4), sig(8))
+    // fixture invariant: the family-0 variant shares doc 0's band-0
+    // bucket (the single-pixel edit flips only band-1 bits) within 4 bits
+    assert(s0.b0 == s1.b0 && ham(s0, s1) <= 4)
+    // doc 4 is a fresh family base: flagged only if it collides with an
+    // admitted signature in its bucket — compute the expectation exactly
+    val expect4 = Seq(s0, s8).exists(s => s.b0 == s4.b0 && ham(s, s4) <= 6)
+    // batch 1: two family bases — a fresh corpus
+    Seq(js(0), js(8)).toDF("value").coalesce(1)
+      .write.mode("append").text(s"$work/drop")
+    Streaming.mediaDedupQuery(src(), s"$work/out", s"$work/ck").awaitTermination()
+    // batch 2 (new files, SAME checkpoint): an exact resend, the variant,
+    // and a fresh base — all judged against batch 1's checkpointed state
+    Seq(js(0), js(1), js(4)).toDF("value").coalesce(1)
+      .write.mode("append").text(s"$work/drop")
+    Streaming.mediaDedupQuery(src(), s"$work/out", s"$work/ck").awaitTermination()
+    val rows = spark.read.parquet(s"$work/out").collect()
+      // partition discovery infers ingest_batch as Int
+      .map(r => (r.getAs[Int]("ingest_batch").toLong, r.getAs[Long]("doc_id")) ->
+        r.getAs[Boolean]("is_near_dup")).toMap
+    assert(rows((0L, 0L)) == false && rows((0L, 8L)) == false)
+    assert(rows((1L, 0L)) == true,
+      "exact resend must hit the checkpointed state")
+    assert(rows((1L, 1L)) == true,
+      "the single-pixel variant must flag against the admitted base")
+    assert(rows((1L, 4L)) == expect4)
+    assert(rows.size == 5)
+  }
+
   test("streaming bloom dedupe: re-sent ids always flagged across restart, fresh ids mostly admitted") {
     val work = Files.createTempDirectory("bloomdedupe").toString
     val schema = org.apache.spark.sql.types.StructType(Seq(
