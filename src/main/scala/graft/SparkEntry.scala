@@ -180,6 +180,7 @@ object SparkEntry {
     "image_dedup" -> ((s, dir) => Multimodal.imageDedup(tune(s), dir)),
     "audio_dedup" -> ((s, dir) => Multimodal.audioDedup(tune(s), dir)),
     "video_dedup" -> ((s, dir) => Multimodal.videoDedup(tune(s), dir)),
+    "image_dedup_eval" -> ((s, dir) => Multimodal.imageDedupEval(tune(s), dir)),
     "sft_render" -> ((s, dir) => CorpusOps.sftRender(tune(s), dir)),
     "dpo_pairs" -> ((s, dir) => CorpusOps.dpoPairs(tune(s), dir)),
     "lr_quality" -> ((s, dir) => CorpusOps.lrQuality(tune(s), dir)),
@@ -399,6 +400,7 @@ object SparkEntry {
     "image_dedup" -> Multimodal.imageDedupSql,
     "audio_dedup" -> Multimodal.audioDedupSql,
     "video_dedup" -> Multimodal.videoDedupSql,
+    "image_dedup_eval" -> Multimodal.imageDedupEvalSql,
     "sft_render" -> CorpusOps.sftRenderSql,
     "dpo_pairs" -> CorpusOps.dpoPairsSql,
     "lr_quality" -> CorpusOps.lrQualitySql(),

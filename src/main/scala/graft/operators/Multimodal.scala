@@ -1168,6 +1168,62 @@ object Multimodal {
     bandPairs(sig, maxHamming)
   }
 
+  /** Dedup-quality evaluation — precision/recall of [[imageDedup]]'s
+    * banded-LSH pair set against the fixture's analytically-known ground
+    * truth (the family structure: every intra-family pair IS a near-dup
+    * by construction, every cross-family pair is not). The one-row report
+    * a production pipeline puts on its dedup dashboard: found pairs,
+    * true/false positives, and floor-gridded precision/recall — recall
+    * 10000/10000 here because the fixture's edits keep three bands
+    * intact, precision slightly under (the genuinely-near cross-family
+    * tail the hamming threshold admits).
+    *
+    * Scale: the metric aggregation collapses the pair set to ONE row
+    * before the single-row broadcast cross-attach of the truth count —
+    * nothing pair-sized crosses a second exchange. */
+  def imageDedupEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val found = imageDedup(spark, sfDir)
+      .withColumn("tp",
+        (expr("doc_a div 4") === expr("doc_b div 4")).cast("long"))
+      .agg(count(lit(1)).as("n_found"), sum(col("tp")).as("true_positives"))
+    // truth = sum over families of C(k,2); k counts EXISTING docs so a
+    // partial tail family contributes its real pair count
+    val truth = Tables.documents(spark, sfDir)
+      .select(expr("doc_id div 4").as("fam"))
+      .groupBy("fam").agg(count(lit(1)).as("k"))
+      .agg(sum(expr("k * (k - 1) div 2")).as("n_true_pairs"))
+    found.crossJoin(broadcast(truth))
+      .select(col("n_true_pairs"), col("n_found"), col("true_positives"),
+        (col("n_found") - col("true_positives")).as("false_positives"),
+        floor(lit(10000.0) * col("true_positives") / col("n_found"))
+          .as("precision_e4"),
+        floor(lit(10000.0) * col("true_positives") / col("n_true_pairs"))
+          .as("recall_e4"))
+  }
+
+  /** The metric replayed over the SAME pair pipeline (the full
+    * [[imageDedupSql]] as a subquery) plus the analytic truth count. */
+  val imageDedupEvalSql: String =
+    s"""WITH found0 AS (SELECT * FROM ($imageDedupSql) f),
+      |found AS (
+      |  SELECT COUNT(*) AS n_found,
+      |    SUM(CASE WHEN doc_a // 4 = doc_b // 4 THEN 1 ELSE 0 END)
+      |      AS true_positives
+      |  FROM found0),
+      |truth AS (
+      |  SELECT SUM(k * (k - 1) // 2) AS n_true_pairs
+      |  FROM (SELECT doc_id // 4 AS fam, COUNT(*) AS k
+      |        FROM documents GROUP BY 1))
+      |SELECT CAST(t.n_true_pairs AS BIGINT) AS n_true_pairs,
+      |  CAST(f.n_found AS BIGINT) AS n_found,
+      |  CAST(f.true_positives AS BIGINT) AS true_positives,
+      |  CAST(f.n_found - f.true_positives AS BIGINT) AS false_positives,
+      |  CAST(floor(10000.0 * f.true_positives / f.n_found) AS BIGINT)
+      |    AS precision_e4,
+      |  CAST(floor(10000.0 * f.true_positives / t.n_true_pairs) AS BIGINT)
+      |    AS recall_e4
+      |FROM found f, truth t""".stripMargin
+
   /** One id's fixture clip as a real 5-frame animated GIF (18×16 gray,
     * sequence-encoded — writer reused across rows). */
   private[graft] def clipPayload(writer: javax.imageio.ImageWriter,

@@ -327,6 +327,16 @@ class OperatorsSpec extends SparkSuite {
     assert(pairs.map(_.getLong(0) / 4).distinct.length == (nDocs / 4).toInt)
   }
 
+  test("image dedup eval: the dashboard row is internally consistent, total recall by construction") {
+    val r = Multimodal.imageDedupEval(spark, sfDir).collect().head
+    val (truth, found, tp, fp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (prec, rec) = (r.getLong(4), r.getLong(5))
+    assert(rec == 10000, "every intra-family pair shares 3 bands — recall is total")
+    assert(tp == truth && tp + fp == found)
+    assert(prec == math.floor(10000.0 * tp / found).toLong && prec <= 10000)
+  }
+
   test("video dedup: real animated GIF in the loop; middle-frame-edit families found with total recall") {
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val payload = Multimodal.clipPayload(writer, 13L)
