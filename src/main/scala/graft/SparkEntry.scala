@@ -183,6 +183,7 @@ object SparkEntry {
     "image_dedup_eval" -> ((s, dir) => Multimodal.imageDedupEval(tune(s), dir)),
     "sft_render" -> ((s, dir) => CorpusOps.sftRender(tune(s), dir)),
     "dpo_pairs" -> ((s, dir) => CorpusOps.dpoPairs(tune(s), dir)),
+    "sft_pack" -> ((s, dir) => CorpusOps.sftPack(tune(s), dir)),
     "lr_quality" -> ((s, dir) => CorpusOps.lrQuality(tune(s), dir)),
     "unigram_lm" -> ((s, dir) => TextOps.unigramLm(tune(s), dir)),
     "unigram_soft" -> ((s, dir) => TextOps.unigramSoft(tune(s), dir)),
@@ -403,6 +404,7 @@ object SparkEntry {
     "image_dedup_eval" -> Multimodal.imageDedupEvalSql,
     "sft_render" -> CorpusOps.sftRenderSql,
     "dpo_pairs" -> CorpusOps.dpoPairsSql,
+    "sft_pack" -> CorpusOps.sftPackSql(),
     "lr_quality" -> CorpusOps.lrQualitySql(),
     "unigram_lm" -> TextOps.unigramLmSql(),
     "unigram_soft" -> TextOps.unigramSoftSql(),

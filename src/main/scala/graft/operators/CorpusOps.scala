@@ -1292,6 +1292,69 @@ object CorpusOps {
       |FROM ranked WHERE n_candidates >= 2
       |GROUP BY prompt_id ORDER BY prompt_id""".stripMargin
 
+  /** SFT packing with loss-mask re-basing — the stage after [[sftRender]]:
+    * rendered conversations are packed concat-and-chunk into fixed
+    * `budget`-char training windows (the [[seqPack]] shape at conversation
+    * grain: a running length total per shard, a conversation's pack is the
+    * chunk its first char lands in), and every assistant loss-mask span is
+    * RE-BASED into pack coordinates — pack_id of its first char, 1-based
+    * `packed_start` within that pack, and a `straddles_pack` flag for
+    * spans crossing a chunk boundary (a trainer splits or boundary-masks
+    * those). Conversations with no assistant turn contribute no gradient
+    * and are dropped by [[sftRender]] upstream — the packed stream is the
+    * SFT example stream.
+    *
+    * Scale shape ([[seqPack]]'s note): the running total is serial per
+    * key, so conversations shard by conv_id mod `shards` — packs never
+    * span shards by construction and the window parallelizes shards-fold.
+    * The conv-grain length table derives from the span rows WITHOUT a new
+    * aggregate exchange (hash-partitioning on conv_id already clusters
+    * the distinct), and spans join back on the same key. */
+  def sftPack(spark: SparkSession, sfDir: String, budget: Int = 2048,
+      shards: Int = 8): DataFrame = {
+    val L = lit(budget.toLong)
+    val spans = sftRender(spark, sfDir)
+      .select(col("conv_id"), col("turn"), col("span_start"),
+        col("span_end"), col("conv_chars"))
+    val w = Window.partitionBy("shard").orderBy("conv_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val convs = spans.select(col("conv_id"), col("conv_chars")).distinct()
+      .withColumn("shard", pmod(col("conv_id"), lit(shards.toLong)))
+      .withColumn("base", sum("conv_chars").over(w) - col("conv_chars"))
+    spans.join(convs.select("conv_id", "shard", "base"), Seq("conv_id"))
+      // 0-based position of the span's first char in the shard stream
+      .withColumn("gstart", col("base") + col("span_start") - 1)
+      .select(col("conv_id"), col("turn"), col("shard"),
+        floor(col("gstart") / L).cast("long").as("pack_id"),
+        (pmod(col("gstart"), L) + 1).as("packed_start"),
+        (col("span_end") - col("span_start")).as("span_len"),
+        (pmod(col("gstart"), L) + col("span_end") - col("span_start") > L)
+          .as("straddles_pack"))
+      .orderBy("conv_id", "turn")
+  }
+
+  /** The packing + re-basing replayed over the SAME render pipeline (the
+    * full [[sftRenderSql]] as a subquery). */
+  def sftPackSql(budget: Int = 2048, shards: Int = 8): String =
+    s"""WITH spans AS (SELECT * FROM ($sftRenderSql) s),
+      |convs AS (
+      |  SELECT conv_id, conv_chars, conv_id % $shards AS shard
+      |  FROM (SELECT DISTINCT conv_id, conv_chars FROM spans)),
+      |based AS (
+      |  SELECT conv_id, shard,
+      |    SUM(conv_chars) OVER (PARTITION BY shard ORDER BY conv_id)
+      |      - conv_chars AS base
+      |  FROM convs)
+      |SELECT s.conv_id, s.turn, CAST(b.shard AS BIGINT) AS shard,
+      |  CAST((b.base + s.span_start - 1) // $budget AS BIGINT) AS pack_id,
+      |  CAST((b.base + s.span_start - 1) % $budget + 1 AS BIGINT)
+      |    AS packed_start,
+      |  CAST(s.span_end - s.span_start AS BIGINT) AS span_len,
+      |  (b.base + s.span_start - 1) % $budget
+      |    + s.span_end - s.span_start > $budget AS straddles_pack
+      |FROM spans s JOIN based b USING (conv_id)
+      |ORDER BY conv_id, turn""".stripMargin
+
   /** The render + offset arithmetic replayed relationally (string_agg in
     * turn order = the fold-concatenated rendering; substr at the computed
     * offsets must recover the raw text). */

@@ -247,6 +247,36 @@ class OperatorsSpec extends SparkSuite {
     assert(convs.length == docs.keys.map(_ / 4).toSeq.distinct.length)
   }
 
+  test("sft pack: spans re-base into pack coordinates consistently with the shard stream") {
+    val rendered = CorpusOps.sftRender(spark, sfDir).collect()
+    val packed = CorpusOps.sftPack(spark, sfDir).collect()
+    assert(packed.length == rendered.length, "one packed row per loss span")
+    // recompute the shard streams directly: conversations in id order per
+    // shard, each starting where the previous one ended
+    val convChars = rendered.map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val bases = convChars.keys.toSeq.sorted.groupBy(_ % 8).values.flatMap {
+      convs =>
+        convs.sorted.foldLeft((0L, List.empty[(Long, Long)])) {
+          case ((acc, out), c) => (acc + convChars(c), (c, acc) :: out)
+        }._2
+    }.toMap
+    val spans = rendered.map(r =>
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    packed.foreach { r =>
+      val (conv, turn) = (r.getLong(0), r.getLong(1))
+      val (ss, se) = spans((conv, turn))
+      val g = bases(conv) + ss - 1
+      assert(r.getLong(2) == conv % 8)
+      assert(r.getLong(3) == g / 2048, s"conv $conv turn $turn: pack drifted")
+      assert(r.getLong(4) == g % 2048 + 1 &&
+        r.getLong(4) >= 1 && r.getLong(4) <= 2048)
+      assert(r.getLong(5) == se - ss)
+      assert(r.getBoolean(6) == (g % 2048 + (se - ss) > 2048),
+        s"conv $conv turn $turn: straddle flag wrong")
+    }
+    assert(packed.exists(!_.getBoolean(6)), "some span must fit inside a pack")
+  }
+
   test("dpo pairs: deterministic chosen/rejected selection matches a direct recompute") {
     val rows = CorpusOps.dpoPairs(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -893,6 +893,15 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.split("Exchange rangepartitioning").length - 1 == 1)
   }
 
+  test("sft pack: three keyed exchanges, all equi — render window, shard window, conv join-back") {
+    val p = plan(operators.CorpusOps.sftPack(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 3,
+      "conv window + shard window + join-back is the whole shuffle budget:\n" +
+        p.take(1200))
+  }
+
   test("image dedup: banded LSH equi-join only — no cartesian, payloads never leave the scan stage") {
     val df = Multimodal.imageDedup(spark, sfDir)
     val p = plan(df)
