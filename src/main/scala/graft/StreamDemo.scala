@@ -171,8 +171,12 @@ object StreamDemo {
       .awaitTermination()
     val variantFlags = spark.read.parquet(s"$work/md_out")
       .filter(col("is_near_dup") && col("doc_id") % 4 =!= 0).count()
+    // baseDups == 0 is the PRECONDITION for total variant recall: a base
+    // flagged in pass 1 is not admitted, and its variants then have no
+    // family signature to hit — assert it so a cross-family band-0
+    // collision fails loudly at its source, not as a confusing recall miss
     check("media near-dup stream flags every variant against checkpointed base signatures",
-      variantFlags == nVariants,
+      baseDups == 0 && variantFlags == nVariants,
       s"flagged=$variantFlags/$nVariants, base-pass dups=$baseDups")
 
     // --- streaming funnel: drive the whole events table through the live

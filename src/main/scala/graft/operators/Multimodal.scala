@@ -791,9 +791,38 @@ object Multimodal {
   case class HashBands(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
 
   /** Default hamming threshold for the perceptual-hash near-dup pair —
-    * one constant shared by the Scala defaults AND both oracle strings so
-    * the two sides cannot silently diverge. */
-  private val DefaultMaxHamming = 6
+    * one constant shared by the Scala defaults (batch AND the streaming
+    * ingest-edge form) and every oracle string, so no side can silently
+    * diverge. */
+  private[graft] val DefaultMaxHamming = 6
+
+  /** The dHash banding arithmetic shared by every 18×16 grid hash
+    * ([[imageSignature]]'s r+g+b intensity, [[videoDedup]]'s gray
+    * channel): 2×2 block sums under `gray`, gradient-sign bits, four
+    * 16-bit bands. One copy so a band-width or bit-order change cannot
+    * diverge the modalities from their shared [[bandPairs]] verify. */
+  private def gridBands(id: Long, img: java.awt.image.BufferedImage,
+      gray: Int => Long): HashBands = {
+    val bsum = Array.ofDim[Long](8, 9) // [by][bx]
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 18) {
+        bsum(y / 2)(x / 2) += gray(img.getRGB(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bands = Array.fill(4)(0L)
+    var k = 0
+    while (k < 64) {
+      val by = k / 8
+      val bx = k % 8
+      if (bsum(by)(bx + 1) > bsum(by)(bx)) bands(k / 16) |= 1L << (k % 16)
+      k += 1
+    }
+    HashBands(id, bands(0), bands(1), bands(2), bands(3))
+  }
 
   /** The [[bandPairs]] relational tail in oracle SQL — band pivot →
     * signature pivot → band-equality candidates → exact hamming verify —
@@ -916,28 +945,9 @@ object Multimodal {
     reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(payload)))
     val img = reader.read(0)
-    // 2x2 block sums of decoded gray (r+g+b) over the 9x8 block grid
-    val bsum = Array.ofDim[Long](8, 9) // [by][bx]
-    var y = 0
-    while (y < 16) {
-      var x = 0
-      while (x < 18) {
-        val p = img.getRGB(x, y)
-        bsum(y / 2)(x / 2) +=
-          ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-        x += 1
-      }
-      y += 1
-    }
-    val bands = Array.fill(4)(0L)
-    var k = 0
-    while (k < 64) {
-      val by = k / 8
-      val bx = k % 8
-      if (bsum(by)(bx + 1) > bsum(by)(bx)) bands(k / 16) |= 1L << (k % 16)
-      k += 1
-    }
-    HashBands(id, bands(0), bands(1), bands(2), bands(3))
+    // decoded gray = r+g+b per pixel over the shared banding arithmetic
+    gridBands(id, img,
+      p => ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff))
   }
 
   /** One id's dHash fixture grid as real PNG bytes (18×16, r=g=b). */
@@ -1144,25 +1154,7 @@ object Multimodal {
         reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(payload)))
         val img = reader.read(2) // middle of the 5 frames, random access
-        val bsum = Array.ofDim[Long](8, 9) // [by][bx]
-        var y = 0
-        while (y < 16) {
-          var x = 0
-          while (x < 18) {
-            bsum(y / 2)(x / 2) += img.getRGB(x, y) & 0xff // gray channel
-            x += 1
-          }
-          y += 1
-        }
-        val bands = Array.fill(4)(0L)
-        var k = 0
-        while (k < 64) {
-          val by = k / 8
-          val bx = k % 8
-          if (bsum(by)(bx + 1) > bsum(by)(bx)) bands(k / 16) |= 1L << (k % 16)
-          k += 1
-        }
-        HashBands(id, bands(0), bands(1), bands(2), bands(3))
+        gridBands(id, img, p => (p & 0xff).toLong) // single gray channel
       }
     }.toDF()
     bandPairs(sig, maxHamming)
@@ -1192,13 +1184,17 @@ object Multimodal {
       .select(expr("doc_id div 4").as("fam"))
       .groupBy("fam").agg(count(lit(1)).as("k"))
       .agg(sum(expr("k * (k - 1) div 2")).as("n_true_pairs"))
+    // empty denominators get a DEFINED value (vacuous 10000), not a NULL
+    // the dashboard consumer would trip over — mirrored in the oracle
     found.crossJoin(broadcast(truth))
       .select(col("n_true_pairs"), col("n_found"), col("true_positives"),
         (col("n_found") - col("true_positives")).as("false_positives"),
-        floor(lit(10000.0) * col("true_positives") / col("n_found"))
-          .as("precision_e4"),
-        floor(lit(10000.0) * col("true_positives") / col("n_true_pairs"))
-          .as("recall_e4"))
+        when(col("n_found") === 0, lit(10000L)).otherwise(
+          floor(lit(10000.0) * col("true_positives") / col("n_found")))
+          .cast("long").as("precision_e4"),
+        when(col("n_true_pairs") === 0, lit(10000L)).otherwise(
+          floor(lit(10000.0) * col("true_positives") / col("n_true_pairs")))
+          .cast("long").as("recall_e4"))
   }
 
   /** The metric replayed over the SAME pair pipeline (the full
@@ -1218,10 +1214,12 @@ object Multimodal {
       |  CAST(f.n_found AS BIGINT) AS n_found,
       |  CAST(f.true_positives AS BIGINT) AS true_positives,
       |  CAST(f.n_found - f.true_positives AS BIGINT) AS false_positives,
-      |  CAST(floor(10000.0 * f.true_positives / f.n_found) AS BIGINT)
+      |  CAST(CASE WHEN f.n_found = 0 THEN 10000
+      |    ELSE floor(10000.0 * f.true_positives / f.n_found) END AS BIGINT)
       |    AS precision_e4,
-      |  CAST(floor(10000.0 * f.true_positives / t.n_true_pairs) AS BIGINT)
-      |    AS recall_e4
+      |  CAST(CASE WHEN t.n_true_pairs = 0 THEN 10000
+      |    ELSE floor(10000.0 * f.true_positives / t.n_true_pairs) END
+      |    AS BIGINT) AS recall_e4
       |FROM found f, truth t""".stripMargin
 
   /** One id's fixture clip as a real 5-frame animated GIF (18×16 gray,

@@ -32,11 +32,6 @@ case class ShardBloom(words: Array[Long])
 /** Signatures already admitted to one simhash bucket. */
 case class BucketSigs(sigs: Array[Long])
 
-/** A media item's four-band perceptual-hash signature keyed by its LSH
-  * bucket (band 0) — [[Streaming.mediaDedupStream]]'s keyed row. */
-case class MediaSig(bucket: Long, doc_id: Long, b0: Long, b1: Long,
-  b2: Long, b3: Long)
-
 /** [[Streaming.mediaDedupStream]]'s per-item verdict: the signature plus
   * whether an admitted same-bucket signature was within the hamming
   * threshold. */
@@ -852,7 +847,8 @@ object Streaming {
     * missed; probe more bands (the batch operator's 4-band OR) at
     * state-size cost. In-batch order is doc_id-deterministic under
     * replay. */
-  def mediaDedupStream(docs: DataFrame, maxHamming: Int = 6): Dataset[MediaSigFlag] = {
+  def mediaDedupStream(docs: DataFrame,
+      maxHamming: Int = graft.operators.Multimodal.DefaultMaxHamming): Dataset[MediaSigFlag] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
@@ -864,17 +860,16 @@ object Streaming {
           .getImageWritersByFormatName("png").next()
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("png").next()
-        it.map { id =>
-          val s = graft.operators.Multimodal.imageSignature(writer, reader, id)
-          MediaSig(s.b0, s.doc_id, s.b0, s.b1, s.b2, s.b3)
-        }
+        it.map(id =>
+          graft.operators.Multimodal.imageSignature(writer, reader, id))
       }
-      .groupByKey(_.bucket)
+      // band 0 IS the LSH bucket — no separate key column to drift
+      .groupByKey(_.b0)
       .flatMapGroupsWithState[BucketQuads, MediaSigFlag](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, rows, state) =>
           var quads = state.getOption.map(_.sigs).getOrElse(Array.empty[Long])
-          def hamming(o: Int, m: MediaSig): Int =
+          def hamming(o: Int, m: graft.operators.Multimodal.HashBands): Int =
             java.lang.Long.bitCount(quads(o) ^ m.b0) +
               java.lang.Long.bitCount(quads(o + 1) ^ m.b1) +
               java.lang.Long.bitCount(quads(o + 2) ^ m.b2) +
@@ -893,7 +888,8 @@ object Streaming {
     * dirs make re-executed micro-batches idempotent, like the other
     * sinks. */
   def mediaDedupQuery(docs: DataFrame, outDir: String,
-      checkpointDir: String, maxHamming: Int = 6): StreamingQuery =
+      checkpointDir: String,
+      maxHamming: Int = graft.operators.Multimodal.DefaultMaxHamming): StreamingQuery =
     mediaDedupStream(docs, maxHamming).writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
