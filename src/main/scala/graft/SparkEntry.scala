@@ -184,6 +184,7 @@ object SparkEntry {
     "sft_render" -> ((s, dir) => CorpusOps.sftRender(tune(s), dir)),
     "dpo_pairs" -> ((s, dir) => CorpusOps.dpoPairs(tune(s), dir)),
     "sft_pack" -> ((s, dir) => CorpusOps.sftPack(tune(s), dir)),
+    "pack_stats" -> ((s, dir) => CorpusOps.packStats(tune(s), dir)),
     "lr_quality" -> ((s, dir) => CorpusOps.lrQuality(tune(s), dir)),
     "unigram_lm" -> ((s, dir) => TextOps.unigramLm(tune(s), dir)),
     "unigram_soft" -> ((s, dir) => TextOps.unigramSoft(tune(s), dir)),
@@ -405,6 +406,7 @@ object SparkEntry {
     "sft_render" -> CorpusOps.sftRenderSql,
     "dpo_pairs" -> CorpusOps.dpoPairsSql,
     "sft_pack" -> CorpusOps.sftPackSql(),
+    "pack_stats" -> CorpusOps.packStatsSql(),
     "lr_quality" -> CorpusOps.lrQualitySql(),
     "unigram_lm" -> TextOps.unigramLmSql(),
     "unigram_soft" -> TextOps.unigramSoftSql(),

@@ -1355,6 +1355,94 @@ object CorpusOps {
       |FROM spans s JOIN based b USING (conv_id)
       |ORDER BY conv_id, turn""".stripMargin
 
+  /** Packed-window statistics — the budget-tuning dashboard over
+    * [[sftPack]]'s stream: per (shard, pack) the filled chars (the last
+    * pack per shard is the only partial one — utilization), the number of
+    * loss spans touching the pack, and the pack's LOSS DENSITY — the
+    * fraction of the training window that actually contributes gradient
+    * (role headers and user turns are masked, so density < 1 even in full
+    * packs; straddling spans are SPLIT and each pack gets its true
+    * overlap). This is the number packing budgets are tuned by.
+    *
+    * Scale: both explosions (conversation→packs for fill, span→packs for
+    * loss) fan out by ≤ ceil(len/budget) + 1 rows each — bounded by the
+    * conversation length, not the corpus — and aggregate map-side onto
+    * (shard, pack) grain; the final join is pack-grain on both sides. */
+  def packStats(spark: SparkSession, sfDir: String, budget: Int = 2048,
+      shards: Int = 8): DataFrame = {
+    val L = lit(budget.toLong)
+    val spans = sftRender(spark, sfDir)
+      .select(col("conv_id"), col("span_start"), col("span_end"),
+        col("conv_chars"))
+    val w = Window.partitionBy("shard").orderBy("conv_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val convs = spans.select(col("conv_id"), col("conv_chars")).distinct()
+      .withColumn("shard", pmod(col("conv_id"), lit(shards.toLong)))
+      .withColumn("base", sum("conv_chars").over(w) - col("conv_chars"))
+    val fill = convs
+      .withColumn("pack_id", explode(sequence(
+        floor(col("base") / L).cast("long"),
+        floor((col("base") + col("conv_chars") - 1) / L).cast("long"))))
+      .groupBy("shard", "pack_id")
+      .agg(sum(least(col("base") + col("conv_chars"), (col("pack_id") + 1) * L)
+        - greatest(col("base"), col("pack_id") * L)).as("fill_chars"))
+    val loss = spans
+      .join(convs.select("conv_id", "shard", "base"), Seq("conv_id"))
+      .withColumn("gstart", col("base") + col("span_start") - 1)
+      .withColumn("gend", col("base") + col("span_end") - 1)
+      .withColumn("pack_id", explode(sequence(
+        floor(col("gstart") / L).cast("long"),
+        floor((col("gend") - 1) / L).cast("long"))))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(least(col("gend"), (col("pack_id") + 1) * L)
+          - greatest(col("gstart"), col("pack_id") * L)).as("loss_chars"))
+    fill.join(loss, Seq("shard", "pack_id"), "left")
+      .select(col("shard"), col("pack_id"), col("fill_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("loss_chars"), lit(0L)).as("loss_chars"),
+        floor(lit(10000.0) * coalesce(col("loss_chars"), lit(0L)) / L)
+          .cast("long").as("loss_density_e4"))
+      .orderBy("shard", "pack_id")
+  }
+
+  /** The pack accounting replayed over the SAME render pipeline, spans
+    * split across packs by the identical overlap arithmetic. */
+  def packStatsSql(budget: Int = 2048, shards: Int = 8): String =
+    s"""WITH spans AS (SELECT * FROM ($sftRenderSql) s),
+      |convs AS (SELECT DISTINCT conv_id, conv_chars FROM spans),
+      |based AS (
+      |  -- window SUM is HUGEINT in DuckDB; generate_series needs BIGINT
+      |  SELECT conv_id, conv_chars, conv_id % $shards AS shard,
+      |    CAST(SUM(conv_chars) OVER (PARTITION BY conv_id % $shards
+      |      ORDER BY conv_id) - conv_chars AS BIGINT) AS base
+      |  FROM convs),
+      |fill AS (
+      |  SELECT shard, p AS pack_id,
+      |    SUM(least(base + conv_chars, (p + 1) * $budget)
+      |      - greatest(base, p * $budget)) AS fill_chars
+      |  FROM based, LATERAL (SELECT unnest(generate_series(
+      |    base // $budget, (base + conv_chars - 1) // $budget)) AS p)
+      |  GROUP BY 1, 2),
+      |loss AS (
+      |  SELECT b.shard, p AS pack_id, COUNT(*) AS n_spans,
+      |    SUM(least(b.base + s.span_end - 1, (p + 1) * $budget)
+      |      - greatest(b.base + s.span_start - 1, p * $budget)) AS loss_chars
+      |  FROM spans s JOIN based b USING (conv_id),
+      |    LATERAL (SELECT unnest(generate_series(
+      |      (b.base + s.span_start - 1) // $budget,
+      |      (b.base + s.span_end - 2) // $budget)) AS p)
+      |  GROUP BY 1, 2)
+      |SELECT CAST(f.shard AS BIGINT) AS shard,
+      |  CAST(f.pack_id AS BIGINT) AS pack_id,
+      |  CAST(f.fill_chars AS BIGINT) AS fill_chars,
+      |  CAST(coalesce(l.n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(coalesce(l.loss_chars, 0) AS BIGINT) AS loss_chars,
+      |  CAST(floor(10000.0 * coalesce(l.loss_chars, 0) / $budget) AS BIGINT)
+      |    AS loss_density_e4
+      |FROM fill f LEFT JOIN loss l USING (shard, pack_id)
+      |ORDER BY shard, pack_id""".stripMargin
+
   /** The render + offset arithmetic replayed relationally (string_agg in
     * turn order = the fold-concatenated rendering; substr at the computed
     * offsets must recover the raw text). */

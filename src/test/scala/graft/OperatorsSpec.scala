@@ -277,6 +277,32 @@ class OperatorsSpec extends SparkSuite {
     assert(packed.exists(!_.getBoolean(6)), "some span must fit inside a pack")
   }
 
+  test("pack stats: fill and loss accounting reconcile with the stream and span totals") {
+    val stats = CorpusOps.packStats(spark, sfDir).collect()
+    val rendered = CorpusOps.sftRender(spark, sfDir).collect()
+    val convChars = rendered.map(r => r.getLong(0) -> r.getLong(5)).toMap
+    // splitting straddlers must CONSERVE loss chars globally
+    val totalSpanChars = rendered.map(r => r.getLong(3) - r.getLong(2)).sum
+    assert(stats.map(_.getLong(4)).sum == totalSpanChars)
+    // pack fill tiles each shard stream exactly
+    val fillByShard = stats.groupBy(_.getLong(0))
+      .map { case (s, rows) => s -> rows.map(_.getLong(2)).sum }
+    val streamByShard = convChars.toSeq.groupBy(_._1 % 8)
+      .map { case (s, cs) => s -> cs.map(_._2).sum }
+    assert(fillByShard == streamByShard)
+    stats.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 2048)
+      assert(r.getLong(4) <= r.getLong(2), "loss chars exceed the filled chars")
+      assert(r.getLong(5) ==
+        math.floor(10000.0 * r.getLong(4) / 2048).toLong)
+    }
+    // the stream is gapless: only the LAST pack of a shard may be partial
+    stats.groupBy(_.getLong(0)).values.foreach { rows =>
+      rows.sortBy(_.getLong(1)).dropRight(1)
+        .foreach(r => assert(r.getLong(2) == 2048, "mid-stream pack not full"))
+    }
+  }
+
   test("dpo pairs: deterministic chosen/rejected selection matches a direct recompute") {
     val rows = CorpusOps.dpoPairs(spark, sfDir).collect()
     assert(rows.nonEmpty)
