@@ -42,7 +42,10 @@ object SoakVariant {
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$src/documents.parquet")
     (0 until copies).map { i =>
-      val g = s"g${i / groupWidth}"
+      // '_' delimiter: a bare concat would collide 'g1'+'0abc' with
+      // 'g10'+'abc' if base tokens could start with digits — the delimiter
+      // makes cross-group disjointness unconditional, not fixture luck
+      val g = s"g${i / groupWidth}_"
       docs.withColumn("doc_id", col("doc_id") + lit(i * K))
         .withColumn("text",
           array_join(transform(split(col("text"), " "),

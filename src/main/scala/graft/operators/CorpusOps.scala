@@ -1158,9 +1158,12 @@ object CorpusOps {
     * role headers are masked out).
     *
     * Fixture: conversation = doc_id/4, turn = doc_id%4, roles alternate
-    * user/assistant by turn parity; null-text turns are dropped (a real
-    * SFT prep drops empty messages) with surviving turns keeping their
-    * indices. Each emitted row carries the conv-level stats (n_turns,
+    * user/assistant by turn parity; null-text AND empty-text turns are
+    * dropped (a real SFT prep drops empty messages — and a zero-length
+    * assistant span would make [[packStats]]'s span→packs `sequence()`
+    * run DESCENDING, emitting phantom rows the oracle's generate_series
+    * doesn't) with surviving turns keeping their indices. Each emitted
+    * row carries the conv-level stats (n_turns,
     * conv_chars = rendered length) and `span_text` — the rendered string
     * SLICED at the computed offsets, so the oracle hash only matches if
     * the offset arithmetic is consistent with the actual rendering
@@ -1174,7 +1177,7 @@ object CorpusOps {
     * partitions the corpus evenly (family grain, no skew). */
   def sftRender(spark: SparkSession, sfDir: String): DataFrame = {
     val turns = Tables.documents(spark, sfDir)
-      .filter(col("text").isNotNull)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(expr("doc_id div 4").as("conv_id"),
         (col("doc_id") % 4).as("turn"), col("text"))
       .withColumn("role",
@@ -1451,7 +1454,7 @@ object CorpusOps {
       |  SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn,
       |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
       |    text
-      |  FROM documents WHERE text IS NOT NULL),
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
       |p AS (
       |  SELECT conv_id, turn, role, text,
       |    '<|' || role || '|>' || chr(10) || text || chr(10) AS piece

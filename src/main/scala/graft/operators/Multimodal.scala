@@ -29,13 +29,15 @@ case class MediaFeatures(doc_id: Long, mime: String, width: Long,
   * (the JDK's `javax.imageio` PNG reader/writer), [[multimodalAudio]]
   * (`javax.sound.sampled` PCM WAV), and [[multimodalVideo]] (the JDK's
   * multi-frame animated-GIF reader/writer — genuine sequence encode +
-  * frame-sampled decode). [[multimodalFeatures]]/[[mediaFrames]] keep a
-  * deterministic byte-stat pass as the GENERIC opaque-payload shape (their
-  * payloads are fixture text bytes, not media) — the real-codec operators
-  * are where decode claims are proven. The Spark-side plumbing is real
-  * everywhere: binary column, typed `Dataset[MediaRow]`, `mapPartitions`
-  * batch shape (the Scala analogue of `mapInPandas` — one iterator per
-  * partition, so decoders amortize codec init per-partition, not per-row).
+  * frame-sampled decode), and [[multimodalFeatures]] dispatches one mixed
+  * binary column BY MIME to all three decoders in a single
+  * `mapPartitions`. Only [[mediaFrames]] keeps a deterministic byte-stat
+  * pass — it exercises sampling GEOMETRY (thumb stride, frame offsets)
+  * over a generic opaque payload, not decode claims. The Spark-side
+  * plumbing is real everywhere: binary column, typed `Dataset[MediaRow]`,
+  * `mapPartitions` batch shape (the Scala analogue of `mapInPandas` — one
+  * iterator per partition, so decoders amortize codec init per-partition,
+  * not per-row).
   *
   * Scale notes: payloads never shuffle — the per-partition map runs where
   * the bytes were read; only the tiny feature rows move afterwards.
@@ -153,8 +155,10 @@ object Multimodal {
   }
 
   /** Resize + frame-sample plumbing — the remaining two media verbs (the
-    * codec itself stays stubbed like [[multimodalFeatures]]; the sampling
-    * GEOMETRY is the real operator):
+    * one operator here that deliberately keeps a byte-stat payload: the
+    * sampling GEOMETRY is the operator under test, and the real-codec
+    * decode claims live in [[multimodalDecode]]/[[multimodalAudio]]/
+    * [[multimodalVideo]]/[[multimodalFeatures]]):
     *  - 'thumb' = a strided downsample to ≤64 bytes (resize: pick every
     *    ceil(n/64)-th byte), emitted as its sample count + byte sum;
     *  - 'frame' = the payload as fixed 256-byte frames, sampling first /
@@ -215,8 +219,9 @@ object Multimodal {
     sum_r: Long, sum_g: Long, sum_b: Long,
     mean_r: Double, mean_g: Double, mean_b: Double)
 
-  /** Image decode with a REAL codec in the loop — the step
-    * [[multimodalFeatures]] deliberately stubs. Each document id derives a
+  /** Image decode with a REAL codec in the loop — the single-modality
+    * form of [[multimodalFeatures]]'s PNG branch, with full RGB channel
+    * statistics instead of the unified row. Each document id derives a
     * small deterministic RGB grid (pixel (x,y,c) value =
     * (doc_id·7 + (y·w + x)·3 + c·11) mod 256, w = 4 + id%5, h = 3 + id%4),
     * which one `mapPartitions` pass ENCODES to real PNG bytes
@@ -793,7 +798,21 @@ object Multimodal {
   /** Default hamming threshold for the perceptual-hash near-dup pair —
     * one constant shared by the Scala defaults (batch AND the streaming
     * ingest-edge form) and every oracle string, so no side can silently
-    * diverge. */
+    * diverge.
+    *
+    * RECALL CONTRACT (read before passing a custom `maxHamming`): the
+    * four 16-bit bands guarantee a shared band — and therefore candidate
+    * generation — only for pairs with hamming ≤ bands−1 = 3 (pigeonhole).
+    * Pairs at hamming 4..maxHamming are emitted ONLY if their differing
+    * bits happen to leave some band intact; a pair whose 4+ flipped bits
+    * spread across all four bands is silently missed. So the output is
+    * "all pairs ≤ 3, plus the ≤ maxHamming pairs that collide in a band",
+    * not an exhaustive ≤ maxHamming enumeration — the standard LSH trade.
+    * For exhaustive recall at a higher radius, raise the band count so
+    * bands−1 ≥ the target (at matching Σ bucket² join cost). The fixtures'
+    * planted edits flip ≤ 4 bits inside ONE band, so family recall is
+    * total here; the threshold 6 exists to also admit the genuinely-near
+    * cross-family tail that the eval queries measure precision against. */
   private[graft] val DefaultMaxHamming = 6
 
   /** The dHash banding arithmetic shared by every 18×16 grid hash

@@ -179,9 +179,16 @@ object HttpDim {
             case 401 | 403 => throw new AuthFailure(
               s"auth rejected (${resp.statusCode()}) at $url")
             case 429 =>
+              // Retry-After may legally be an HTTP-date (non-numeric) or an
+              // absurd numeric (this server emits Long.MaxValue when
+              // refillPerSec = 0) — parse defensively and clamp the SECONDS
+              // before the ms conversion, or *1000 overflows negative and
+              // Thread.sleep throws, neither path treated as transient
               val ra = resp.headers().firstValue("Retry-After")
-              val ms = if (ra.isPresent) ra.get().trim.toLong * 1000L else 1000L
-              Right(Left(math.min(ms, 2000L)))
+              val secs =
+                if (ra.isPresent) ra.get().trim.toLongOption else None
+              Right(Left(secs.map(s => math.min(math.max(s, 0L), 2L) * 1000L)
+                .getOrElse(1000L)))
             case s => Left(new java.io.IOException(
               s"transient HTTP $s from $url"))
           }
