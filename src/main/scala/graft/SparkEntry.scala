@@ -185,6 +185,7 @@ object SparkEntry {
     "dpo_pairs" -> ((s, dir) => CorpusOps.dpoPairs(tune(s), dir)),
     "sft_pack" -> ((s, dir) => CorpusOps.sftPack(tune(s), dir)),
     "pack_stats" -> ((s, dir) => CorpusOps.packStats(tune(s), dir)),
+    "sft_pack_tokens" -> ((s, dir) => CorpusOps.sftPackTokens(tune(s), dir)),
     "lr_quality" -> ((s, dir) => CorpusOps.lrQuality(tune(s), dir)),
     "unigram_lm" -> ((s, dir) => TextOps.unigramLm(tune(s), dir)),
     "unigram_soft" -> ((s, dir) => TextOps.unigramSoft(tune(s), dir)),
@@ -407,6 +408,7 @@ object SparkEntry {
     "dpo_pairs" -> CorpusOps.dpoPairsSql,
     "sft_pack" -> CorpusOps.sftPackSql(),
     "pack_stats" -> CorpusOps.packStatsSql(),
+    "sft_pack_tokens" -> CorpusOps.sftPackTokensSql(),
     "lr_quality" -> CorpusOps.lrQualitySql(),
     "unigram_lm" -> TextOps.unigramLmSql(),
     "unigram_soft" -> TextOps.unigramSoftSql(),

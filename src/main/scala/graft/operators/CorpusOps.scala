@@ -1480,4 +1480,145 @@ object CorpusOps {
       |FROM o JOIN c USING (conv_id)
       |WHERE o.role = 'assistant'
       |ORDER BY conv_id, turn""".stripMargin
+
+  /** TOKEN-budget SFT packing — [[sftPack]] with the budget in the unit a
+    * trainer actually bills: tokens under the TRAINED unigram-LM tokenizer
+    * ([[TextOps.unigramLm]]'s SentencePiece-style model, Viterbi-segmented
+    * on the `viterbi_best` codegen kernel). This is the composition seam
+    * between the repo's tokenizer family and its packing family: per-turn
+    * token counts come from the trained model, conversations pack into
+    * fixed `budget`-TOKEN windows, and every assistant loss-mask span is
+    * re-based into TOKEN coordinates (pack_id, 1-based `packed_start`,
+    * `span_tokens`, straddle flag). `span_chars` rides along so consumers
+    * (and the spec) can check char↔token consistency — a span can never
+    * cost more tokens than characters under a ≥1-char-per-piece model.
+    *
+    * Token accounting (the ChatML shape): each turn costs its text tokens
+    * (Σ over whitespace words of the word's trained piece count; words
+    * over the trainer's maxLen escape to one '[UNK]' token, the
+    * [[TextOps.unigramLm]] contract) plus 2 specials — the `<|role|>`
+    * header token and the end-of-turn newline. The assistant span covers
+    * exactly the turn's TEXT tokens (specials are masked, like the char
+    * form masks the rendered header).
+    *
+    * Scale shape: tokenization runs at VOCABULARY grain — the trained
+    * (word → n_pieces) table comes out of [[TextOps.unigramLm]]'s
+    * model-sized pipeline, and the corpus side only moves slim
+    * (conv, turn, word, cnt) rows through one word-grain hash join; the
+    * conversation TEXT never shuffles at all (the char form at least
+    * moves pieces through its render window — the token form beats it).
+    * After the per-turn aggregate the plan is [[sftPack]]'s verbatim:
+    * conv-grain windows, the sharded running total, a same-key join.
+    *
+    * Oracle: [[TextOps.unigramLmSql]] — the full trained-tokenizer EM
+    * replay — embedded as the segmentation CTE, feeding the [[sftPackSql]]
+    * packing arithmetic re-derived in token coordinates. */
+  def sftPackTokens(spark: SparkSession, sfDir: String, budget: Int = 512,
+      shards: Int = 8): DataFrame = {
+    val L = lit(budget.toLong)
+    val seg = TextOps.unigramLm(spark, sfDir).select(col("word"), col("n_pieces"))
+    val turns = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(expr("doc_id div 4").as("conv_id"),
+        (col("doc_id") % 4).as("turn"), col("text"))
+    // slim (conv, turn, word, cnt) rows — text itself never crosses the
+    // word-grain join; the aggregate combines map-side before the shuffle
+    val turnWords = turns
+      .select(col("conv_id"), col("turn"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("conv_id", "turn", "word").agg(count(lit(1)).as("cnt"))
+    val turnToks = turnWords.join(seg, "word")
+      .groupBy("conv_id", "turn")
+      .agg(sum(col("cnt") * col("n_pieces")).as("text_tokens"))
+    val toks = turns
+      .select(col("conv_id"), col("turn"),
+        when(col("turn") % 2 === 0, lit("user")).otherwise(lit("assistant"))
+          .as("role"),
+        length(col("text")).cast("long").as("span_chars"))
+      // left join: a non-empty text of only separators has zero words →
+      // zero text tokens, but the turn still costs its 2 specials
+      .join(turnToks, Seq("conv_id", "turn"), "left")
+      .withColumn("text_tokens", coalesce(col("text_tokens"), lit(0L)))
+      .withColumn("turn_tokens", col("text_tokens") + 2)
+    val wOrd = Window.partitionBy("conv_id").orderBy("turn")
+    val wAll = Window.partitionBy("conv_id")
+    val spans = toks
+      .withColumn("off",
+        sum(col("turn_tokens")).over(wOrd) - col("turn_tokens"))
+      .withColumn("conv_tokens", sum(col("turn_tokens")).over(wAll))
+      .filter(col("role") === "assistant")
+      // text tokens start right after the role token: 0-based off + 1,
+      // +1 again for 1-based coordinates (the sftPack convention)
+      .select(col("conv_id"), col("turn"), (col("off") + 2).as("span_start"),
+        col("text_tokens").as("span_tokens"), col("span_chars"),
+        col("conv_tokens"))
+    val w = Window.partitionBy("shard").orderBy("conv_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val convs = spans.select(col("conv_id"), col("conv_tokens")).distinct()
+      .withColumn("shard", pmod(col("conv_id"), lit(shards.toLong)))
+      .withColumn("base", sum("conv_tokens").over(w) - col("conv_tokens"))
+    spans.join(convs.select("conv_id", "shard", "base"), Seq("conv_id"))
+      .withColumn("gstart", col("base") + col("span_start") - 1)
+      .select(col("conv_id"), col("turn"), col("shard"),
+        floor(col("gstart") / L).cast("long").as("pack_id"),
+        (pmod(col("gstart"), L) + 1).as("packed_start"),
+        col("span_tokens"), col("span_chars"),
+        (pmod(col("gstart"), L) + col("span_tokens") > L).as("straddles_pack"))
+      .orderBy("conv_id", "turn")
+  }
+
+  /** The trained tokenizer (the full [[TextOps.unigramLmSql]] EM replay)
+    * composed with the packing arithmetic in token coordinates. */
+  def sftPackTokensSql(budget: Int = 512, shards: Int = 8): String =
+    s"""WITH seg AS (
+      |${TextOps.unigramLmSql()}
+      |),
+      |t AS (
+      |  SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    text
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |tw AS (
+      |  SELECT conv_id, turn, word, count(*) AS cnt
+      |  FROM (SELECT conv_id, turn, unnest(string_split(text, ' ')) AS word
+      |        FROM t)
+      |  WHERE length(word) >= 1 GROUP BY 1, 2, 3),
+      |tt AS (
+      |  SELECT conv_id, turn, CAST(SUM(cnt * s.n_pieces) AS BIGINT)
+      |    AS text_tokens
+      |  FROM tw JOIN seg s USING (word) GROUP BY 1, 2),
+      |tok AS (
+      |  SELECT t.conv_id, t.turn, t.role,
+      |    CAST(length(t.text) AS BIGINT) AS span_chars,
+      |    coalesce(tt.text_tokens, 0) AS text_tokens,
+      |    coalesce(tt.text_tokens, 0) + 2 AS turn_tokens
+      |  FROM t LEFT JOIN tt USING (conv_id, turn)),
+      |o AS (
+      |  SELECT *,
+      |    CAST(SUM(turn_tokens) OVER (PARTITION BY conv_id ORDER BY turn)
+      |      - turn_tokens AS BIGINT) AS off,
+      |    CAST(SUM(turn_tokens) OVER (PARTITION BY conv_id) AS BIGINT)
+      |      AS conv_tokens
+      |  FROM tok),
+      |spans AS (
+      |  SELECT conv_id, turn, off + 2 AS span_start,
+      |    text_tokens AS span_tokens, span_chars, conv_tokens
+      |  FROM o WHERE role = 'assistant'),
+      |convs AS (SELECT DISTINCT conv_id, conv_tokens FROM spans),
+      |based AS (
+      |  SELECT conv_id, conv_id % $shards AS shard,
+      |    CAST(SUM(conv_tokens) OVER (PARTITION BY conv_id % $shards
+      |      ORDER BY conv_id) - conv_tokens AS BIGINT) AS base
+      |  FROM convs)
+      |SELECT s.conv_id, CAST(s.turn AS BIGINT) AS turn,
+      |  CAST(b.shard AS BIGINT) AS shard,
+      |  CAST((b.base + s.span_start - 1) // $budget AS BIGINT) AS pack_id,
+      |  CAST((b.base + s.span_start - 1) % $budget + 1 AS BIGINT)
+      |    AS packed_start,
+      |  s.span_tokens, s.span_chars,
+      |  (b.base + s.span_start - 1) % $budget + s.span_tokens > $budget
+      |    AS straddles_pack
+      |FROM spans s JOIN based b USING (conv_id)
+      |ORDER BY s.conv_id, s.turn""".stripMargin
 }

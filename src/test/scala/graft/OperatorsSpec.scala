@@ -303,6 +303,71 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("sft pack tokens: token-budget packing matches a word-grain recompute under the trained tokenizer") {
+    val budget = 512L
+    val packed = CorpusOps.sftPackTokens(spark, sfDir).collect()
+    assert(packed.nonEmpty)
+    // independent recompute: the trained model's per-word piece counts
+    // (unigramLm output, the composition's other end) driven through the
+    // packing arithmetic in plain Scala
+    val nPieces = TextOps.unigramLm(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val docs = Tables.documents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .filter { case (_, t) => t != null && t.nonEmpty }
+    def textToks(t: String): Long =
+      t.split(" ").filter(_.nonEmpty).map(nPieces).sum
+    // per conversation: surviving turns in order, running token offset,
+    // assistant spans at off+2 (1-based, after the role special)
+    case class Span(turn: Long, start: Long, toks: Long, chars: Long)
+    val convSpans = docs.toSeq.map { case (id, t) => (id / 4, id % 4, t) }
+      .groupBy(_._1).map { case (conv, ts) =>
+        var off = 0L
+        val spans = ts.sortBy(_._2).flatMap { case (_, turn, t) =>
+          val tt = textToks(t)
+          val s = if (turn % 2 == 1) Some(Span(turn, off + 2, tt, t.length.toLong))
+                  else None
+          off += tt + 2
+          s
+        }
+        conv -> (off, spans)
+      }.filter(_._2._2.nonEmpty)
+    val bases = convSpans.keys.toSeq.sorted.groupBy(_ % 8).values.flatMap {
+      convs => convs.sorted.foldLeft((0L, List.empty[(Long, Long)])) {
+        case ((acc, out), c) => (acc + convSpans(c)._1, (c, acc) :: out)
+      }._2
+    }.toMap
+    val expected = convSpans.toSeq.flatMap { case (conv, (_, spans)) =>
+      spans.map { sp =>
+        val g = bases(conv) + sp.start - 1
+        (conv, sp.turn) -> ((conv % 8, g / budget, g % budget + 1, sp.toks,
+          sp.chars, g % budget + sp.toks > budget))
+      }
+    }.toMap
+    assert(packed.length == expected.size, "one packed row per loss span")
+    packed.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val (shard, pack, start, toks, chars, straddle) = expected(key)
+      assert(r.getLong(2) == shard && r.getLong(3) == pack &&
+        r.getLong(4) == start, s"$key: pack coordinates drifted")
+      assert(r.getLong(5) == toks && r.getLong(6) == chars)
+      assert(r.getBoolean(7) == straddle, s"$key: straddle flag wrong")
+      // unit sanity: a ≥1-char-per-piece model can never cost more tokens
+      // than characters, and coordinates stay inside the window
+      assert(r.getLong(5) <= r.getLong(6), s"$key: tokens exceed chars")
+      assert(r.getLong(4) >= 1 && r.getLong(4) <= budget)
+    }
+    // Σ in-pack tokens ≤ budget: clip straddlers at the pack boundary
+    packed.groupBy(r => (r.getLong(2), r.getLong(3))).values.foreach { rows =>
+      val filled = rows.map(r =>
+        math.min(r.getLong(5), budget - r.getLong(4) + 1)).sum
+      assert(filled <= budget, "a pack holds more tokens than its budget")
+    }
+    assert(packed.exists(!_.getBoolean(7)), "some span must fit inside a pack")
+    assert(packed.exists(_.getBoolean(7)) ||
+      packed.map(_.getLong(5)).max <= budget, "straddle fixture vacuous")
+  }
+
   test("dpo pairs: deterministic chosen/rejected selection matches a direct recompute") {
     val rows = CorpusOps.dpoPairs(spark, sfDir).collect()
     assert(rows.nonEmpty)

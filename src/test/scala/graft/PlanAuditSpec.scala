@@ -902,6 +902,27 @@ class PlanAuditSpec extends SparkSuite {
         p.take(1200))
   }
 
+  test("sft pack tokens: document text never shuffles — only slim word and conv rows cross exchanges") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = operators.CorpusOps.sftPackTokens(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val exchanges = root.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    // words shuffle (the tokenizer join is word-grain by design); the
+    // document text column itself must never cross an exchange
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"an exchange carries the document text: ${e.output.map(_.name)}")
+    }
+  }
+
   test("image dedup: banded LSH equi-join only — no cartesian, payloads never leave the scan stage") {
     val df = Multimodal.imageDedup(spark, sfDir)
     val p = plan(df)
