@@ -110,6 +110,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.dedupExact(tune(s), dir)),
     "dedup_minhash" -> ((s, dir) => Dedup.dedupMinhash(tune(s), dir)),
     "dedup_jaccard" -> ((s, dir) => Dedup.dedupJaccard(tune(s), dir)),
+    "dedup_minhash_eval" -> ((s, dir) => Dedup.dedupMinhashEval(tune(s), dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.dedupSimhash(tune(s), dir)),
     "dedup_embedding" -> ((s, dir) => Dedup.dedupEmbedding(tune(s), dir)),
     "dedup_embedding_lsh" -> ((s, dir) => Dedup.dedupEmbeddingLsh(tune(s), dir)),
@@ -347,6 +348,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_jaccard" -> Dedup.dedupJaccardSql,
+    "dedup_minhash_eval" -> Dedup.dedupMinhashEvalSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "dedup_embedding_lsh" -> Dedup.dedupEmbeddingLshSql(8),

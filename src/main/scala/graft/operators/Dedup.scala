@@ -124,6 +124,141 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Text-dedup quality evaluation — verify-the-verifier for the MinHash
+    * LSH family ([[graft.operators.Multimodal.imageDedupEval]]'s shape on
+    * the text modality): precision/recall of the banded-candidate →
+    * exact-Jaccard pipeline against a planted-family fixture whose ground
+    * truth is analytic. The dashboard row a production curation run keeps
+    * next to its dedup stage — the text dedupers are what a 100 TB run
+    * leans on hardest, so their measured recall (the band OR-ing
+    * probability at the family's true Jaccard) belongs on a report, not
+    * in a comment.
+    *
+    * Fixture (the media-fixture discipline, text-shaped): fam = doc_id/4,
+    * v = doc_id%4; each doc is 24 words `t<fam>_<(7i+13·fam) mod 31>`
+    * (distinct within a doc: 7 ⊥ 31, 24 < 31), variants v > 0 replace the
+    * single word at position 5+v with `x<fam>_<v>`. The fam embedded in
+    * every token makes cross-family shingle sets DISJOINT — so every
+    * false positive is a real md5/band accident (none at these sizes) and
+    * precision checks the verifier itself. Intra-family true Jaccard is
+    * analytic: ≤ 2 differing positions touch ≤ 5 of 22 shingle windows →
+    * J ≥ 17/27 ≈ 0.63 ≥ the 0.5 threshold, so TRUE pairs = Σ C(k,2) over
+    * families and recall measures exactly the LSH banding loss (a pair at
+    * J ≈ 0.7 collides in some band with probability ≈ 1−(1−J⁴)⁴ ≈ 0.8 —
+    * the trade [[dedupMinhash]]'s band count sets; md5-deterministic, so
+    * the oracle replays it bit-exactly).
+    *
+    * Scale: the same shapes as the pipeline under test — signature
+    * groupBy, band equi-join, slim verify join; the metric aggregation
+    * collapses the candidate set to ONE row before the single-row
+    * broadcast truth attach. */
+  def dedupMinhashEval(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val fam = expr("doc_id div 4")
+    val v = col("doc_id") % 4
+    val fixture = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      array_join(transform(sequence(lit(0), lit(23)), i =>
+        when(v > 0 && i.cast("long") === lit(5L) + v,
+          concat(lit("x"), fam.cast("string"), lit("_"), v.cast("string")))
+          .otherwise(concat(lit("t"), fam.cast("string"), lit("_"),
+            pmod(i.cast("long") * 7 + fam * 13, lit(31L)).cast("string")))),
+        " ").as("text"))
+    val bands = minhashSignatures(fixture)
+      .select(col("doc_id"), posexplode(expr(bandsExpr)).as(Seq("band", "sig")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = fixture
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), array_distinct(expr(shinglesExpr)).as("sset"))
+    val jac = Exprs.r4(
+      size(array_intersect(col("a.sset"), col("b.sset"))).cast("double")
+        / size(array_union(col("a.sset"), col("b.sset"))))
+    // one aggregate over the candidate rows: candidate count, verified
+    // count, and verified-true count all collapse to a single row
+    val found = cand
+      .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (jac >= threshold).cast("long").as("ver"),
+        (jac >= threshold &&
+          expr("doc_a div 4") === expr("doc_b div 4")).cast("long").as("tp"))
+      .agg(count(lit(1)).as("n_candidates"), sum(col("ver")).as("n_found"),
+        sum(col("tp")).as("true_positives"))
+    val truth = Tables.documents(spark, sfDir)
+      .select(expr("doc_id div 4").as("fam"))
+      .groupBy("fam").agg(count(lit(1)).as("k"))
+      .agg(sum(expr("k * (k - 1) div 2")).as("n_true_pairs"))
+    found.crossJoin(broadcast(truth))
+      .select(col("n_true_pairs"), col("n_candidates"), col("n_found"),
+        col("true_positives"),
+        (col("n_found") - col("true_positives")).as("false_positives"),
+        when(col("n_found") === 0, lit(10000L)).otherwise(
+          floor(lit(10000.0) * col("true_positives") / col("n_found")))
+          .cast("long").as("precision_e4"),
+        when(col("n_true_pairs") === 0, lit(10000L)).otherwise(
+          floor(lit(10000.0) * col("true_positives") / col("n_true_pairs")))
+          .cast("long").as("recall_e4"))
+  }
+
+  /** The metric replayed over the SAME fixture → minhash → band →
+    * Jaccard-verify pipeline plus the analytic truth count. */
+  val dedupMinhashEvalSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id // 4 AS fam, doc_id % 4 AS v FROM documents),
+      |w AS (
+      |  SELECT doc_id, fam, list_transform(generate_series(0, 23), i ->
+      |    CASE WHEN v > 0 AND i = 5 + v
+      |      THEN 'x' || fam || '_' || v
+      |      ELSE 't' || fam || '_' || ((i * 7 + fam * 13) % 31) END) AS words
+      |  FROM d),
+      |sh AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(words) - 2, 1)),
+      |         i -> array_to_string(list_slice(words, i, i + 2), ' ')) AS shingles FROM w),
+      |sg AS (SELECT doc_id, list_transform(generate_series(0, 15),
+      |         k -> list_min(list_transform(shingles,
+      |           s -> (CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)
+      |                 * (12582917 * k + 1) + 4256249 * k) % 2147483647))) AS mh FROM sh),
+      |bands AS (SELECT doc_id, j.j AS band,
+      |            md5(array_to_string(list_transform(list_slice(mh, j.j * 4 + 1, j.j * 4 + 4),
+      |              x -> CAST(x AS VARCHAR)), ',')) AS sig
+      |          FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
+      |ver AS (
+      |  SELECT doc_a, doc_b,
+      |    CASE WHEN floor(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(sa.sset, sb.sset))) * 10000 + 0.5)
+      |      / 10000 >= 0.5 THEN 1 ELSE 0 END AS ver
+      |  FROM cand JOIN sets sa ON doc_a = sa.doc_id
+      |    JOIN sets sb ON doc_b = sb.doc_id),
+      |found AS (
+      |  SELECT COUNT(*) AS n_candidates, SUM(ver) AS n_found,
+      |    SUM(CASE WHEN ver = 1 AND doc_a // 4 = doc_b // 4
+      |        THEN 1 ELSE 0 END) AS true_positives
+      |  FROM ver),
+      |truth AS (
+      |  SELECT SUM(k * (k - 1) // 2) AS n_true_pairs
+      |  FROM (SELECT doc_id // 4 AS fam, COUNT(*) AS k
+      |        FROM documents GROUP BY 1))
+      |SELECT CAST(t.n_true_pairs AS BIGINT) AS n_true_pairs,
+      |  CAST(f.n_candidates AS BIGINT) AS n_candidates,
+      |  CAST(f.n_found AS BIGINT) AS n_found,
+      |  CAST(f.true_positives AS BIGINT) AS true_positives,
+      |  CAST(f.n_found - f.true_positives AS BIGINT) AS false_positives,
+      |  CAST(CASE WHEN f.n_found = 0 THEN 10000
+      |    ELSE floor(10000.0 * f.true_positives / f.n_found) END AS BIGINT)
+      |    AS precision_e4,
+      |  CAST(CASE WHEN t.n_true_pairs = 0 THEN 10000
+      |    ELSE floor(10000.0 * f.true_positives / t.n_true_pairs) END
+      |    AS BIGINT) AS recall_e4
+      |FROM found f, truth t""".stripMargin
+
   /** Incremental ingestion dedup — a NEW batch checked against the existing
     * base corpus, NOT self-dedup: exact duplicates by content hash, then
     * near-duplicates by the same band-collision + true-Jaccard chain as

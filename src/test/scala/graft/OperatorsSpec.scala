@@ -458,6 +458,24 @@ class OperatorsSpec extends SparkSuite {
     assert(prec == math.floor(10000.0 * tp / found).toLong && prec <= 10000)
   }
 
+  test("minhash dedup eval: perfect precision by fixture disjointness, recall measures the banding loss") {
+    val r = Dedup.dedupMinhashEval(spark, sfDir).collect().head
+    val (truth, cand, found, tp, fp) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    val (prec, rec) = (r.getLong(5), r.getLong(6))
+    // fam is embedded in every token, so cross-family shingle sets are
+    // disjoint: every candidate passes the Jaccard verify and none is false
+    assert(prec == 10000 && fp == 0,
+      "cross-family tokens are disjoint — a false positive is an md5 accident")
+    assert(cand == found && tp == found)
+    // recall is the banding probability at J ≈ 0.63-0.76 (≈ 1-(1-J⁴)⁴):
+    // strictly lossy (the LSH trade the eval exists to measure) but far
+    // above a coin flip — both bounds would catch a broken band join
+    assert(rec < 10000, "banded minhash recall cannot be total at J < 1")
+    assert(rec >= 5000, s"recall $rec collapsed — band join broken?")
+    assert(tp <= truth && rec == math.floor(10000.0 * tp / truth).toLong)
+  }
+
   test("video dedup: real animated GIF in the loop; middle-frame-edit families found with total recall") {
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val payload = Multimodal.clipPayload(writer, 13L)
