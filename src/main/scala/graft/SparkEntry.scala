@@ -195,6 +195,7 @@ object SparkEntry {
     "ann_ivfpq_res" -> ((s, dir) => Similarity.annIvfPqRes(tune(s), dir)),
     "ann_nndescent" -> ((s, dir) => Similarity.annNndescent(tune(s), dir)),
     "ann_graph_search" -> ((s, dir) => Similarity.annGraphSearch(tune(s), dir)),
+    "ann_graph_oos" -> ((s, dir) => Similarity.annGraphSearchOos(tune(s), dir)),
     "dsir_weights" -> ((s, dir) => TextOps.dsirWeights(tune(s), dir)),
     "ppl_buckets" -> ((s, dir) => TextOps.pplBuckets(tune(s), dir)),
     "wordpiece_encode" -> ((s, dir) => TextOps.wordpieceEncode(tune(s), dir)),
@@ -419,6 +420,7 @@ object SparkEntry {
     "ann_ivfpq_res" -> Similarity.annIvfPqResSql(),
     "ann_nndescent" -> Similarity.annNndescentSql(),
     "ann_graph_search" -> Similarity.annGraphSearchSql(),
+    "ann_graph_oos" -> Similarity.annGraphSearchOosSql(),
     "dsir_weights" -> TextOps.dsirWeightsSql(),
     "ppl_buckets" -> TextOps.pplBucketsSql,
     "wordpiece_encode" -> TextOps.wordpieceEncodeSql(),

@@ -1241,6 +1241,22 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** The sign-LSH bucket as a standalone SQL expression over a DOUBLE list
+    * column `v` — [[lshPlanes]]'s hyperplane matrix re-derived from the
+    * same md5 arithmetic. Shared by [[dedupEmbeddingLshSql]] and the
+    * out-of-sample graph-ANN anchor oracle
+    * ([[Similarity.annGraphSearchOosSql]]), so the bucket arithmetic can
+    * never diverge between the dedup and ANN families. */
+  private[operators] def lshBucketSqlExpr(nBits: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(0, ${nBits - 1}), j ->
+      |        CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+      |          list_transform(generate_series(1, 64), i ->
+      |            v[i] * ((CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0))),
+      |          (s, x) -> s + x) > 0
+      |        THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)),
+      |      (acc, x) -> acc + x)""".stripMargin
+
   def dedupEmbeddingLshSql(nBits: Int): String =
     s"""WITH e0 AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1249,14 +1265,7 @@ object Dedup {
       |  SELECT vec_id, v,
       |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(v, x -> x * x)),
       |      (acc, x) -> acc + x)) AS n,
-      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(generate_series(0, ${nBits - 1}), j ->
-      |        CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
-      |          list_transform(generate_series(1, 64), i ->
-      |            v[i] * ((CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0))),
-      |          (s, x) -> s + x) > 0
-      |        THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)),
-      |      (acc, x) -> acc + x) AS bucket
+      |    ${lshBucketSqlExpr(nBits)} AS bucket
       |  FROM e0),
       |p AS (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,

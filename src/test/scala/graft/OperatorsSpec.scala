@@ -155,6 +155,41 @@ class OperatorsSpec extends SparkSuite {
       s"graph-search recall vs exact collapsed: $hit/$tot")
   }
 
+  test("graph search oos: held-out queries enter via the LSH anchor with recall above the member floor") {
+    val got = Similarity.annGraphSearchOos(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    assert(got.nonEmpty, "no held-out query produced results")
+    // targets must come from the CORPUS — a query id appearing as a target
+    // would mean the graph saw a held-out vector
+    got.foreach { case (q, ns) =>
+      assert(q % 100 == 7, s"non-held-out query $q in the result")
+      assert(ns.forall(_ % 100 != 7), s"query $q hit a held-out target")
+      assert(ns.size <= 5)
+    }
+    // exact brute-force top-5 over the corpus for each held-out query
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val corpus = vecs.keys.filter(_ % 100 != 7).toSeq
+    var hit = 0; var tot = 0
+    vecs.keys.filter(_ % 100 == 7).foreach { q =>
+      val exact = corpus.map(c => (cos(vecs(q), vecs(c)), c))
+        .sortBy(t => (-t._1, t._2)).take(5).map(_._2).toSet
+      hit += exact.intersect(got.getOrElse(q, Set())).size
+      tot += exact.size
+    }
+    assert(tot > 0 && hit.toDouble / tot >= 0.3,
+      s"out-of-sample recall vs exact collapsed: $hit/$tot")
+  }
+
   test("ann_ivf returns a subset of cells consistent with routing") {
     val res = Similarity.annIvf(spark, sfDir).collect()
     assert(res.nonEmpty)
