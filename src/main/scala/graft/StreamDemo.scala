@@ -179,6 +179,31 @@ object StreamDemo {
       baseDups == 0 && variantFlags == nVariants,
       s"flagged=$variantFlags/$nVariants, base-pass dups=$baseDups")
 
+    // --- mixed-mime streaming media near-dup: every family's base admits
+    // under its mime's REAL codec (PNG/WAV/GIF by doc_id % 3), then the
+    // family's SAME-MIME variant (doc_id % 4 == 3 — ids 4f and 4f+3 share
+    // a mime since 3 ≡ 0 mod 3) must flag against the checkpointed base
+    // in a second run; all three modality stripes must participate.
+    def mixedStream() = spark.readStream.schema(mediaSchema).json(s"$work/mx_drop")
+    docs.select("doc_id").filter(col("doc_id") % 4 === 0)
+      .write.mode("overwrite").json(s"$work/mx_drop")
+    Streaming.mixedMediaDedupQuery(mixedStream(), s"$work/mx_out", s"$work/mx_ck")
+      .awaitTermination()
+    val mxBaseDups = spark.read.parquet(s"$work/mx_out")
+      .filter(col("is_near_dup")).count()
+    val mxVariants = docs.select("doc_id").filter(col("doc_id") % 4 === 3)
+    val nMx = mxVariants.count()
+    mxVariants.write.mode("append").json(s"$work/mx_drop")
+    Streaming.mixedMediaDedupQuery(mixedStream(), s"$work/mx_out", s"$work/mx_ck")
+      .awaitTermination()
+    val mxFlagged = spark.read.parquet(s"$work/mx_out")
+      .filter(col("is_near_dup") && col("doc_id") % 4 === 3)
+    val mxFlags = mxFlagged.count()
+    val mimeCover = mxFlagged.select("mime").distinct().count()
+    check("mixed-mime media stream flags every same-mime variant across all three codecs",
+      mxBaseDups == 0 && mxFlags == nMx && mimeCover == 3,
+      s"flagged=$mxFlags/$nMx, mimes=$mimeCover/3, base-pass dups=$mxBaseDups")
+
     // --- streaming funnel: drive the whole events table through the live
     // state machine in one AvailableNow run and reconcile the final stage
     // distribution against the batch operator (chronological within-batch

@@ -1064,28 +1064,37 @@ object Multimodal {
         .iterator().asScala
         .find(_.isFileTypeSupported(wave))
         .getOrElse(sys.error("no WAVE AudioFileWriter provider"))
-      it.map { id =>
-        val payload = envelopePayload(writer, id)
-        val pcm = parseWav(payload).data
-        // 65 window energies over the decoded samples (8 frames/window)
-        val e = new Array[Long](65)
-        var f = 0
-        while (f < 520) {
-          val a = (((pcm(2 * f + 1) & 0xff) << 8) | (pcm(2 * f) & 0xff))
-            .toShort.toLong
-          e(f / 8) += math.abs(a)
-          f += 1
-        }
-        val bands = Array.fill(4)(0L)
-        var k = 0
-        while (k < 64) {
-          if (e(k + 1) > e(k)) bands(k / 16) |= 1L << (k % 16)
-          k += 1
-        }
-        HashBands(id, bands(0), bands(1), bands(2), bands(3))
-      }
+      it.map(id => audioSignature(writer, id))
     }.toDF()
     bandPairs(sig, maxHamming)
+  }
+
+  /** One id's envelope-gradient signature: fixture WAV encode, REAL
+    * RIFF-chunk-walk decode, 65 window energies over the decoded samples
+    * (8 frames/window), gradient-sign bits in four 16-bit bands. Shared
+    * by the batch [[audioDedup]] and the streaming ingest-edge form
+    * ([[graft.streaming.Streaming.mixedMediaDedupStream]]) so both sides
+    * run the identical arithmetic. */
+  private[graft] def audioSignature(
+      writer: javax.sound.sampled.spi.AudioFileWriter, id: Long): HashBands = {
+    val payload = envelopePayload(writer, id)
+    val pcm = parseWav(payload).data
+    // 65 window energies over the decoded samples (8 frames/window)
+    val e = new Array[Long](65)
+    var f = 0
+    while (f < 520) {
+      val a = (((pcm(2 * f + 1) & 0xff) << 8) | (pcm(2 * f) & 0xff))
+        .toShort.toLong
+      e(f / 8) += math.abs(a)
+      f += 1
+    }
+    val bands = Array.fill(4)(0L)
+    var k = 0
+    while (k < 64) {
+      if (e(k + 1) > e(k)) bands(k / 16) |= 1L << (k % 16)
+      k += 1
+    }
+    HashBands(id, bands(0), bands(1), bands(2), bands(3))
   }
 
   /** One id's envelope fixture clip as real RIFF/WAVE bytes (mono,
@@ -1168,15 +1177,23 @@ object Multimodal {
         .getImageWritersByFormatName("gif").next()
       val reader = javax.imageio.ImageIO
         .getImageReadersByFormatName("gif").next()
-      it.map { id =>
-        val payload = clipPayload(writer, id)
-        reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(payload)))
-        val img = reader.read(2) // middle of the 5 frames, random access
-        gridBands(id, img, p => (p & 0xff).toLong) // single gray channel
-      }
+      it.map(id => videoSignature(writer, reader, id))
     }.toDF()
     bandPairs(sig, maxHamming)
+  }
+
+  /** One id's frame-sampled signature: fixture animated-GIF encode, REAL
+    * random-access decode of ONLY the middle frame, dHash over the decoded
+    * gray pixels. Shared by the batch [[videoDedup]] and the streaming
+    * ingest-edge form
+    * ([[graft.streaming.Streaming.mixedMediaDedupStream]]). */
+  private[graft] def videoSignature(writer: javax.imageio.ImageWriter,
+      reader: javax.imageio.ImageReader, id: Long): HashBands = {
+    val payload = clipPayload(writer, id)
+    reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload)))
+    val img = reader.read(2) // middle of the 5 frames, random access
+    gridBands(id, img, p => (p & 0xff).toLong) // single gray channel
   }
 
   /** Dedup-quality evaluation — precision/recall of [[imageDedup]]'s

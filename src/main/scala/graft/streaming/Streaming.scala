@@ -41,6 +41,12 @@ case class MediaSigFlag(doc_id: Long, b0: Long, b1: Long, b2: Long,
 /** Admitted signatures of one media bucket, flattened as 4-long quads. */
 case class BucketQuads(sigs: Array[Long])
 
+/** [[Streaming.mixedMediaDedupStream]]'s per-item verdict: the mime the
+  * payload dispatched to, its modality signature, and whether an admitted
+  * same-(mime, bucket) signature was within the hamming threshold. */
+case class MixedSigFlag(doc_id: Long, mime: String, b0: Long, b1: Long,
+  b2: Long, b3: Long, is_near_dup: Boolean)
+
 /** The reference's event-driven dataflow (SURVEY.md §2 I1-I8, §3.1) as one
   * Structured Streaming pipeline: a JSON drop directory models the webhook/
   * GCS-event source (each request = one file, A1/A3), validation routes
@@ -895,6 +901,97 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[MediaSigFlag], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** MIXED-MIME streaming media near-dup — [[mediaDedupStream]] composed
+    * with [[graft.operators.Multimodal.multimodalFeatures]]'s mime
+    * dispatch: every arriving payload routes BY MIME to its modality's
+    * real-codec signature (PNG dHash via `imageSignature`, WAV envelope
+    * hash via `audioSignature`, GIF middle-frame dHash via
+    * `videoSignature` — the batch operators' exact arithmetic, one shared
+    * helper per modality) inside the stateless scan stage, with all three
+    * codecs resolved once per partition. State is keyed by (mime, band 0):
+    * modalities never cross-compare — an image is only ever checked
+    * against admitted images — and within a modality the bucket semantics
+    * are [[mediaDedupStream]]'s verbatim (admitted quads, four-band
+    * hamming ≤ `maxHamming`, checkpointed across restarts).
+    *
+    * Scale notes: the payload bytes are born and die inside the scan
+    * partition; only (mime, 5-long) rows shuffle to the state
+    * partitioning, which now spreads over 3 × 2¹⁶ buckets. Mime fixture:
+    * doc_id % 3 (the [[graft.operators.Multimodal.multimodalFeatures]]
+    * convention), so any 4-consecutive-id family plants a same-mime
+    * base/variant pair in every modality stripe. */
+  def mixedMediaDedupStream(docs: DataFrame,
+      maxHamming: Int = graft.operators.Multimodal.DefaultMaxHamming): Dataset[MixedSigFlag] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col("doc_id").isNotNull) // dead-letter guard, like nearDupStream
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        import scala.jdk.CollectionConverters._
+        val pngW = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+        val pngR = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        val gifW = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val gifR = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+        val wav = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+          .iterator().asScala
+          .find(_.isFileTypeSupported(wave))
+          .getOrElse(sys.error("no WAVE AudioFileWriter provider"))
+        it.map { id =>
+          (id % 3) match {
+            case 0 => ("image/png",
+              graft.operators.Multimodal.imageSignature(pngW, pngR, id))
+            case 1 => ("audio/wav",
+              graft.operators.Multimodal.audioSignature(wav, id))
+            case _ => ("video/gif",
+              graft.operators.Multimodal.videoSignature(gifW, gifR, id))
+          }
+        }
+      }
+      // (mime, band 0) IS the bucket: modalities never cross-compare
+      .groupByKey { case (mime, s) => (mime, s.b0) }
+      .flatMapGroupsWithState[BucketQuads, MixedSigFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((mime, _), rows, state) =>
+          var quads = state.getOption.map(_.sigs).getOrElse(Array.empty[Long])
+          def hamming(o: Int, m: graft.operators.Multimodal.HashBands): Int =
+            java.lang.Long.bitCount(quads(o) ^ m.b0) +
+              java.lang.Long.bitCount(quads(o + 1) ^ m.b1) +
+              java.lang.Long.bitCount(quads(o + 2) ^ m.b2) +
+              java.lang.Long.bitCount(quads(o + 3) ^ m.b3)
+          val out = rows.toSeq.sortBy(_._2.doc_id).map { case (_, m) =>
+            val dup = quads.indices.by(4).exists(o => hamming(o, m) <= maxHamming)
+            if (!dup) quads = quads ++ Array(m.b0, m.b1, m.b2, m.b3)
+            MixedSigFlag(m.doc_id, mime, m.b0, m.b1, m.b2, m.b3, dup)
+          }
+          state.update(BucketQuads(quads))
+          out.iterator
+      }
+  }
+
+  /** Runs [[mixedMediaDedupStream]] to a parquet sink; batch-keyed
+    * overwrite dirs make re-executed micro-batches idempotent, like the
+    * other sinks. */
+  def mixedMediaDedupQuery(docs: DataFrame, outDir: String,
+      checkpointDir: String,
+      maxHamming: Int = graft.operators.Multimodal.DefaultMaxHamming): StreamingQuery =
+    mixedMediaDedupStream(docs, maxHamming).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[MixedSigFlag], batchId: Long) =>
         batch.write.mode("overwrite").parquet(s"$outDir/ingest_batch=$batchId")
         ()
       }

@@ -282,6 +282,80 @@ class StreamingSpec extends SparkSuite {
     assert(rows.size == 5)
   }
 
+  test("streaming mixed-mime media near-dup: planted variants of all three modalities flag across a restart") {
+    val work = Files.createTempDirectory("mixeddedup").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    def src() = spark.readStream.schema(schema).json(s"$work/drop")
+    def js(id: Long) = s"""{"doc_id":$id}"""
+    // batch-side signature recompute (the SAME helpers the stream uses)
+    val pngW = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val pngR = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    val gifW = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val gifR = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val wav = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala
+        .find(_.isFileTypeSupported(
+          javax.sound.sampled.AudioFileFormat.Type.WAVE)).get
+    }
+    def sig(id: Long): operators.Multimodal.HashBands = (id % 3) match {
+      case 0 => operators.Multimodal.imageSignature(pngW, pngR, id)
+      case 1 => operators.Multimodal.audioSignature(wav, id)
+      case _ => operators.Multimodal.videoSignature(gifW, gifR, id)
+    }
+    def ham(a: operators.Multimodal.HashBands,
+        b: operators.Multimodal.HashBands): Int =
+      java.lang.Long.bitCount(a.b0 ^ b.b0) +
+        java.lang.Long.bitCount(a.b1 ^ b.b1) +
+        java.lang.Long.bitCount(a.b2 ^ b.b2) +
+        java.lang.Long.bitCount(a.b3 ^ b.b3)
+    // bases 0/4/8 and variants 3/7/11 pair up WITHIN each modality stripe
+    // (id%3 equal, id/4 equal); fixture invariant: the single-unit edits
+    // keep band 0 (the bucket) and stay within the hamming threshold
+    val bases = Seq(0L, 4L, 8L)
+    val variants = Seq(3L, 7L, 11L)
+    bases.zip(variants).foreach { case (b, v) =>
+      assert(b % 3 == v % 3 && b / 4 == v / 4)
+      assert(sig(b).b0 == sig(v).b0 && ham(sig(b), sig(v)) <= 6,
+        s"fixture drift: variant $v left base $b's bucket")
+    }
+    // fresh bases in batch 2: flagged only on a genuine near-collision
+    // with an admitted same-mime bucket-mate — compute expectations exactly
+    val fresh = Seq(12L, 16L, 20L)
+    val expectFresh = fresh.map { f =>
+      f -> bases.filter(_ % 3 == f % 3).map(sig)
+        .exists(s => s.b0 == sig(f).b0 && ham(s, sig(f)) <= 6)
+    }.toMap
+    // batch 1: the three bases, one per modality
+    bases.map(js).toDF("value").coalesce(1)
+      .write.mode("append").text(s"$work/drop")
+    Streaming.mixedMediaDedupQuery(src(), s"$work/out", s"$work/ck")
+      .awaitTermination()
+    // batch 2 (new files, SAME checkpoint after the query object died):
+    // each modality's variant plus a fresh base per modality
+    (variants ++ fresh).map(js).toDF("value").coalesce(1)
+      .write.mode("append").text(s"$work/drop")
+    Streaming.mixedMediaDedupQuery(src(), s"$work/out", s"$work/ck")
+      .awaitTermination()
+    val rows = spark.read.parquet(s"$work/out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("mime"), r.getAs[Boolean]("is_near_dup"))).toMap
+    val mimes = Map(0L -> "image/png", 1L -> "audio/wav", 2L -> "video/gif")
+    rows.foreach { case (id, (mime, _)) =>
+      assert(mime == mimes(id % 3), s"doc $id dispatched to $mime")
+    }
+    bases.foreach(b => assert(!rows(b)._2, s"fresh base $b flagged"))
+    variants.foreach(v => assert(rows(v)._2,
+      s"variant $v missed its checkpointed same-mime base"))
+    fresh.foreach(f => assert(rows(f)._2 == expectFresh(f),
+      s"fresh base $f verdict drifted from the exact expectation"))
+    assert(rows.size == 9)
+  }
+
   test("streaming bloom dedupe: re-sent ids always flagged across restart, fresh ids mostly admitted") {
     val work = Files.createTempDirectory("bloomdedupe").toString
     val schema = org.apache.spark.sql.types.StructType(Seq(
