@@ -187,6 +187,7 @@ object SparkEntry {
     "sft_pack" -> ((s, dir) => CorpusOps.sftPack(tune(s), dir)),
     "pack_stats" -> ((s, dir) => CorpusOps.packStats(tune(s), dir)),
     "sft_pack_tokens" -> ((s, dir) => CorpusOps.sftPackTokens(tune(s), dir)),
+    "sft_pipeline" -> ((s, dir) => CorpusOps.sftPipeline(tune(s), dir)),
     "lr_quality" -> ((s, dir) => CorpusOps.lrQuality(tune(s), dir)),
     "unigram_lm" -> ((s, dir) => TextOps.unigramLm(tune(s), dir)),
     "unigram_soft" -> ((s, dir) => TextOps.unigramSoft(tune(s), dir)),
@@ -412,6 +413,7 @@ object SparkEntry {
     "sft_pack" -> CorpusOps.sftPackSql(),
     "pack_stats" -> CorpusOps.packStatsSql(),
     "sft_pack_tokens" -> CorpusOps.sftPackTokensSql(),
+    "sft_pipeline" -> CorpusOps.sftPipelineSql(),
     "lr_quality" -> CorpusOps.lrQualitySql(),
     "unigram_lm" -> TextOps.unigramLmSql(),
     "unigram_soft" -> TextOps.unigramSoftSql(),

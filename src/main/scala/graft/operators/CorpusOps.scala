@@ -1621,4 +1621,171 @@ object CorpusOps {
       |    AS straddles_pack
       |FROM spans s JOIN based b USING (conv_id)
       |ORDER BY s.conv_id, s.turn""".stripMargin
+
+  /** The alignment-prep pipeline composed END TO END as ONE plan — the
+    * [[corpusPipeline]] precedent at conversation grain: chat-template
+    * render offsets ([[sftRender]]) → concat-and-chunk packing with span
+    * re-basing ([[sftPack]]) → per-pack loss accounting ([[packStats]]'s
+    * home-pack form) → preference-pair verdicts ([[dpoPairs]]), one row
+    * per packed loss span carrying all four stages' columns.
+    *
+    * The point is the composition: ONE scan of the conversation table and
+    * exactly THREE keyed window exchanges, no join anywhere —
+    *  1. conv_id: render offsets, conv stats, AND the DPO chosen/rejected
+    *     lanes all ride the same exchange (dpoPairs' prompt grain IS the
+    *     conversation grain, so its rank lanes fold into the render
+    *     window; the lanes collapse to one integer key
+    *     `score·16 + 15 − turn` whose MAX/MIN decode to exactly
+    *     [[dpoPairs]]' chosen-/rejected-with-tiebreak semantics);
+    *  2. shard: the packing running total — the [[sftPack]] conv-grain
+    *     DISTINCT + join-back is replaced by a first-span-per-conv flag
+    *     (`rn = 1`) so each conversation's length counts once in the
+    *     running sum and the spans never leave the linear chain;
+    *  3. (shard, pack_id): per-pack span count and loss chars as a
+    *     window over the packed spans themselves.
+    * Plus the presentation sort. [[packStats]] semantics note: stats here
+    * are HOME-pack grain — a straddling span contributes its in-pack
+    * prefix (`least(span_len, budget − packed_start + 1)`) to the pack it
+    * starts in, and its tail is exactly what the `straddles_pack` flag
+    * hands to the trainer; the standalone [[packStats]] keeps the
+    * split-across-packs accounting.
+    *
+    * Conversations with < 2 DPO candidates emit NULL verdict columns (the
+    * standalone operator drops them; the composed row keeps the span —
+    * packing needs it — and nulls the pair). */
+  def sftPipeline(spark: SparkSession, sfDir: String, budget: Int = 2048,
+      shards: Int = 8): DataFrame = {
+    val L = lit(budget.toLong)
+    val turns = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(expr("doc_id div 4").as("conv_id"),
+        (col("doc_id") % 4).as("turn"), col("text"))
+      .withColumn("role",
+        when(col("turn") % 2 === 0, lit("user")).otherwise(lit("assistant")))
+      .withColumn("piece",
+        concat(lit("<|"), col("role"), lit("|>\n"), col("text"), lit("\n")))
+      .withColumn("score", floor(lit(10000.0) *
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")) /
+        length(col("text"))))
+    val wOrd = Window.partitionBy("conv_id").orderBy("turn")
+    val wAll = Window.partitionBy("conv_id")
+    val cand = col("turn") >= 1
+    // one integer key encodes (score, turn-tiebreak): max ⇒ highest score
+    // then LOWEST turn; min ⇒ lowest score then HIGHEST turn (turn < 16)
+    val key = col("score") * 16 + lit(15L) - col("turn")
+    val spans = turns
+      .withColumn("off",
+        sum(length(col("piece"))).over(wOrd) - length(col("piece")))
+      .withColumn("conv_chars", sum(length(col("piece"))).over(wAll))
+      .withColumn("n_candidates",
+        sum(when(cand, lit(1L)).otherwise(lit(0L))).over(wAll))
+      .withColumn("kc", max(when(cand, key)).over(wAll))
+      .withColumn("kr", min(when(cand, key)).over(wAll))
+      .filter(col("role") === "assistant")
+      .withColumn("span_start",
+        col("off") + length(col("piece")) - length(col("text")))
+      .withColumn("span_len", length(col("text")).cast("long"))
+      // first assistant span per conv — carries the conv's length into the
+      // shard running total exactly once (same exchange, rows now sorted)
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("shard", pmod(col("conv_id"), lit(shards.toLong)))
+    val wShard = Window.partitionBy("shard").orderBy("conv_id", "turn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPack = Window.partitionBy("shard", "pack_id")
+    spans
+      .withColumn("base",
+        sum(when(col("rn") === 1, col("conv_chars")).otherwise(lit(0L)))
+          .over(wShard) - col("conv_chars"))
+      .withColumn("gstart", col("base") + col("span_start") - 1)
+      .withColumn("pack_id", floor(col("gstart") / L).cast("long"))
+      .withColumn("packed_start", pmod(col("gstart"), L) + 1)
+      .withColumn("straddles_pack",
+        pmod(col("gstart"), L) + col("span_len") > L)
+      .withColumn("in_pack", least(col("span_len"), L - pmod(col("gstart"), L)))
+      .withColumn("pack_spans", count(lit(1)).over(wPack))
+      .withColumn("pack_loss_chars", sum(col("in_pack")).over(wPack))
+      .select(col("conv_id"), col("turn"), col("shard"), col("pack_id"),
+        col("packed_start"), col("span_len"), col("straddles_pack"),
+        col("n_candidates"),
+        when(col("n_candidates") >= 2, lit(15L) - pmod(col("kc"), lit(16L)))
+          .as("chosen_turn"),
+        when(col("n_candidates") >= 2, lit(15L) - pmod(col("kr"), lit(16L)))
+          .as("rejected_turn"),
+        when(col("n_candidates") >= 2,
+          floor(col("kc") / 16).cast("long") - floor(col("kr") / 16).cast("long"))
+          .as("margin"),
+        col("pack_spans"), col("pack_loss_chars"),
+        floor(lit(10000.0) * col("pack_loss_chars") / L).cast("long")
+          .as("loss_density_e4"))
+      .orderBy("conv_id", "turn")
+  }
+
+  /** The four stages replayed relationally over ONE turn CTE — the same
+    * integer-key DPO lanes, the same first-span running total, the same
+    * home-pack window stats. */
+  def sftPipelineSql(budget: Int = 2048, shards: Int = 8): String =
+    s"""WITH t AS (
+      |  SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    text,
+      |    '<|' || CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END
+      |      || '|>' || chr(10) || text || chr(10) AS piece,
+      |    CAST(floor(10000.0 *
+      |      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+      |      / length(text)) AS BIGINT) AS score
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |o AS (
+      |  SELECT conv_id, turn, role, text, piece,
+      |    SUM(length(piece)) OVER (PARTITION BY conv_id ORDER BY turn)
+      |      - length(piece) AS off,
+      |    SUM(length(piece)) OVER (PARTITION BY conv_id) AS conv_chars,
+      |    SUM(CASE WHEN turn >= 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY conv_id) AS n_candidates,
+      |    MAX(CASE WHEN turn >= 1 THEN score * 16 + 15 - turn END)
+      |      OVER (PARTITION BY conv_id) AS kc,
+      |    MIN(CASE WHEN turn >= 1 THEN score * 16 + 15 - turn END)
+      |      OVER (PARTITION BY conv_id) AS kr
+      |  FROM t),
+      |s AS (
+      |  SELECT conv_id, turn, n_candidates, kc, kr,
+      |    CAST(off + length(piece) - length(text) AS BIGINT) AS span_start,
+      |    CAST(length(text) AS BIGINT) AS span_len,
+      |    CAST(conv_chars AS BIGINT) AS conv_chars,
+      |    row_number() OVER (PARTITION BY conv_id ORDER BY turn) AS rn,
+      |    conv_id % $shards AS shard
+      |  FROM o WHERE role = 'assistant'),
+      |b AS (
+      |  SELECT *,
+      |    CAST(SUM(CASE WHEN rn = 1 THEN conv_chars ELSE 0 END)
+      |      OVER (PARTITION BY shard ORDER BY conv_id, turn)
+      |      - conv_chars AS BIGINT) AS base
+      |  FROM s),
+      |p AS (
+      |  SELECT conv_id, turn, shard, n_candidates, kc, kr, span_len,
+      |    (base + span_start - 1) // $budget AS pack_id,
+      |    (base + span_start - 1) % $budget + 1 AS packed_start,
+      |    (base + span_start - 1) % $budget + span_len > $budget
+      |      AS straddles_pack,
+      |    least(span_len, $budget - (base + span_start - 1) % $budget)
+      |      AS in_pack
+      |  FROM b)
+      |SELECT conv_id, CAST(turn AS BIGINT) AS turn,
+      |  CAST(shard AS BIGINT) AS shard,
+      |  CAST(pack_id AS BIGINT) AS pack_id,
+      |  CAST(packed_start AS BIGINT) AS packed_start,
+      |  span_len, straddles_pack,
+      |  CAST(n_candidates AS BIGINT) AS n_candidates,
+      |  CAST(CASE WHEN n_candidates >= 2 THEN 15 - kc % 16 END AS BIGINT)
+      |    AS chosen_turn,
+      |  CAST(CASE WHEN n_candidates >= 2 THEN 15 - kr % 16 END AS BIGINT)
+      |    AS rejected_turn,
+      |  CAST(CASE WHEN n_candidates >= 2 THEN kc // 16 - kr // 16 END
+      |    AS BIGINT) AS margin,
+      |  CAST(COUNT(*) OVER (PARTITION BY shard, pack_id) AS BIGINT)
+      |    AS pack_spans,
+      |  CAST(SUM(in_pack) OVER (PARTITION BY shard, pack_id) AS BIGINT)
+      |    AS pack_loss_chars,
+      |  CAST(floor(10000.0 * SUM(in_pack) OVER (PARTITION BY shard, pack_id)
+      |    / $budget) AS BIGINT) AS loss_density_e4
+      |FROM p ORDER BY conv_id, turn""".stripMargin
 }

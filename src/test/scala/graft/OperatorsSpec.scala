@@ -403,6 +403,53 @@ class OperatorsSpec extends SparkSuite {
       packed.map(_.getLong(5)).max <= budget, "straddle fixture vacuous")
   }
 
+  test("sft pipeline: the composed plan agrees with each standalone stage operator") {
+    val budget = 2048L
+    val rows = CorpusOps.sftPipeline(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // packing coordinates must equal sftPack's per (conv, turn) — the
+    // first-span running total replays the conv-grain distinct exactly
+    val packed = CorpusOps.sftPack(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(6))).toMap
+    assert(rows.length == packed.size, "one row per packed loss span")
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val (shard, pack, start, straddle) = packed(key)
+      assert(r.getLong(2) == shard && r.getLong(3) == pack &&
+        r.getLong(4) == start && r.getBoolean(6) == straddle,
+        s"$key: pipeline pack coords diverge from sftPack")
+    }
+    // DPO verdicts must equal dpoPairs' per conversation (= prompt group)
+    val pairs = CorpusOps.dpoPairs(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(5)))
+      .toMap
+    rows.foreach { r =>
+      val conv = r.getLong(0)
+      if (r.getLong(7) >= 2) {
+        val (ct, rt, m) = pairs(conv)
+        assert(r.getLong(8) == ct && r.getLong(9) == rt && r.getLong(10) == m,
+          s"conv $conv: pipeline DPO verdict diverges from dpoPairs")
+      } else {
+        assert(r.isNullAt(8) && r.isNullAt(9) && r.isNullAt(10),
+          s"conv $conv: < 2 candidates must null the verdict")
+      }
+    }
+    // home-pack stats reconcile with the rows themselves
+    rows.groupBy(r => (r.getLong(2), r.getLong(3))).foreach {
+      case ((s, p), group) =>
+        val inPack = group.map(r =>
+          math.min(r.getLong(5), budget - r.getLong(4) + 1)).sum
+        group.foreach { r =>
+          assert(r.getLong(11) == group.length && r.getLong(12) == inPack,
+            s"pack ($s,$p): window stats drifted")
+          assert(r.getLong(13) ==
+            math.floor(10000.0 * inPack / budget).toLong)
+        }
+        assert(inPack <= budget, s"pack ($s,$p) overfilled")
+    }
+  }
+
   test("dpo pairs: deterministic chosen/rejected selection matches a direct recompute") {
     val rows = CorpusOps.dpoPairs(spark, sfDir).collect()
     assert(rows.nonEmpty)

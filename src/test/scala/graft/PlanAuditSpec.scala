@@ -902,6 +902,20 @@ class PlanAuditSpec extends SparkSuite {
         p.take(1200))
   }
 
+  test("sft pipeline: one scan, two hash exchanges, zero joins — all four stages ride the window chain") {
+    val p = plan(operators.CorpusOps.sftPipeline(spark, sfDir))
+    assert(!p.contains("Join"),
+      "the composed pipeline must be a join-free window chain:\n" + p.take(1200))
+    assert(p.split("Scan parquet").length - 1 == 1,
+      "one conversation scan feeds all four stages:\n" + p.take(1200))
+    // conv window (render offsets + DPO lanes) and shard window (packing
+    // running total); the (shard, pack_id) stats window reuses the shard
+    // partitioning — a third exchange would mean that reuse broke
+    assert(p.split("Exchange hashpartitioning").length - 1 == 2,
+      "exactly the conv and shard exchanges:\n" + p.take(1200))
+    assert(p.split("Exchange rangepartitioning").length - 1 == 1)
+  }
+
   test("sft pack tokens: document text never shuffles — only slim word and conv rows cross exchanges") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
