@@ -188,6 +188,7 @@ object SparkEntry {
     "pack_stats" -> ((s, dir) => CorpusOps.packStats(tune(s), dir)),
     "sft_pack_tokens" -> ((s, dir) => CorpusOps.sftPackTokens(tune(s), dir)),
     "sft_pipeline" -> ((s, dir) => CorpusOps.sftPipeline(tune(s), dir)),
+    "token_pack" -> ((s, dir) => CorpusOps.tokenPack(tune(s), dir)),
     "lr_quality" -> ((s, dir) => CorpusOps.lrQuality(tune(s), dir)),
     "unigram_lm" -> ((s, dir) => TextOps.unigramLm(tune(s), dir)),
     "unigram_soft" -> ((s, dir) => TextOps.unigramSoft(tune(s), dir)),
@@ -414,6 +415,7 @@ object SparkEntry {
     "pack_stats" -> CorpusOps.packStatsSql(),
     "sft_pack_tokens" -> CorpusOps.sftPackTokensSql(),
     "sft_pipeline" -> CorpusOps.sftPipelineSql(),
+    "token_pack" -> CorpusOps.tokenPackSql(),
     "lr_quality" -> CorpusOps.lrQualitySql(),
     "unigram_lm" -> TextOps.unigramLmSql(),
     "unigram_soft" -> TextOps.unigramSoftSql(),

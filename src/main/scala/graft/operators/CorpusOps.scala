@@ -1622,6 +1622,69 @@ object CorpusOps {
       |FROM spans s JOIN based b USING (conv_id)
       |ORDER BY s.conv_id, s.turn""".stripMargin
 
+  /** TOKEN-budget sequence packing — [[seqPack]] with document cost in
+    * TRAINED-tokenizer tokens instead of whitespace words, completing the
+    * tokens-not-chars upgrade across both packers ([[sftPackTokens]] is
+    * the conversation-grain form). Per-document token counts are
+    * [[TextOps.unigramEncode]]'s composition (vocabulary-grain trained
+    * piece table, one word-grain hash join of slim (doc, word, cnt) rows —
+    * document text never shuffles), driven through [[seqPack]]'s greedy
+    * per-source running pack. Null/wordless docs cost 0 tokens and still
+    * pack (one row per document, the [[seqPack]] contract).
+    *
+    * Oracle: the full [[TextOps.unigramLmSql]] EM replay as the
+    * segmentation CTE feeding [[seqPackSql]]'s window arithmetic. */
+  def tokenPack(spark: SparkSession, sfDir: String,
+      budget: Int = 512): DataFrame = {
+    val L = lit(budget.toLong)
+    val seg = TextOps.unigramLm(spark, sfDir).select(col("word"), col("n_pieces"))
+    val docWords = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    val perDoc = docWords.join(seg, "word")
+      .groupBy("doc_id").agg(sum(col("cnt") * col("n_pieces")).as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / L).cast("long").as("pack_id"),
+        (col("cum") - col("n_tokens")
+          - L * floor((col("cum") - col("n_tokens")) / L))
+          .cast("long").as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** The trained tokenizer composed with the greedy source-stream packing
+    * arithmetic. */
+  def tokenPackSql(budget: Int = 512): String =
+    s"""WITH seg AS (
+      |${TextOps.unigramLmSql()}
+      |),
+      |dw AS (
+      |  SELECT doc_id, word, count(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  WHERE length(word) >= 1 GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(cnt * s.n_pieces) AS BIGINT) AS n_tokens
+      |  FROM dw JOIN seg s USING (word) GROUP BY 1),
+      |t AS (
+      |  SELECT d.doc_id, d.source, coalesce(a.n_tokens, 0) AS n_tokens
+      |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens,
+      |  CAST((cum - n_tokens) // $budget AS BIGINT) AS pack_id,
+      |  CAST((cum - n_tokens) % $budget AS BIGINT) AS pack_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** The alignment-prep pipeline composed END TO END as ONE plan — the
     * [[corpusPipeline]] precedent at conversation grain: chat-template
     * render offsets ([[sftRender]]) → concat-and-chunk packing with span

@@ -403,6 +403,28 @@ class OperatorsSpec extends SparkSuite {
       packed.map(_.getLong(5)).max <= budget, "straddle fixture vacuous")
   }
 
+  test("token pack: trained-tokenizer doc costs drive seqPack's exact greedy stream arithmetic") {
+    val budget = 512L
+    val rows = CorpusOps.tokenPack(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // composition check: per-doc token cost IS unigramEncode's n_pieces
+    val enc = TextOps.unigramEncode(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) == enc(r.getLong(0)),
+        s"doc ${r.getLong(0)}: token cost diverged from unigram_encode")
+    }
+    // packing check: replay the greedy per-source stream in plain Scala
+    rows.groupBy(_.getString(1)).values.foreach { docs =>
+      var cum = 0L
+      docs.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(3) == cum / budget, s"doc ${r.getLong(0)}: pack_id")
+        assert(r.getLong(4) == cum % budget, s"doc ${r.getLong(0)}: offset")
+        cum += r.getLong(2)
+      }
+    }
+  }
+
   test("sft pipeline: the composed plan agrees with each standalone stage operator") {
     val budget = 2048L
     val rows = CorpusOps.sftPipeline(spark, sfDir).collect()
