@@ -198,6 +198,7 @@ object SparkEntry {
     "ann_nndescent" -> ((s, dir) => Similarity.annNndescent(tune(s), dir)),
     "ann_graph_search" -> ((s, dir) => Similarity.annGraphSearch(tune(s), dir)),
     "ann_graph_oos" -> ((s, dir) => Similarity.annGraphSearchOos(tune(s), dir)),
+    "ann_graph_recall" -> ((s, dir) => Similarity.annGraphRecall(tune(s), dir)),
     "dsir_weights" -> ((s, dir) => TextOps.dsirWeights(tune(s), dir)),
     "ppl_buckets" -> ((s, dir) => TextOps.pplBuckets(tune(s), dir)),
     "wordpiece_encode" -> ((s, dir) => TextOps.wordpieceEncode(tune(s), dir)),
@@ -425,6 +426,7 @@ object SparkEntry {
     "ann_nndescent" -> Similarity.annNndescentSql(),
     "ann_graph_search" -> Similarity.annGraphSearchSql(),
     "ann_graph_oos" -> Similarity.annGraphSearchOosSql(),
+    "ann_graph_recall" -> Similarity.annGraphRecallSql(),
     "dsir_weights" -> TextOps.dsirWeightsSql(),
     "ppl_buckets" -> TextOps.pplBucketsSql,
     "wordpiece_encode" -> TextOps.wordpieceEncodeSql(),

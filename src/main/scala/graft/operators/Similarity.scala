@@ -1393,11 +1393,11 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Oracle for [[annGraphSearchOos]] — the held-out descent chain, the
-    * sign-LSH anchor join, and the beam walk unrolled hop by hop. */
-  def annGraphSearchOosSql(k: Int = 5, blockSize: Int = 100,
-      rounds: Int = 2, stride: Int = 137, beam: Int = 16, hops: Int = 3,
-      topk: Int = 5, nBits: Int = 4): String = {
+  /** The held-out descent chain + sign-LSH anchor + beam walk as a WITH
+    * body (final frontier CTE = `r_<hops>`) — shared by the
+    * [[annGraphSearchOosSql]] and [[annGraphRecallSql]] oracles. */
+  private def oosWalkCtes(k: Int, blockSize: Int, rounds: Int, stride: Int,
+      beam: Int, hops: Int, nBits: Int): String = {
     val c = cosSqlFragment.replace("QV", "qq.v").replace("TV", "t.v")
     val hopCtes = (1 to hops).map { h =>
       s"""c_$h AS (
@@ -1414,7 +1414,7 @@ object Similarity {
          |s_$h AS (SELECT query_id, node FROM r_$h WHERE rank <= $beam)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH ${nndescentCtes(k, blockSize, rounds, stride,
+    s"""${nndescentCtes(k, blockSize, rounds, stride,
         " WHERE vec_id % 100 <> 7")},
        |q AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1435,10 +1435,89 @@ object Similarity {
        |    FROM c_0 cd JOIN e t ON cd.node = t.vec_id
        |    JOIN q qq ON cd.query_id = qq.vec_id)),
        |s_0 AS (SELECT query_id, node FROM r_0 WHERE rank <= $beam),
-       |$hopCtes
+       |$hopCtes""".stripMargin
+  }
+
+  /** Oracle for [[annGraphSearchOos]] — the held-out descent chain, the
+    * sign-LSH anchor join, and the beam walk unrolled hop by hop. */
+  def annGraphSearchOosSql(k: Int = 5, blockSize: Int = 100,
+      rounds: Int = 2, stride: Int = 137, beam: Int = 16, hops: Int = 3,
+      topk: Int = 5, nBits: Int = 4): String =
+    s"""WITH ${oosWalkCtes(k, blockSize, rounds, stride, beam, hops, nBits)}
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, node AS target_id, cos
        |FROM r_$hops WHERE rank <= $topk
        |ORDER BY query_id, rank""".stripMargin
+
+  /** Graph-ANN recall dashboard — [[annRecall]]'s verify-the-verifier
+    * shape for the GRAPH family: per held-out query, how many of the
+    * exact brute-force top-`topk` corpus neighbors the anchored beam walk
+    * ([[annGraphSearchOos]]) recovered. The IVF routing family carries
+    * this metric (`ann_recall`); the serving-shape walk now reports its
+    * own, so a beam/hops/bits tuning run reads recall off a table instead
+    * of a spec assertion.
+    *
+    * Scale: the exact side is [[annTopk]]'s broadcast shape — the bounded
+    * query set broadcasts, the corpus streams once per evaluation (an
+    * eval-harness cost, not a serving cost); the comparison join is
+    * (query, target)-keyed and output-sized. */
+  def annGraphRecall(spark: SparkSession, sfDir: String, k: Int = 5,
+      blockSize: Int = 100, rounds: Int = 2, stride: Int = 137,
+      beam: Int = 16, hops: Int = 3, topk: Int = 5,
+      nBits: Int = 4): DataFrame = {
+    val all = normedEmbeddings(spark, sfDir)
+    val isQuery = pmod(col("vec_id"), lit(100L)) === 7
+    val q = all.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = all.filter(!isQuery)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Exprs.r4(dot(col("qv"), col("v")) / (col("qn") * col("n")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topk)
+      .select(col("query_id"), col("vec_id").as("target_id"))
+    val got = annGraphSearchOos(spark, sfDir, k, blockSize, rounds, stride,
+        beam, hops, topk, nBits)
+      .select(col("query_id"), col("target_id")).withColumn("hit", lit(1L))
+    exact.join(got, Seq("query_id", "target_id"), "left")
+      .groupBy("query_id")
+      .agg(coalesce(sum("hit"), lit(0L)).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        Exprs.r4(col("n_hits").cast("double") / lit(topk.toDouble))
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** Oracle for [[annGraphRecall]] — the shared walk CTEs plus a
+    * brute-force exact top-k over the same corpus/query split. */
+  def annGraphRecallSql(k: Int = 5, blockSize: Int = 100, rounds: Int = 2,
+      stride: Int = 137, beam: Int = 16, hops: Int = 3, topk: Int = 5,
+      nBits: Int = 4): String = {
+    val c = cosSqlFragment.replace("QV", "qq.v").replace("TV", "t.v")
+    s"""WITH ${oosWalkCtes(k, blockSize, rounds, stride, beam, hops, nBits)},
+       |got AS (
+       |  SELECT query_id, node AS target_id
+       |  FROM r_$hops WHERE rank <= $topk),
+       |exact AS (
+       |  SELECT query_id, target_id FROM (
+       |    SELECT query_id, target_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, target_id ASC) AS rank
+       |    FROM (SELECT qq.vec_id AS query_id, t.vec_id AS target_id,
+       |        $c AS cos
+       |      FROM q qq CROSS JOIN e t))
+       |  WHERE rank <= $topk),
+       |j AS (
+       |  SELECT e.query_id,
+       |    CASE WHEN g.target_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM exact e LEFT JOIN got g
+       |    ON e.query_id = g.query_id AND e.target_id = g.target_id)
+       |SELECT query_id, CAST(SUM(hit) AS BIGINT) AS n_hits,
+       |  floor(CAST(SUM(hit) AS DOUBLE) / $topk * 10000 + 0.5) / 10000
+       |    AS recall
+       |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
   }
 
   /** Oracle for [[annGraphSearch]] — the descent chain plus the beam walk

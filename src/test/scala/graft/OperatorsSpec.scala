@@ -190,6 +190,20 @@ class OperatorsSpec extends SparkSuite {
       s"out-of-sample recall vs exact collapsed: $hit/$tot")
   }
 
+  test("graph recall dashboard: one row per held-out query, bounded hits, mean above the member floor") {
+    val rows = Similarity.annGraphRecall(spark, sfDir).collect()
+    val nQueries = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 100 === 7).count()
+    assert(rows.length == nQueries, "one recall row per held-out query")
+    rows.foreach { r =>
+      assert(r.getLong(0) % 100 == 7)
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 5)
+      assert(r.getDouble(2) == math.floor(r.getLong(1) / 5.0 * 10000 + 0.5) / 10000)
+    }
+    val mean = rows.map(_.getDouble(2)).sum / rows.length
+    assert(mean >= 0.3, s"mean graph recall collapsed: $mean")
+  }
+
   test("ann_ivf returns a subset of cells consistent with routing") {
     val res = Similarity.annIvf(spark, sfDir).collect()
     assert(res.nonEmpty)
