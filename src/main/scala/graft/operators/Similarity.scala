@@ -1276,8 +1276,9 @@ object Similarity {
     * distributed shapes as the descent itself.
     *
     * Member queries (the dedup / recommendation shape) enter at their own
-    * node; an out-of-sample query would enter via its id-range anchor or
-    * an LSH bucket — the walk is identical. */
+    * node; the out-of-sample (serving) form that enters via a sign-LSH
+    * bucket anchor is [[annGraphSearchOos]], with its recall dashboard
+    * [[annGraphRecall]]. */
   def annGraphSearch(spark: SparkSession, sfDir: String, k: Int = 5,
       blockSize: Int = 100, rounds: Int = 2, stride: Int = 137,
       beam: Int = 10, hops: Int = 3, topk: Int = 5): DataFrame = {

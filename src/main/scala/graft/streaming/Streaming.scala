@@ -852,7 +852,9 @@ object Streaming {
     * the LSH recall trade — a near-dup pair differing in band 0 is
     * missed; probe more bands (the batch operator's 4-band OR) at
     * state-size cost. In-batch order is doc_id-deterministic under
-    * replay. */
+    * replay. This is the single-modality (image) unit; the mixed-mime
+    * production form routing PNG/WAV/GIF payloads by mime is
+    * [[mixedMediaDedupStream]]. */
   def mediaDedupStream(docs: DataFrame,
       maxHamming: Int = graft.operators.Multimodal.DefaultMaxHamming): Dataset[MediaSigFlag] = {
     val spark = docs.sparkSession
