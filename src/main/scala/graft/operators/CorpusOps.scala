@@ -1521,16 +1521,12 @@ object CorpusOps {
       .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(expr("doc_id div 4").as("conv_id"),
         (col("doc_id") % 4).as("turn"), col("text"))
-    // slim (conv, turn, word, cnt) rows — text itself never crosses the
-    // word-grain join; the aggregate combines map-side before the shuffle
-    val turnWords = turns
+    // slim (conv, turn, word, cnt) rows through the shared tokenization
+    // helper — text itself never crosses the word-grain join
+    val turnToks = TextOps.trainedPieceCounts(turns, seg,
+        Seq("conv_id", "turn"))
       .select(col("conv_id"), col("turn"),
-        explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) >= 1)
-      .groupBy("conv_id", "turn", "word").agg(count(lit(1)).as("cnt"))
-    val turnToks = turnWords.join(seg, "word")
-      .groupBy("conv_id", "turn")
-      .agg(sum(col("cnt") * col("n_pieces")).as("text_tokens"))
+        col("n_pieces").as("text_tokens"))
     val toks = turns
       .select(col("conv_id"), col("turn"),
         when(col("turn") % 2 === 0, lit("user")).otherwise(lit("assistant"))
@@ -1638,12 +1634,10 @@ object CorpusOps {
       budget: Int = 512): DataFrame = {
     val L = lit(budget.toLong)
     val seg = TextOps.unigramLm(spark, sfDir).select(col("word"), col("n_pieces"))
-    val docWords = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) >= 1)
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-    val perDoc = docWords.join(seg, "word")
-      .groupBy("doc_id").agg(sum(col("cnt") * col("n_pieces")).as("n_tokens"))
+    val perDoc = TextOps.trainedPieceCounts(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+        seg, Seq("doc_id"))
+      .select(col("doc_id"), col("n_pieces").as("n_tokens"))
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
@@ -1727,9 +1721,12 @@ object CorpusOps {
         when(col("turn") % 2 === 0, lit("user")).otherwise(lit("assistant")))
       .withColumn("piece",
         concat(lit("<|"), col("role"), lit("|>\n"), col("text"), lit("\n")))
-      .withColumn("score", floor(lit(10000.0) *
+      // score only the DPO candidates (turn ≥ 1): the turn-0 prompt's
+      // score is never consumed, and the regexp pass over its text is the
+      // one per-row cost worth skipping at corpus scale
+      .withColumn("score", when(col("turn") >= 1, floor(lit(10000.0) *
         length(regexp_replace(col("text"), "[^A-Za-z]", "")) /
-        length(col("text"))))
+        length(col("text")))))
     val wOrd = Window.partitionBy("conv_id").orderBy("turn")
     val wAll = Window.partitionBy("conv_id")
     val cand = col("turn") >= 1
@@ -1793,9 +1790,9 @@ object CorpusOps {
       |    text,
       |    '<|' || CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END
       |      || '|>' || chr(10) || text || chr(10) AS piece,
-      |    CAST(floor(10000.0 *
+      |    CASE WHEN doc_id % 4 >= 1 THEN CAST(floor(10000.0 *
       |      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-      |      / length(text)) AS BIGINT) AS score
+      |      / length(text)) AS BIGINT) END AS score
       |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
       |o AS (
       |  SELECT conv_id, turn, role, text, piece,

@@ -186,8 +186,12 @@ object Dedup {
         (jac >= threshold).cast("long").as("ver"),
         (jac >= threshold &&
           expr("doc_a div 4") === expr("doc_b div 4")).cast("long").as("tp"))
-      .agg(count(lit(1)).as("n_candidates"), sum(col("ver")).as("n_found"),
-        sum(col("tp")).as("true_positives"))
+      // coalesce: SUM over ZERO candidate rows is NULL, not 0, and the
+      // n_found === 0 guard below never fires on NULL — the empty-corpus
+      // dashboard row must carry the documented 0/10000 convention
+      .agg(count(lit(1)).as("n_candidates"),
+        coalesce(sum(col("ver")), lit(0L)).as("n_found"),
+        coalesce(sum(col("tp")), lit(0L)).as("true_positives"))
     val truth = Tables.documents(spark, sfDir)
       .select(expr("doc_id div 4").as("fam"))
       .groupBy("fam").agg(count(lit(1)).as("k"))
@@ -238,9 +242,10 @@ object Dedup {
       |  FROM cand JOIN sets sa ON doc_a = sa.doc_id
       |    JOIN sets sb ON doc_b = sb.doc_id),
       |found AS (
-      |  SELECT COUNT(*) AS n_candidates, SUM(ver) AS n_found,
-      |    SUM(CASE WHEN ver = 1 AND doc_a // 4 = doc_b // 4
-      |        THEN 1 ELSE 0 END) AS true_positives
+      |  SELECT COUNT(*) AS n_candidates,
+      |    coalesce(SUM(ver), 0) AS n_found,
+      |    coalesce(SUM(CASE WHEN ver = 1 AND doc_a // 4 = doc_b // 4
+      |        THEN 1 ELSE 0 END), 0) AS true_positives
       |  FROM ver),
       |truth AS (
       |  SELECT SUM(k * (k - 1) // 2) AS n_true_pairs

@@ -2097,16 +2097,33 @@ object TextOps {
     * piece counts come from the trained word table and join back to
     * doc-grain counts; corpus text never re-segments per document.
     * Oracle: [[unigramLmSql]] embedded as the segmentation subquery. */
-  def unigramEncode(spark: SparkSession, sfDir: String): DataFrame = {
-    val seg = unigramLm(spark, sfDir).select(col("word"), col("n_pieces"))
-    val docWords = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+  /** Per-group trained-token accounting — the ONE place the corpus meets
+    * the trained piece table: explode whitespace words, aggregate slim
+    * (keys..., word, cnt) rows map-side, join the vocabulary-grain `seg`
+    * (word, n_pieces), and sum back to the caller's grain. Shared by
+    * [[unigramEncode]] (doc grain), [[graft.operators.CorpusOps.tokenPack]]
+    * (doc grain) and [[graft.operators.CorpusOps.sftPackTokens]]
+    * ((conv, turn) grain) so a change to the tokenization contract (the
+    * word filter, the [UNK] escape riding in `seg`) has a single source
+    * of truth. Text itself never crosses the word join. */
+  private[operators] def trainedPieceCounts(turns: DataFrame, seg: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    turns
+      .select(kc :+ explode(split(col("text"), " ")).as("word"): _*)
       .filter(length(col("word")) >= 1)
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-    val perDoc = docWords.join(seg, "word")
-      .groupBy("doc_id")
+      .groupBy((keys :+ "word").map(col): _*).agg(count(lit(1)).as("cnt"))
+      .join(seg, "word")
+      .groupBy(kc: _*)
       .agg(sum("cnt").as("n_words"),
         sum(col("cnt") * col("n_pieces")).as("n_pieces"))
+  }
+
+  def unigramEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val seg = unigramLm(spark, sfDir).select(col("word"), col("n_pieces"))
+    val perDoc = trainedPieceCounts(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      seg, Seq("doc_id"))
     Tables.documents(spark, sfDir).select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),

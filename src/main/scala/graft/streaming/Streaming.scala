@@ -876,20 +876,38 @@ object Streaming {
       .flatMapGroupsWithState[BucketQuads, MediaSigFlag](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, rows, state) =>
-          var quads = state.getOption.map(_.sigs).getOrElse(Array.empty[Long])
-          def hamming(o: Int, m: graft.operators.Multimodal.HashBands): Int =
-            java.lang.Long.bitCount(quads(o) ^ m.b0) +
-              java.lang.Long.bitCount(quads(o + 1) ^ m.b1) +
-              java.lang.Long.bitCount(quads(o + 2) ^ m.b2) +
-              java.lang.Long.bitCount(quads(o + 3) ^ m.b3)
-          val out = rows.toSeq.sortBy(_.doc_id).map { m =>
-            val dup = quads.indices.by(4).exists(o => hamming(o, m) <= maxHamming)
-            if (!dup) quads = quads ++ Array(m.b0, m.b1, m.b2, m.b3)
+          val (out, quads) = dedupAgainstQuads(rows.toSeq,
+            state.getOption.map(_.sigs).getOrElse(Array.empty[Long]),
+            maxHamming) { (m, dup) =>
             MediaSigFlag(m.doc_id, m.b0, m.b1, m.b2, m.b3, dup)
           }
           state.update(BucketQuads(quads))
           out.iterator
       }
+  }
+
+  /** One bucket's admit-or-flag fold — the ONE copy of the media-stream
+    * admission semantics, shared by [[mediaDedupStream]] and
+    * [[mixedMediaDedupStream]] so the two ingest edges cannot silently
+    * diverge: items judged in doc_id order (deterministic under replay)
+    * against the admitted 4-long quads, four-band hamming ≤ `maxHamming`,
+    * non-dups admitted. Returns the verdicts and the updated quads. */
+  private def dedupAgainstQuads[T](
+      items: Seq[graft.operators.Multimodal.HashBands], quads0: Array[Long],
+      maxHamming: Int)(
+      mk: (graft.operators.Multimodal.HashBands, Boolean) => T): (Seq[T], Array[Long]) = {
+    var quads = quads0
+    def hamming(o: Int, m: graft.operators.Multimodal.HashBands): Int =
+      java.lang.Long.bitCount(quads(o) ^ m.b0) +
+        java.lang.Long.bitCount(quads(o + 1) ^ m.b1) +
+        java.lang.Long.bitCount(quads(o + 2) ^ m.b2) +
+        java.lang.Long.bitCount(quads(o + 3) ^ m.b3)
+    val out = items.sortBy(_.doc_id).map { m =>
+      val dup = quads.indices.by(4).exists(o => hamming(o, m) <= maxHamming)
+      if (!dup) quads = quads ++ Array(m.b0, m.b1, m.b2, m.b3)
+      mk(m, dup)
+    }
+    (out, quads)
   }
 
   /** Runs [[mediaDedupStream]] to a parquet sink; batch-keyed overwrite
@@ -967,15 +985,9 @@ object Streaming {
       .flatMapGroupsWithState[BucketQuads, MixedSigFlag](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case ((mime, _), rows, state) =>
-          var quads = state.getOption.map(_.sigs).getOrElse(Array.empty[Long])
-          def hamming(o: Int, m: graft.operators.Multimodal.HashBands): Int =
-            java.lang.Long.bitCount(quads(o) ^ m.b0) +
-              java.lang.Long.bitCount(quads(o + 1) ^ m.b1) +
-              java.lang.Long.bitCount(quads(o + 2) ^ m.b2) +
-              java.lang.Long.bitCount(quads(o + 3) ^ m.b3)
-          val out = rows.toSeq.sortBy(_._2.doc_id).map { case (_, m) =>
-            val dup = quads.indices.by(4).exists(o => hamming(o, m) <= maxHamming)
-            if (!dup) quads = quads ++ Array(m.b0, m.b1, m.b2, m.b3)
+          val (out, quads) = dedupAgainstQuads(rows.map(_._2).toSeq,
+            state.getOption.map(_.sigs).getOrElse(Array.empty[Long]),
+            maxHamming) { (m, dup) =>
             MixedSigFlag(m.doc_id, mime, m.b0, m.b1, m.b2, m.b3, dup)
           }
           state.update(BucketQuads(quads))
