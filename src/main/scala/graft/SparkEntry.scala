@@ -149,6 +149,7 @@ object SparkEntry {
     // Moore–Lewis cross-entropy selection: in-domain vs general LM ratio
     "moore_lewis" -> ((s, dir) => TextOps.mooreLewis(tune(s), dir)),
     "bm25_topk" -> ((s, dir) => TextOps.bm25Topk(tune(s), dir)),
+    "bm25_topk_pruned" -> ((s, dir) => TextOps.bm25TopkPruned(tune(s), dir)),
     // PMI collocation extraction over the shared bigram table
     "pmi_collocations" -> ((s, dir) => TextOps.pmiCollocations(tune(s), dir)),
     "bpe_pairs" -> ((s, dir) => TextOps.bpePairs(tune(s), dir)),
@@ -182,12 +183,15 @@ object SparkEntry {
     "audio_dedup" -> ((s, dir) => Multimodal.audioDedup(tune(s), dir)),
     "video_dedup" -> ((s, dir) => Multimodal.videoDedup(tune(s), dir)),
     "image_dedup_eval" -> ((s, dir) => Multimodal.imageDedupEval(tune(s), dir)),
+    "audio_dedup_eval" -> ((s, dir) => Multimodal.audioDedupEval(tune(s), dir)),
+    "video_dedup_eval" -> ((s, dir) => Multimodal.videoDedupEval(tune(s), dir)),
     "sft_render" -> ((s, dir) => CorpusOps.sftRender(tune(s), dir)),
     "dpo_pairs" -> ((s, dir) => CorpusOps.dpoPairs(tune(s), dir)),
     "sft_pack" -> ((s, dir) => CorpusOps.sftPack(tune(s), dir)),
     "pack_stats" -> ((s, dir) => CorpusOps.packStats(tune(s), dir)),
     "sft_pack_tokens" -> ((s, dir) => CorpusOps.sftPackTokens(tune(s), dir)),
     "sft_pipeline" -> ((s, dir) => CorpusOps.sftPipeline(tune(s), dir)),
+    "sft_pipeline_tokens" -> ((s, dir) => CorpusOps.sftPipelineTokens(tune(s), dir)),
     "token_pack" -> ((s, dir) => CorpusOps.tokenPack(tune(s), dir)),
     "lr_quality" -> ((s, dir) => CorpusOps.lrQuality(tune(s), dir)),
     "unigram_lm" -> ((s, dir) => TextOps.unigramLm(tune(s), dir)),
@@ -199,6 +203,8 @@ object SparkEntry {
     "ann_graph_search" -> ((s, dir) => Similarity.annGraphSearch(tune(s), dir)),
     "ann_graph_oos" -> ((s, dir) => Similarity.annGraphSearchOos(tune(s), dir)),
     "ann_graph_recall" -> ((s, dir) => Similarity.annGraphRecall(tune(s), dir)),
+    "ann_graph_anchor" -> ((s, dir) => Similarity.annGraphAnchor(tune(s), dir)),
+    "ann_graph_insert" -> ((s, dir) => Similarity.annGraphInsert(tune(s), dir)),
     "dsir_weights" -> ((s, dir) => TextOps.dsirWeights(tune(s), dir)),
     "ppl_buckets" -> ((s, dir) => TextOps.pplBuckets(tune(s), dir)),
     "wordpiece_encode" -> ((s, dir) => TextOps.wordpieceEncode(tune(s), dir)),
@@ -385,6 +391,7 @@ object SparkEntry {
     "vocab_drift" -> TextOps.vocabDriftSql(),
     "moore_lewis" -> TextOps.mooreLewisSql(),
     "bm25_topk" -> TextOps.bm25TopkSql(),
+    "bm25_topk_pruned" -> TextOps.bm25TopkPrunedSql(),
     "pmi_collocations" -> TextOps.pmiCollocationsSql(),
     "bpe_pairs" -> TextOps.bpePairsSql(),
     "bpe_merges" -> TextOps.bpeMergesSql(),
@@ -410,12 +417,15 @@ object SparkEntry {
     "audio_dedup" -> Multimodal.audioDedupSql,
     "video_dedup" -> Multimodal.videoDedupSql,
     "image_dedup_eval" -> Multimodal.imageDedupEvalSql,
+    "audio_dedup_eval" -> Multimodal.audioDedupEvalSql,
+    "video_dedup_eval" -> Multimodal.videoDedupEvalSql,
     "sft_render" -> CorpusOps.sftRenderSql,
     "dpo_pairs" -> CorpusOps.dpoPairsSql,
     "sft_pack" -> CorpusOps.sftPackSql(),
     "pack_stats" -> CorpusOps.packStatsSql(),
     "sft_pack_tokens" -> CorpusOps.sftPackTokensSql(),
     "sft_pipeline" -> CorpusOps.sftPipelineSql(),
+    "sft_pipeline_tokens" -> CorpusOps.sftPipelineTokensSql(),
     "token_pack" -> CorpusOps.tokenPackSql(),
     "lr_quality" -> CorpusOps.lrQualitySql(),
     "unigram_lm" -> TextOps.unigramLmSql(),
@@ -427,6 +437,8 @@ object SparkEntry {
     "ann_graph_search" -> Similarity.annGraphSearchSql(),
     "ann_graph_oos" -> Similarity.annGraphSearchOosSql(),
     "ann_graph_recall" -> Similarity.annGraphRecallSql(),
+    "ann_graph_anchor" -> Similarity.annGraphAnchorSql(),
+    "ann_graph_insert" -> Similarity.annGraphInsertSql(),
     "dsir_weights" -> TextOps.dsirWeightsSql(),
     "ppl_buckets" -> TextOps.pplBucketsSql,
     "wordpiece_encode" -> TextOps.wordpieceEncodeSql(),

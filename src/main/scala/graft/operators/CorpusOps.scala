@@ -18,6 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** Turns per conversation in the chat fixture (doc_id div/mod this) —
+    * the width every conversation-grain operator derives turns from. */
+  private[operators] val TurnsPerConv = 4
+
+  /** Stride of the packed integer DPO lane key (`score·stride + (stride−1)
+    * − turn`): MAX decodes to highest-score-then-LOWEST-turn, MIN to
+    * lowest-score-then-HIGHEST-turn — [[dpoPairs]]' tiebreak semantics in
+    * one window key. Correct ONLY while 0 ≤ turn < stride and score ≥ 0;
+    * turn < stride is guarded below against the fixture width (a wider
+    * fixture now fails at class-load instead of decoding garbage), and
+    * score ≥ 0 holds structurally — it is floor(10000·letters/len) of
+    * non-negative lengths with len > 0 (the empty-text filter). */
+  private[operators] val DpoKeyStride = 16L
+  require(TurnsPerConv <= DpoKeyStride,
+    s"DpoKeyStride ($DpoKeyStride) must cover the fixture's turn width " +
+      s"($TurnsPerConv) or the packed DPO key decodes wrong turns")
+
   /** Quality filtering — a Gopher-style rule chain (length band, mean word
     * length band, must-contain-a-stopword, repetition cap), each rule a
     * boolean column plus a combined `keep` and the FIRST violated rule as
@@ -1731,8 +1748,9 @@ object CorpusOps {
     val wAll = Window.partitionBy("conv_id")
     val cand = col("turn") >= 1
     // one integer key encodes (score, turn-tiebreak): max ⇒ highest score
-    // then LOWEST turn; min ⇒ lowest score then HIGHEST turn (turn < 16)
-    val key = col("score") * 16 + lit(15L) - col("turn")
+    // then LOWEST turn; min ⇒ lowest score then HIGHEST turn — validity
+    // guarded by the DpoKeyStride/TurnsPerConv class-load require
+    val key = col("score") * DpoKeyStride + lit(DpoKeyStride - 1) - col("turn")
     val spans = turns
       .withColumn("off",
         sum(length(col("piece"))).over(wOrd) - length(col("piece")))
@@ -1767,12 +1785,15 @@ object CorpusOps {
       .select(col("conv_id"), col("turn"), col("shard"), col("pack_id"),
         col("packed_start"), col("span_len"), col("straddles_pack"),
         col("n_candidates"),
-        when(col("n_candidates") >= 2, lit(15L) - pmod(col("kc"), lit(16L)))
+        when(col("n_candidates") >= 2,
+          lit(DpoKeyStride - 1) - pmod(col("kc"), lit(DpoKeyStride)))
           .as("chosen_turn"),
-        when(col("n_candidates") >= 2, lit(15L) - pmod(col("kr"), lit(16L)))
+        when(col("n_candidates") >= 2,
+          lit(DpoKeyStride - 1) - pmod(col("kr"), lit(DpoKeyStride)))
           .as("rejected_turn"),
         when(col("n_candidates") >= 2,
-          floor(col("kc") / 16).cast("long") - floor(col("kr") / 16).cast("long"))
+          floor(col("kc") / DpoKeyStride).cast("long")
+            - floor(col("kr") / DpoKeyStride).cast("long"))
           .as("margin"),
         col("pack_spans"), col("pack_loss_chars"),
         floor(lit(10000.0) * col("pack_loss_chars") / L).cast("long")
@@ -1801,9 +1822,11 @@ object CorpusOps {
       |    SUM(length(piece)) OVER (PARTITION BY conv_id) AS conv_chars,
       |    SUM(CASE WHEN turn >= 1 THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY conv_id) AS n_candidates,
-      |    MAX(CASE WHEN turn >= 1 THEN score * 16 + 15 - turn END)
+      |    MAX(CASE WHEN turn >= 1 THEN score * $DpoKeyStride
+      |      + ${DpoKeyStride - 1} - turn END)
       |      OVER (PARTITION BY conv_id) AS kc,
-      |    MIN(CASE WHEN turn >= 1 THEN score * 16 + 15 - turn END)
+      |    MIN(CASE WHEN turn >= 1 THEN score * $DpoKeyStride
+      |      + ${DpoKeyStride - 1} - turn END)
       |      OVER (PARTITION BY conv_id) AS kr
       |  FROM t),
       |s AS (
@@ -1835,16 +1858,225 @@ object CorpusOps {
       |  CAST(packed_start AS BIGINT) AS packed_start,
       |  span_len, straddles_pack,
       |  CAST(n_candidates AS BIGINT) AS n_candidates,
-      |  CAST(CASE WHEN n_candidates >= 2 THEN 15 - kc % 16 END AS BIGINT)
+      |  CAST(CASE WHEN n_candidates >= 2
+      |    THEN ${DpoKeyStride - 1} - kc % $DpoKeyStride END AS BIGINT)
       |    AS chosen_turn,
-      |  CAST(CASE WHEN n_candidates >= 2 THEN 15 - kr % 16 END AS BIGINT)
+      |  CAST(CASE WHEN n_candidates >= 2
+      |    THEN ${DpoKeyStride - 1} - kr % $DpoKeyStride END AS BIGINT)
       |    AS rejected_turn,
-      |  CAST(CASE WHEN n_candidates >= 2 THEN kc // 16 - kr // 16 END
+      |  CAST(CASE WHEN n_candidates >= 2
+      |    THEN kc // $DpoKeyStride - kr // $DpoKeyStride END
       |    AS BIGINT) AS margin,
       |  CAST(COUNT(*) OVER (PARTITION BY shard, pack_id) AS BIGINT)
       |    AS pack_spans,
       |  CAST(SUM(in_pack) OVER (PARTITION BY shard, pack_id) AS BIGINT)
       |    AS pack_loss_chars,
+      |  CAST(floor(10000.0 * SUM(in_pack) OVER (PARTITION BY shard, pack_id)
+      |    / $budget) AS BIGINT) AS loss_density_e4
+      |FROM p ORDER BY conv_id, turn""".stripMargin
+
+  /** The composed alignment pipeline in TOKEN budgets — [[sftPipeline]]'s
+    * four-stage one-plan composition (render offsets → packing → pack
+    * stats → DPO verdicts) with every budget, offset and span in units of
+    * the TRAINED unigram tokenizer ([[sftPackTokens]]' accounting: text
+    * tokens Σ trained piece counts, +2 specials per turn, assistant spans
+    * covering exactly the text tokens). This is the production shape the
+    * r12 components proved separately: ONE conversation scan, token
+    * coordinates, DPO lanes riding the render window.
+    *
+    * The composition seam is the tokenizer join, and it costs exactly ONE
+    * corpus-side exchange: the turn row projects its slim per-turn
+    * columns (role, score, span_chars) BEFORE the word explode, every
+    * word occurrence rides them through the word-grain hash join against
+    * the trained (word, n_pieces) table, and ONE conv_id repartition then
+    * serves ALL downstream windows — the (conv, turn) re-aggregation
+    * windows (hash by conv_id satisfies the (conv, turn) clustering),
+    * the render/DPO windows, and the turn-grain collapse (`wrn = 1`)
+    * replacing [[sftPackTokens]]' aggregate-and-join-back (which costs a
+    * second scan of the conversation table — this form needs only one).
+    * Corpus-side plan: 1 scan, 3 exchanges (word join, conv_id, shard),
+    * 1 slim join; document text never crosses ANY exchange (it dies in
+    * the scan-stage projection) — both plan-audited.
+    *
+    * Semantics notes: stats are HOME-pack grain in tokens
+    * (`pack_loss_tokens`); `span_chars` rides along for char↔token
+    * consistency checks; conversations with < 2 DPO candidates emit NULL
+    * verdicts, like [[sftPipeline]]. Oracle: the full
+    * [[TextOps.unigramLmSql]] EM replay as the segmentation CTE feeding
+    * the pipeline CTE chain. */
+  def sftPipelineTokens(spark: SparkSession, sfDir: String,
+      budget: Int = 512, shards: Int = 8): DataFrame = {
+    val L = lit(budget.toLong)
+    val seg = TextOps.unigramLm(spark, sfDir).select(col("word"), col("n_pieces"))
+    val cand = col("turn") >= 1
+    // ONE scan: slim per-turn columns projected before the word explode —
+    // text dies here, only (conv, turn, role, score, span_chars, word)
+    // occurrence rows reach the tokenizer join
+    val words = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(expr(s"doc_id div $TurnsPerConv").as("conv_id"),
+        (col("doc_id") % TurnsPerConv).as("turn"),
+        when(col("doc_id") % 2 === 0, lit("user")).otherwise(lit("assistant"))
+          .as("role"),
+        length(col("text")).cast("long").as("span_chars"),
+        when(col("doc_id") % TurnsPerConv >= 1, floor(lit(10000.0) *
+          length(regexp_replace(col("text"), "[^A-Za-z]", "")) /
+          length(col("text")))).as("score"),
+        // explode_outer keeps a (word = null) row for wordless turns —
+        // they still cost their 2 specials and still pack
+        explode_outer(filter(split(col("text"), " "),
+          w => length(w) >= 1)).as("word"))
+    val wTurn = Window.partitionBy("conv_id", "turn")
+    val wTurnRn = Window.partitionBy("conv_id", "turn").orderBy("word")
+    val wOrd = Window.partitionBy("conv_id").orderBy("turn")
+    val wAll = Window.partitionBy("conv_id")
+    val key = col("score") * DpoKeyStride + lit(DpoKeyStride - 1) - col("turn")
+    val spans = words
+      .join(seg, Seq("word"), "left") // the ONE slim tokenizer join
+      // one conv_id exchange serves every window below: hashpartitioning
+      // by conv_id satisfies the (conv, turn) clustering too
+      .repartition(col("conv_id"))
+      .withColumn("text_tokens",
+        coalesce(sum(col("n_pieces")).over(wTurn), lit(0L)))
+      .withColumn("wrn", row_number().over(wTurnRn))
+      .filter(col("wrn") === 1) // turn grain again — no join-back needed
+      .withColumn("turn_tokens", col("text_tokens") + 2)
+      .withColumn("off",
+        sum(col("turn_tokens")).over(wOrd) - col("turn_tokens"))
+      .withColumn("conv_tokens", sum(col("turn_tokens")).over(wAll))
+      .withColumn("n_candidates",
+        sum(when(cand, lit(1L)).otherwise(lit(0L))).over(wAll))
+      .withColumn("kc", max(when(cand, key)).over(wAll))
+      .withColumn("kr", min(when(cand, key)).over(wAll))
+      .filter(col("role") === "assistant")
+      // text tokens start after the role token: 0-based off + 1, +1 for
+      // 1-based coordinates (the sftPackTokens convention)
+      .withColumn("span_start", col("off") + 2)
+      .withColumn("span_tokens", col("text_tokens"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("shard", pmod(col("conv_id"), lit(shards.toLong)))
+    val wShard = Window.partitionBy("shard").orderBy("conv_id", "turn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPack = Window.partitionBy("shard", "pack_id")
+    spans
+      .withColumn("base",
+        sum(when(col("rn") === 1, col("conv_tokens")).otherwise(lit(0L)))
+          .over(wShard) - col("conv_tokens"))
+      .withColumn("gstart", col("base") + col("span_start") - 1)
+      .withColumn("pack_id", floor(col("gstart") / L).cast("long"))
+      .withColumn("packed_start", pmod(col("gstart"), L) + 1)
+      .withColumn("straddles_pack",
+        pmod(col("gstart"), L) + col("span_tokens") > L)
+      .withColumn("in_pack",
+        least(col("span_tokens"), L - pmod(col("gstart"), L)))
+      .withColumn("pack_spans", count(lit(1)).over(wPack))
+      .withColumn("pack_loss_tokens", sum(col("in_pack")).over(wPack))
+      .select(col("conv_id"), col("turn"), col("shard"), col("pack_id"),
+        col("packed_start"), col("span_tokens"), col("span_chars"),
+        col("straddles_pack"), col("n_candidates"),
+        when(col("n_candidates") >= 2,
+          lit(DpoKeyStride - 1) - pmod(col("kc"), lit(DpoKeyStride)))
+          .as("chosen_turn"),
+        when(col("n_candidates") >= 2,
+          lit(DpoKeyStride - 1) - pmod(col("kr"), lit(DpoKeyStride)))
+          .as("rejected_turn"),
+        when(col("n_candidates") >= 2,
+          floor(col("kc") / DpoKeyStride).cast("long")
+            - floor(col("kr") / DpoKeyStride).cast("long"))
+          .as("margin"),
+        col("pack_spans"), col("pack_loss_tokens"),
+        floor(lit(10000.0) * col("pack_loss_tokens") / L).cast("long")
+          .as("loss_density_e4"))
+      .orderBy("conv_id", "turn")
+  }
+
+  /** The trained-tokenizer EM replay composed with the four pipeline
+    * stages in token coordinates — [[sftPackTokensSql]]'s segmentation
+    * CTEs feeding [[sftPipelineSql]]'s window chain. */
+  def sftPipelineTokensSql(budget: Int = 512, shards: Int = 8): String =
+    s"""WITH seg AS (
+      |${TextOps.unigramLmSql()}
+      |),
+      |t AS (
+      |  SELECT doc_id // $TurnsPerConv AS conv_id,
+      |    doc_id % $TurnsPerConv AS turn,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    CAST(length(text) AS BIGINT) AS span_chars,
+      |    CASE WHEN doc_id % $TurnsPerConv >= 1 THEN CAST(floor(10000.0 *
+      |      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+      |      / length(text)) AS BIGINT) END AS score,
+      |    text
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |tw AS (
+      |  SELECT conv_id, turn, word, count(*) AS cnt
+      |  FROM (SELECT conv_id, turn, unnest(string_split(text, ' ')) AS word
+      |        FROM t)
+      |  WHERE length(word) >= 1 GROUP BY 1, 2, 3),
+      |tt AS (
+      |  SELECT conv_id, turn, CAST(SUM(cnt * s.n_pieces) AS BIGINT)
+      |    AS text_tokens
+      |  FROM tw JOIN seg s USING (word) GROUP BY 1, 2),
+      |tok AS (
+      |  SELECT t.conv_id, t.turn, t.role, t.span_chars, t.score,
+      |    coalesce(tt.text_tokens, 0) AS text_tokens,
+      |    coalesce(tt.text_tokens, 0) + 2 AS turn_tokens
+      |  FROM t LEFT JOIN tt USING (conv_id, turn)),
+      |o AS (
+      |  SELECT *,
+      |    CAST(SUM(turn_tokens) OVER (PARTITION BY conv_id ORDER BY turn)
+      |      - turn_tokens AS BIGINT) AS off,
+      |    CAST(SUM(turn_tokens) OVER (PARTITION BY conv_id) AS BIGINT)
+      |      AS conv_tokens,
+      |    SUM(CASE WHEN turn >= 1 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY conv_id) AS n_candidates,
+      |    MAX(CASE WHEN turn >= 1 THEN score * $DpoKeyStride
+      |      + ${DpoKeyStride - 1} - turn END)
+      |      OVER (PARTITION BY conv_id) AS kc,
+      |    MIN(CASE WHEN turn >= 1 THEN score * $DpoKeyStride
+      |      + ${DpoKeyStride - 1} - turn END)
+      |      OVER (PARTITION BY conv_id) AS kr
+      |  FROM tok),
+      |s AS (
+      |  SELECT conv_id, turn, n_candidates, kc, kr, span_chars,
+      |    off + 2 AS span_start, text_tokens AS span_tokens, conv_tokens,
+      |    row_number() OVER (PARTITION BY conv_id ORDER BY turn) AS rn,
+      |    conv_id % $shards AS shard
+      |  FROM o WHERE role = 'assistant'),
+      |b AS (
+      |  SELECT *,
+      |    CAST(SUM(CASE WHEN rn = 1 THEN conv_tokens ELSE 0 END)
+      |      OVER (PARTITION BY shard ORDER BY conv_id, turn)
+      |      - conv_tokens AS BIGINT) AS base
+      |  FROM s),
+      |p AS (
+      |  SELECT conv_id, turn, shard, n_candidates, kc, kr, span_tokens,
+      |    span_chars,
+      |    (base + span_start - 1) // $budget AS pack_id,
+      |    (base + span_start - 1) % $budget + 1 AS packed_start,
+      |    (base + span_start - 1) % $budget + span_tokens > $budget
+      |      AS straddles_pack,
+      |    least(span_tokens, $budget - (base + span_start - 1) % $budget)
+      |      AS in_pack
+      |  FROM b)
+      |SELECT conv_id, CAST(turn AS BIGINT) AS turn,
+      |  CAST(shard AS BIGINT) AS shard,
+      |  CAST(pack_id AS BIGINT) AS pack_id,
+      |  CAST(packed_start AS BIGINT) AS packed_start,
+      |  span_tokens, span_chars, straddles_pack,
+      |  CAST(n_candidates AS BIGINT) AS n_candidates,
+      |  CAST(CASE WHEN n_candidates >= 2
+      |    THEN ${DpoKeyStride - 1} - kc % $DpoKeyStride END AS BIGINT)
+      |    AS chosen_turn,
+      |  CAST(CASE WHEN n_candidates >= 2
+      |    THEN ${DpoKeyStride - 1} - kr % $DpoKeyStride END AS BIGINT)
+      |    AS rejected_turn,
+      |  CAST(CASE WHEN n_candidates >= 2
+      |    THEN kc // $DpoKeyStride - kr // $DpoKeyStride END
+      |    AS BIGINT) AS margin,
+      |  CAST(COUNT(*) OVER (PARTITION BY shard, pack_id) AS BIGINT)
+      |    AS pack_spans,
+      |  CAST(SUM(in_pack) OVER (PARTITION BY shard, pack_id) AS BIGINT)
+      |    AS pack_loss_tokens,
       |  CAST(floor(10000.0 * SUM(in_pack) OVER (PARTITION BY shard, pack_id)
       |    / $budget) AS BIGINT) AS loss_density_e4
       |FROM p ORDER BY conv_id, turn""".stripMargin

@@ -1200,14 +1200,32 @@ object Dedup {
 
   /** Deterministic hyperplane matrix for cosine LSH: plane(j,i) =
     * (md5num(s"${j}_${i}") % 2001 − 1000)/1000 — reproducible in SQL with
-    * the same md5 arithmetic, so the oracle derives identical buckets. */
-  private[operators] def lshPlanes(nBits: Int): Seq[Seq[Double]] = {
+    * the same md5 arithmetic, so the oracle derives identical buckets.
+    * `offset` shifts the global plane index: independent bucket TABLES
+    * (the multi-probe / band-OR recall trick) draw planes offset, …,
+    * offset+nBits−1, so table t of width w is `lshPlanes(w, t*w)` and no
+    * two tables share a hyperplane. offset 0 is the historical single
+    * table — every existing bucket is unchanged. */
+  private[operators] def lshPlanes(nBits: Int, offset: Int = 0): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def h(s: String): Long = {
       val hex = md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex, 16)
     }
-    (0 until nBits).map(j => (1 to 64).map(i => (h(s"${j}_$i") % 2001 - 1000).toDouble / 1000.0))
+    (offset until offset + nBits).map(j => (1 to 64).map(i => (h(s"${j}_$i") % 2001 - 1000).toDouble / 1000.0))
+  }
+
+  /** The sign-LSH bucket of a `array<double>` column `v` as a Column —
+    * bit j set iff dot(v, plane(offset+j)) > 0. The ONE Spark-side copy of
+    * the bucket arithmetic ([[lshBucketSqlExpr]] is the oracle-side twin),
+    * shared by [[dedupEmbeddingLsh]] and the graph-ANN serving anchor
+    * ([[Similarity.annGraphSearchOos]]'s multi-probe tables). */
+  private[operators] def lshBucketCol(nBits: Int, offset: Int = 0): Column = {
+    val planes = lshPlanes(nBits, offset)
+    (0 until nBits).map { j =>
+      when(call_function("array_dot", col("v"), typedlit(planes(j))) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** Embedding near-dup WITHOUT labels — the unlabeled-corpus scale path:
@@ -1222,15 +1240,11 @@ object Dedup {
     * it the MinHash way, with multiple independent bucket tables (band
     * OR-ing), each a repartition by its own bucket column. */
   def dedupEmbeddingLsh(spark: SparkSession, sfDir: String, nBits: Int = 8): DataFrame = {
-    val planes = lshPlanes(nBits)
     // one native array_dot per plane against a literal coefficient vector
     // (the HOF form re-evaluated the vector cast per plane and ran
     // interpreted; an unrolled element_at chain broke the 64 KB codegen
     // method limit — see graft.plans.ArrayDot)
-    val bucket = (0 until nBits).map { j =>
-      when(call_function("array_dot", col("v"), typedlit(planes(j))) > 0,
-        lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val bucket = lshBucketCol(nBits)
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("n", Similarity.norm(col("v")))
@@ -1251,15 +1265,16 @@ object Dedup {
     * same md5 arithmetic. Shared by [[dedupEmbeddingLshSql]] and the
     * out-of-sample graph-ANN anchor oracle
     * ([[Similarity.annGraphSearchOosSql]]), so the bucket arithmetic can
-    * never diverge between the dedup and ANN families. */
-  private[operators] def lshBucketSqlExpr(nBits: Int): String =
+    * never diverge between the dedup and ANN families. `offset` selects
+    * the plane range — [[lshPlanes]]' table-t contract. */
+  private[operators] def lshBucketSqlExpr(nBits: Int, offset: Int = 0): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(generate_series(0, ${nBits - 1}), j ->
+      |      list_transform(generate_series($offset, ${offset + nBits - 1}), j ->
       |        CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
       |          list_transform(generate_series(1, 64), i ->
       |            v[i] * ((CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0))),
       |          (s, x) -> s + x) > 0
-      |        THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)),
+      |        THEN CAST(pow(2, j - $offset) AS BIGINT) ELSE 0 END)),
       |      (acc, x) -> acc + x)""".stripMargin
 
   def dedupEmbeddingLshSql(nBits: Int): String =

@@ -1209,8 +1209,21 @@ object Multimodal {
     * Scale: the metric aggregation collapses the pair set to ONE row
     * before the single-row broadcast cross-attach of the truth count —
     * nothing pair-sized crosses a second exchange. */
-  def imageDedupEval(spark: SparkSession, sfDir: String): DataFrame = {
-    val found = imageDedup(spark, sfDir)
+  def imageDedupEval(spark: SparkSession, sfDir: String): DataFrame =
+    dedupEvalOf(spark, sfDir, imageDedup(spark, sfDir))
+
+  /** The one copy of the media dedup-quality metric: precision/recall of
+    * a modality's banded-LSH pair set against the fixture's
+    * analytically-known family truth. Shared by [[imageDedupEval]],
+    * [[audioDedupEval]] and [[videoDedupEval]] so the three modality
+    * dashboards measure their SIGNALS (dHash vs envelope hash vs
+    * middle-frame dHash) under identical metric arithmetic — the signal
+    * gap is the deliverable, not metric drift. Scale: the pair set
+    * collapses to ONE row before the single-row broadcast cross-attach of
+    * the truth count — nothing pair-sized crosses a second exchange. */
+  private def dedupEvalOf(spark: SparkSession, sfDir: String,
+      pairs: DataFrame): DataFrame = {
+    val found = pairs
       .withColumn("tp",
         (expr("doc_a div 4") === expr("doc_b div 4")).cast("long"))
       .agg(count(lit(1)).as("n_found"), sum(col("tp")).as("true_positives"))
@@ -1233,10 +1246,11 @@ object Multimodal {
           .cast("long").as("recall_e4"))
   }
 
-  /** The metric replayed over the SAME pair pipeline (the full
-    * [[imageDedupSql]] as a subquery) plus the analytic truth count. */
-  val imageDedupEvalSql: String =
-    s"""WITH found0 AS (SELECT * FROM ($imageDedupSql) f),
+  /** The metric replayed over the SAME pair pipeline (the modality's full
+    * dedup SQL as a subquery) plus the analytic truth count — the oracle
+    * twin of [[dedupEvalOf]]. */
+  private def dedupEvalSqlOf(pairsSql: String): String =
+    s"""WITH found0 AS (SELECT * FROM ($pairsSql) f),
       |found AS (
       |  SELECT COUNT(*) AS n_found,
       |    SUM(CASE WHEN doc_a // 4 = doc_b // 4 THEN 1 ELSE 0 END)
@@ -1257,6 +1271,34 @@ object Multimodal {
       |    ELSE floor(10000.0 * f.true_positives / t.n_true_pairs) END
       |    AS BIGINT) AS recall_e4
       |FROM found f, truth t""".stripMargin
+
+  val imageDedupEvalSql: String = dedupEvalSqlOf(imageDedupSql)
+
+  /** [[imageDedupEval]]'s dashboard for the AUDIO deduper — measures the
+    * envelope-gradient hash's signal quality under the shared metric, so
+    * the envelope-vs-dHash recall gap is a table read, not a guess. The
+    * WAV fixture's single-sample click flips ≤ 2 bits inside one window
+    * band, so family recall is total here too; precision measures the
+    * genuinely-near cross-family tail the threshold admits — the envelope
+    * hash summarizes 8 samples per bit (vs dHash's 4 pixels), so its
+    * cross-family collision tail is the number to watch. Measured at
+    * sf0.1: precision 10000e-4 (zero false positives) vs image dHash's
+    * 9976 and video middle-frame dHash's 9948 — on this fixture the
+    * envelope signal is the CLEANEST of the three, recall 10000e-4 in
+    * every modality. */
+  def audioDedupEval(spark: SparkSession, sfDir: String): DataFrame =
+    dedupEvalOf(spark, sfDir, audioDedup(spark, sfDir))
+
+  val audioDedupEvalSql: String = dedupEvalSqlOf(audioDedupSql)
+
+  /** [[imageDedupEval]]'s dashboard for the VIDEO deduper — the
+    * middle-frame dHash's signal quality. The frame-sampling economics
+    * ([[videoDedup]]: one decoded frame per clip) cost recall ONLY for
+    * edits outside the sampled frame; the fixture plants its edit in the
+    * middle frame, so recall here isolates the hash signal itself, and a
+    * production multi-frame voter would only add to it. */
+  def videoDedupEval(spark: SparkSession, sfDir: String): DataFrame =
+    dedupEvalOf(spark, sfDir, videoDedup(spark, sfDir))
 
   /** One id's fixture clip as a real 5-frame animated GIF (18×16 gray,
     * sequence-encoded — writer reused across rows). */
@@ -1313,4 +1355,8 @@ object Multimodal {
       |    ON r.doc_id = l.doc_id AND r.by = l.by AND r.bx = l.bx + 1
       |  WHERE l.bx < 8),
       |""".stripMargin + bandPairsSqlTail(DefaultMaxHamming)
+
+  // declared AFTER videoDedupSql — a val referencing a later val in the
+  // same object would initialize to null
+  val videoDedupEvalSql: String = dedupEvalSqlOf(videoDedupSql)
 }

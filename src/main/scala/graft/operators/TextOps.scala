@@ -502,7 +502,8 @@ object TextOps {
     * bm25Score), so the per-pair sum is exact and order-free, and the
     * top-k order (grid score desc, doc_id) is total. */
   def bm25Topk(spark: SparkSession, sfDir: String, k: Int = 10,
-      qTerms: Int = 4, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      qTerms: Int = 4, k1: Double = 1.2, b: Double = 0.75,
+      queryCap: Long = Long.MaxValue): DataFrame = {
     val w = split(col("text"), " ")
     val docs = Tables.documents(spark, sfDir)
     val dt = docs
@@ -512,7 +513,10 @@ object TextOps {
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       avg(size(w).cast("long")).as("avgdl"))
     val dfs = dt.groupBy("token").agg(count(lit(1)).as("df"))
-    val q = dt.filter(col("doc_id") % 100 === 7)
+    // queryCap exists for WIDTH-CONTROLLED scale measurement only (fix the
+    // query COUNT while the corpus grows — SCALE.md's bm25_topk row); the
+    // default keeps every %100=7 doc a query, the oracle's semantics
+    val q = dt.filter(col("doc_id") % 100 === 7 && col("doc_id") < queryCap)
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
           .orderBy(col("tf").desc, col("token"))))
@@ -542,6 +546,120 @@ object TextOps {
       Exprs.r4(col("s").cast("double") / lit(1e6)).as("bm25"))
       .orderBy("query_id", "rank")
   }
+
+  /** Impact-ordered BM25 retrieval — [[bm25Topk]] behind per-term posting
+    * PREFIXES, the production plan for the tall-posting problem: each
+    * query term's posting list is ranked once by per-term contribution
+    * (impact order: the BM25 term score itself, doc_id tiebreak) and only
+    * the top `cap` docs survive as candidates. This is the classic
+    * impact-ordered pruning trade (WAND / top-k index family): a doc
+    * outside EVERY query term's prefix cannot be retrieved, and a doc
+    * inside some prefixes scores only those terms' contributions — in
+    * exchange, per-query candidate work is ≤ qTerms·cap rows NO MATTER
+    * the corpus size.
+    *
+    * Why this exists: [[bm25Topk]]'s exact form is output-faithful but its
+    * candidate volume is Σ df(term) per query — the sf0.1→sf1 sweep
+    * measured exponent 0.76 (the suite's steepest non-output-bound)
+    * because the fixture's query COUNT (n/100) and each term's posting
+    * LENGTH both grow with the corpus. The prefix cuts the second factor
+    * to a constant; the first is the workload, not the plan.
+    *
+    * Scale shape: the impact ranking is ONE window over the query-term
+    * postings (posting-length work once per distinct term, NOT once per
+    * (query, term) — terms dedup before the rank, then re-attach to
+    * queries by broadcast); everything downstream is [[bm25Topk]]'s
+    * candidate-sized accumulation. Determinism: the same 1e-6 contribution
+    * grid, impact ties broken by doc_id. */
+  def bm25TopkPruned(spark: SparkSession, sfDir: String, k: Int = 10,
+      qTerms: Int = 4, k1: Double = 1.2, b: Double = 0.75,
+      cap: Int = 64): DataFrame = {
+    val w = split(col("text"), " ")
+    val docs = Tables.documents(spark, sfDir)
+    val dt = docs
+      .select(col("doc_id"), size(w).cast("long").as("dl"), explode(w).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(w).cast("long")).as("avgdl"))
+    val dfs = dt.groupBy("token").agg(count(lit(1)).as("df"))
+    val q = dt.filter(col("doc_id") % 100 === 7)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("token"))))
+      .filter(col("rn") <= qTerms)
+      .select(col("doc_id").as("query_id"), col("token"))
+    // distinct query terms with df — the posting rank runs once per term
+    val qt = q.select("token").distinct().join(dfs, "token")
+    val postings = dt
+      .join(broadcast(qt), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col("doc_id"),
+        floor(
+          log(lit(1d) + (col("n_docs").cast("double") - col("df") + 0.5)
+            / (col("df") + 0.5))
+            * (col("tf").cast("double") * (k1 + 1))
+            / (col("tf").cast("double")
+              + lit(k1) * (lit(1d) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+            * lit(1e6) + lit(0.5d)).cast("long").as("c"))
+      .withColumn("imp_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("token")
+          .orderBy(col("c").desc, col("doc_id"))))
+      .filter(col("imp_rank") <= cap)
+    val scored = postings.join(broadcast(q), "token")
+      .groupBy("query_id", "doc_id")
+      .agg(sum("c").as("s"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("rn") <= k)
+    scored.select(col("query_id"), col("doc_id"), col("rn").cast("long").as("rank"),
+      Exprs.r4(col("s").cast("double") / lit(1e6)).as("bm25"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Oracle for [[bm25TopkPruned]] — the exact pipeline plus the per-term
+    * impact-rank prefix. */
+  def bm25TopkPrunedSql(k: Int = 10, qTerms: Int = 4, cap: Int = 64): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |dtx AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS token FROM t),
+      |dt AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+      |       FROM dtx GROUP BY 1, 2),
+      |st AS (SELECT count(*) AS n_docs, avg(CAST(len(w) AS BIGINT)) AS avgdl FROM t),
+      |dfs AS (SELECT token, count(*) AS df FROM dt GROUP BY 1),
+      |q AS (
+      |  SELECT doc_id AS query_id, token FROM (
+      |    SELECT doc_id, token,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, token) AS rn
+      |    FROM dt WHERE doc_id % 100 = 7)
+      |  WHERE rn <= $qTerms),
+      |qt AS (SELECT DISTINCT token FROM q),
+      |post AS (
+      |  SELECT token, doc_id, c FROM (
+      |    SELECT dt.token, dt.doc_id,
+      |      CAST(floor(
+      |        ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |          * (CAST(tf AS DOUBLE) * (1.2 + 1))
+      |          / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |          * 1000000 + 0.5) AS BIGINT) AS c,
+      |      row_number() OVER (PARTITION BY dt.token
+      |        ORDER BY CAST(floor(
+      |          ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |            * (CAST(tf AS DOUBLE) * (1.2 + 1))
+      |            / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |            * 1000000 + 0.5) AS BIGINT) DESC, dt.doc_id) AS imp_rank
+      |    FROM dt JOIN qt USING (token) JOIN dfs USING (token), st)
+      |  WHERE imp_rank <= $cap),
+      |sc AS (
+      |  SELECT q.query_id, p.doc_id, SUM(p.c) AS s
+      |  FROM post p JOIN q USING (token) GROUP BY 1, 2),
+      |top AS (
+      |  SELECT query_id, doc_id, s,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn
+      |  FROM sc)
+      |SELECT query_id, doc_id, CAST(rn AS BIGINT) AS rank,
+      |  floor(CAST(s AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS bm25
+      |FROM top WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
 
   def bm25TopkSql(k: Int = 10, qTerms: Int = 4): String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

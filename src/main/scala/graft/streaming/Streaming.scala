@@ -38,8 +38,11 @@ case class BucketSigs(sigs: Array[Long])
 case class MediaSigFlag(doc_id: Long, b0: Long, b1: Long, b2: Long,
   b3: Long, is_near_dup: Boolean)
 
-/** Admitted signatures of one media bucket, flattened as 4-long quads. */
-case class BucketQuads(sigs: Array[Long])
+/** Admitted signatures of one media bucket, flattened as 4-long quads in
+  * admission order (oldest first), plus the lifetime count of quads the
+  * per-bucket budget has evicted — carried in state so every eviction log
+  * line can report the cumulative loss, never just the increment. */
+case class BucketQuads(sigs: Array[Long], evicted: Long = 0L)
 
 /** [[Streaming.mixedMediaDedupStream]]'s per-item verdict: the mime the
   * payload dispatched to, its modality signature, and whether an admitted
@@ -846,17 +849,21 @@ object Streaming {
     * Scale notes (the [[nearDupStream]] trades, media-shaped): state
     * partitions by the 2¹⁶-value band across executors and holds only
     * admitted 4-long quads, checkpointed — the seen corpus survives
-    * restarts. Payload bytes never reach the stateful operator: the
-    * signature is computed in the stateless scan stage, so only 5-long
-    * rows shuffle to the state partitioning. Single-band bucketing is
-    * the LSH recall trade — a near-dup pair differing in band 0 is
-    * missed; probe more bands (the batch operator's 4-band OR) at
-    * state-size cost. In-batch order is doc_id-deterministic under
-    * replay. This is the single-modality (image) unit; the mixed-mime
-    * production form routing PNG/WAV/GIF payloads by mime is
-    * [[mixedMediaDedupStream]]. */
+    * restarts — and each bucket is BUDGETED to `maxQuadsPerBucket`
+    * quads, oldest-admitted evicted first and every eviction logged
+    * ([[DefaultBucketBudget]]'s state contract: bounded state and
+    * bounded per-arrival scan, paid in recall against deep history).
+    * Payload bytes never reach the stateful operator: the signature is
+    * computed in the stateless scan stage, so only 5-long rows shuffle
+    * to the state partitioning. Single-band bucketing is the LSH recall
+    * trade — a near-dup pair differing in band 0 is missed; probe more
+    * bands (the batch operator's 4-band OR) at state-size cost. In-batch
+    * order is doc_id-deterministic under replay. This is the
+    * single-modality (image) unit; the mixed-mime production form
+    * routing PNG/WAV/GIF payloads by mime is [[mixedMediaDedupStream]]. */
   def mediaDedupStream(docs: DataFrame,
-      maxHamming: Int = graft.operators.Multimodal.DefaultMaxHamming): Dataset[MediaSigFlag] = {
+      maxHamming: Int = graft.operators.Multimodal.DefaultMaxHamming,
+      maxQuadsPerBucket: Int = DefaultBucketBudget): Dataset[MediaSigFlag] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
@@ -875,13 +882,18 @@ object Streaming {
       .groupByKey(_.b0)
       .flatMapGroupsWithState[BucketQuads, MediaSigFlag](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_, rows, state) =>
-          val (out, quads) = dedupAgainstQuads(rows.toSeq,
-            state.getOption.map(_.sigs).getOrElse(Array.empty[Long]),
-            maxHamming) { (m, dup) =>
+        (bucket, rows, state) =>
+          val st = state.getOption.getOrElse(BucketQuads(Array.empty[Long]))
+          val (out, quads, ev) = dedupAgainstQuads(rows.toSeq, st.sigs,
+            maxHamming, maxQuadsPerBucket) { (m, dup) =>
             MediaSigFlag(m.doc_id, m.b0, m.b1, m.b2, m.b3, dup)
           }
-          state.update(BucketQuads(quads))
+          if (ev > 0) System.err.println(
+            s"[graft] mediaDedupStream: bucket $bucket evicted $ev " +
+              s"oldest signature(s) (budget $maxQuadsPerBucket, lifetime " +
+              s"${st.evicted + ev}) — a near-dup of an evicted item will " +
+              "re-admit as new; see DefaultBucketBudget's state contract.")
+          state.update(BucketQuads(quads, st.evicted + ev))
           out.iterator
       }
   }
@@ -891,11 +903,17 @@ object Streaming {
     * [[mixedMediaDedupStream]] so the two ingest edges cannot silently
     * diverge: items judged in doc_id order (deterministic under replay)
     * against the admitted 4-long quads, four-band hamming ≤ `maxHamming`,
-    * non-dups admitted. Returns the verdicts and the updated quads. */
-  private def dedupAgainstQuads[T](
+    * non-dups admitted. After the fold the bucket is clipped to its quad
+    * BUDGET, oldest-admitted out first (the dedup-vs-all-history state
+    * would otherwise grow corpus-sized — see [[DefaultBucketBudget]]'s
+    * recall contract). Returns the verdicts, the (budgeted) quads, and
+    * the number of quads evicted this batch — callers must log a nonzero
+    * count (the [[graft.operators.Dedup]] cellCap precedent: a bounded
+    * cap is never silent). */
+  private[graft] def dedupAgainstQuads[T](
       items: Seq[graft.operators.Multimodal.HashBands], quads0: Array[Long],
-      maxHamming: Int)(
-      mk: (graft.operators.Multimodal.HashBands, Boolean) => T): (Seq[T], Array[Long]) = {
+      maxHamming: Int, maxQuads: Int)(
+      mk: (graft.operators.Multimodal.HashBands, Boolean) => T): (Seq[T], Array[Long], Int) = {
     var quads = quads0
     def hamming(o: Int, m: graft.operators.Multimodal.HashBands): Int =
       java.lang.Long.bitCount(quads(o) ^ m.b0) +
@@ -907,16 +925,41 @@ object Streaming {
       if (!dup) quads = quads ++ Array(m.b0, m.b1, m.b2, m.b3)
       mk(m, dup)
     }
-    (out, quads)
+    // budget enforcement AFTER the fold: within one micro-batch every item
+    // still judges against everything admitted before it (in-batch resends
+    // always collapse); only the carried-forward state is clipped
+    val over = quads.length / 4 - maxQuads
+    if (over > 0) (out, quads.drop(4 * over), over) else (out, quads, 0)
   }
+
+  /** Default per-bucket quad budget for the streaming media-dedup state.
+    *
+    * STATE CONTRACT (the [[graft.operators.Multimodal.DefaultMaxHamming]]
+    * shape, for state instead of recall): without a budget the admitted
+    * quads grow linearly with the distinct corpus — at a 100 TB ingest
+    * edge that is corpus-sized state spread over the 2¹⁶ band buckets,
+    * and the per-arrival linear scan makes each hot bucket quadratic over
+    * its lifetime. The budget caps both: state ≤ budget·2¹⁶ quads per
+    * modality (4096 ⇒ ≤ 8 GiB/modality worst-case, far less in practice)
+    * and per-arrival work ≤ budget hamming checks. The price is RECALL
+    * AGAINST DEEP HISTORY: a near-dup of an item evicted from its bucket
+    * is re-admitted as new (oldest-admitted evicted first, so the miss is
+    * against the OLDEST history). Every eviction is logged with the
+    * bucket's lifetime loss — never silent. Size the budget to the
+    * modality's dup horizon (how far back a resend must still flag); the
+    * offline batch dedup ([[graft.operators.Multimodal.imageDedup]]
+    * family) remains the exhaustive reconciliation, exactly like the
+    * reference's checker pattern (G1/G2). */
+  val DefaultBucketBudget = 4096
 
   /** Runs [[mediaDedupStream]] to a parquet sink; batch-keyed overwrite
     * dirs make re-executed micro-batches idempotent, like the other
     * sinks. */
   def mediaDedupQuery(docs: DataFrame, outDir: String,
       checkpointDir: String,
-      maxHamming: Int = graft.operators.Multimodal.DefaultMaxHamming): StreamingQuery =
-    mediaDedupStream(docs, maxHamming).writeStream
+      maxHamming: Int = graft.operators.Multimodal.DefaultMaxHamming,
+      maxQuadsPerBucket: Int = DefaultBucketBudget): StreamingQuery =
+    mediaDedupStream(docs, maxHamming, maxQuadsPerBucket).writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -937,7 +980,9 @@ object Streaming {
     * modalities never cross-compare — an image is only ever checked
     * against admitted images — and within a modality the bucket semantics
     * are [[mediaDedupStream]]'s verbatim (admitted quads, four-band
-    * hamming ≤ `maxHamming`, checkpointed across restarts).
+    * hamming ≤ `maxHamming`, checkpointed across restarts, per-bucket
+    * quad budget with logged oldest-out eviction —
+    * [[DefaultBucketBudget]]'s state contract).
     *
     * Scale notes: the payload bytes are born and die inside the scan
     * partition; only (mime, 5-long) rows shuffle to the state
@@ -946,7 +991,8 @@ object Streaming {
     * convention), so any 4-consecutive-id family plants a same-mime
     * base/variant pair in every modality stripe. */
   def mixedMediaDedupStream(docs: DataFrame,
-      maxHamming: Int = graft.operators.Multimodal.DefaultMaxHamming): Dataset[MixedSigFlag] = {
+      maxHamming: Int = graft.operators.Multimodal.DefaultMaxHamming,
+      maxQuadsPerBucket: Int = DefaultBucketBudget): Dataset[MixedSigFlag] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
@@ -984,13 +1030,18 @@ object Streaming {
       .groupByKey { case (mime, s) => (mime, s.b0) }
       .flatMapGroupsWithState[BucketQuads, MixedSigFlag](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case ((mime, _), rows, state) =>
-          val (out, quads) = dedupAgainstQuads(rows.map(_._2).toSeq,
-            state.getOption.map(_.sigs).getOrElse(Array.empty[Long]),
-            maxHamming) { (m, dup) =>
+        case ((mime, bucket), rows, state) =>
+          val st = state.getOption.getOrElse(BucketQuads(Array.empty[Long]))
+          val (out, quads, ev) = dedupAgainstQuads(rows.map(_._2).toSeq,
+            st.sigs, maxHamming, maxQuadsPerBucket) { (m, dup) =>
             MixedSigFlag(m.doc_id, mime, m.b0, m.b1, m.b2, m.b3, dup)
           }
-          state.update(BucketQuads(quads))
+          if (ev > 0) System.err.println(
+            s"[graft] mixedMediaDedupStream: bucket ($mime, $bucket) " +
+              s"evicted $ev oldest signature(s) (budget $maxQuadsPerBucket, " +
+              s"lifetime ${st.evicted + ev}) — a near-dup of an evicted " +
+              "item will re-admit as new; see DefaultBucketBudget.")
+          state.update(BucketQuads(quads, st.evicted + ev))
           out.iterator
       }
   }
@@ -1000,8 +1051,9 @@ object Streaming {
     * other sinks. */
   def mixedMediaDedupQuery(docs: DataFrame, outDir: String,
       checkpointDir: String,
-      maxHamming: Int = graft.operators.Multimodal.DefaultMaxHamming): StreamingQuery =
-    mixedMediaDedupStream(docs, maxHamming).writeStream
+      maxHamming: Int = graft.operators.Multimodal.DefaultMaxHamming,
+      maxQuadsPerBucket: Int = DefaultBucketBudget): StreamingQuery =
+    mixedMediaDedupStream(docs, maxHamming, maxQuadsPerBucket).writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -186,8 +186,29 @@ class OperatorsSpec extends SparkSuite {
       hit += exact.intersect(got.getOrElse(q, Set())).size
       tot += exact.size
     }
-    assert(tot > 0 && hit.toDouble / tot >= 0.3,
-      s"out-of-sample recall vs exact collapsed: $hit/$tot")
+    // the multi-probe anchor (4 OR'd tables) + beam 32 measured 0.84 on
+    // this fixture (sweep in the annGraphSearchOos doc); the floor sits
+    // under it but far above the member form's 0.3 — the serving path
+    // must stay production-grade, not merely non-collapsed
+    assert(tot > 0 && hit.toDouble / tot >= 0.75,
+      s"out-of-sample recall vs exact below the serving floor: $hit/$tot")
+  }
+
+  test("graph anchor dashboard: every query enters (seed), anchor cost stays bucket-shaped") {
+    val corpus = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 100 =!= 7).count()
+    val rows = Similarity.annGraphAnchor(spark, sfDir).collect()
+    val nQueries = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 100 === 7).count()
+    assert(rows.length == nQueries,
+      "a query with empty buckets must still appear — the seed guarantees it")
+    val expected = 4.0 * corpus / 16 + 1 // nTables·n/2^nBits + seed
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      assert(n >= 1, s"query ${r.getLong(0)} anchored nothing")
+      assert(n <= 4 * expected,
+        s"query ${r.getLong(0)} anchor cost $n blew past the bucket model ($expected)")
+    }
   }
 
   test("graph recall dashboard: one row per held-out query, bounded hits, mean above the member floor") {
@@ -201,7 +222,66 @@ class OperatorsSpec extends SparkSuite {
       assert(r.getDouble(2) == math.floor(r.getLong(1) / 5.0 * 10000 + 0.5) / 10000)
     }
     val mean = rows.map(_.getDouble(2)).sum / rows.length
-    assert(mean >= 0.3, s"mean graph recall collapsed: $mean")
+    // measured 0.84 at the 4-table × beam-32 defaults on this fixture
+    // (0.96 at sf0.01); floor raised from the r12 member-floor 0.3
+    assert(mean >= 0.75, s"mean graph recall below the serving floor: $mean")
+  }
+
+  test("graph insert: inserted adjacency within epsilon of a from-scratch rebuild, batch rows only") {
+    val inserted = Similarity.annGraphInsert(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(inserted.nonEmpty, "no batch vector produced an adjacency")
+    val byNode = inserted.groupBy(_._1)
+    byNode.foreach { case (v, rows) =>
+      assert(v % 100 == 3, s"non-batch vector $v in the insert output")
+      assert(rows.length <= 5)
+      assert(rows.forall(_._2 % 100 != 3),
+        s"inserted node $v linked to another batch vector — the base graph must not see the batch")
+    }
+    // quality vs a FROM-SCRATCH rebuild over base ∪ batch (the full-corpus
+    // descent). Identity of the neighbor SETS is the wrong metric — the
+    // rebuild's adjacency is itself descent-approximate, so a walk that
+    // finds BETTER neighbors overlaps little (measured: overlap 0.2 while
+    // mean cos beat the rebuild 0.32 vs 0.25). Assert quality instead:
+    // the inserted adjacency's mean similarity must be within ε of the
+    // rebuild's base-corpus adjacency (batch-member neighbors excluded —
+    // the insert path cannot see those by design).
+    val rebuilt = Similarity.annNndescent(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .filter(_._1 % 100 == 3).groupBy(_._1)
+    var insCos = 0.0; var rebCos = 0.0; var n = 0
+    byNode.foreach { case (v, rows) =>
+      rebuilt.get(v).foreach { reb =>
+        val rebBase = reb.filter(_._2 % 100 != 3)
+        insCos += rows.map(_._3).sum / rows.length
+        rebCos += rebBase.map(_._3).sum / math.max(1, rebBase.length)
+        n += 1
+      }
+    }
+    assert(n > 0 && (rebCos - insCos) / n <= 0.02,
+      s"inserted neighbor quality dropped vs rebuild: ${insCos / n} vs ${rebCos / n}")
+    // absolute floor: recall vs EXACT brute-force base top-5 (measured
+    // 0.84 here / 0.88 at sf0.01 — the serving-walk quality carries over)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val base = vecs.keys.filter(_ % 100 != 3).toSeq
+    var hit = 0; var tot = 0
+    byNode.foreach { case (v, rows) =>
+      val exact = base.map(c => (cos(vecs(v), vecs(c)), c))
+        .sortBy(t => (-t._1, t._2)).take(5).map(_._2).toSet
+      hit += exact.intersect(rows.map(_._2).toSet).size
+      tot += exact.size
+    }
+    assert(tot > 0 && hit.toDouble / tot >= 0.75,
+      s"inserted adjacency recall vs exact below the serving floor: $hit/$tot")
   }
 
   test("ann_ivf returns a subset of cells consistent with routing") {
@@ -480,6 +560,57 @@ class OperatorsSpec extends SparkSuite {
           assert(r.getLong(11) == group.length && r.getLong(12) == inPack,
             s"pack ($s,$p): window stats drifted")
           assert(r.getLong(13) ==
+            math.floor(10000.0 * inPack / budget).toLong)
+        }
+        assert(inPack <= budget, s"pack ($s,$p) overfilled")
+    }
+  }
+
+  test("sft pipeline tokens: the token-budget composition agrees with each standalone operator") {
+    val budget = 512L
+    val rows = CorpusOps.sftPipelineTokens(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // token pack coordinates must equal sftPackTokens' per (conv, turn) —
+    // the one-scan wrn=1 collapse replays the aggregate-and-join-back
+    val packed = CorpusOps.sftPackTokens(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getBoolean(7))).toMap
+    assert(rows.length == packed.size, "one row per packed token loss span")
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val (shard, pack, start, toks, chars, straddle) = packed(key)
+      assert(r.getLong(2) == shard && r.getLong(3) == pack &&
+        r.getLong(4) == start && r.getLong(5) == toks &&
+        r.getLong(6) == chars && r.getBoolean(7) == straddle,
+        s"$key: pipeline token coords diverge from sftPackTokens")
+      assert(r.getLong(5) <= r.getLong(6),
+        s"$key: a span cannot cost more tokens than characters")
+    }
+    // DPO verdicts must equal dpoPairs' per conversation
+    val pairs = CorpusOps.dpoPairs(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(5)))
+      .toMap
+    rows.foreach { r =>
+      val conv = r.getLong(0)
+      if (r.getLong(8) >= 2) {
+        val (ct, rt, m) = pairs(conv)
+        assert(r.getLong(9) == ct && r.getLong(10) == rt && r.getLong(11) == m,
+          s"conv $conv: pipeline DPO verdict diverges from dpoPairs")
+      } else {
+        assert(r.isNullAt(9) && r.isNullAt(10) && r.isNullAt(11),
+          s"conv $conv: < 2 candidates must null the verdict")
+      }
+    }
+    // home-pack token stats reconcile with the rows themselves
+    rows.groupBy(r => (r.getLong(2), r.getLong(3))).foreach {
+      case ((s, p), group) =>
+        val inPack = group.map(r =>
+          math.min(r.getLong(5), budget - r.getLong(4) + 1)).sum
+        group.foreach { r =>
+          assert(r.getLong(12) == group.length && r.getLong(13) == inPack,
+            s"pack ($s,$p): token window stats drifted")
+          assert(r.getLong(14) ==
             math.floor(10000.0 * inPack / budget).toLong)
         }
         assert(inPack <= budget, s"pack ($s,$p) overfilled")

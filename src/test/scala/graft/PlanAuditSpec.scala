@@ -937,6 +937,42 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("sft pipeline tokens: one conversation scan, two corpus hash exchanges, text never shuffles") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val df = operators.CorpusOps.sftPipelineTokens(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // 1 conversation scan + the tokenizer trainer's own 2: the wrn=1
+    // turn-collapse replaces sftPackTokens' aggregate-and-join-back, whose
+    // plan re-reads the conversation table (8 scans total, measured)
+    assert(p.split("Scan parquet").length - 1 == 3,
+      "one conversation scan must feed all four stages:\n" + p.take(1200))
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val exchanges = root.collect { case e: ShuffleExchangeExec => e }
+    // corpus-side budget: the conv_id repartition (serving the turn-grain,
+    // render and DPO windows) + the shard running-total window. The
+    // trained-piece join BROADCASTS at this scale (vocabulary-grain side);
+    // past the broadcast threshold it degrades to exactly ONE added
+    // word-grain exchange — the doc's 3-exchange bound
+    val conv = exchanges.filter(e =>
+      e.outputPartitioning.isInstanceOf[HashPartitioning] &&
+        e.output.exists(_.name == "conv_id"))
+    assert(conv.length == 2,
+      s"conv+shard is the corpus shuffle budget, got ${conv.map(_.outputPartitioning)}")
+    // the no-text invariant is absolute: no exchange anywhere in the plan
+    // (tokenizer trainer included) may carry the document text
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"an exchange carries the document text: ${e.output.map(_.name)}")
+    }
+  }
+
   test("image dedup: banded LSH equi-join only — no cartesian, payloads never leave the scan stage") {
     val df = Multimodal.imageDedup(spark, sfDir)
     val p = plan(df)

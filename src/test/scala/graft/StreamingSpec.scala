@@ -282,6 +282,80 @@ class StreamingSpec extends SparkSuite {
     assert(rows.size == 5)
   }
 
+  test("media-dedup state budget: fold clips to the quad budget oldest-first, in-batch judging unclipped") {
+    import operators.Multimodal.HashBands
+    // 6 mutually-far signatures (distinct high bits in every band)
+    val items = (0 until 6).map(i =>
+      HashBands(i.toLong, 1L << i, 1L << (i + 6), 1L << (i + 3), 1L << (i + 9)))
+    val (out, quads, ev) = Streaming.dedupAgainstQuads(
+      items, Array.empty[Long], 6, 3)((m, dup) => (m.doc_id, dup))
+    assert(out.forall(!_._2), "mutually-far items must all admit")
+    assert(ev == 3, "6 admitted into a budget of 3 evicts the oldest 3")
+    assert(quads.length == 12, "state clipped to budget quads")
+    assert(quads(0) == items(3).b0 && quads(8) == items(5).b0,
+      "eviction is oldest-admitted-first: survivors are the newest 3")
+    // within a batch the budget never hides an earlier admit: a resend of
+    // item 0 in the SAME batch flags even though item 0 won't survive
+    val (out2, _, ev2) = Streaming.dedupAgainstQuads(
+      items :+ items(0).copy(doc_id = 99L), Array.empty[Long], 6, 3)(
+      (m, dup) => (m.doc_id, dup))
+    assert(out2.find(_._1 == 99L).exists(_._2),
+      "in-batch resend must flag against the pre-clip state")
+    assert(ev2 == 3)
+  }
+
+  test("media-dedup state budget: bounded state under a same-bucket flood, resends inside the budget still flag") {
+    // two family BASES that collide on band 0 but are genuinely far
+    // (hamming > threshold): the planted same-bucket 'flood' pair. Found
+    // by scanning bases with the batch-side signature helper — the 16-bit
+    // band makes a collision a birthday certainty within a few thousand.
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    def sig(id: Long) = operators.Multimodal.imageSignature(w, rd, id)
+    def ham(a: operators.Multimodal.HashBands,
+        b: operators.Multimodal.HashBands): Int =
+      java.lang.Long.bitCount(a.b0 ^ b.b0) +
+        java.lang.Long.bitCount(a.b1 ^ b.b1) +
+        java.lang.Long.bitCount(a.b2 ^ b.b2) +
+        java.lang.Long.bitCount(a.b3 ^ b.b3)
+    val seen = scala.collection.mutable.Map.empty[Long, (Long, operators.Multimodal.HashBands)]
+    val pair = (0L until 40000L by 4).iterator.map(id => (id, sig(id)))
+      .flatMap { case (id, s) =>
+        val hit = seen.get(s.b0).collect {
+          case (a, sa) if ham(sa, s) > 6 => (a, id)
+        }
+        seen(s.b0) = (id, s)
+        hit
+      }.nextOption()
+    assert(pair.nonEmpty, "no band-0 collision among 10k bases — fixture drift")
+    val (a, b) = pair.get
+    val work = Files.createTempDirectory("mediabudget").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    def src() = spark.readStream.schema(schema).json(s"$work/drop")
+    def js(id: Long) = s"""{"doc_id":$id}"""
+    def run(ids: Long*): Unit = {
+      ids.map(js).toDF("value").coalesce(1)
+        .write.mode("append").text(s"$work/drop")
+      Streaming.mediaDedupQuery(src(), s"$work/out", s"$work/ck",
+        maxQuadsPerBucket = 1).awaitTermination()
+    }
+    run(a)    // batch 0: a admitted, state [a]
+    run(b)    // batch 1: b far from a → admitted; budget 1 evicts a
+    run(a)    // batch 2: a NOT flagged (evicted) → re-admitted, evicts b
+    run(a)    // batch 3: a IS flagged — resends inside the budget still flag
+    val rows = spark.read.parquet(s"$work/out").collect()
+      .map(r => (r.getAs[Int]("ingest_batch").toLong, r.getAs[Long]("doc_id")) ->
+        r.getAs[Boolean]("is_near_dup")).toMap
+    assert(rows((0L, a)) == false && rows((1L, b)) == false)
+    assert(rows((2L, a)) == false,
+      "the budget must have evicted a — an unbounded state would flag this resend")
+    assert(rows((3L, a)) == true,
+      "a resend within the budget horizon must still flag")
+    assert(rows.size == 4)
+  }
+
   test("streaming mixed-mime media near-dup: planted variants of all three modalities flag across a restart") {
     val work = Files.createTempDirectory("mixeddedup").toString
     val schema = org.apache.spark.sql.types.StructType(Seq(
