@@ -68,16 +68,20 @@ object Bench {
     // (observed: a 1 s query recorded at 14 s once), and steady-state
     // throughput is what the engine contract is about. Min-of-2 is still
     // vulnerable to sustained box contention inflating BOTH passes (observed
-    // r8: raw_unwrap recorded 17.0 s where a fresh JVM measures 3.3 s), so
-    // two outlier-retry rules grant up to two extra passes:
-    //   (a) instability — the best two runs disagree by >25% (and the best
-    //       is >0.5 s, below which scheduler noise dominates);
+    // r8: raw_unwrap recorded 17.0 s where a fresh JVM measures 3.3 s; r12:
+    // two full gates of identical code disagreed 25% in total), so two
+    // outlier-retry rules grant up to two extra passes:
+    //   (a) instability — the best two runs disagree by >20% (and the best
+    //       is >0.5 s, below which scheduler noise dominates) — tightened
+    //       from 25% after the r12 gate divergence;
     //   (b) expectation — the min exceeds 3× the warm sf0.001 time scaled by
     //       a generous LINEAR factor for the sf ratio (real scaling is
     //       sublinear for every query here, so a breach means the run is
     //       not measuring the plan).
-    // ALL run times are recorded in the artifact ("runs") so variance is
-    // visible to the reader, not silently collapsed into the min.
+    // ALL run times are recorded in the artifact ("runs"), plus per-query
+    // MEDIANS ("medians") next to the mins, so a contended gate is
+    // recognizable by min≪median instead of silently collapsing into the
+    // min. Cross-gate comparison protocol: see BASELINE.md.
     val sfRatio = {
       def sf(d: String) = "sf([0-9.]+)$".r.findFirstMatchIn(d).map(_.group(1).toDouble)
       (for { a <- sf(sfDir); b <- sf(warmDir) } yield a / b).getOrElse(100.0)
@@ -104,7 +108,7 @@ object Bench {
       pass(); pass()
       def suspicious: Boolean = runs.size >= 2 && {
         val s = runs.sorted
-        val unstable = s(0) > 0.5 && s(1) > s(0) * 1.25
+        val unstable = s(0) > 0.5 && s(1) > s(0) * 1.20
         val overExpectation = warmSec.get(name)
           .exists(w => s(0) > 3 * math.max(1.0, w * sfRatio))
         unstable || overExpectation
@@ -121,8 +125,17 @@ object Bench {
       .mkString("{", ",", "}")
     val rs = allRuns.map { case (k, v) => "\"" + k + "\":[" + v.map(t => fmt(t, 3)).mkString(",") + "]" }
       .mkString("{", ",", "}")
+    def median(v: Seq[Double]): Double = {
+      val s = v.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val ms = allRuns.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v.isEmpty) "-1.0" else fmt(median(v), 3))
+    }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}"""
+    val medianTotal = allRuns.values.filter(_.nonEmpty).map(median).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","median_total":${fmt(medianTotal, 3)},"queries":$qs,"medians":$ms,"runs":$rs,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json artifact clips the stdout line at 2 kB,
     // so only a prefix of the 165+ per-query "runs" lists survives into the
