@@ -183,11 +183,15 @@ object HttpDim {
               // absurd numeric (this server emits Long.MaxValue when
               // refillPerSec = 0) — parse defensively and clamp the SECONDS
               // before the ms conversion, or *1000 overflows negative and
-              // Thread.sleep throws, neither path treated as transient
+              // Thread.sleep throws, neither path treated as transient.
+              // Floor at 250 ms: an explicit 'Retry-After: 0' must still
+              // back off briefly — a 0 ms sleep is a hot retry against a
+              // server that just said it was throttling
               val ra = resp.headers().firstValue("Retry-After")
               val secs =
                 if (ra.isPresent) ra.get().trim.toLongOption else None
-              Right(Left(secs.map(s => math.min(math.max(s, 0L), 2L) * 1000L)
+              Right(Left(secs
+                .map(s => math.max(math.min(math.max(s, 0L), 2L) * 1000L, 250L))
                 .getOrElse(1000L)))
             case s => Left(new java.io.IOException(
               s"transient HTTP $s from $url"))
