@@ -634,21 +634,20 @@ object TextOps {
       |    FROM dt WHERE doc_id % 100 = 7)
       |  WHERE rn <= $qTerms),
       |qt AS (SELECT DISTINCT token FROM q),
+      |pc AS (
+      |  SELECT dt.token, dt.doc_id,
+      |    CAST(floor(
+      |      ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |        * (CAST(tf AS DOUBLE) * (1.2 + 1))
+      |        / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |        * 1000000 + 0.5) AS BIGINT) AS c
+      |  FROM dt JOIN qt USING (token) JOIN dfs USING (token), st),
       |post AS (
       |  SELECT token, doc_id, c FROM (
-      |    SELECT dt.token, dt.doc_id,
-      |      CAST(floor(
-      |        ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
-      |          * (CAST(tf AS DOUBLE) * (1.2 + 1))
-      |          / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-      |          * 1000000 + 0.5) AS BIGINT) AS c,
-      |      row_number() OVER (PARTITION BY dt.token
-      |        ORDER BY CAST(floor(
-      |          ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
-      |            * (CAST(tf AS DOUBLE) * (1.2 + 1))
-      |            / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-      |            * 1000000 + 0.5) AS BIGINT) DESC, dt.doc_id) AS imp_rank
-      |    FROM dt JOIN qt USING (token) JOIN dfs USING (token), st)
+      |    SELECT token, doc_id, c,
+      |      row_number() OVER (PARTITION BY token
+      |        ORDER BY c DESC, doc_id) AS imp_rank
+      |    FROM pc)
       |  WHERE imp_rank <= $cap),
       |sc AS (
       |  SELECT q.query_id, p.doc_id, SUM(p.c) AS s
