@@ -39,10 +39,15 @@ case class MediaSigFlag(doc_id: Long, b0: Long, b1: Long, b2: Long,
   b3: Long, is_near_dup: Boolean)
 
 /** Admitted signatures of one media bucket, flattened as 4-long quads in
-  * admission order (oldest first), plus the lifetime count of quads the
-  * per-bucket budget has evicted — carried in state so every eviction log
-  * line can report the cumulative loss, never just the increment. */
-case class BucketQuads(sigs: Array[Long], evicted: Long = 0L)
+  * admission order (oldest first); the lifetime count of quads the
+  * per-bucket budget has evicted (carried in state so every eviction log
+  * line can report the cumulative loss, never just the increment); and
+  * the HISTORICAL tier — a fixed 4096-bit Bloom filter over the EXACT
+  * fingerprints of evicted quads, so a byte-identical resend of an item
+  * the budget aged out still flags (~1 bit amortized per evicted item vs
+  * the exact tier's 32 bytes). Empty until the first eviction. */
+case class BucketQuads(sigs: Array[Long], evicted: Long = 0L,
+  bloom: Array[Long] = Array.empty[Long])
 
 /** [[Streaming.mixedMediaDedupStream]]'s per-item verdict: the mime the
   * payload dispatched to, its modality signature, and whether an admitted
@@ -884,16 +889,17 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (bucket, rows, state) =>
           val st = state.getOption.getOrElse(BucketQuads(Array.empty[Long]))
-          val (out, quads, ev) = dedupAgainstQuads(rows.toSeq, st.sigs,
-            maxHamming, maxQuadsPerBucket) { (m, dup) =>
+          val (out, quads, bloom, ev) = dedupAgainstQuads(rows.toSeq, st.sigs,
+            maxHamming, maxQuadsPerBucket, st.bloom) { (m, dup) =>
             MediaSigFlag(m.doc_id, m.b0, m.b1, m.b2, m.b3, dup)
           }
           if (ev > 0) System.err.println(
             s"[graft] mediaDedupStream: bucket $bucket evicted $ev " +
-              s"oldest signature(s) (budget $maxQuadsPerBucket, lifetime " +
-              s"${st.evicted + ev}) — a near-dup of an evicted item will " +
-              "re-admit as new; see DefaultBucketBudget's state contract.")
-          state.update(BucketQuads(quads, st.evicted + ev))
+              s"oldest signature(s) to the Bloom tier (budget " +
+              s"$maxQuadsPerBucket, lifetime ${st.evicted + ev}) — exact " +
+              "resends of evicted items still flag; their NEAR-dups " +
+              "re-admit as new (DefaultBucketBudget's state contract).")
+          state.update(BucketQuads(quads, st.evicted + ev, bloom))
           out.iterator
       }
   }
@@ -903,33 +909,65 @@ object Streaming {
     * [[mixedMediaDedupStream]] so the two ingest edges cannot silently
     * diverge: items judged in doc_id order (deterministic under replay)
     * against the admitted 4-long quads, four-band hamming ≤ `maxHamming`,
-    * non-dups admitted. After the fold the bucket is clipped to its quad
-    * BUDGET, oldest-admitted out first (the dedup-vs-all-history state
-    * would otherwise grow corpus-sized — see [[DefaultBucketBudget]]'s
-    * recall contract). Returns the verdicts, the (budgeted) quads, and
+    * non-dups admitted. TWO state tiers:
+    *  - EXACT-RECENT: the admitted quads, hamming-checked per arrival.
+    *    After the fold the tier is clipped to its quad BUDGET,
+    *    oldest-admitted out first (the dedup-vs-all-history state would
+    *    otherwise grow corpus-sized — [[DefaultBucketBudget]]'s recall
+    *    contract).
+    *  - BLOOM-HISTORICAL: evicted quads' exact fingerprints enter a fixed
+    *    4096-bit per-bucket Bloom filter, so a BYTE-IDENTICAL resend of an
+    *    aged-out item still flags (no false negatives for exact resends,
+    *    ever; false positives at the standard Bloom rate). Near-dups of
+    *    evicted items remain the budget's documented recall loss — a
+    *    Bloom cannot answer hamming queries.
+    * Returns the verdicts, the (budgeted) quads, the updated bloom, and
     * the number of quads evicted this batch — callers must log a nonzero
     * count (the [[graft.operators.Dedup]] cellCap precedent: a bounded
     * cap is never silent). */
   private[graft] def dedupAgainstQuads[T](
       items: Seq[graft.operators.Multimodal.HashBands], quads0: Array[Long],
-      maxHamming: Int, maxQuads: Int)(
-      mk: (graft.operators.Multimodal.HashBands, Boolean) => T): (Seq[T], Array[Long], Int) = {
+      maxHamming: Int, maxQuads: Int, bloom0: Array[Long] = Array.empty[Long])(
+      mk: (graft.operators.Multimodal.HashBands, Boolean) => T): (Seq[T], Array[Long], Array[Long], Int) = {
     var quads = quads0
+    var bloom = bloom0
     def hamming(o: Int, m: graft.operators.Multimodal.HashBands): Int =
       java.lang.Long.bitCount(quads(o) ^ m.b0) +
         java.lang.Long.bitCount(quads(o + 1) ^ m.b1) +
         java.lang.Long.bitCount(quads(o + 2) ^ m.b2) +
         java.lang.Long.bitCount(quads(o + 3) ^ m.b3)
+    // k=3 bit positions over 4096 bits from one 64-bit quad mix (the
+    // splitmix64 finalizer — public-domain constants), sliced 12 bits each
+    def bits(m: graft.operators.Multimodal.HashBands): Seq[Int] = {
+      var x = m.b0 * 0x9e3779b97f4a7c15L + m.b1
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L + m.b2
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL + m.b3
+      x = x ^ (x >>> 31)
+      Seq(0, 12, 24).map(s => ((x >>> s) & 0xfff).toInt)
+    }
+    def inBloom(m: graft.operators.Multimodal.HashBands): Boolean =
+      bloom.nonEmpty && bits(m).forall(b => (bloom(b >> 6) & (1L << (b & 63))) != 0)
     val out = items.sortBy(_.doc_id).map { m =>
-      val dup = quads.indices.by(4).exists(o => hamming(o, m) <= maxHamming)
+      val dup = quads.indices.by(4).exists(o => hamming(o, m) <= maxHamming) ||
+        inBloom(m)
       if (!dup) quads = quads ++ Array(m.b0, m.b1, m.b2, m.b3)
       mk(m, dup)
     }
     // budget enforcement AFTER the fold: within one micro-batch every item
     // still judges against everything admitted before it (in-batch resends
-    // always collapse); only the carried-forward state is clipped
+    // always collapse); only the carried-forward state is clipped, and the
+    // clipped quads' fingerprints move to the historical tier
     val over = quads.length / 4 - maxQuads
-    if (over > 0) (out, quads.drop(4 * over), over) else (out, quads, 0)
+    if (over <= 0) (out, quads, bloom, 0)
+    else {
+      if (bloom.isEmpty) bloom = new Array[Long](64)
+      else bloom = bloom.clone() // never mutate the state object in place
+      quads.take(4 * over).grouped(4).foreach { q =>
+        bits(graft.operators.Multimodal.HashBands(0L, q(0), q(1), q(2), q(3)))
+          .foreach(b => bloom(b >> 6) |= 1L << (b & 63))
+      }
+      (out, quads.drop(4 * over), bloom, over)
+    }
   }
 
   /** Default per-bucket quad budget for the streaming media-dedup state.
@@ -941,15 +979,20 @@ object Streaming {
     * and the per-arrival linear scan makes each hot bucket quadratic over
     * its lifetime. The budget caps both: state ≤ budget·2¹⁶ quads per
     * modality (4096 ⇒ ≤ 8 GiB/modality worst-case, far less in practice)
-    * and per-arrival work ≤ budget hamming checks. The price is RECALL
-    * AGAINST DEEP HISTORY: a near-dup of an item evicted from its bucket
-    * is re-admitted as new (oldest-admitted evicted first, so the miss is
-    * against the OLDEST history). Every eviction is logged with the
-    * bucket's lifetime loss — never silent. Size the budget to the
-    * modality's dup horizon (how far back a resend must still flag); the
-    * offline batch dedup ([[graft.operators.Multimodal.imageDedup]]
-    * family) remains the exhaustive reconciliation, exactly like the
-    * reference's checker pattern (G1/G2). */
+    * and per-arrival work ≤ budget hamming checks + one Bloom probe.
+    * Evicted quads don't vanish: their EXACT fingerprints enter the
+    * bucket's fixed 4096-bit Bloom tier, so a byte-identical resend of an
+    * aged-out item still flags at ~1 amortized bit per evicted item. The
+    * price that remains is NEAR-DUP RECALL AGAINST DEEP HISTORY: a
+    * hamming-close variant of an evicted item re-admits as new
+    * (oldest-admitted evicted first, so the miss is against the OLDEST
+    * history; a Bloom cannot answer hamming queries). Every eviction is
+    * logged with the bucket's lifetime loss — never silent. Size the
+    * budget to the modality's NEAR-dup horizon (how far back an EDIT must
+    * still flag — exact resends flag forever); the offline batch dedup
+    * ([[graft.operators.Multimodal.imageDedup]] family) remains the
+    * exhaustive reconciliation, exactly like the reference's checker
+    * pattern (G1/G2). */
   val DefaultBucketBudget = 4096
 
   /** Runs [[mediaDedupStream]] to a parquet sink; batch-keyed overwrite
@@ -1032,16 +1075,17 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case ((mime, bucket), rows, state) =>
           val st = state.getOption.getOrElse(BucketQuads(Array.empty[Long]))
-          val (out, quads, ev) = dedupAgainstQuads(rows.map(_._2).toSeq,
-            st.sigs, maxHamming, maxQuadsPerBucket) { (m, dup) =>
+          val (out, quads, bloom, ev) = dedupAgainstQuads(rows.map(_._2).toSeq,
+            st.sigs, maxHamming, maxQuadsPerBucket, st.bloom) { (m, dup) =>
             MixedSigFlag(m.doc_id, mime, m.b0, m.b1, m.b2, m.b3, dup)
           }
           if (ev > 0) System.err.println(
             s"[graft] mixedMediaDedupStream: bucket ($mime, $bucket) " +
-              s"evicted $ev oldest signature(s) (budget $maxQuadsPerBucket, " +
-              s"lifetime ${st.evicted + ev}) — a near-dup of an evicted " +
-              "item will re-admit as new; see DefaultBucketBudget.")
-          state.update(BucketQuads(quads, st.evicted + ev))
+              s"evicted $ev oldest signature(s) to the Bloom tier (budget " +
+              s"$maxQuadsPerBucket, lifetime ${st.evicted + ev}) — exact " +
+              "resends still flag; near-dups of evicted items re-admit " +
+              "(DefaultBucketBudget).")
+          state.update(BucketQuads(quads, st.evicted + ev, bloom))
           out.iterator
       }
   }

@@ -282,21 +282,33 @@ class StreamingSpec extends SparkSuite {
     assert(rows.size == 5)
   }
 
-  test("media-dedup state budget: fold clips to the quad budget oldest-first, in-batch judging unclipped") {
+  test("media-dedup state budget: fold clips to the quad budget oldest-first, evicted fingerprints reach the Bloom tier") {
     import operators.Multimodal.HashBands
     // 6 mutually-far signatures (distinct high bits in every band)
     val items = (0 until 6).map(i =>
       HashBands(i.toLong, 1L << i, 1L << (i + 6), 1L << (i + 3), 1L << (i + 9)))
-    val (out, quads, ev) = Streaming.dedupAgainstQuads(
+    val (out, quads, bloom, ev) = Streaming.dedupAgainstQuads(
       items, Array.empty[Long], 6, 3)((m, dup) => (m.doc_id, dup))
     assert(out.forall(!_._2), "mutually-far items must all admit")
     assert(ev == 3, "6 admitted into a budget of 3 evicts the oldest 3")
     assert(quads.length == 12, "state clipped to budget quads")
     assert(quads(0) == items(3).b0 && quads(8) == items(5).b0,
       "eviction is oldest-admitted-first: survivors are the newest 3")
+    // the historical tier: an EXACT resend of evicted item 0 flags on the
+    // Bloom; a far-from-everything fresh item does not (no blanket FP)
+    val resend = items(0).copy(doc_id = 50L)
+    // b3 uses bit 2: bit 12 would tie item 3's b3 (i+9) and land the
+    // four-band hamming exactly at the threshold 6 via the exact tier
+    val fresh = HashBands(51L, 1L << 15, 1L << 14, 1L << 13, 1L << 2)
+    val (out3, _, _, _) = Streaming.dedupAgainstQuads(
+      Seq(resend, fresh), quads, 6, 3, bloom)((m, dup) => (m.doc_id, dup))
+    assert(out3.find(_._1 == 50L).exists(_._2),
+      "exact resend of an evicted item must flag via the Bloom tier")
+    assert(out3.find(_._1 == 51L).exists(!_._2),
+      "a genuinely fresh far item must not Bloom-flag")
     // within a batch the budget never hides an earlier admit: a resend of
     // item 0 in the SAME batch flags even though item 0 won't survive
-    val (out2, _, ev2) = Streaming.dedupAgainstQuads(
+    val (out2, _, _, ev2) = Streaming.dedupAgainstQuads(
       items :+ items(0).copy(doc_id = 99L), Array.empty[Long], 6, 3)(
       (m, dup) => (m.doc_id, dup))
     assert(out2.find(_._1 == 99L).exists(_._2),
@@ -304,11 +316,13 @@ class StreamingSpec extends SparkSuite {
     assert(ev2 == 3)
   }
 
-  test("media-dedup state budget: bounded state under a same-bucket flood, resends inside the budget still flag") {
+  test("media-dedup state budget: bounded state under a same-bucket flood, Bloom catches evicted exact resends") {
     // two family BASES that collide on band 0 but are genuinely far
-    // (hamming > threshold): the planted same-bucket 'flood' pair. Found
-    // by scanning bases with the batch-side signature helper — the 16-bit
-    // band makes a collision a birthday certainty within a few thousand.
+    // (hamming ≥ 11, so base a's single-pixel VARIANT a+1 — which drifts
+    // ≤ 4 bits — is still > 6 from b): the planted same-bucket 'flood'
+    // pair. Found by scanning bases with the batch-side signature helper —
+    // the 16-bit band makes a collision a birthday certainty within a few
+    // thousand.
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
     val rd = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
     def sig(id: Long) = operators.Multimodal.imageSignature(w, rd, id)
@@ -319,16 +333,21 @@ class StreamingSpec extends SparkSuite {
         java.lang.Long.bitCount(a.b2 ^ b.b2) +
         java.lang.Long.bitCount(a.b3 ^ b.b3)
     val seen = scala.collection.mutable.Map.empty[Long, (Long, operators.Multimodal.HashBands)]
-    val pair = (0L until 40000L by 4).iterator.map(id => (id, sig(id)))
+    val pair = (0L until 60000L by 4).iterator.map(id => (id, sig(id)))
       .flatMap { case (id, s) =>
         val hit = seen.get(s.b0).collect {
-          case (a, sa) if ham(sa, s) > 6 => (a, id)
+          case (a, sa) if ham(sa, s) >= 11 && sig(a + 1).b0 == sa.b0 &&
+            ham(sig(a + 1), sa) <= 4 &&
+            // the edit must actually flip ≥ 1 bit: a drift-0 'variant' is
+            // an exact dup and the Bloom would (correctly) flag it
+            ham(sig(a + 1), sa) >= 1 => (a, id)
         }
         seen(s.b0) = (id, s)
         hit
       }.nextOption()
-    assert(pair.nonEmpty, "no band-0 collision among 10k bases — fixture drift")
+    assert(pair.nonEmpty, "no usable band-0 collision among 15k bases — fixture drift")
     val (a, b) = pair.get
+    val av = a + 1 // a's single-pixel variant: same bucket, hamming ≤ 4 to a
     val work = Files.createTempDirectory("mediabudget").toString
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
@@ -341,19 +360,25 @@ class StreamingSpec extends SparkSuite {
       Streaming.mediaDedupQuery(src(), s"$work/out", s"$work/ck",
         maxQuadsPerBucket = 1).awaitTermination()
     }
-    run(a)    // batch 0: a admitted, state [a]
-    run(b)    // batch 1: b far from a → admitted; budget 1 evicts a
-    run(a)    // batch 2: a NOT flagged (evicted) → re-admitted, evicts b
-    run(a)    // batch 3: a IS flagged — resends inside the budget still flag
+    run(a)   // batch 0: a admitted, exact tier [a]
+    run(b)   // batch 1: b far from a → admitted; budget 1 evicts a → Bloom
+    run(av)  // batch 2: a's VARIANT: not near b, not a's exact fingerprint
+             // → NOT flagged — proves a left the exact tier (bounded
+             // state; unbounded state would hamming-flag it) and that the
+             // Bloom only answers exact resends; admitted, evicts b
+    run(b)   // batch 3: exact resend of the EVICTED b → Bloom flags it
+    run(av)  // batch 4: resend within the budget horizon → exact tier flags
     val rows = spark.read.parquet(s"$work/out").collect()
       .map(r => (r.getAs[Int]("ingest_batch").toLong, r.getAs[Long]("doc_id")) ->
         r.getAs[Boolean]("is_near_dup")).toMap
     assert(rows((0L, a)) == false && rows((1L, b)) == false)
-    assert(rows((2L, a)) == false,
-      "the budget must have evicted a — an unbounded state would flag this resend")
-    assert(rows((3L, a)) == true,
-      "a resend within the budget horizon must still flag")
-    assert(rows.size == 4)
+    assert(rows((2L, av)) == false,
+      "the budget must have evicted a — unbounded state would flag its variant")
+    assert(rows((3L, b)) == true,
+      "an exact resend of an evicted item must flag via the Bloom tier")
+    assert(rows((4L, av)) == true,
+      "a resend within the budget horizon must still flag via the exact tier")
+    assert(rows.size == 5)
   }
 
   test("streaming mixed-mime media near-dup: planted variants of all three modalities flag across a restart") {
