@@ -1353,7 +1353,7 @@ object Similarity {
     * [[annGraphSearch]]'s beam expansion verbatim. This closes the gap
     * between the member-query form (dedup / recommendation) and the
     * online-serving form (a NEW embedding arrives, find its neighbors).
-    * The default beam is WIDER than the member form's (32 vs 10): an
+    * The default beam is WIDER than the member form's (48 vs 10): an
     * anchored entry starts from a bucket-shaped frontier rather than the
     * query's own graph neighborhood, and beam and nTables are the recall
     * knobs that compensate. Measured mean recall@5 on the sweep grid
@@ -1361,7 +1361,11 @@ object Similarity {
     * 3×16 = 0.68, 3×32 = 0.88, 4×32 = 0.96 (sf0.001: 0.84) — beam is the
     * dominant lever once anchors diversify, and the per-table bucket
     * stays n/2^nBits, so probes buy recall LINEARLY in anchor cost, vs
-    * exponentially via fewer bits. Defaults pin the 4×32 point.
+    * exponentially via fewer bits. The default pins 4 tables × beam 48:
+    * at sf0.1 (2× the corpus, bits still 4) beam 32 read 0.72 and 48
+    * reads 0.78 at identical wall time, with sf0.01/sf0.001 unchanged
+    * (0.96/0.84) — the extra beam only costs inside the already-bounded
+    * per-query walk.
     *
     * Scale: the anchor step is one equi-join on the (table, bucket) key —
     * per query it touches an expected nTables·n/2^nBits corpus rows (size
@@ -1374,7 +1378,7 @@ object Similarity {
     * spec-asserted; the oracle replays descent + buckets + seed + walk. */
   def annGraphSearchOos(spark: SparkSession, sfDir: String, k: Int = 5,
       blockSize: Int = 100, rounds: Int = 2, stride: Int = 137,
-      beam: Int = 32, hops: Int = 3, topk: Int = 5,
+      beam: Int = 48, hops: Int = 3, topk: Int = 5,
       nBits: Int = 4, nTables: Int = 4): DataFrame =
     anchoredWalk(normedEmbeddings(spark, sfDir),
         pmod(col("vec_id"), lit(100L)) === 7,
@@ -1448,7 +1452,7 @@ object Similarity {
     * (neighbor overlap + mean-cos gap). */
   def annGraphInsert(spark: SparkSession, sfDir: String, k: Int = 5,
       blockSize: Int = 100, rounds: Int = 2, stride: Int = 137,
-      beam: Int = 32, hops: Int = 3, nBits: Int = 4,
+      beam: Int = 48, hops: Int = 3, nBits: Int = 4,
       nTables: Int = 4): DataFrame =
     anchoredWalk(normedEmbeddings(spark, sfDir),
         pmod(col("vec_id"), lit(100L)) === 3,
@@ -1461,7 +1465,7 @@ object Similarity {
     * the multi-probe anchor, and the walk replayed with the batch as the
     * query set. */
   def annGraphInsertSql(k: Int = 5, blockSize: Int = 100,
-      rounds: Int = 2, stride: Int = 137, beam: Int = 32, hops: Int = 3,
+      rounds: Int = 2, stride: Int = 137, beam: Int = 48, hops: Int = 3,
       nBits: Int = 4, nTables: Int = 4): String =
     s"""WITH ${oosWalkCtes(k, blockSize, rounds, stride, beam, hops, nBits,
         nTables, qMod = 3)}
@@ -1569,7 +1573,7 @@ object Similarity {
   /** Oracle for [[annGraphSearchOos]] — the held-out descent chain, the
     * multi-probe anchor joins, and the beam walk unrolled hop by hop. */
   def annGraphSearchOosSql(k: Int = 5, blockSize: Int = 100,
-      rounds: Int = 2, stride: Int = 137, beam: Int = 32, hops: Int = 3,
+      rounds: Int = 2, stride: Int = 137, beam: Int = 48, hops: Int = 3,
       topk: Int = 5, nBits: Int = 4, nTables: Int = 4): String =
     s"""WITH ${oosWalkCtes(k, blockSize, rounds, stride, beam, hops, nBits,
         nTables)}
@@ -1591,7 +1595,7 @@ object Similarity {
     * (query, target)-keyed and output-sized. */
   def annGraphRecall(spark: SparkSession, sfDir: String, k: Int = 5,
       blockSize: Int = 100, rounds: Int = 2, stride: Int = 137,
-      beam: Int = 32, hops: Int = 3, topk: Int = 5,
+      beam: Int = 48, hops: Int = 3, topk: Int = 5,
       nBits: Int = 4, nTables: Int = 4): DataFrame = {
     val all = normedEmbeddings(spark, sfDir)
     val isQuery = pmod(col("vec_id"), lit(100L)) === 7
@@ -1623,7 +1627,7 @@ object Similarity {
   /** Oracle for [[annGraphRecall]] — the shared walk CTEs plus a
     * brute-force exact top-k over the same corpus/query split. */
   def annGraphRecallSql(k: Int = 5, blockSize: Int = 100, rounds: Int = 2,
-      stride: Int = 137, beam: Int = 32, hops: Int = 3, topk: Int = 5,
+      stride: Int = 137, beam: Int = 48, hops: Int = 3, topk: Int = 5,
       nBits: Int = 4, nTables: Int = 4): String = {
     val c = cosSqlFragment.replace("QV", "qq.v").replace("TV", "t.v")
     s"""WITH ${oosWalkCtes(k, blockSize, rounds, stride, beam, hops, nBits,
