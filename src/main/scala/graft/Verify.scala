@@ -60,6 +60,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The authoritative query manifest: EVERY registered query name, written
+    // on full runs only (a subset run is a local iteration, not a gate).
+    // tools/check.py --json refuses to emit a correctness artifact unless
+    // every manifest entry is present and compared — the r13 lesson, where
+    // the round's CORRECTNESS artifact shipped as `{}` and nothing noticed.
+    if (only.isEmpty)
+      Files.writeString(Paths.get(s"$outDir/queries.json"),
+        SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -3,13 +3,26 @@
 dumped by graft.Verify, run the oracle SQL in DuckDB over the same parquet
 tables and compare rows/schema/values (columns sorted by name, exact).
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--json OUT] [query ...]
+
+--json OUT writes the driver-shaped per-query artifact
+  {name: {rows_match, schema_match, hash_match, spark_rows, oracle_rows, err}}
+and REFUSES to write anything unless every query in the Verify run's
+queries.json manifest is present and compared — the r13 lesson, where the
+round's CORRECTNESS artifact shipped as `{}` with the code in fact green
+and nothing in the pipeline noticed. An artifact that exists is complete.
 """
 import json, sys, glob, os
 import duckdb
 
-sf_dir, out_dir = sys.argv[1], sys.argv[2]
-only = set(sys.argv[3:])
+argv = list(sys.argv[1:])
+json_out = None
+if "--json" in argv:
+    i = argv.index("--json")
+    json_out = argv[i + 1]
+    del argv[i:i + 2]
+sf_dir, out_dir = argv[0], argv[1]
+only = set(argv[2:])
 
 with open(os.path.join(out_dir, "oracle_sql.json")) as f:
     oracles = json.load(f)
@@ -18,15 +31,29 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 fails = []
+report = {}
+
+
+def record(name, rows_match=False, schema_match=False, hash_match=False,
+           spark_rows=-1, oracle_rows=-1, err=None):
+    report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                    "hash_match": hash_match, "spark_rows": spark_rows,
+                    "oracle_rows": oracle_rows, "err": err}
+
+
 for name in sorted(only - set(oracles)):
     print(f"{name}: NOT IN oracle_sql.json (stale dump or missing oracle)")
+    record(name, err="not in oracle_sql.json")
     fails.append(name)
 for name in sorted(oracles):
     if only and name not in only:
         continue
     spark_glob = glob.glob(os.path.join(out_dir, name, "*.parquet"))
     if not spark_glob:
-        print(f"{name}: MISSING spark output"); fails.append(name); continue
+        print(f"{name}: MISSING spark output")
+        record(name, err="missing spark output")
+        fails.append(name)
+        continue
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -35,7 +62,10 @@ for name in sorted(oracles):
     try:
         odf = con.execute(oracles[name]).fetchdf()
     except Exception as e:
-        print(f"{name}: ORACLE ERROR {e}"); fails.append(name); continue
+        print(f"{name}: ORACLE ERROR {e}")
+        record(name, err=f"oracle error: {e}")
+        fails.append(name)
+        continue
     try:
         sdf = con.execute(
             f"SELECT * FROM read_parquet('{os.path.join(out_dir, name)}/*.parquet')"
@@ -43,13 +73,19 @@ for name in sorted(oracles):
     except Exception as e:
         # a partial/corrupt dump from an interrupted Verify run fails this
         # query only, not the whole gate
-        print(f"{name}: SPARK DUMP ERROR {e}"); fails.append(name); continue
+        print(f"{name}: SPARK DUMP ERROR {e}")
+        record(name, err=f"spark dump error: {e}")
+        fails.append(name)
+        continue
     ok = True
-    if len(sdf) != len(odf):
+    rows_match = len(sdf) == len(odf)
+    if not rows_match:
         print(f"{name}: rows {len(sdf)} vs {len(odf)}"); ok = False
     scols, ocols = sorted(sdf.columns), sorted(odf.columns)
-    if scols != ocols:
+    schema_match = scols == ocols
+    if not schema_match:
         print(f"{name}: cols {scols} vs {ocols}"); ok = False
+    hash_match = ok
     if ok and len(sdf):
         # POSITIONAL compare (row i vs row i), columns aligned by name —
         # the driver's gate hashes rows in order, so a broken ORDER BY
@@ -66,7 +102,10 @@ for name in sorted(oracles):
                       f"{sv.iloc[i]!r} vs {ov.iloc[i]!r} "
                       f"({int((~same).sum())} rows)")
                 ok = False
+                hash_match = False
     print(f"{name}: {'OK' if ok else 'FAIL'}")
+    record(name, rows_match=rows_match, schema_match=schema_match,
+           hash_match=hash_match, spark_rows=len(sdf), oracle_rows=len(odf))
     if not ok:
         fails.append(name)
     con.close()
@@ -79,6 +118,36 @@ if not only:
               if os.path.isdir(os.path.join(out_dir, d))}
     for name in sorted(dumped - set(oracles)):
         print(f"{name}: WARNING no oracle SQL — rows-only check at the driver")
+
+if json_out:
+    manifest_path = os.path.join(out_dir, "queries.json")
+    problems = []
+    if only:
+        problems.append("--json requires a FULL check (no query subset): "
+                        "a partial artifact would read as a partial suite")
+    if not os.path.exists(manifest_path):
+        problems.append(f"no {manifest_path} — rerun graft.Verify with no "
+                        "query subset (it writes the manifest on full runs)")
+    else:
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        if not manifest:
+            problems.append("queries.json manifest is EMPTY")
+        missing = sorted(set(manifest) - set(report))
+        if missing:
+            problems.append(f"{len(missing)} manifest queries not compared: "
+                            + ", ".join(missing[:10])
+                            + ("…" if len(missing) > 10 else ""))
+    if problems:
+        for p in problems:
+            print(f"ARTIFACT REFUSED: {p}")
+        sys.exit(2)
+    with open(json_out, "w") as f:
+        json.dump(report, f, indent=None, sort_keys=True)
+        f.write("\n")
+    n_ok = sum(1 for v in report.values()
+               if v["rows_match"] and v["schema_match"] and v["hash_match"])
+    print(f"artifact written: {json_out} ({n_ok}/{len(report)} green)")
 
 print(f"\n{'ALL GREEN' if not fails else 'FAILURES: ' + ', '.join(fails)}")
 sys.exit(1 if fails else 0)
