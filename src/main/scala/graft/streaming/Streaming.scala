@@ -42,12 +42,35 @@ case class MediaSigFlag(doc_id: Long, b0: Long, b1: Long, b2: Long,
   * admission order (oldest first); the lifetime count of quads the
   * per-bucket budget has evicted (carried in state so every eviction log
   * line can report the cumulative loss, never just the increment); and
-  * the HISTORICAL tier — a fixed 4096-bit Bloom filter over the EXACT
-  * fingerprints of evicted quads, so a byte-identical resend of an item
-  * the budget aged out still flags (~1 bit amortized per evicted item vs
-  * the exact tier's 32 bytes). Empty until the first eviction. */
+  * the HISTORICAL tier — TWO GENERATIONS of fixed 4096-bit Bloom filters
+  * over the EXACT fingerprints of evicted quads (~1 bit amortized per
+  * evicted item vs the exact tier's 32 bytes). `bloom` is the current
+  * generation with `bloomInserts` fingerprints in it; when it reaches
+  * [[Streaming.BloomGenCapacity]] it retires to `bloomPrev` (whose
+  * previous contents are FORGOTTEN) and a fresh filter starts — the
+  * rotation that bounds the false-positive rate a single ever-growing
+  * filter would silently push toward 100%. All tiers empty until the
+  * first eviction.
+  *
+  * CHECKPOINT COMPATIBILITY: this state schema has changed across
+  * releases (r13 added `evicted`/`bloom`; r14 added `bloomInserts`/
+  * `bloomPrev`). Restarting a streaming query from a checkpoint written
+  * under an older schema fails Spark's state-store compatibility check —
+  * upgrading requires RESETTING the checkpoint (and accepting a fresh
+  * seen-corpus, or replaying the source). The "seen corpus survives
+  * restarts" contract holds within one state-schema generation, not
+  * across upgrades. */
 case class BucketQuads(sigs: Array[Long], evicted: Long = 0L,
-  bloom: Array[Long] = Array.empty[Long])
+  bloom: Array[Long] = Array.empty[Long], bloomInserts: Long = 0L,
+  bloomPrev: Array[Long] = Array.empty[Long])
+
+/** One bucket-fold's verdicts plus its carried-forward state — the return
+  * shape of [[Streaming.dedupAgainstQuads]]. `evicted` and `rotated` are
+  * THIS batch's counts; callers must log both when nonzero (a bounded cap
+  * is never silent — the [[graft.operators.Dedup]] cellCap precedent). */
+case class QuadFold[T](out: Seq[T], quads: Array[Long],
+  bloom: Array[Long], bloomInserts: Long, bloomPrev: Array[Long],
+  evicted: Int, rotated: Int)
 
 /** [[Streaming.mixedMediaDedupStream]]'s per-item verdict: the mime the
   * payload dispatched to, its modality signature, and whether an admitted
@@ -889,18 +912,26 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (bucket, rows, state) =>
           val st = state.getOption.getOrElse(BucketQuads(Array.empty[Long]))
-          val (out, quads, bloom, ev) = dedupAgainstQuads(rows.toSeq, st.sigs,
-            maxHamming, maxQuadsPerBucket, st.bloom) { (m, dup) =>
+          val r = dedupAgainstQuads(rows.toSeq, st.sigs,
+            maxHamming, maxQuadsPerBucket, st.bloom, st.bloomInserts,
+            st.bloomPrev) { (m, dup) =>
             MediaSigFlag(m.doc_id, m.b0, m.b1, m.b2, m.b3, dup)
           }
-          if (ev > 0) System.err.println(
-            s"[graft] mediaDedupStream: bucket $bucket evicted $ev " +
-              s"oldest signature(s) to the Bloom tier (budget " +
-              s"$maxQuadsPerBucket, lifetime ${st.evicted + ev}) — exact " +
-              "resends of evicted items still flag; their NEAR-dups " +
-              "re-admit as new (DefaultBucketBudget's state contract).")
-          state.update(BucketQuads(quads, st.evicted + ev, bloom))
-          out.iterator
+          if (r.evicted > 0) System.err.println(
+            s"[graft] mediaDedupStream: bucket $bucket evicted " +
+              s"${r.evicted} oldest signature(s) to the Bloom tier (budget " +
+              s"$maxQuadsPerBucket, lifetime ${st.evicted + r.evicted}) — " +
+              "exact resends flag within the Bloom horizon; NEAR-dups of " +
+              "evicted items re-admit (DefaultBucketBudget's state contract).")
+          if (r.rotated > 0) System.err.println(
+            s"[graft] mediaDedupStream: bucket $bucket rotated " +
+              s"${r.rotated} Bloom generation(s) at capacity " +
+              s"$BloomGenCapacity — exact resends older than " +
+              s"~${2 * BloomGenCapacity} evictions no longer flag; the FP " +
+              "drop rate stays bounded (BloomGenCapacity's contract).")
+          state.update(BucketQuads(r.quads, st.evicted + r.evicted,
+            r.bloom, r.bloomInserts, r.bloomPrev))
+          r.out.iterator
       }
   }
 
@@ -915,22 +946,28 @@ object Streaming {
     *    oldest-admitted out first (the dedup-vs-all-history state would
     *    otherwise grow corpus-sized — [[DefaultBucketBudget]]'s recall
     *    contract).
-    *  - BLOOM-HISTORICAL: evicted quads' exact fingerprints enter a fixed
-    *    4096-bit per-bucket Bloom filter, so a BYTE-IDENTICAL resend of an
-    *    aged-out item still flags (no false negatives for exact resends,
-    *    ever; false positives at the standard Bloom rate). Near-dups of
+    *  - BLOOM-HISTORICAL: evicted quads' exact fingerprints enter the
+    *    bucket's CURRENT 4096-bit Bloom generation, so a BYTE-IDENTICAL
+    *    resend of a recently-aged-out item still flags. A generation
+    *    retires after [[BloomGenCapacity]] inserts (the previous
+    *    generation's contents are forgotten, the rotation logged by
+    *    callers), which BOUNDS the false-positive rate: a single
+    *    ever-growing filter silently trends toward flagging — and
+    *    therefore DROPPING — every fresh item in a hot bucket. Probes
+    *    check both live generations, so exact resends flag across the
+    *    last ≈ 2·[[BloomGenCapacity]] evictions per bucket; near-dups of
     *    evicted items remain the budget's documented recall loss — a
     *    Bloom cannot answer hamming queries.
-    * Returns the verdicts, the (budgeted) quads, the updated bloom, and
-    * the number of quads evicted this batch — callers must log a nonzero
-    * count (the [[graft.operators.Dedup]] cellCap precedent: a bounded
+    * Returns a [[QuadFold]]: the verdicts, the carried-forward state, and
+    * this batch's evicted/rotated counts — callers must log both when
+    * nonzero (the [[graft.operators.Dedup]] cellCap precedent: a bounded
     * cap is never silent). */
   private[graft] def dedupAgainstQuads[T](
       items: Seq[graft.operators.Multimodal.HashBands], quads0: Array[Long],
-      maxHamming: Int, maxQuads: Int, bloom0: Array[Long] = Array.empty[Long])(
-      mk: (graft.operators.Multimodal.HashBands, Boolean) => T): (Seq[T], Array[Long], Array[Long], Int) = {
+      maxHamming: Int, maxQuads: Int, bloom0: Array[Long] = Array.empty[Long],
+      bloomInserts0: Long = 0L, bloomPrev0: Array[Long] = Array.empty[Long])(
+      mk: (graft.operators.Multimodal.HashBands, Boolean) => T): QuadFold[T] = {
     var quads = quads0
-    var bloom = bloom0
     def hamming(o: Int, m: graft.operators.Multimodal.HashBands): Int =
       java.lang.Long.bitCount(quads(o) ^ m.b0) +
         java.lang.Long.bitCount(quads(o + 1) ^ m.b1) +
@@ -945,8 +982,12 @@ object Streaming {
       x = x ^ (x >>> 31)
       Seq(0, 12, 24).map(s => ((x >>> s) & 0xfff).toInt)
     }
+    def inWords(words: Array[Long],
+        m: graft.operators.Multimodal.HashBands): Boolean =
+      words.nonEmpty && bits(m).forall(b => (words(b >> 6) & (1L << (b & 63))) != 0)
+    // probe BOTH live generations — state as passed in; inserts land below
     def inBloom(m: graft.operators.Multimodal.HashBands): Boolean =
-      bloom.nonEmpty && bits(m).forall(b => (bloom(b >> 6) & (1L << (b & 63))) != 0)
+      inWords(bloom0, m) || inWords(bloomPrev0, m)
     val out = items.sortBy(_.doc_id).map { m =>
       val dup = quads.indices.by(4).exists(o => hamming(o, m) <= maxHamming) ||
         inBloom(m)
@@ -958,17 +999,42 @@ object Streaming {
     // always collapse); only the carried-forward state is clipped, and the
     // clipped quads' fingerprints move to the historical tier
     val over = quads.length / 4 - maxQuads
-    if (over <= 0) (out, quads, bloom, 0)
+    if (over <= 0) QuadFold(out, quads, bloom0, bloomInserts0, bloomPrev0, 0, 0)
     else {
-      if (bloom.isEmpty) bloom = new Array[Long](64)
-      else bloom = bloom.clone() // never mutate the state object in place
+      var bloom =
+        if (bloom0.isEmpty) new Array[Long](64)
+        else bloom0.clone() // never mutate the state object in place
+      var prev = bloomPrev0
+      var inserts = bloomInserts0
+      var rotated = 0
       quads.take(4 * over).grouped(4).foreach { q =>
+        if (inserts >= BloomGenCapacity) {
+          // generation rotation: current retires to prev (prev's contents
+          // are forgotten), a fresh filter starts — each generation holds
+          // ≤ BloomGenCapacity fingerprints, so the FP rate stays bounded
+          prev = bloom; bloom = new Array[Long](64); inserts = 0
+          rotated += 1
+        }
         bits(graft.operators.Multimodal.HashBands(0L, q(0), q(1), q(2), q(3)))
           .foreach(b => bloom(b >> 6) |= 1L << (b & 63))
+        inserts += 1
       }
-      (out, quads.drop(4 * over), bloom, over)
+      QuadFold(out, quads.drop(4 * over), bloom, inserts, prev, over, rotated)
     }
   }
+
+  /** Inserts one 4096-bit Bloom generation accepts before it retires.
+    * At m = 4096 bits / k = 3 probes, n = 400 inserts gives a worst-case
+    * per-generation false-positive rate of (1 − e^(−kn/m))³ ≈ 1.6%;
+    * probing two live generations bounds the total at ≈ 3.2% — vs the
+    * unrotated filter, whose FP rate passes 10% after ~1k evictions and
+    * trends toward 100% in a hot bucket (each false positive silently
+    * DROPS a genuinely new item at the ingest edge). The price of the
+    * bound is a finite exact-resend horizon: a byte-identical resend
+    * flags while its fingerprint is within the last ≈ 2·400 evictions of
+    * its bucket; older resends re-admit (rotation is logged, like
+    * evictions — never silent). */
+  val BloomGenCapacity = 400L
 
   /** Default per-bucket quad budget for the streaming media-dedup state.
     *
@@ -979,17 +1045,22 @@ object Streaming {
     * and the per-arrival linear scan makes each hot bucket quadratic over
     * its lifetime. The budget caps both: state ≤ budget·2¹⁶ quads per
     * modality (4096 ⇒ ≤ 8 GiB/modality worst-case, far less in practice)
-    * and per-arrival work ≤ budget hamming checks + one Bloom probe.
-    * Evicted quads don't vanish: their EXACT fingerprints enter the
-    * bucket's fixed 4096-bit Bloom tier, so a byte-identical resend of an
-    * aged-out item still flags at ~1 amortized bit per evicted item. The
-    * price that remains is NEAR-DUP RECALL AGAINST DEEP HISTORY: a
-    * hamming-close variant of an evicted item re-admits as new
-    * (oldest-admitted evicted first, so the miss is against the OLDEST
-    * history; a Bloom cannot answer hamming queries). Every eviction is
-    * logged with the bucket's lifetime loss — never silent. Size the
-    * budget to the modality's NEAR-dup horizon (how far back an EDIT must
-    * still flag — exact resends flag forever); the offline batch dedup
+    * and per-arrival work ≤ budget hamming checks + two Bloom probes.
+    * Evicted quads don't vanish immediately: their EXACT fingerprints
+    * enter the bucket's current 4096-bit Bloom generation (~1 amortized
+    * bit per evicted item), so a byte-identical resend of a recently
+    * aged-out item still flags — for the last ≈ 2·[[BloomGenCapacity]]
+    * evictions per bucket, the generation-rotation horizon that keeps the
+    * tier's false-positive DROP rate bounded at ~3% instead of silently
+    * saturating (BloomGenCapacity's contract). The price that remains is
+    * NEAR-DUP RECALL AGAINST DEEP HISTORY: a hamming-close variant of an
+    * evicted item re-admits as new (oldest-admitted evicted first, so the
+    * miss is against the OLDEST history; a Bloom cannot answer hamming
+    * queries). Every eviction and every rotation is logged with the
+    * bucket's lifetime loss — never silent. Size the budget to the
+    * modality's NEAR-dup horizon (how far back an EDIT must still flag)
+    * and the Bloom capacity to the exact-resend horizon; the offline
+    * batch dedup
     * ([[graft.operators.Multimodal.imageDedup]] family) remains the
     * exhaustive reconciliation, exactly like the reference's checker
     * pattern (G1/G2). */
@@ -1075,18 +1146,25 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case ((mime, bucket), rows, state) =>
           val st = state.getOption.getOrElse(BucketQuads(Array.empty[Long]))
-          val (out, quads, bloom, ev) = dedupAgainstQuads(rows.map(_._2).toSeq,
-            st.sigs, maxHamming, maxQuadsPerBucket, st.bloom) { (m, dup) =>
+          val r = dedupAgainstQuads(rows.map(_._2).toSeq,
+            st.sigs, maxHamming, maxQuadsPerBucket, st.bloom,
+            st.bloomInserts, st.bloomPrev) { (m, dup) =>
             MixedSigFlag(m.doc_id, mime, m.b0, m.b1, m.b2, m.b3, dup)
           }
-          if (ev > 0) System.err.println(
+          if (r.evicted > 0) System.err.println(
             s"[graft] mixedMediaDedupStream: bucket ($mime, $bucket) " +
-              s"evicted $ev oldest signature(s) to the Bloom tier (budget " +
-              s"$maxQuadsPerBucket, lifetime ${st.evicted + ev}) — exact " +
-              "resends still flag; near-dups of evicted items re-admit " +
+              s"evicted ${r.evicted} oldest signature(s) to the Bloom tier " +
+              s"(budget $maxQuadsPerBucket, lifetime " +
+              s"${st.evicted + r.evicted}) — exact resends flag within the " +
+              "Bloom horizon; near-dups of evicted items re-admit " +
               "(DefaultBucketBudget).")
-          state.update(BucketQuads(quads, st.evicted + ev, bloom))
-          out.iterator
+          if (r.rotated > 0) System.err.println(
+            s"[graft] mixedMediaDedupStream: bucket ($mime, $bucket) " +
+              s"rotated ${r.rotated} Bloom generation(s) at capacity " +
+              s"$BloomGenCapacity (BloomGenCapacity's contract).")
+          state.update(BucketQuads(r.quads, st.evicted + r.evicted,
+            r.bloom, r.bloomInserts, r.bloomPrev))
+          r.out.iterator
       }
   }
 

@@ -287,12 +287,12 @@ class StreamingSpec extends SparkSuite {
     // 6 mutually-far signatures (distinct high bits in every band)
     val items = (0 until 6).map(i =>
       HashBands(i.toLong, 1L << i, 1L << (i + 6), 1L << (i + 3), 1L << (i + 9)))
-    val (out, quads, bloom, ev) = Streaming.dedupAgainstQuads(
+    val r = Streaming.dedupAgainstQuads(
       items, Array.empty[Long], 6, 3)((m, dup) => (m.doc_id, dup))
-    assert(out.forall(!_._2), "mutually-far items must all admit")
-    assert(ev == 3, "6 admitted into a budget of 3 evicts the oldest 3")
-    assert(quads.length == 12, "state clipped to budget quads")
-    assert(quads(0) == items(3).b0 && quads(8) == items(5).b0,
+    assert(r.out.forall(!_._2), "mutually-far items must all admit")
+    assert(r.evicted == 3, "6 admitted into a budget of 3 evicts the oldest 3")
+    assert(r.quads.length == 12, "state clipped to budget quads")
+    assert(r.quads(0) == items(3).b0 && r.quads(8) == items(5).b0,
       "eviction is oldest-admitted-first: survivors are the newest 3")
     // the historical tier: an EXACT resend of evicted item 0 flags on the
     // Bloom; a far-from-everything fresh item does not (no blanket FP)
@@ -300,20 +300,79 @@ class StreamingSpec extends SparkSuite {
     // b3 uses bit 2: bit 12 would tie item 3's b3 (i+9) and land the
     // four-band hamming exactly at the threshold 6 via the exact tier
     val fresh = HashBands(51L, 1L << 15, 1L << 14, 1L << 13, 1L << 2)
-    val (out3, _, _, _) = Streaming.dedupAgainstQuads(
-      Seq(resend, fresh), quads, 6, 3, bloom)((m, dup) => (m.doc_id, dup))
-    assert(out3.find(_._1 == 50L).exists(_._2),
+    val r3 = Streaming.dedupAgainstQuads(
+      Seq(resend, fresh), r.quads, 6, 3, r.bloom, r.bloomInserts,
+      r.bloomPrev)((m, dup) => (m.doc_id, dup))
+    assert(r3.out.find(_._1 == 50L).exists(_._2),
       "exact resend of an evicted item must flag via the Bloom tier")
-    assert(out3.find(_._1 == 51L).exists(!_._2),
+    assert(r3.out.find(_._1 == 51L).exists(!_._2),
       "a genuinely fresh far item must not Bloom-flag")
     // within a batch the budget never hides an earlier admit: a resend of
     // item 0 in the SAME batch flags even though item 0 won't survive
-    val (out2, _, _, ev2) = Streaming.dedupAgainstQuads(
+    val r2 = Streaming.dedupAgainstQuads(
       items :+ items(0).copy(doc_id = 99L), Array.empty[Long], 6, 3)(
       (m, dup) => (m.doc_id, dup))
-    assert(out2.find(_._1 == 99L).exists(_._2),
+    assert(r2.out.find(_._1 == 99L).exists(_._2),
       "in-batch resend must flag against the pre-clip state")
-    assert(ev2 == 3)
+    assert(r2.evicted == 3)
+  }
+
+  test("media-dedup Bloom tier: generation rotation bounds the saturated-filter FP drop rate, novel items still admit") {
+    import operators.Multimodal.HashBands
+    // Mutually-far items (distinct id in every band shifted apart) with
+    // maxHamming 0: nothing ever hamming-matches, every distinct item
+    // admits, and budget 1 evicts continuously — the hot-bucket flood that
+    // saturates an unrotated Bloom. 1000 evictions at BloomGenCapacity=400
+    // must rotate twice (at insert 400 and 800).
+    def item(i: Long) = HashBands(i, i, i << 1, i << 2, i << 3)
+    var quads = Array.empty[Long]
+    var bloom = Array.empty[Long]
+    var prev = Array.empty[Long]
+    var inserts = 0L
+    var rotations = 0
+    var fpDrops = 0
+    val evictions = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (0L until 1001L).foreach { i =>
+      val before = quads.grouped(4).map(_(0)).toSeq
+      val r = Streaming.dedupAgainstQuads(Seq(item(i)), quads, 0, 1,
+        bloom, inserts, prev)((m, dup) => (m.doc_id, dup))
+      // every item is novel (all-distinct, maxHamming 0): any flag is a
+      // Bloom FALSE-POSITIVE DROP — the quantity the rotation bounds
+      if (r.out.head._2) fpDrops += 1
+      else evictions ++= before // budget 1: admitting evicts the incumbent
+      quads = r.quads; bloom = r.bloom; prev = r.bloomPrev
+      inserts = r.bloomInserts; rotations += r.rotated
+    }
+    // the bounded-FP contract: worst-case per-generation FP ≈ 1.6%, two
+    // probed generations ≈ 3.2% — assert with headroom. An UNROTATED
+    // 4096-bit filter fed 1000 fingerprints sits at ~25% FP and climbing.
+    assert(fpDrops.toDouble / 1001 < 0.06,
+      s"$fpDrops FP drops in 1001 novel arrivals — the rotation must " +
+        "bound the drop rate at ~3%")
+    assert(rotations == 2,
+      s"~1000 evictions at capacity ${Streaming.BloomGenCapacity} must " +
+        s"rotate exactly twice, got $rotations (${evictions.size} evictions)")
+    // the current generation holds ≤ capacity fingerprints: its fill stays
+    // far below the ~50% a saturated single filter reaches (the FP bound)
+    val fill = bloom.map(java.lang.Long.bitCount).sum / 4096.0
+    assert(fill < 0.3, f"current generation fill $fill%.2f must stay bounded")
+    // exact-resend horizon: an item evicted RECENTLY (within the last two
+    // generations) still flags; one evicted before both live generations
+    // (retired by the second rotation) re-admits — the documented
+    // forgetting that buys the FP bound.
+    val recent = evictions(evictions.size - 100)
+    val rRecent = Streaming.dedupAgainstQuads(
+      Seq(item(recent).copy(doc_id = 2000L)),
+      quads, 0, 1, bloom, inserts, prev)((m, dup) => (m.doc_id, dup))
+    assert(rRecent.out.head._2,
+      "an exact resend within the two-generation horizon must flag")
+    val ancient = evictions(50) // insert ordinal 50: generation 0, forgotten
+    val rAncient = Streaming.dedupAgainstQuads(
+      Seq(item(ancient).copy(doc_id = 2001L)),
+      quads, 0, 1, bloom, inserts, prev)((m, dup) => (m.doc_id, dup))
+    assert(!rAncient.out.head._2,
+      "an exact resend older than both live generations re-admits — the " +
+        "bounded-FP trade (BloomGenCapacity's contract)")
   }
 
   test("media-dedup state budget: bounded state under a same-bucket flood, Bloom catches evicted exact resends") {
