@@ -1228,6 +1228,45 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** Corpus-derived LSH width — the AUTO-SIZING rule the fixed-bits docs
+    * prescribed by hand ("bits must GROW with the corpus") turned into
+    * code: the smallest width in [minBits, maxBits] whose expected bucket
+    * n/2^width is ≤ `target`, as a CASE chain over the count column
+    * (exact integer comparisons — no log2, whose last-ulp rounding could
+    * diverge between engines at a power-of-two boundary). The count comes
+    * from one cheap corpus agg that BROADCASTS (the
+    * [[dedupSemantic]] cellCap precedent); [[autoBitsSqlExpr]] is the
+    * oracle-side twin. Callers pass nBits = 0 to request auto mode. */
+  private[operators] def autoBitsCol(n: Column, target: Int,
+      minBits: Int, maxBits: Int): Column =
+    (minBits until maxBits).reverse.foldLeft(lit(maxBits): Column) {
+      (acc, b) => when(n <= lit(target.toLong << b), lit(b)).otherwise(acc)
+    }
+
+  /** [[autoBitsCol]] as a DuckDB scalar expression over a BIGINT count
+    * expression — the same integer CASE chain, term for term. */
+  private[operators] def autoBitsSqlExpr(nExpr: String, target: Int,
+      minBits: Int, maxBits: Int): String =
+    "CASE " + (minBits until maxBits)
+      .map(b => s"WHEN $nExpr <= ${target.toLong << b} THEN $b")
+      .mkString(" ") + s" ELSE $maxBits END"
+
+  /** [[lshBucketCol]] with a RUNTIME width: bit j (plane offset+j, j <
+    * maxBits) contributes iff j < `nb` — so a dynamically sized bucket
+    * equals `lshBucketCol(nb, offset)` exactly (low bits = first planes),
+    * while the plane SET stays static (plan-buildable). The `j < nb`
+    * guard short-circuits codegen's And, so planes past the sized width
+    * cost nothing per row. `nb` is [[autoBitsCol]]'s broadcast column. */
+  private[operators] def lshBucketColDyn(maxBits: Int, offset: Int,
+      nb: Column): Column = {
+    val planes = lshPlanes(maxBits, offset)
+    (0 until maxBits).map { j =>
+      when(lit(j) < nb &&
+          call_function("array_dot", col("v"), typedlit(planes(j))) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** Embedding near-dup WITHOUT labels — the unlabeled-corpus scale path:
     * `nBits`-bit random-hyperplane LSH bucket per vector (sign of dot with
     * each plane), candidates from an equi-join on the bucket, exact cosine
@@ -1276,6 +1315,80 @@ object Dedup {
       |          (s, x) -> s + x) > 0
       |        THEN CAST(pow(2, j - $offset) AS BIGINT) ELSE 0 END)),
       |      (acc, x) -> acc + x)""".stripMargin
+
+  /** [[lshBucketColDyn]]'s oracle-side twin: the static-plane bucket sum
+    * with each term gated on `j - offset < widthExpr` — `widthExpr` is a
+    * column reference to [[autoBitsSqlExpr]]'s derived width (cross-joined
+    * in by the caller's CTE). */
+  private[operators] def lshBucketSqlExprDyn(maxBits: Int, offset: Int,
+      widthExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series($offset, ${offset + maxBits - 1}), j ->
+      |        CASE WHEN j - $offset < $widthExpr AND list_reduce(list_prepend(0.0::DOUBLE,
+      |          list_transform(generate_series(1, 64), i ->
+      |            v[i] * ((CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0))),
+      |          (s, x) -> s + x) > 0
+      |        THEN CAST(pow(2, j - $offset) AS BIGINT) ELSE 0 END)),
+      |      (acc, x) -> acc + x)""".stripMargin
+
+  /** [[dedupEmbeddingLsh]] with the bucket width derived from the corpus
+    * count instead of hand-picked — [[autoBitsCol]]'s rule with the dedup
+    * family's tighter target ([[DedupTargetBucket]]: the verify join costs
+    * Σ bucket², so dedup buckets stay an order smaller than the ANN
+    * anchor's). One cheap count agg broadcasts; the bucket column is the
+    * dynamic-width form over a static plane set, so the plan shape is
+    * IDENTICAL at every corpus size — only the derived width changes. A
+    * user at 10× the corpus no longer silently runs under-sized bits (the
+    * r13 soak's exp-blowup foot-gun, now sized away by construction). */
+  def dedupEmbeddingLshAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    val e0 = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val nb = broadcast(e0.agg(autoBitsCol(count(lit(1)),
+      DedupTargetBucket, DedupMinBits, DedupMaxBits).as("auto_w")))
+    val e = e0.crossJoin(nb)
+      .withColumn("n", Similarity.norm(col("v")))
+      .withColumn("bucket", lshBucketColDyn(DedupMaxBits, 0, col("auto_w")))
+      .repartition(col("bucket"))
+    e.as("a").join(e.as("b"),
+      col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.bucket").as("bucket"),
+        Exprs.r4(Similarity.dot(col("a.v"), col("b.v"))
+          / (col("a.n") * col("b.n"))).as("cos"))
+      .filter(col("cos") >= 0.2)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** [[dedupEmbeddingLshAuto]]'s sizing constants: expected bucket ≤ 32
+    * rows (Σ bucket² stays ~32·n), width ∈ [4, 20] — 20 bits covers a
+    * ~3·10⁷-row bucket table at the target; past that, raise the cap. */
+  val DedupTargetBucket = 32
+  val DedupMinBits = 4
+  val DedupMaxBits = 20
+
+  /** Oracle for [[dedupEmbeddingLshAuto]] — the auto-width CASE chain over
+    * the corpus count, cross-joined, gating the same static plane sum. */
+  def dedupEmbeddingLshAutoSql: String =
+    s"""WITH e0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |wdt AS (
+      |  SELECT ${autoBitsSqlExpr("count(*)", DedupTargetBucket,
+            DedupMinBits, DedupMaxBits)} AS auto_w FROM e0),
+      |e AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(v, x -> x * x)),
+      |      (acc, x) -> acc + x)) AS n,
+      |    ${lshBucketSqlExprDyn(DedupMaxBits, 0, "auto_w")} AS bucket
+      |  FROM e0, wdt),
+      |p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64),
+      |      i -> a.v[i] * b.v[i])), (acc, x) -> acc + x) / (a.n * b.n) AS c
+      |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, bucket, floor(c * 10000 + 0.5) / 10000 AS cos
+      |FROM p WHERE floor(c * 10000 + 0.5) / 10000 >= 0.2
+      |ORDER BY vec_a, vec_b""".stripMargin
 
   def dedupEmbeddingLshSql(nBits: Int): String =
     s"""WITH e0 AS (
