@@ -939,18 +939,23 @@ object Multimodal {
     * so the hash matches iff the PNG roundtrip is bit-exact AND the LSH
     * candidate set and hamming arithmetic agree. */
   def imageDedup(spark: SparkSession, sfDir: String,
-      maxHamming: Int = DefaultMaxHamming): DataFrame = {
+      maxHamming: Int = DefaultMaxHamming): DataFrame =
+    bandPairs(imageSigs(spark, sfDir), maxHamming)
+
+  /** Every doc's image signature — the one encode→decode→hash scan stage,
+    * shared by the batch self-dedup ([[imageDedup]]) and the incremental
+    * batch-vs-base form ([[imageDedupIncremental]]). */
+  private def imageSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ids = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .select(col("doc_id")).as[Long]
-    val sig = ids.mapPartitions { it =>
-      val writer = javax.imageio.ImageIO
-        .getImageWritersByFormatName("png").next()
-      val reader = javax.imageio.ImageIO
-        .getImageReadersByFormatName("png").next()
-      it.map(id => imageSignature(writer, reader, id))
-    }.toDF()
-    bandPairs(sig, maxHamming)
+      .mapPartitions { it =>
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        it.map(id => imageSignature(writer, reader, id))
+      }.toDF()
   }
 
   /** One id's dHash signature: fixture PNG encode, REAL decode, 2×2 block
@@ -1001,7 +1006,12 @@ object Multimodal {
     * sums → bit packing → the SAME banded-LSH candidate join → exact
     * hamming verify. Matches iff the PNG roundtrip is bit-exact and the
     * LSH semantics agree. */
-  val imageDedupSql: String =
+  // lazy: the bit-CTE prefix is declared below (an eager val would null-init)
+  lazy val imageDedupSql: String = imageBitCte + bandPairsSqlTail(DefaultMaxHamming)
+
+  /** The image dHash bit pipeline as a WITH prefix (ends at the `bit`
+    * CTE) — shared by the self-dedup and incremental oracles. */
+  private val imageBitCte: String =
     """WITH d AS (
       |  SELECT doc_id, doc_id // 4 AS fam, doc_id % 4 AS v FROM documents),
       |px AS (
@@ -1022,7 +1032,7 @@ object Multimodal {
       |  FROM blk l JOIN blk r
       |    ON r.doc_id = l.doc_id AND r.by = l.by AND r.bx = l.bx + 1
       |  WHERE l.bx < 8),
-      |""".stripMargin + bandPairsSqlTail(DefaultMaxHamming)
+      |""".stripMargin
 
   /** Audio near-duplicate detection over REAL RIFF/WAVE payloads — the
     * audio-modality member of the near-dup family, closing the verb
@@ -1052,21 +1062,25 @@ object Multimodal {
     * join, so a hash match proves the WAV roundtrip bit-exact AND the
     * LSH semantics agree. */
   def audioDedup(spark: SparkSession, sfDir: String,
-      maxHamming: Int = DefaultMaxHamming): DataFrame = {
+      maxHamming: Int = DefaultMaxHamming): DataFrame =
+    bandPairs(audioSigs(spark, sfDir), maxHamming)
+
+  /** Every doc's audio signature — shared scan stage ([[imageSigs]]'
+    * contract for the WAV envelope hash). */
+  private def audioSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ids = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .select(col("doc_id")).as[Long]
-    val sig = ids.mapPartitions { it =>
-      import scala.jdk.CollectionConverters._
-      val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
-      val writer = java.util.ServiceLoader
-        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
-        .iterator().asScala
-        .find(_.isFileTypeSupported(wave))
-        .getOrElse(sys.error("no WAVE AudioFileWriter provider"))
-      it.map(id => audioSignature(writer, id))
-    }.toDF()
-    bandPairs(sig, maxHamming)
+      .mapPartitions { it =>
+        import scala.jdk.CollectionConverters._
+        val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+        val writer = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+          .iterator().asScala
+          .find(_.isFileTypeSupported(wave))
+          .getOrElse(sys.error("no WAVE AudioFileWriter provider"))
+        it.map(id => audioSignature(writer, id))
+      }.toDF()
   }
 
   /** One id's envelope-gradient signature: fixture WAV encode, REAL
@@ -1126,7 +1140,12 @@ object Multimodal {
   /** The envelope-hash pipeline replayed relationally — sample formula →
     * window energies → bit packing → the SAME banded-LSH candidate join →
     * exact hamming verify. */
-  val audioDedupSql: String =
+  // lazy: the bit-CTE prefix is declared below (an eager val would null-init)
+  lazy val audioDedupSql: String = audioBitCte + bandPairsSqlTail(DefaultMaxHamming)
+
+  /** The audio envelope bit pipeline as a WITH prefix ([[imageBitCte]]'s
+    * contract). */
+  private val audioBitCte: String =
     """WITH d AS (
       |  SELECT doc_id, doc_id // 4 AS fam, doc_id % 4 AS v FROM documents),
       |fr AS (
@@ -1145,7 +1164,7 @@ object Multimodal {
       |    CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
       |  FROM win l JOIN win r ON r.doc_id = l.doc_id AND r.w = l.w + 1
       |  WHERE l.w < 64),
-      |""".stripMargin + bandPairsSqlTail(DefaultMaxHamming)
+      |""".stripMargin
 
   /** Video near-duplicate detection over REAL animated-GIF payloads —
     * the last modality of the near-dup family (text / embedding / image /
@@ -1168,18 +1187,22 @@ object Multimodal {
     * exchange, typed plan audit), oracle replays the middle-frame formula
     * through the SAME relational tail. */
   def videoDedup(spark: SparkSession, sfDir: String,
-      maxHamming: Int = DefaultMaxHamming): DataFrame = {
+      maxHamming: Int = DefaultMaxHamming): DataFrame =
+    bandPairs(videoSigs(spark, sfDir), maxHamming)
+
+  /** Every doc's video signature — shared scan stage ([[imageSigs]]'
+    * contract for the middle-frame GIF dHash). */
+  private def videoSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ids = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .select(col("doc_id")).as[Long]
-    val sig = ids.mapPartitions { it =>
-      val writer = javax.imageio.ImageIO
-        .getImageWritersByFormatName("gif").next()
-      val reader = javax.imageio.ImageIO
-        .getImageReadersByFormatName("gif").next()
-      it.map(id => videoSignature(writer, reader, id))
-    }.toDF()
-    bandPairs(sig, maxHamming)
+      .mapPartitions { it =>
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        it.map(id => videoSignature(writer, reader, id))
+      }.toDF()
   }
 
   /** One id's frame-sampled signature: fixture animated-GIF encode, REAL
@@ -1333,7 +1356,12 @@ object Multimodal {
 
   /** The middle-frame dHash replayed relationally through the shared
     * band tail. */
-  val videoDedupSql: String =
+  // lazy: the bit-CTE prefix is declared below (an eager val would null-init)
+  lazy val videoDedupSql: String = videoBitCte + bandPairsSqlTail(DefaultMaxHamming)
+
+  /** The video middle-frame bit pipeline as a WITH prefix
+    * ([[imageBitCte]]'s contract). */
+  private val videoBitCte: String =
     """WITH d AS (
       |  SELECT doc_id, doc_id // 4 AS fam, doc_id % 4 AS v FROM documents),
       |px AS (
@@ -1354,9 +1382,183 @@ object Multimodal {
       |  FROM blk l JOIN blk r
       |    ON r.doc_id = l.doc_id AND r.by = l.by AND r.bx = l.bx + 1
       |  WHERE l.bx < 8),
-      |""".stripMargin + bandPairsSqlTail(DefaultMaxHamming)
+      |""".stripMargin
 
   // declared AFTER videoDedupSql — a val referencing a later val in the
   // same object would initialize to null
   val videoDedupEvalSql: String = dedupEvalSqlOf(videoDedupSql)
+
+  /** Incremental media near-dup — [[graft.operators.Dedup.dedupIncremental]]'s
+    * batch-vs-base verb for the media modalities: a NEW payload batch
+    * (`doc_id % 10 = 9`, the text form's convention) signature-hashes in
+    * the scan stage and band-joins against the BASE signatures only — the
+    * base NEVER self-joins (plan-audited), so a daily ingest pays
+    * batch×base band-bucket work instead of re-paying the full corpus's
+    * Σ bucket² (the batch dedupers remain the exhaustive reconciliation,
+    * the reference's checker pattern). At 100 TB the base side is a
+    * precomputed signature table the (small) batch probes — here both
+    * sides hash in one scan because signatures are fixture-derived, but
+    * the join asymmetry is the production shape.
+    *
+    * Output matches the text form's presentation: one verdict per flagged
+    * new doc — (new_id, kind, dup_of). `kind` = 'exact' when some base
+    * signature is IDENTICAL (hamming 0 — the fingerprint the streaming
+    * historical tier stores), else 'near' (0 < hamming ≤ maxHamming);
+    * dup_of = the smallest qualifying base id (first-match, SURVEY §2
+    * G3), with exact matches winning the kind. */
+  private def mediaDedupIncrementalOf(sig: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val isBatch = pmod(col("doc_id"), lit(10L)) === 9
+    val bands = sig.select(col("doc_id"),
+      col("b0"), col("b1"), col("b2"), col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band_idx", "band_val")))
+    val hamming = (0 until 4).map(i =>
+        call_function("bit_count",
+          col(s"a.b$i").bitwiseXOR(col(s"b.b$i"))).cast("long"))
+      .reduce(_ + _)
+    val cand = bands.filter(isBatch).as("a")
+      .join(bands.filter(!isBatch).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("base_id"),
+        hamming.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      // multi-band candidates repeat with identical hamming — pure dedup
+      .groupBy("new_id", "base_id").agg(min("hamming").as("hamming"))
+    val ex = cand.filter(col("hamming") === 0)
+      .groupBy("new_id").agg(min("base_id").as("dup_of"))
+      .withColumn("kind", lit("exact"))
+    val nr = cand.join(ex.select("new_id"), Seq("new_id"), "left_anti")
+      .groupBy("new_id").agg(min("base_id").as("dup_of"))
+      .withColumn("kind", lit("near"))
+    ex.select("new_id", "kind", "dup_of")
+      .unionByName(nr.select("new_id", "kind", "dup_of"))
+      .orderBy("new_id")
+  }
+
+  /** [[mediaDedupIncrementalOf]] over the image dHash signatures. */
+  def imageDedupIncremental(spark: SparkSession, sfDir: String,
+      maxHamming: Int = DefaultMaxHamming): DataFrame =
+    mediaDedupIncrementalOf(imageSigs(spark, sfDir), maxHamming)
+
+  /** [[mediaDedupIncrementalOf]] over the audio envelope signatures. */
+  def audioDedupIncremental(spark: SparkSession, sfDir: String,
+      maxHamming: Int = DefaultMaxHamming): DataFrame =
+    mediaDedupIncrementalOf(audioSigs(spark, sfDir), maxHamming)
+
+  /** [[mediaDedupIncrementalOf]] over the video middle-frame signatures. */
+  def videoDedupIncremental(spark: SparkSession, sfDir: String,
+      maxHamming: Int = DefaultMaxHamming): DataFrame =
+    mediaDedupIncrementalOf(videoSigs(spark, sfDir), maxHamming)
+
+  /** The asymmetric (batch probes base) relational tail — the oracle twin
+    * of [[mediaDedupIncrementalOf]]; expects the modality's `bit` CTE
+    * upstream ([[imageBitCte]]'s contract). */
+  private def incrementalSqlTail(maxHamming: Int): String =
+    s"""bands AS (
+      |  SELECT doc_id, k // 16 AS band_idx,
+      |    CAST(SUM(bit * CAST(pow(2, k % 16) AS BIGINT)) AS BIGINT)
+      |      AS band_val
+      |  FROM bit GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+      |    MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+      |    MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+      |    MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+      |  FROM bands GROUP BY doc_id),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS base_id
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |  WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9),
+      |ham AS (
+      |  SELECT c.new_id, c.base_id,
+      |    CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+      |       + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+      |      AS BIGINT) AS hamming
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.new_id
+      |  JOIN sig sb ON sb.doc_id = c.base_id),
+      |v AS (SELECT * FROM ham WHERE hamming <= $maxHamming),
+      |ex AS (
+      |  SELECT new_id, min(base_id) AS dup_of FROM v
+      |  WHERE hamming = 0 GROUP BY 1),
+      |nr AS (
+      |  SELECT new_id, min(base_id) AS dup_of FROM v
+      |  WHERE new_id NOT IN (SELECT new_id FROM ex) GROUP BY 1)
+      |SELECT new_id, 'exact' AS kind, dup_of FROM ex
+      |UNION ALL
+      |SELECT new_id, 'near' AS kind, dup_of FROM nr
+      |ORDER BY new_id""".stripMargin
+
+  lazy val imageDedupIncrementalSql: String =
+    imageBitCte + incrementalSqlTail(DefaultMaxHamming)
+  lazy val audioDedupIncrementalSql: String =
+    audioBitCte + incrementalSqlTail(DefaultMaxHamming)
+  lazy val videoDedupIncrementalSql: String =
+    videoBitCte + incrementalSqlTail(DefaultMaxHamming)
+
+  /** [[dedupEvalOf]]'s dashboard for the INCREMENTAL form — per-new-doc
+    * precision/recall against the fixture's family truth: a batch doc
+    * should flag iff its family holds ≥ 1 base doc (every intra-family
+    * pair is a near-dup by construction), and a flag is TRUE iff dup_of
+    * landed inside the family. The same one-row collapse before the
+    * broadcast truth attach. */
+  private def incrDedupEvalOf(spark: SparkSession, sfDir: String,
+      flags: DataFrame): DataFrame = {
+    val m = flags
+      .withColumn("tp",
+        (expr("new_id div 4") === expr("dup_of div 4")).cast("long"))
+      .agg(count(lit(1)).as("n_flagged"), sum(col("tp")).as("true_positives"))
+    val docs = Tables.documents(spark, sfDir)
+    val truth = docs.filter(pmod(col("doc_id"), lit(10L)) === 9)
+      .select(expr("doc_id div 4").as("fam"))
+      .join(docs.filter(pmod(col("doc_id"), lit(10L)) =!= 9)
+        .select(expr("doc_id div 4").as("fam")).distinct(), Seq("fam"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_truth"))
+    m.crossJoin(broadcast(truth))
+      .select(col("n_truth"), col("n_flagged"), col("true_positives"),
+        (col("n_flagged") - col("true_positives")).as("false_positives"),
+        when(col("n_flagged") === 0, lit(10000L)).otherwise(
+          floor(lit(10000.0) * col("true_positives") / col("n_flagged")))
+          .cast("long").as("precision_e4"),
+        when(col("n_truth") === 0, lit(10000L)).otherwise(
+          floor(lit(10000.0) * col("true_positives") / col("n_truth")))
+          .cast("long").as("recall_e4"))
+  }
+
+  def imageDedupIncrEval(spark: SparkSession, sfDir: String): DataFrame =
+    incrDedupEvalOf(spark, sfDir, imageDedupIncremental(spark, sfDir))
+
+  /** The incremental metric replayed over the modality's full incremental
+    * SQL — [[incrDedupEvalOf]]'s oracle twin. */
+  private def incrDedupEvalSqlOf(flagsSql: String): String =
+    s"""WITH flags AS (SELECT * FROM ($flagsSql) f),
+      |m AS (
+      |  SELECT COUNT(*) AS n_flagged,
+      |    SUM(CASE WHEN new_id // 4 = dup_of // 4 THEN 1 ELSE 0 END)
+      |      AS true_positives
+      |  FROM flags),
+      |truth AS (
+      |  SELECT COUNT(*) AS n_truth FROM documents b
+      |  WHERE b.doc_id % 10 = 9 AND EXISTS (
+      |    SELECT 1 FROM documents a
+      |    WHERE a.doc_id // 4 = b.doc_id // 4 AND a.doc_id % 10 <> 9))
+      |SELECT CAST(t.n_truth AS BIGINT) AS n_truth,
+      |  CAST(m.n_flagged AS BIGINT) AS n_flagged,
+      |  CAST(m.true_positives AS BIGINT) AS true_positives,
+      |  CAST(m.n_flagged - m.true_positives AS BIGINT) AS false_positives,
+      |  CAST(CASE WHEN m.n_flagged = 0 THEN 10000
+      |    ELSE floor(10000.0 * m.true_positives / m.n_flagged) END AS BIGINT)
+      |    AS precision_e4,
+      |  CAST(CASE WHEN t.n_truth = 0 THEN 10000
+      |    ELSE floor(10000.0 * m.true_positives / t.n_truth) END AS BIGINT)
+      |    AS recall_e4
+      |FROM m, truth t""".stripMargin
+
+  lazy val imageDedupIncrEvalSql: String =
+    incrDedupEvalSqlOf(imageDedupIncrementalSql)
 }

@@ -1150,7 +1150,11 @@ object Similarity {
     * unrolled descent bit-exactly. */
   def annNndescent(spark: SparkSession, sfDir: String, k: Int = 5,
       blockSize: Int = 100, rounds: Int = 2, stride: Int = 137): DataFrame =
-    stagedDescentEdges(spark, sfDir, -1, k, blockSize, rounds, stride)
+    // deliberately UNSTAGED: this query IS the member-form build
+    // presentation — its plan (audited) and bench time are the descent
+    // itself; the staged twin the serving family reads is
+    // [[stagedDescentEdges]] ([[annGraphBuild]] for the serving split)
+    nndescentEdges(normedEmbeddings(spark, sfDir), k, blockSize, rounds, stride)
       .select(col("u").as("vec_id"), col("rank").cast("long").as("rank"),
         col("w").as("neighbor_id"), col("cos"))
       .orderBy("vec_id", "rank")
@@ -1166,7 +1170,7 @@ object Similarity {
     * family). Correctness stays oracle-guarded: every reader's DuckDB
     * twin replays the descent from the embeddings table, so a stale or
     * corrupt staged graph fails the gate loudly. */
-  private def stagedDescentEdges(spark: SparkSession, sfDir: String,
+  private[graft] def stagedDescentEdges(spark: SparkSession, sfDir: String,
       qMod: Int, k: Int, blockSize: Int, rounds: Int,
       stride: Int): DataFrame =
     Staged.parquet(spark, s"ann_graph_v1/${Staged.dirKey(sfDir)}_q${qMod}" +

@@ -619,8 +619,12 @@ object TextOps {
   }
 
   /** Oracle for [[bm25TopkPruned]] — the exact pipeline plus the per-term
-    * impact-rank prefix. */
-  def bm25TopkPrunedSql(k: Int = 10, qTerms: Int = 4, cap: Int = 64): String =
+    * impact-rank prefix. k1/b thread through like k/qTerms/cap, so a
+    * verification run with non-default BM25 constants compares against
+    * the same scoring function (they were hardcoded as 1.2/0.75 here
+    * while the operator parameterized them — a silent divergence). */
+  def bm25TopkPrunedSql(k: Int = 10, qTerms: Int = 4, k1: Double = 1.2,
+      b: Double = 0.75, cap: Int = 64): String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |dtx AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS token FROM t),
       |dt AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
@@ -638,8 +642,8 @@ object TextOps {
       |  SELECT dt.token, dt.doc_id,
       |    CAST(floor(
       |      ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
-      |        * (CAST(tf AS DOUBLE) * (1.2 + 1))
-      |        / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |        * (CAST(tf AS DOUBLE) * ($k1 + 1))
+      |        / (CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b * dl / avgdl))
       |        * 1000000 + 0.5) AS BIGINT) AS c
       |  FROM dt JOIN qt USING (token) JOIN dfs USING (token), st),
       |post AS (
@@ -660,7 +664,127 @@ object TextOps {
       |  floor(CAST(s AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000 AS bm25
       |FROM top WHERE rn <= $k ORDER BY query_id, rank""".stripMargin
 
-  def bm25TopkSql(k: Int = 10, qTerms: Int = 4): String =
+  /** The per-(token, doc) BM25 contribution on the shared 1e-6 grid —
+    * the ONE Spark-side copy of the scoring formula, over columns
+    * (tf, dl, df, n_docs, avgdl). */
+  private def bm25GridContrib(k1: Double, b: Double): Column =
+    floor(
+      log(lit(1d) + (col("n_docs").cast("double") - col("df") + 0.5)
+        / (col("df") + 0.5))
+        * (col("tf").cast("double") * (k1 + 1))
+        / (col("tf").cast("double")
+          + lit(k1) * (lit(1d) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+        * lit(1e6) + lit(0.5d)).cast("long")
+
+  /** The impact index MATERIALIZED — [[bm25TopkPruned]] split into its
+    * production halves. The build side ranks EVERY vocabulary term's
+    * posting list once by impact (the BM25 contribution itself, doc_id
+    * tiebreak) and persists the top-`cap` prefix per term as parquet
+    * ([[Staged]]): queries don't influence a full-vocab index, so the
+    * per-term full-posting window — including the stop-word term whose
+    * posting is a corpus-sized single window partition — is paid once per
+    * CORPUS, not once per run, exactly like the ANN family's persisted
+    * descent graph. [[bm25TopkIndexed]] is the query half that reads it.
+    * Output is the full index (token, doc_id, imp_rank, c), impact
+    * order. */
+  def bm25IndexBuild(spark: SparkSession, sfDir: String, k1: Double = 1.2,
+      b: Double = 0.75, cap: Int = 64): DataFrame =
+    stagedImpactIndex(spark, sfDir, k1, b, cap)
+      .select(col("token"), col("doc_id"),
+        col("imp_rank").cast("long").as("imp_rank"), col("c"))
+      .orderBy("token", "imp_rank")
+
+  /** Builds-once-or-reads the full-vocab impact prefix
+    * ([[bm25IndexBuild]]'s content, [[Staged]]'s key contract). */
+  private def stagedImpactIndex(spark: SparkSession, sfDir: String,
+      k1: Double, b: Double, cap: Int): DataFrame =
+    Staged.parquet(spark, s"bm25_impact_v1/${Staged.dirKey(sfDir)}" +
+        s"_c${cap}_k1${k1}_b$b") {
+      val w = split(col("text"), " ")
+      val docs = Tables.documents(spark, sfDir)
+      val dt = docs
+        .select(col("doc_id"), size(w).cast("long").as("dl"),
+          explode(w).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        avg(size(w).cast("long")).as("avgdl"))
+      val dfs = dt.groupBy("token").agg(count(lit(1)).as("df"))
+      dt.join(dfs, "token")
+        .crossJoin(broadcast(stats))
+        .select(col("token"), col("doc_id"), bm25GridContrib(k1, b).as("c"))
+        .withColumn("imp_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("token")
+            .orderBy(col("c").desc, col("doc_id"))))
+        .filter(col("imp_rank") <= cap)
+    }
+
+  /** Oracle for [[bm25IndexBuild]] — the full-vocab impact prefix
+    * replayed from the documents table (never from the staged parquet: a
+    * corrupt stage must fail the gate, not define truth). */
+  def bm25IndexBuildSql(k1: Double = 1.2, b: Double = 0.75,
+      cap: Int = 64): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |dtx AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS token FROM t),
+      |dt AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+      |       FROM dtx GROUP BY 1, 2),
+      |st AS (SELECT count(*) AS n_docs, avg(CAST(len(w) AS BIGINT)) AS avgdl FROM t),
+      |dfs AS (SELECT token, count(*) AS df FROM dt GROUP BY 1),
+      |pc AS (
+      |  SELECT dt.token, dt.doc_id,
+      |    CAST(floor(
+      |      ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |        * (CAST(tf AS DOUBLE) * ($k1 + 1))
+      |        / (CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b * dl / avgdl))
+      |        * 1000000 + 0.5) AS BIGINT) AS c
+      |  FROM dt JOIN dfs USING (token), st)
+      |SELECT token, doc_id, CAST(imp_rank AS BIGINT) AS imp_rank, c FROM (
+      |  SELECT token, doc_id, c,
+      |    row_number() OVER (PARTITION BY token
+      |      ORDER BY c DESC, doc_id) AS imp_rank
+      |  FROM pc)
+      |WHERE imp_rank <= $cap ORDER BY token, imp_rank""".stripMargin
+
+  /** BM25 retrieval over the PERSISTED impact index — the query half of
+    * [[bm25IndexBuild]]'s split, answering exactly what [[bm25TopkPruned]]
+    * answers (same prefix semantics: a full-vocab per-term window
+    * restricted to the query's terms equals the query-term-restricted
+    * window) with the posting work GONE from the query path. The plan
+    * reads: query-doc token counts (doc_id-filter pushed to the documents
+    * scan — query-sized, never corpus-sized), one broadcast join of the
+    * query terms against the prefix-sized staged index, candidate-sized
+    * accumulation, per-query top-k. No window partitioned by token
+    * remains anywhere (plan-audited) — the stop-word single-partition
+    * hazard lives only in the once-per-corpus build. */
+  def bm25TopkIndexed(spark: SparkSession, sfDir: String, k: Int = 10,
+      qTerms: Int = 4, k1: Double = 1.2, b: Double = 0.75,
+      cap: Int = 64): DataFrame = {
+    val w = split(col("text"), " ")
+    val q = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 100 === 7)
+      .select(col("doc_id"), explode(w).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("token"))))
+      .filter(col("rn") <= qTerms)
+      .select(col("doc_id").as("query_id"), col("token"))
+    val scored = stagedImpactIndex(spark, sfDir, k1, b, cap)
+      .join(broadcast(q), "token")
+      .groupBy("query_id", "doc_id")
+      .agg(sum("c").as("s"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("rn") <= k)
+    scored.select(col("query_id"), col("doc_id"),
+      col("rn").cast("long").as("rank"),
+      Exprs.r4(col("s").cast("double") / lit(1e6)).as("bm25"))
+      .orderBy("query_id", "rank")
+  }
+
+  def bm25TopkSql(k: Int = 10, qTerms: Int = 4, k1: Double = 1.2,
+      b: Double = 0.75): String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |dtx AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS token FROM t),
       |dt AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
@@ -677,8 +801,8 @@ object TextOps {
       |  SELECT q.query_id, dt.doc_id,
       |    CAST(floor(
       |      ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
-      |        * (CAST(tf AS DOUBLE) * (1.2 + 1))
-      |        / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |        * (CAST(tf AS DOUBLE) * ($k1 + 1))
+      |        / (CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b * dl / avgdl))
       |        * 1000000 + 0.5) AS BIGINT) AS c
       |  FROM dt JOIN q USING (token) JOIN dfs USING (token), st),
       |sc AS (SELECT query_id, doc_id, SUM(c) AS s FROM contrib GROUP BY 1, 2),

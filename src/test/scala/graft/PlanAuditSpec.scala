@@ -535,6 +535,62 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(1200))
   }
 
+  test("bm25 indexed serving: the query path reads the staged prefix — the per-term posting window is gone") {
+    val p = plan(TextOps.bm25TopkIndexed(spark, sfDir))
+    // the impact index arrives as a parquet scan of the staged prefix,
+    // not a recomputation over the corpus postings
+    assert(p.contains("graft_staged/bm25_impact"),
+      s"query path must read the staged index:\n${p.take(1200)}")
+    // the full-posting impact window lives ONLY in the once-per-corpus
+    // build: the serving plan must have no window partitioned by token —
+    // that window is where a stop-word term becomes a corpus-sized single
+    // partition
+    assert(!p.contains("windowspecdefinition(token#"),
+      s"a token-partitioned window leaked into the serving path:\n${p.take(1200)}")
+    // query terms broadcast against the prefix-sized index
+    assert(p.split("BroadcastHashJoin").length - 1 >= 1, p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the documents scan serves only the query docs' tokens
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(1200))
+  }
+
+  test("graph serving: the edge table behind the walk is a pure staged read — the descent never re-runs") {
+    // the walk itself hides its inputs behind localCheckpoint lineage cuts,
+    // so audit the edge table the walk consumes: after any first use it
+    // must be a bare parquet scan of the staged dir — zero joins, zero
+    // windows, zero exchanges (a descent rebuild would show all three)
+    Seq(7, 3, -1).foreach { qMod =>
+      val edges = Similarity.stagedDescentEdges(spark, sfDir, qMod,
+        5, 100, 2, 137)
+      val p = plan(edges)
+      assert(p.contains("graft_staged/ann_graph"),
+        s"qMod=$qMod edge table must read the staged parquet:\n${p.take(800)}")
+      Seq("Join", "Window", "Exchange").foreach(op =>
+        assert(!p.contains(op),
+          s"qMod=$qMod staged read must be scan-only, found $op:\n${p.take(800)}"))
+    }
+    // and the serving queries stay cartesian-free end to end
+    Seq(plan(Similarity.annGraphSearchOos(spark, sfDir)),
+        plan(Similarity.annGraphInsert(spark, sfDir))).foreach { p =>
+      assert(!p.contains("CartesianProduct"), p.take(1200))
+    }
+  }
+
+  test("incremental media dedup: the band join is batch-probes-base — the base never self-joins") {
+    Seq(plan(Multimodal.imageDedupIncremental(spark, sfDir)),
+        plan(Multimodal.audioDedupIncremental(spark, sfDir)),
+        plan(Multimodal.videoDedupIncremental(spark, sfDir))).foreach { p =>
+      assert(!p.contains("CartesianProduct"), p.take(1200))
+      // both join inputs are doc_id-stripe filtered: one side keeps ONLY
+      // the batch (%10 = 9), the other ONLY the base (NOT %10 = 9) — a
+      // base×base self-join would show an unfiltered side
+      assert(p.contains("= 9)"),
+        s"batch-side stripe filter missing:\n${p.take(1200)}")
+      assert(p.contains("NOT (pmod(") || p.contains("NOT (_2#"),
+        s"base-side stripe filter missing:\n${p.take(1200)}")
+    }
+  }
+
   test("temperature mix: corpus side is one broadcast probe — no corpus shuffle") {
     val p = plan(Sampling.mixTemperature(spark, sfDir))
     assert(p.split("BroadcastHashJoin").length - 1 >= 1, p.take(1200))
