@@ -1533,6 +1533,15 @@ object Multimodal {
   def imageDedupIncrEval(spark: SparkSession, sfDir: String): DataFrame =
     incrDedupEvalOf(spark, sfDir, imageDedupIncremental(spark, sfDir))
 
+  /** The incremental dashboard for the audio and video modalities — the
+    * same ONE metric helper, so the three incremental signals are
+    * comparable the way the batch evals are. */
+  def audioDedupIncrEval(spark: SparkSession, sfDir: String): DataFrame =
+    incrDedupEvalOf(spark, sfDir, audioDedupIncremental(spark, sfDir))
+
+  def videoDedupIncrEval(spark: SparkSession, sfDir: String): DataFrame =
+    incrDedupEvalOf(spark, sfDir, videoDedupIncremental(spark, sfDir))
+
   /** The incremental metric replayed over the modality's full incremental
     * SQL — [[incrDedupEvalOf]]'s oracle twin. */
   private def incrDedupEvalSqlOf(flagsSql: String): String =
@@ -1561,4 +1570,8 @@ object Multimodal {
 
   lazy val imageDedupIncrEvalSql: String =
     incrDedupEvalSqlOf(imageDedupIncrementalSql)
+  lazy val audioDedupIncrEvalSql: String =
+    incrDedupEvalSqlOf(audioDedupIncrementalSql)
+  lazy val videoDedupIncrEvalSql: String =
+    incrDedupEvalSqlOf(videoDedupIncrementalSql)
 }

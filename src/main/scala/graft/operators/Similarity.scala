@@ -665,33 +665,53 @@ object Similarity {
     * the rerank is the shared r4 cosine. The oracle replays the whole
     * chain — m trainings, encoding, ADC, rerank — generated per subspace
     * from the same template as `kmeansTrainSql`. */
-  /** Shared PQ train + encode, used by [[annPq]] and [[annIvfPq]]: ALL m
-    * codebooks train in ONE Lloyd chain by keying every stage on the
-    * subspace id — (sub, cid) clusters, (sub, cid, pos) means — so an
-    * iteration costs 3 shuffles total instead of 3×m (the per-subspace
-    * loop form measured ~8 s of pure stage overhead at m=8). The math per
-    * subspace is untouched: grouping by `sub` IS running them
-    * independently, which is why the per-subspace oracle template still
-    * matches. The trained books are k×d driver-trivial rows, referenced
-    * twice downstream (encode + ADC table) — localCheckpoint materializes
-    * them once, like the trainer's own collected centroids. Returns
-    * (books, long-form codes, the sliced corpus view). */
-  private def pqTrainEncode(spark: SparkSession, sfDir: String,
-      m: Int, k: Int, iters: Int): (DataFrame, DataFrame, DataFrame) =
-    pqTrainEncodeOf(Clustering.embDouble(spark, sfDir), m, k, iters)
-
-  /** [[pqTrainEncode]] over any (vec_id, v) corpus — the residual index
-    * ([[annIvfPqRes]]) trains the same chain on centroid-subtracted
-    * vectors. */
-  private def pqTrainEncodeOf(emb: DataFrame,
-      m: Int, k: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
+  /** Shared PQ train + encode over any (vec_id, v) corpus — runs behind
+    * [[stagedPq]] (once per corpus, results persisted), used by [[annPq]]
+    * / [[annIvfPq]] (full corpus) and [[annIvfPqRes]] (centroid-subtracted
+    * residuals): ALL m codebooks train in ONE Lloyd chain by keying every
+    * stage on the subspace id — (sub, cid) clusters, (sub, cid, pos)
+    * means — so an iteration costs 3 shuffles total instead of 3×m (the
+    * per-subspace loop form measured ~8 s of pure stage overhead at m=8).
+    * The math per subspace is untouched: grouping by `sub` IS running
+    * them independently, which is why the per-subspace oracle template
+    * still matches. The trained books are k×d driver-trivial rows,
+    * referenced twice downstream (encode + ADC table) — localCheckpoint
+    * materializes them once, like the trainer's own collected centroids.
+    * Returns (books, long-form codes, the sliced corpus view). */
+  /** The (sub, vec_id, v-slice) long-form view of a (vec_id, v) corpus —
+    * extracted from [[pqTrainEncodeOf]] so staged-PQ callers can slice
+    * just their QUERY vectors without re-running the training. */
+  private def slicedOf(emb: DataFrame, m: Int): DataFrame = {
     val dim = 64
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val sliced = (0 until m).map { s =>
+    (0 until m).map { s =>
       emb.select(lit(s).as("sub"), col("vec_id"),
         slice(col("v"), s * sub + 1, sub).as("v"))
     }.reduce(_ unionByName _)
+  }
+
+  /** The PQ trained artifacts PERSISTED — [[stagedDescentEdges]]' staging
+    * contract for the routing family: codebooks (m×k rows) and the
+    * corpus's long-form codes (vec_id, sub, cid — m slim rows per vector)
+    * land as a parquet PAIR keyed by (variant, params, source dir), so
+    * `ann_pq` / `ann_ivfpq` share one training per corpus (the FAISS
+    * code-sharing point their docs make) and `ann_ivfpq_res` its residual
+    * twin — instead of each query re-running the Lloyd chain + encode.
+    * Oracles keep replaying the training from the embeddings table. */
+  private def stagedPq(spark: SparkSession, sfDir: String, variant: String,
+      m: Int, k: Int, iters: Int)(
+      emb: => DataFrame): (DataFrame, DataFrame) = {
+    val key = s"pq_v1/${Staged.dirKey(sfDir)}_${variant}_m${m}_k${k}_i$iters"
+    Staged.parquetPair(spark, s"$key/books", s"$key/codes") {
+      val (books, codes, _) = pqTrainEncodeOf(emb, m, k, iters)
+      (books, codes)
+    }
+  }
+
+  private def pqTrainEncodeOf(emb: DataFrame,
+      m: Int, k: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    val sliced = slicedOf(emb, m)
     val init = sliced.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").as("cid"), col("v").as("c"))
     def lloyd(cent: DataFrame): DataFrame = {
@@ -723,10 +743,13 @@ object Similarity {
   def annPq(spark: SparkSession, sfDir: String, m: Int = 8, k: Int = 16,
             iters: Int = 2, nCand: Int = 50): DataFrame = {
     val emb = Clustering.embDouble(spark, sfDir).withColumn("nn", norm(col("v")))
-    val (books, codesLong, sliced) = pqTrainEncode(spark, sfDir, m, k, iters)
+    val (books, codesLong) = stagedPq(spark, sfDir, "full", m, k, iters)(
+      Clustering.embDouble(spark, sfDir))
     val queries = emb.filter(col("vec_id") % 200 === 0)
-    // ADC lookup table: (query, subspace, cid) grid distance — tiny
-    val qd = sliced.filter(col("vec_id") % 200 === 0)
+    // ADC lookup table: (query, subspace, cid) grid distance — tiny;
+    // only the QUERY vectors slice (the corpus codes come staged)
+    val qd = slicedOf(Clustering.embDouble(spark, sfDir)
+        .filter(col("vec_id") % 200 === 0), m)
       .select(col("sub"), col("vec_id").as("query_id"), col("v").as("qs"))
       .join(broadcast(books.select(col("sub"), col("cid"), col("c"))), "sub")
       .select(col("query_id"), col("sub"), col("cid"),
@@ -797,14 +820,16 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nn", norm(col("v")))
-    val (books, codesLong, sliced) = pqTrainEncode(spark, sfDir, m, k, iters)
+    val (books, codesLong) = stagedPq(spark, sfDir, "full", m, k, iters)(
+      Clustering.embDouble(spark, sfDir))
     // coarse routing — identical formula to annIvf (label-mean centroids
     // on the 1e-6 integer grid, r4-rounded; ties break by label)
     val (_, routed) = ivfRouteParts(e)
     // ADC lookup table restricted to each query's routed cell: the
     // (query, sub, cid) grid distances join the routed cell so the code
     // scan's broadcast carries the cell gate with it
-    val qd = sliced.filter(col("vec_id") % 200 === 0)
+    val qd = slicedOf(Clustering.embDouble(spark, sfDir)
+        .filter(col("vec_id") % 200 === 0), m)
       .select(col("sub"), col("vec_id").as("query_id"), col("v").as("qs"))
       .join(broadcast(books.select(col("sub"), col("cid"), col("c"))), "sub")
       .select(col("query_id"), col("sub"), col("cid"),
@@ -873,11 +898,12 @@ object Similarity {
     // cache-or-recompute call FAISS does and would persist to disk or
     // train on a sample; released by the session owner's
     // Hygiene.releaseAll like every other lineage cut.
-    val resid = e.join(broadcast(centroids), "label")
-      .select(col("vec_id"),
-        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
-      .localCheckpoint()
-    val (books, codesLong, _) = pqTrainEncodeOf(resid, m, k, iters)
+    val (books, codesLong) = stagedPq(spark, sfDir, "res", m, k, iters) {
+      e.join(broadcast(centroids), "label")
+        .select(col("vec_id"),
+          zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+        .localCheckpoint()
+    }
     val sub = 64 / m
     // query residual against the ROUTED cell (not the query's own label)
     val qres = e.filter(col("vec_id") % 200 === 0)
@@ -1083,6 +1109,43 @@ object Similarity {
          |ad_$s AS (SELECT qd.query_id, a.vec_id, qd.d
          |  FROM a3_$s a JOIN qd_$s qd ON a.cid = qd.cid)""".stripMargin
     }.mkString(",\n")
+  }
+
+  /** The explicit BUILD step of the PQ routing family — the staged "full"
+    * codebooks ([[stagedPq]]) in long form (sub, cid, pos, c). Running it
+    * warms the pair `ann_pq` and `ann_ivfpq` read; its bench time IS the
+    * shared training+encode cost, paid once per corpus. Presentation is
+    * the coordinate grid rather than arrays so the oracle compares
+    * scalars. */
+  def annPqBuild(spark: SparkSession, sfDir: String, m: Int = 8,
+      k: Int = 16, iters: Int = 2): DataFrame =
+    stagedPq(spark, sfDir, "full", m, k, iters)(
+        Clustering.embDouble(spark, sfDir))._1
+      .select(col("sub").cast("long").as("sub"),
+        col("cid").cast("long").as("cid"), posexplode(col("c")))
+      .select(col("sub"), col("cid"),
+        (col("pos") + 1).cast("long").as("pos"), col("col").as("c"))
+      .orderBy("sub", "cid", "pos")
+
+  /** Oracle for [[annPqBuild]] — the per-subspace Lloyd chains replayed
+    * from the embeddings table ([[pqPerSubSql]]'s `m2` books, the
+    * 2-iteration form the template unrolls), positions re-based to each
+    * subspace's local coordinates. */
+  def annPqBuildSql(m: Int = 8, k: Int = 16): String = {
+    val subW = 64 / m
+    val perSub = pqPerSubSql(m, k)
+    val books = (0 until m).map(s =>
+      s"""  SELECT CAST($s AS BIGINT) AS sub, CAST(cid AS BIGINT) AS cid,
+         |    CAST(pos - ${s * subW} AS BIGINT) AS pos, c FROM m2_$s"""
+        .stripMargin).mkString("\n  UNION ALL\n")
+    s"""WITH emb AS (
+       |  SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |$perSub
+       |SELECT * FROM (
+       |$books)
+       |ORDER BY sub, cid, pos""".stripMargin
   }
 
   /** Oracle for [[annPq]]: the full train→encode→ADC→rerank chain. */

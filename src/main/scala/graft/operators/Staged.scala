@@ -36,6 +36,28 @@ object Staged {
     spark.read.parquet(dir.toString)
   }
 
+  /** Two tables built by ONE computation (e.g. PQ codebooks + the codes
+    * encoded with them): if either staged dir is incomplete the pair is
+    * rebuilt and both are written — staging them independently would run
+    * the shared training twice on a cold start, and a crash between the
+    * two writes must not leave a mismatched pair (the build re-runs until
+    * both carry `_SUCCESS`). */
+  def parquetPair(spark: SparkSession, keyA: String, keyB: String)(
+      build: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    require(!keyA.contains("..") && !keyB.contains(".."),
+      s"staging key escapes the root: $keyA / $keyB")
+    val dirA = new java.io.File(s"$Root/$keyA")
+    val dirB = new java.io.File(s"$Root/$keyB")
+    def ok(d: java.io.File) = new java.io.File(d, "_SUCCESS").exists()
+    if (!ok(dirA) || !ok(dirB)) {
+      System.err.println(s"[graft] staging pair $keyA + $keyB (first use)")
+      val (a, b) = build
+      a.write.mode("overwrite").parquet(dirA.toString)
+      b.write.mode("overwrite").parquet(dirB.toString)
+    }
+    (spark.read.parquet(dirA.toString), spark.read.parquet(dirB.toString))
+  }
+
   /** A source dir as a key segment: path separators flattened so
     * /root/testdata/sf0.01 and tmpdata/sf1 stage apart. */
   def dirKey(sfDir: String): String =

@@ -783,6 +783,129 @@ object TextOps {
       .orderBy("query_id", "rank")
   }
 
+  /** The BASE-corpus impact index plus its frozen term statistics, staged
+    * as a pair — what a production deployment keeps on disk between
+    * ingests: the top-`cap` prefix per base term, and (token, df, n_docs,
+    * avgdl) so an arriving batch can be scored WITHOUT touching the base
+    * corpus again. Base = `doc_id % 10 ≠ 9` (the incremental family's
+    * stripe convention). */
+  private def stagedImpactBase(spark: SparkSession, sfDir: String,
+      k1: Double, b: Double, cap: Int): (DataFrame, DataFrame) = {
+    val key = s"bm25_impact_v1/${Staged.dirKey(sfDir)}" +
+      s"_base_c${cap}_k1${k1}_b$b"
+    Staged.parquetPair(spark, s"$key/prefix", s"$key/termstats") {
+      val w = split(col("text"), " ")
+      val docs = Tables.documents(spark, sfDir)
+        .filter(pmod(col("doc_id"), lit(10L)) =!= 9)
+      val dt = docs
+        .select(col("doc_id"), size(w).cast("long").as("dl"),
+          explode(w).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        avg(size(w).cast("long")).as("avgdl"))
+      val dfs = dt.groupBy("token").agg(count(lit(1)).as("df"))
+      val prefix = dt.join(dfs, "token")
+        .crossJoin(broadcast(stats))
+        .select(col("token"), col("doc_id"), bm25GridContrib(k1, b).as("c"))
+        .withColumn("imp_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("token")
+            .orderBy(col("c").desc, col("doc_id"))))
+        .filter(col("imp_rank") <= cap)
+        .select("token", "doc_id", "c")
+      (prefix, dfs.crossJoin(broadcast(stats)))
+    }
+  }
+
+  /** Incremental impact-index maintenance — [[graft.operators.Dedup
+    * .dedupIncremental]]'s batch-vs-base verb for the RETRIEVAL index: a
+    * NEW document batch (`doc_id % 10 = 9`) merges into the staged BASE
+    * index ([[stagedImpactBase]]) without the base corpus ever being
+    * re-read. Batch postings score against the base's FROZEN statistics
+    * (df / n_docs / avgdl) — the documented staleness trade every
+    * incremental inverted index makes: idf drifts until the next full
+    * rebuild ([[bm25IndexBuild]] stays the exhaustive reconciliation,
+    * the reference's checker pattern), in exchange for ingest cost ∝
+    * batch + touched prefixes instead of ∝ corpus. A batch-only term
+    * enters fresh with df = 0 against the base stats. The merged
+    * per-term top-`cap` re-rank runs over prefix ∪ batch-posting rows —
+    * bounded by cap + the batch's posting length, never a corpus-sized
+    * window. Output is [[bm25IndexBuild]]'s presentation. */
+  def bm25IndexMerge(spark: SparkSession, sfDir: String, k1: Double = 1.2,
+      b: Double = 0.75, cap: Int = 64): DataFrame = {
+    val (prefix, termStats) = stagedImpactBase(spark, sfDir, k1, b, cap)
+    val w = split(col("text"), " ")
+    val batchDt = Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(10L)) === 9)
+      .select(col("doc_id"), size(w).cast("long").as("dl"),
+        explode(w).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    // global base stats for batch-only terms (no termstats row): the
+    // denormalized pair carries them on every row, so one 1-row agg
+    val globals = broadcast(termStats
+      .agg(max("n_docs").as("n_docs"), max("avgdl").as("avgdl")))
+    val scoredBatch = batchDt
+      .join(termStats.select("token", "df"), Seq("token"), "left")
+      .na.fill(0L, Seq("df"))
+      .crossJoin(globals)
+      .select(col("token"), col("doc_id"), bm25GridContrib(k1, b).as("c"))
+    prefix.unionByName(scoredBatch)
+      .withColumn("imp_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("token")
+          .orderBy(col("c").desc, col("doc_id"))))
+      .filter(col("imp_rank") <= cap)
+      .select(col("token"), col("doc_id"),
+        col("imp_rank").cast("long").as("imp_rank"), col("c"))
+      .orderBy("token", "imp_rank")
+  }
+
+  /** Oracle for [[bm25IndexMerge]] — base prefix + frozen-stats batch
+    * scoring + merged re-rank, replayed from the documents table. */
+  def bm25IndexMergeSql(k1: Double = 1.2, b: Double = 0.75,
+      cap: Int = 64): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |dtx AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS token FROM t),
+      |dt AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+      |       FROM dtx GROUP BY 1, 2),
+      |bst AS (SELECT count(*) AS n_docs, avg(CAST(len(w) AS BIGINT)) AS avgdl
+      |        FROM t WHERE doc_id % 10 <> 9),
+      |bdfs AS (SELECT token, count(*) AS df FROM dt
+      |         WHERE doc_id % 10 <> 9 GROUP BY 1),
+      |basec AS (
+      |  SELECT dt.token, dt.doc_id,
+      |    CAST(floor(
+      |      ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |        * (CAST(tf AS DOUBLE) * ($k1 + 1))
+      |        / (CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b * dl / avgdl))
+      |        * 1000000 + 0.5) AS BIGINT) AS c
+      |  FROM dt JOIN bdfs USING (token), bst WHERE dt.doc_id % 10 <> 9),
+      |basepfx AS (
+      |  SELECT token, doc_id, c FROM (
+      |    SELECT token, doc_id, c,
+      |      row_number() OVER (PARTITION BY token
+      |        ORDER BY c DESC, doc_id) AS r
+      |    FROM basec)
+      |  WHERE r <= $cap),
+      |batchc AS (
+      |  SELECT dt.token, dt.doc_id,
+      |    CAST(floor(
+      |      ln(1.0 + (CAST(n_docs AS DOUBLE) - COALESCE(bd.df, 0) + 0.5)
+      |          / (COALESCE(bd.df, 0) + 0.5))
+      |        * (CAST(tf AS DOUBLE) * ($k1 + 1))
+      |        / (CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b * dl / avgdl))
+      |        * 1000000 + 0.5) AS BIGINT) AS c
+      |  FROM dt LEFT JOIN bdfs bd USING (token), bst
+      |  WHERE dt.doc_id % 10 = 9),
+      |merged AS (
+      |  SELECT * FROM basepfx UNION ALL SELECT * FROM batchc)
+      |SELECT token, doc_id, CAST(imp_rank AS BIGINT) AS imp_rank, c FROM (
+      |  SELECT token, doc_id, c,
+      |    row_number() OVER (PARTITION BY token
+      |      ORDER BY c DESC, doc_id) AS imp_rank
+      |  FROM merged)
+      |WHERE imp_rank <= $cap ORDER BY token, imp_rank""".stripMargin
+
   def bm25TopkSql(k: Int = 10, qTerms: Int = 4, k1: Double = 1.2,
       b: Double = 0.75): String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

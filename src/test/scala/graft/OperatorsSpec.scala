@@ -2133,6 +2133,23 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("auto-sized LSH: the dynamic-width bucket equals the static bucket at the derived width") {
+    // at this fixture (500 embeddings) the dedup auto rule derives width
+    // 4 (smallest b in [4,20] with 500 <= 32·2^b), and the dynamic-width
+    // bucket gates the SAME offset-0 plane block the static form uses —
+    // so the auto operator must reproduce dedupEmbeddingLsh(nBits = 4)
+    // row for row. This pins the j<width gating arithmetic: an off-by-one
+    // there would move vectors between buckets and change the pair set.
+    val auto = Dedup.dedupEmbeddingLshAuto(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val static4 = Dedup.dedupEmbeddingLsh(spark, sfDir, nBits = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(auto.nonEmpty, "auto LSH produced no pairs — fixture drift?")
+    assert(auto.toSeq == static4.toSeq,
+      s"auto (width 4 derived) diverged from static nBits=4: " +
+        s"${auto.length} vs ${static4.length} pairs")
+  }
+
   test("embedding drift: shape on the fixture, alignment on clustered data") {
     val rows = Clustering.embeddingDrift(spark, sfDir).collect()
     val nLabels = Tables.embeddings(spark, sfDir)

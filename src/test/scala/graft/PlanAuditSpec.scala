@@ -576,6 +576,36 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("bm25 index merge: batch-only corpus reads — the base corpus is never re-scanned") {
+    val p = plan(TextOps.bm25IndexMerge(spark, sfDir))
+    assert(p.contains("graft_staged/bm25_impact"),
+      s"merge must read the staged base index:\n${p.take(1200)}")
+    // the only documents scans serve the batch stripe: every one is
+    // filtered to doc_id % 10 = 9 (count the scans, count the filters)
+    val docScans = p.split("\n").count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    assert(docScans >= 1, s"expected a batch documents scan:\n${p.take(1200)}")
+    assert(p.contains("= 9)"),
+      s"batch stripe filter missing from the merge plan:\n${p.take(1200)}")
+    assert(!p.contains("NOT (pmod"),
+      "a base-stripe (NOT % 10 = 9) corpus read leaked into the merge " +
+        s"path — the base must come from the staged index only:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("pq serving: ann_pq and ann_ivfpq read the persisted codebooks+codes — the Lloyd chain never re-runs") {
+    // after any first use the two PQ queries read the staged pair: the
+    // training (which localCheckpoints, hiding itself from plans) is
+    // replaced by two parquet scans of the staged dirs, visible directly
+    Seq(plan(Similarity.annPq(spark, sfDir)),
+        plan(Similarity.annIvfPq(spark, sfDir)),
+        plan(Similarity.annIvfPqRes(spark, sfDir))).foreach { p =>
+      assert(p.contains("graft_staged/pq_v1"),
+        s"PQ serving must read the staged artifacts:\n${p.take(1200)}")
+      assert(!p.contains("CartesianProduct"), p.take(1200))
+    }
+  }
+
   test("incremental media dedup: the band join is batch-probes-base — the base never self-joins") {
     Seq(plan(Multimodal.imageDedupIncremental(spark, sfDir)),
         plan(Multimodal.audioDedupIncremental(spark, sfDir)),
