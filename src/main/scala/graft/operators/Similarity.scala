@@ -774,20 +774,23 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Coarse label-mean router shared by [[annIvfPq]] and [[annIvfPqRes]]:
-    * returns (centroids (label, cv — r4-rounded 1e-6-grid label means),
-    * routed (query_id, cell) — each % 200 query's nearest cell, cosine
-    * ties broken by label). The formula is [[annIvf]]'s, verbatim. */
-  private def ivfRouteParts(e: DataFrame): (DataFrame, DataFrame) = {
+  /** The label-mean coarse centroids — [[annIvf]]'s formula, factored so
+    * [[stagedIvfCentroids]] can persist them. */
+  private def ivfCentroidsOf(e: DataFrame): DataFrame = {
     val dimSums = (1 to 64).map(i =>
       sum(floor(element_at(col("v"), i) * 1e6 + 0.5).cast("long")).as(s"s$i"))
-    val centroids = e.groupBy("label")
+    e.groupBy("label")
       .agg(count(lit(1)).as("cnt"), dimSums: _*)
       .select(col("label"), array((1 to 64).map(i =>
         Exprs.r4(col(s"s$i").cast("double") / 1e6 / col("cnt"))): _*).as("cv"))
+  }
+
+  /** Each % 200 query's nearest coarse cell (cosine, label tiebreak) —
+    * query-sized work against a broadcast centroid table. */
+  private def ivfRoutedOf(e: DataFrame, centroids: DataFrame): DataFrame = {
     val wRoute = Window.partitionBy("query_id")
       .orderBy(col("ccos").desc, col("label").asc)
-    val routed = e.filter(col("vec_id") % 200 === 0)
+    e.filter(col("vec_id") % 200 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .join(broadcast(centroids))
       .select(col("query_id"), col("qv"), col("label"),
@@ -795,8 +798,19 @@ object Similarity {
       .withColumn("rr", row_number().over(wRoute))
       .filter(col("rr") === 1)
       .select(col("query_id"), col("label").as("cell"))
-    (centroids, routed)
   }
+
+  /** The coarse-quantizer centroids PERSISTED — the last per-query corpus
+    * recomputation in the PQ composites: [[annIvfPq]] / [[annIvfPqRes]]
+    * re-aggregated the label means (one full corpus pass) on every query;
+    * the staged table is labels-sized and the routing against it is
+    * query-sized. [[annIvf]] itself stays inline — like
+    * [[annNndescent]], that query IS the route-build presentation. */
+  private def stagedIvfCentroids(spark: SparkSession, sfDir: String,
+      e: => DataFrame): DataFrame =
+    Staged.parquet(spark, s"ivf_cent_v1/${Staged.dirKey(sfDir)}") {
+      ivfCentroidsOf(e)
+    }
 
   /** IVF-PQ — the production FAISS index shape (`IndexIVFPQ` with
     * by_residual=false): the coarse quantizer routes each query to ONE
@@ -823,8 +837,9 @@ object Similarity {
     val (books, codesLong) = stagedPq(spark, sfDir, "full", m, k, iters)(
       Clustering.embDouble(spark, sfDir))
     // coarse routing — identical formula to annIvf (label-mean centroids
-    // on the 1e-6 integer grid, r4-rounded; ties break by label)
-    val (_, routed) = ivfRouteParts(e)
+    // on the 1e-6 integer grid, r4-rounded; ties break by label), against
+    // the PERSISTED centroid table: routing is query-sized work
+    val routed = ivfRoutedOf(e, stagedIvfCentroids(spark, sfDir, e))
     // ADC lookup table restricted to each query's routed cell: the
     // (query, sub, cid) grid distances join the routed cell so the code
     // scan's broadcast carries the cell gate with it
@@ -887,7 +902,8 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nn", norm(col("v")))
-    val (centroids, routed) = ivfRouteParts(e)
+    val centroids = stagedIvfCentroids(spark, sfDir, e)
+    val routed = ivfRoutedOf(e, centroids)
     // residual corpus: v − centroid(own cell); labels are broadcast-tiny.
     // localCheckpoint: the Lloyd chain re-reads its input ~3× per
     // iteration plus the encode pass, and each re-read would otherwise

@@ -604,6 +604,13 @@ class PlanAuditSpec extends SparkSuite {
         s"PQ serving must read the staged artifacts:\n${p.take(1200)}")
       assert(!p.contains("CartesianProduct"), p.take(1200))
     }
+    // the IVF composites also route against the PERSISTED coarse
+    // centroids — no per-query label-mean corpus aggregate remains
+    Seq(plan(Similarity.annIvfPq(spark, sfDir)),
+        plan(Similarity.annIvfPqRes(spark, sfDir))).foreach { p =>
+      assert(p.contains("graft_staged/ivf_cent"),
+        s"IVF routing must read the staged centroids:\n${p.take(1200)}")
+    }
   }
 
   test("incremental media dedup: the band join is batch-probes-base — the base never self-joins") {
