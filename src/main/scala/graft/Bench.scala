@@ -135,24 +135,23 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val medianTotal = allRuns.values.filter(_.nonEmpty).map(median).sum
-    // "medians" precedes "queries" on the line: the driver's BENCH_r{N}.json
-    // clips the stdout line at 2 kB, so whatever comes first is what survives
-    // into the committed artifact — and the min-vs-median contention
-    // diagnosis needs the medians more than it needs a truncated prefix of
-    // the mins (the full maps live in bench_gates/<tag>.json either way).
+    // Full record: "medians" precedes "queries" so a human reading a
+    // truncated tail still sees the contention-diagnosis map first; the
+    // complete line lives in bench_gates/<tag>.json either way.
     val line = s"""{"metric":"total","value":$total,"unit":"sec","median_total":${fmt(medianTotal, 3)},"medians":$ms,"queries":$qs,"runs":$rs,"sf":"$sfDir"}"""
-    println(line)
-    // The driver's BENCH_r{N}.json artifact clips the stdout line at 2 kB,
-    // so only a prefix of the 165+ per-query "runs" lists survives into the
-    // committed record. Persist the COMPLETE line to bench_gates/<tag>.json
-    // so round-over-round per-query diffs never depend on driver
-    // truncation. The tag comes from SPARK_GRAFT_BENCH_TAG when set (the
-    // way ScaleBench takes its tag) — inferring it from cwd contents
-    // mislabels a re-run after the driver's snapshot lands, and a non-repo
-    // cwd would label everything r01. The inference remains only as the
-    // no-env fallback for the driver's own invocation. Best-effort: a
-    // read-only cwd must not fail the bench.
-    try {
+    // The gate path is resolved BEFORE anything prints so the headline
+    // line below can name it. The tag comes from SPARK_GRAFT_BENCH_TAG
+    // when set (the way ScaleBench takes its tag) — inferring it from cwd
+    // contents mislabels a re-run after the driver's snapshot lands, and a
+    // non-repo cwd would label everything r01. The inference remains only
+    // as the no-env fallback for the driver's own invocation.
+    // A committed gate file is IMMUTABLE: a tag names one measurement of
+    // one code state, and round-over-round comparisons cite it by name.
+    // The r13 driver re-run silently overwrote the 220.5 s gate-of-record
+    // with a 245.7 s contended re-measure — so an existing tag shunts the
+    // new line to `<tag>-rerun`, `<tag>-rerun2`, … (the r13b/r13c
+    // convention, automated). Protocol note in BASELINE.md.
+    val gate: Option[java.io.File] = try {
       val repo = new java.io.File(".").getCanonicalFile
       val tag = sys.env.get("SPARK_GRAFT_BENCH_TAG").getOrElse {
         val round = Option(repo.list()).getOrElse(Array.empty[String])
@@ -162,22 +161,33 @@ object Bench {
       }
       val dir = new java.io.File(repo, "bench_gates")
       dir.mkdirs()
-      // A committed gate file is IMMUTABLE: a tag names one measurement of
-      // one code state, and round-over-round comparisons cite it by name.
-      // The r13 driver re-run silently overwrote the 220.5 s gate-of-record
-      // with a 245.7 s contended re-measure — so an existing tag now shunts
-      // the new line to `<tag>-rerun`, `<tag>-rerun2`, … (the r13b/r13c
-      // convention, automated). Protocol note in BASELINE.md.
-      val out = Iterator.from(0)
+      Iterator.from(0)
         .map {
           case 0 => new java.io.File(dir, s"$tag.json")
           case 1 => new java.io.File(dir, s"$tag-rerun.json")
           case i => new java.io.File(dir, s"$tag-rerun$i.json")
         }
-        .find(!_.exists()).get
-      java.nio.file.Files.write(out.toPath,
-        (line + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] full per-query runs written to $out")
+        .find(!_.exists())
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] gate path unresolved: ${e.getMessage}")
+      None
+    }
+    // FIRST stdout line: a short SELF-CONTAINED headline. The driver's
+    // BENCH_r{N}.json clips captured stdout at 2 kB, and no 2 kB prefix of
+    // the ~50 kB full line is valid JSON — BENCH_r{11..14}.json all carry
+    // "parsed": null. This line is < 200 bytes, complete JSON on its own,
+    // and points at the gate file holding the full per-query maps.
+    val gateRel = gate.map(g => s"bench_gates/${g.getName}").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":${fmt(medianTotal, 3)},"n":${results.size},"failed":${failed.size},"sf":"$sfDir","gate":"$gateRel"}""")
+    println(line)
+    // Persist the COMPLETE line to bench_gates/<tag>.json so
+    // round-over-round per-query diffs never depend on driver truncation.
+    // Best-effort: a read-only cwd must not fail the bench.
+    try {
+      gate.foreach { out =>
+        java.nio.file.Files.write(out.toPath, (line + "\n").getBytes("UTF-8"))
+        System.err.println(s"[bench] full per-query runs written to $out")
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] gate artifact write skipped: ${e.getMessage}")
     }

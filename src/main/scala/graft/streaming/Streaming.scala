@@ -54,10 +54,12 @@ case class MediaSigFlag(doc_id: Long, b0: Long, b1: Long, b2: Long,
   *
   * CHECKPOINT COMPATIBILITY: this state schema has changed across
   * releases (r13 added `evicted`/`bloom`; r14 added `bloomInserts`/
-  * `bloomPrev`). Restarting a streaming query from a checkpoint written
-  * under an older schema fails Spark's state-store compatibility check —
-  * upgrading requires RESETTING the checkpoint (and accepting a fresh
-  * seen-corpus, or replaying the source). The "seen corpus survives
+  * `bloomPrev`; the generation counter is
+  * [[Streaming.QuadStateSchemaVersion]]). Starting a query from a
+  * checkpoint written under an older schema fails FAST with the recovery
+  * step spelled out ([[Streaming.guardQuadStateSchema]] — a version
+  * marker in the checkpoint dir), instead of surfacing as a raw
+  * state-store encoder error mid-batch. The "seen corpus survives
   * restarts" contract holds within one state-schema generation, not
   * across upgrades. */
 case class BucketQuads(sigs: Array[Long], evicted: Long = 0L,
@@ -1066,13 +1068,54 @@ object Streaming {
     * pattern (G1/G2). */
   val DefaultBucketBudget = 4096
 
+  /** Version of the [[BucketQuads]] state encoding. History: v1 = sigs
+    * only; v2 (r13) added evicted/bloom; v3 (r14) added bloomInserts/
+    * bloomPrev. Bump on EVERY field change. */
+  val QuadStateSchemaVersion = 3
+
+  /** Fail FAST and ACTIONABLY when a quad-state query is started from a
+    * checkpoint written under a different [[BucketQuads]] schema
+    * generation: without this, Spark's state-store compatibility check
+    * surfaces the break as a raw encoder error mid-batch (or worse,
+    * a pre-r13 checkpoint decodes garbage). A marker file in the
+    * checkpoint dir records the schema version at first start; a version
+    * mismatch — or a pre-existing checkpoint with no marker, which can
+    * only be an older generation — throws with the exact recovery step.
+    * The "seen corpus survives restarts" contract holds within one
+    * schema generation, not across upgrades (state must be reset and the
+    * source replayed — or the offline batch dedup run as the
+    * reconciliation, the reference's checker pattern). */
+  private[graft] def guardQuadStateSchema(checkpointDir: String): Unit = {
+    val dir = new java.io.File(checkpointDir)
+    val marker = new java.io.File(dir, "_graft_state_schema")
+    val hasCheckpoint = new java.io.File(dir, "offsets").isDirectory
+    val found: Option[Int] =
+      if (marker.isFile)
+        scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+          marker.toPath), "UTF-8").trim.toInt).toOption
+      else None
+    if (hasCheckpoint && !found.contains(QuadStateSchemaVersion))
+      throw new IllegalStateException(
+        s"checkpoint $checkpointDir was written under state schema " +
+        s"${found.map(_.toString).getOrElse("<pre-versioning>")} but this " +
+        s"release uses v$QuadStateSchemaVersion (BucketQuads changed). " +
+        "To upgrade: DELETE the checkpoint directory and replay the " +
+        "source (the seen-corpus state cannot be migrated); the offline " +
+        "batch dedup remains the exhaustive reconciliation.")
+    dir.mkdirs()
+    java.nio.file.Files.write(marker.toPath,
+      s"$QuadStateSchemaVersion\n".getBytes("UTF-8"))
+    ()
+  }
+
   /** Runs [[mediaDedupStream]] to a parquet sink; batch-keyed overwrite
     * dirs make re-executed micro-batches idempotent, like the other
     * sinks. */
   def mediaDedupQuery(docs: DataFrame, outDir: String,
       checkpointDir: String,
       maxHamming: Int = graft.operators.Multimodal.DefaultMaxHamming,
-      maxQuadsPerBucket: Int = DefaultBucketBudget): StreamingQuery =
+      maxQuadsPerBucket: Int = DefaultBucketBudget): StreamingQuery = {
+    guardQuadStateSchema(checkpointDir)
     mediaDedupStream(docs, maxHamming, maxQuadsPerBucket).writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -1082,6 +1125,7 @@ object Streaming {
         ()
       }
       .start()
+  }
 
   /** MIXED-MIME streaming media near-dup — [[mediaDedupStream]] composed
     * with [[graft.operators.Multimodal.multimodalFeatures]]'s mime
@@ -1174,7 +1218,8 @@ object Streaming {
   def mixedMediaDedupQuery(docs: DataFrame, outDir: String,
       checkpointDir: String,
       maxHamming: Int = graft.operators.Multimodal.DefaultMaxHamming,
-      maxQuadsPerBucket: Int = DefaultBucketBudget): StreamingQuery =
+      maxQuadsPerBucket: Int = DefaultBucketBudget): StreamingQuery = {
+    guardQuadStateSchema(checkpointDir)
     mixedMediaDedupStream(docs, maxHamming, maxQuadsPerBucket).writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -1184,6 +1229,7 @@ object Streaming {
         ()
       }
       .start()
+  }
 
   /** The funnel state machine ([[graft.operators.EventsOps.eventsFunnel]])
     * as LIVE streaming state: per-user (first view, first click within the

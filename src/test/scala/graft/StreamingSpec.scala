@@ -928,4 +928,37 @@ class StreamingSpec extends SparkSuite {
       ("2024-01-01 01:00:00.0", "b", 1L, 3.0),
       ("2024-01-01 09:00:00.0", "a", 1L, 4.0)))
   }
+
+  test("quad-state schema guard: stale checkpoint fails fast and actionably") {
+    import java.nio.file.Files
+    // fresh checkpoint: guard stamps the current version and passes
+    val fresh = Files.createTempDirectory("ckpt_fresh").toString
+    Streaming.guardQuadStateSchema(fresh)
+    val marker = new java.io.File(fresh, "_graft_state_schema")
+    assert(marker.isFile &&
+      new String(Files.readAllBytes(marker.toPath)).trim ==
+        Streaming.QuadStateSchemaVersion.toString)
+    // restart under the SAME version: passes (the normal recovery path)
+    Files.createDirectories(new java.io.File(fresh, "offsets").toPath)
+    Streaming.guardQuadStateSchema(fresh)
+    // a checkpoint stamped by an OLDER release: actionable failure, not a
+    // raw state-store encoder error mid-batch
+    val old = Files.createTempDirectory("ckpt_old").toString
+    Files.createDirectories(new java.io.File(old, "offsets").toPath)
+    Files.write(new java.io.File(old, "_graft_state_schema").toPath,
+      "2\n".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      Streaming.guardQuadStateSchema(old)
+    }
+    assert(e.getMessage.contains("DELETE the checkpoint") &&
+      e.getMessage.contains("state schema 2"), e.getMessage)
+    // a PRE-VERSIONING checkpoint (offsets exist, no marker) can only be
+    // an older generation — same actionable failure
+    val pre = Files.createTempDirectory("ckpt_pre").toString
+    Files.createDirectories(new java.io.File(pre, "offsets").toPath)
+    val e2 = intercept[IllegalStateException] {
+      Streaming.guardQuadStateSchema(pre)
+    }
+    assert(e2.getMessage.contains("<pre-versioning>"), e2.getMessage)
+  }
 }

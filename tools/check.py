@@ -12,17 +12,26 @@ queries.json manifest is present and compared — the r13 lesson, where the
 round's CORRECTNESS artifact shipped as `{}` with the code in fact green
 and nothing in the pipeline noticed. An artifact that exists is complete.
 """
-import json, sys, glob, os
+import argparse, json, sys, glob, os
 import duckdb
 
-argv = list(sys.argv[1:])
-json_out = None
-if "--json" in argv:
-    i = argv.index("--json")
-    json_out = argv[i + 1]
-    del argv[i:i + 2]
-sf_dir, out_dir = argv[0], argv[1]
-only = set(argv[2:])
+# argparse, not hand-rolled indexing: `--json` with no value must be a
+# usage error, never an IndexError — and never silently consume a query
+# name as the output path (the r14 ADVICE finding).
+ap = argparse.ArgumentParser(description=__doc__)
+ap.add_argument("sf_dir")
+ap.add_argument("out_dir")
+ap.add_argument("--json", dest="json_out", metavar="OUT", default=None,
+                help="write the driver-shaped per-query artifact "
+                     "(full runs only; refuses if incomplete)")
+ap.add_argument("query", nargs="*", help="optional subset of query names")
+args = ap.parse_args()
+sf_dir, out_dir, json_out = args.sf_dir, args.out_dir, args.json_out
+if json_out is not None and (json_out.startswith("-") or
+                             os.path.isdir(json_out)):
+    ap.error(f"--json value {json_out!r} looks like a flag/directory, "
+             "not an output file")
+only = set(args.query)
 
 with open(os.path.join(out_dir, "oracle_sql.json")) as f:
     oracles = json.load(f)
@@ -142,12 +151,36 @@ if json_out:
         for p in problems:
             print(f"ARTIFACT REFUSED: {p}")
         sys.exit(2)
+    payload = json.dumps(report, indent=None, sort_keys=True) + "\n"
     with open(json_out, "w") as f:
-        json.dump(report, f, indent=None, sort_keys=True)
-        f.write("\n")
+        f.write(payload)
     n_ok = sum(1 for v in report.values()
                if v["rows_match"] and v["schema_match"] and v["hash_match"])
     print(f"artifact written: {json_out} ({n_ok}/{len(report)} green)")
+    # Clobber-proof copy under the bench gates' immutability rule: the
+    # driver's harness overwrote the committed CORRECTNESS_r14.json with
+    # `{}` an hour after HEAD, so the round's record ALSO lands at
+    # bench_gates/correctness_<tag>.json — a path the driver never writes
+    # — and an existing tag shunts to -rerun, never overwrites (the
+    # Bench.scala gate convention). Best-effort: the primary artifact is
+    # already on disk.
+    try:
+        base = os.path.splitext(os.path.basename(json_out))[0].lower()
+        gates = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", "bench_gates")
+        os.makedirs(gates, exist_ok=True)
+        i = 0
+        while True:
+            suffix = "" if i == 0 else ("-rerun" if i == 1 else f"-rerun{i}")
+            gate = os.path.join(gates, f"{base}{suffix}.json")
+            if not os.path.exists(gate):
+                break
+            i += 1
+        with open(gate, "w") as f:
+            f.write(payload)
+        print(f"immutable copy: {os.path.normpath(gate)}")
+    except OSError as e:
+        print(f"immutable copy skipped: {e}")
 
 print(f"\n{'ALL GREEN' if not fails else 'FAILURES: ' + ', '.join(fails)}")
 sys.exit(1 if fails else 0)
