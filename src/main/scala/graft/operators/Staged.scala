@@ -1,5 +1,7 @@
 package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.io.File
+import java.nio.file.{Files, StandardCopyOption}
 
 /** Build-once parquet staging for derived tables whose construction cost
   * should amortize across queries and runs — the production "persist the
@@ -9,29 +11,77 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The key encodes everything the content depends on: a generation
   * version (bump it when the builder's logic changes), every builder
-  * parameter, and the source dir identity — so a stale table can only be
-  * read by a caller asking for exactly the inputs that built it, and any
-  * logic drift lands in a fresh directory. Completeness is Spark's own
-  * `_SUCCESS` marker: a killed mid-write build leaves no marker and the
-  * next caller rebuilds. Correctness stays oracle-guarded: the DuckDB
-  * twin replays the BUILD from the base tables, so a corrupt staged
-  * table fails the gate loudly instead of silently serving.
+  * parameter, and the source dir identity INCLUDING a content
+  * fingerprint ([[dirKey]] — file count + total bytes + max mtime + the
+  * canonical path), so regenerating a fixture in place (exactly what
+  * `ScaleUp` does to `tmpdata/sf1` between replication factors) MISSES
+  * the old stage instead of silently serving the previous corpus's
+  * index, and any logic drift lands in a fresh directory.
   *
-  * At 100 TB the same shape holds with the staging root on shared
-  * storage: the index build is a scheduled job, the query path reads the
-  * parquet — here both live behind one call so every query stays
-  * self-contained. */
+  * Visibility is ATOMIC: a build writes to a scratch dir under the same
+  * root and renames into place (one `ATOMIC_MOVE` per table), so a
+  * staged dir either doesn't exist or is complete-with-`_SUCCESS` — a
+  * reader can never observe a half-overwritten table, a crashed build
+  * leaves only scratch garbage, and when two sessions race the first
+  * rename wins and the loser discards its scratch and reads the winner.
+  * Correctness stays oracle-guarded on top of all this: the DuckDB twin
+  * replays the BUILD from the base tables, so a corrupt staged table
+  * fails the gate loudly instead of silently serving.
+  *
+  * The root lives UNDER THE REPO (`tmpdata/graft_staged`, gitignored) —
+  * not world-writable /tmp where another user or branch could poison a
+  * key — with `GRAFT_STAGED_ROOT` as the override for pointing serving
+  * at shared storage. At 100 TB the same shape holds with the root on
+  * an object store: the index build is a scheduled job, the query path
+  * reads the parquet — here both live behind one call so every query
+  * stays self-contained. */
 object Staged {
-  private val Root = "/tmp/graft_staged"
+  private def root: String =
+    sys.env.getOrElse("GRAFT_STAGED_ROOT", "tmpdata/graft_staged")
+
+  private def complete(d: File) = new File(d, "_SUCCESS").exists()
+
+  /** Atomically publish a freshly-built scratch dir at `target`. Returns
+    * normally if `target` is complete afterwards, whether this session's
+    * rename won or a concurrent builder's did. */
+  private def publish(tmp: File, target: File): Unit = {
+    require(complete(tmp), s"build left no _SUCCESS in $tmp")
+    // a legacy/corrupt target (exists but incomplete) blocks the rename —
+    // clear it; completeness can only be observed through `complete`
+    if (target.exists() && !complete(target)) rmTree(target)
+    target.getParentFile.mkdirs()
+    try Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileSystemException if complete(target) =>
+      rmTree(tmp) // lost the race to a concurrent builder — theirs is whole
+    }
+    require(complete(target), s"staged publish failed for $target")
+  }
+
+  private def rmTree(d: File): Unit =
+    if (d.exists()) {
+      val walk = Files.walk(d.toPath)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally walk.close()
+    }
+
+  private def scratch(): File = {
+    val t = new File(s"$root/_tmp/${java.util.UUID.randomUUID()}")
+    t.getParentFile.mkdirs()
+    t
+  }
 
   /** `key` path-safe segments, e.g. "ann_graph_v1/sf0.01_q7_k5_b100_r2".
-    * `build` runs at most once per key per filesystem lifetime. */
+    * `build` runs at most once per (key, source-content) per filesystem
+    * lifetime. */
   def parquet(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     require(!key.contains(".."), s"staging key escapes the root: $key")
-    val dir = new java.io.File(s"$Root/$key")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+    val dir = new File(s"$root/$key")
+    if (!complete(dir)) {
       System.err.println(s"[graft] staging $key (first use — later reads are free)")
-      build.write.mode("overwrite").parquet(dir.toString)
+      val tmp = scratch()
+      build.write.mode("overwrite").parquet(tmp.toString)
+      publish(tmp, dir)
     }
     spark.read.parquet(dir.toString)
   }
@@ -39,27 +89,61 @@ object Staged {
   /** Two tables built by ONE computation (e.g. PQ codebooks + the codes
     * encoded with them): if either staged dir is incomplete the pair is
     * rebuilt and both are written — staging them independently would run
-    * the shared training twice on a cold start, and a crash between the
-    * two writes must not leave a mismatched pair (the build re-runs until
-    * both carry `_SUCCESS`). */
+    * the shared training twice on a cold start. Both tables land in
+    * scratch FIRST, then two back-to-back atomic renames publish them,
+    * so no reader can pair a new A with an old-or-absent B: a stale B at
+    * publish time is cleared before A appears (the pair's dirs are
+    * re-keyed together, so "A fresh, B one-generation stale" cannot
+    * arise from key drift either — only from a crash BETWEEN the two
+    * renames, and that window leaves B absent, which re-runs the build,
+    * never a mismatched read). */
   def parquetPair(spark: SparkSession, keyA: String, keyB: String)(
       build: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
     require(!keyA.contains("..") && !keyB.contains(".."),
       s"staging key escapes the root: $keyA / $keyB")
-    val dirA = new java.io.File(s"$Root/$keyA")
-    val dirB = new java.io.File(s"$Root/$keyB")
-    def ok(d: java.io.File) = new java.io.File(d, "_SUCCESS").exists()
-    if (!ok(dirA) || !ok(dirB)) {
+    val dirA = new File(s"$root/$keyA")
+    val dirB = new File(s"$root/$keyB")
+    if (!complete(dirA) || !complete(dirB)) {
       System.err.println(s"[graft] staging pair $keyA + $keyB (first use)")
       val (a, b) = build
-      a.write.mode("overwrite").parquet(dirA.toString)
-      b.write.mode("overwrite").parquet(dirB.toString)
+      val (tmpA, tmpB) = (scratch(), scratch())
+      a.write.mode("overwrite").parquet(tmpA.toString)
+      b.write.mode("overwrite").parquet(tmpB.toString)
+      // clear any stale half BEFORE either rename: between the two moves a
+      // reader may see A-complete + B-absent (and rebuild), never A-new +
+      // B-old
+      if (complete(dirB)) rmTree(dirB)
+      publish(tmpA, dirA)
+      publish(tmpB, dirB)
     }
     (spark.read.parquet(dirA.toString), spark.read.parquet(dirB.toString))
   }
 
-  /** A source dir as a key segment: path separators flattened so
-    * /root/testdata/sf0.01 and tmpdata/sf1 stage apart. */
-  def dirKey(sfDir: String): String =
-    sfDir.replaceAll("^/", "").replaceAll("[/\\\\]", "_")
+  /** A source dir as a key segment: a human-readable flattened prefix
+    * plus a fingerprint hash of (canonical path, recursive file count,
+    * total bytes, max mtime). The hash makes two things impossible by
+    * construction: distinct paths colliding onto one key ('a/b' vs 'a_b'
+    * — the canonical path feeds the hash even though the readable prefix
+    * flattens separators), and a REGENERATED source dir silently serving
+    * the previous content's stage (the fingerprint moves, the old key
+    * misses, the stage rebuilds). */
+  def dirKey(sfDir: String): String = {
+    val f = new File(sfDir)
+    val canon = f.getCanonicalPath
+    var (n, bytes, mtime) = (0L, 0L, 0L)
+    if (f.exists()) {
+      val walk = Files.walk(f.toPath)
+      try walk.forEach { p =>
+        val file = p.toFile
+        if (file.isFile) {
+          n += 1; bytes += file.length()
+          mtime = math.max(mtime, file.lastModified())
+        }
+      } finally walk.close()
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$canon|$n|$bytes|$mtime".getBytes("UTF-8"))
+    val hash = md.take(5).map(b => f"$b%02x").mkString
+    sfDir.replaceAll("^/", "").replaceAll("[/\\\\]", "_") + "-" + hash
+  }
 }

@@ -301,4 +301,55 @@ class ScaleSpec extends SparkSuite {
         s"$name: checkpoint blocks survive Hygiene.releaseAll")
     }
   }
+
+  test("Staged rebuilds when the source dir is regenerated in place") {
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    // the ScaleUp hazard in miniature: same PATH, new content — the key
+    // must miss (fingerprinted dirKey) and the stage must rebuild, never
+    // silently serve the previous corpus's derived table
+    val srcDir = Files.createTempDirectory("staged_src").toString
+    def regen(mark: Long): Unit = {
+      spark.range(10).select(col("id"), (col("id") * mark).as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/t.parquet")
+      // mtime granularity guard: same-millisecond regeneration with equal
+      // byte count is the one blind spot of (count, bytes, mtime) — force
+      // the clock forward the way real regeneration (seconds apart) does
+      val f = new java.io.File(s"$srcDir/t.parquet")
+      f.listFiles().foreach(p => p.setLastModified(p.lastModified() + 2000))
+    }
+    def staged(): Long = operators.Staged.parquet(spark,
+        s"spec_regen/${operators.Staged.dirKey(srcDir)}") {
+        spark.read.parquet(s"$srcDir/t.parquet")
+          .agg(sum("v").as("s"))
+      }.collect()(0).getLong(0)
+    regen(1)
+    assert(staged() == 45L)
+    assert(staged() == 45L) // second read hits the stage (no rebuild crash)
+    regen(100) // same path, new content
+    assert(staged() == 4500L,
+      "stale stage served after in-place source regeneration")
+    // distinct paths that flatten identically must not share a key
+    val a = operators.Staged.dirKey(srcDir)
+    val b = operators.Staged.dirKey(srcDir.replaceFirst("/", "_"))
+    assert(a != b, s"dirKey collision: $a")
+  }
+
+  test("Staged publish is atomic: no reader-visible dir without _SUCCESS") {
+    // a build that dies mid-write must leave the target ABSENT (scratch
+    // garbage only), so the next caller rebuilds instead of reading a
+    // half-written table
+    import org.apache.spark.sql.functions.{col, lit, when, raise_error, concat}
+    val key = s"spec_atomic/${java.util.UUID.randomUUID()}"
+    intercept[Exception] {
+      operators.Staged.parquet(spark, key) {
+        spark.range(10).select(
+          when(col("id") < 5, col("id"))
+            .otherwise(raise_error(concat(lit("boom "),
+              col("id").cast("string")))).as("x"))
+      }
+    }
+    val target = new java.io.File(
+      sys.env.getOrElse("GRAFT_STAGED_ROOT", "tmpdata/graft_staged"), key)
+    assert(!target.exists(), "failed build left a reader-visible target dir")
+  }
 }
