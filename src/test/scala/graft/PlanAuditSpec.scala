@@ -576,6 +576,24 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("bm25 index build: two-stage top-cap — no window over raw postings anywhere") {
+    // the r14 verdict's one weak plan: the build ranked each term's FULL
+    // posting list in one token-partitioned window, so a stop-word term
+    // was a corpus-sized single task. The v2 build is the mergeable
+    // ImpactTopKAggregator two-stage form: map-side partial top-cap
+    // buffers, then a final merge over ≤ cap·partitions rows per term —
+    // NO window operator may appear in the build plan at all
+    val p = plan(TextOps.impactIndexBuildFrame(spark, sfDir, 1.2, 0.75, 64))
+    assert(!p.contains("Window"),
+      s"a window survived in the impact-index build:\n${p.take(1500)}")
+    // the rank must be the typed aggregation, partial+final (mergeable)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected the typed top-cap aggregation:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(1200))
+  }
+
   test("bm25 index merge: batch-only corpus reads — the base corpus is never re-scanned") {
     val p = plan(TextOps.bm25IndexMerge(spark, sfDir))
     assert(p.contains("graft_staged/bm25_impact"),
@@ -591,6 +609,30 @@ class PlanAuditSpec extends SparkSuite {
       "a base-stripe (NOT % 10 = 9) corpus read leaked into the merge " +
         s"path — the base must come from the staged index only:\n${p.take(1200)}")
     assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("bm25 generation chain: each apply reads gen-1's parquet + its own batch only") {
+    // warm the chain so gen 1 exists as a stage
+    TextOps.stagedImpactGen(spark, sfDir, 2, 1.2, 0.75, 64)
+    val (prefix, stats) = TextOps.impactGenBuildFrames(spark, sfDir, 2,
+      1.2, 0.75, 64)
+    Seq(plan(prefix), plan(stats)).foreach { p =>
+      // the previous generation arrives as the staged pair, not a rebuild
+      assert(p.contains("graft_staged/bm25_gen"),
+        s"gen-2 apply must read the staged gen-1 pair:\n${p.take(1200)}")
+      // the ONLY documents reads serve batch 9: a re-read of the gen-0
+      // base stripe (< 8) or batch 8's postings would show their filters
+      assert(!p.contains("< 8)") && !p.contains("= 8)"),
+        s"a base/batch-1 corpus read leaked into the gen-2 apply:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"), p.take(1200))
+    }
+    // the prefix merge is the two-stage aggregator, never a token window
+    assert(!plan(prefix).contains("Window"),
+      s"a window survived in the apply merge:\n${plan(prefix).take(1200)}")
+    val docScans = plan(prefix).split("\n").count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    assert(docScans >= 1 && plan(prefix).contains("= 9)"),
+      s"expected the batch-9 documents scan:\n${plan(prefix).take(1500)}")
   }
 
   test("pq serving: ann_pq and ann_ivfpq read the persisted codebooks+codes — the Lloyd chain never re-runs") {
