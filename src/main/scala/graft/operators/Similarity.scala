@@ -1641,6 +1641,180 @@ object Similarity {
        |FROM r_$hops WHERE rank <= $k
        |ORDER BY vec_id, rank""".stripMargin
 
+  /** Generation `gen` of the PERSISTED serving graph — the write-back
+    * step [[annGraphInsert]] lacked: each batch's inserted adjacency is
+    * UNIONED onto the previous generation's edge table and the result
+    * lands as the next immutable staged generation ([[Staged]]'s atomic
+    * rename — the crash-consistent swap for an append-only chain), so a
+    * production ingest loop (insert → serve → next batch) pays
+    * batch-sized walk work against the UPDATED base: batch 4's walk
+    * anchors into a graph that already contains batch 3's nodes, and
+    * the base corpus never re-descends (gen 1 arrives as a bare parquet
+    * scan, plan-audited). Gen 0 = the descent over the corpus EXCLUDING
+    * both batch stripes (`vec_id % 100 ∉ {3, 4}`); gen g inserts stripe
+    * `2 + g`. */
+  private[graft] def stagedGraphGen(spark: SparkSession, sfDir: String,
+      gen: Int, k: Int, blockSize: Int, rounds: Int, stride: Int,
+      beam: Int, hops: Int, nBits: Int, nTables: Int): DataFrame =
+    Staged.parquet(spark, s"ann_gen_v1/${Staged.dirKey(sfDir)}" +
+        s"_g${gen}_k${k}_b${blockSize}_r${rounds}_s${stride}" +
+        s"_be${beam}_h${hops}_nb${nBits}_t$nTables") {
+      graphGenBuildFrame(spark, sfDir, gen, k, blockSize, rounds, stride,
+        beam, hops, nBits, nTables)
+    }
+
+  /** The UNSTAGED build of graph generation `gen` (reads gen-1 through
+    * the stage) — exposed for the plan audit. */
+  private[graft] def graphGenBuildFrame(spark: SparkSession, sfDir: String,
+      gen: Int, k: Int, blockSize: Int, rounds: Int, stride: Int,
+      beam: Int, hops: Int, nBits: Int, nTables: Int): DataFrame =
+    if (gen == 0)
+      nndescentEdges(normedEmbeddings(spark, sfDir)
+          .filter(!pmod(col("vec_id"), lit(100L)).isin(3L, 4L)),
+        k, blockSize, rounds, stride)
+        .select("u", "w", "cos", "rank")
+    else {
+      val prev = stagedGraphGen(spark, sfDir, gen - 1, k, blockSize,
+        rounds, stride, beam, hops, nBits, nTables)
+      val batchMod = 2 + gen // gen 1 inserts stripe 3, gen 2 stripe 4
+      // the walk corpus grows with the chain: batch 3's walk scores
+      // against the gen-0 corpus, batch 4's against gen-0 ∪ batch 3
+      val all = if (gen == 1)
+        normedEmbeddings(spark, sfDir)
+          .filter(pmod(col("vec_id"), lit(100L)) =!= 4)
+      else normedEmbeddings(spark, sfDir)
+      val inserted = anchoredWalk(all,
+          pmod(col("vec_id"), lit(100L)) === batchMod,
+          prev.select("u", "w"), beam, hops, k, nBits, nTables)
+        .select(col("query_id").as("u"), col("node").as("w"), col("cos"),
+          col("rank"))
+      prev.select("u", "w", "cos", "rank")
+        .unionByName(inserted.select("u", "w", "cos", "rank"))
+    }
+
+  /** Two sequential batch inserts against the PERSISTED graph chain —
+    * batch `vec_id % 100 = 3` into the gen-0 graph, write-back, then
+    * batch 4 into gen 1 — presented as the two batches' adjacency rows
+    * out of the final generation. The oracle replays the base descent
+    * and BOTH anchored walks from the embeddings table, with walk 2
+    * running over the gen-1 graph (base edges ∪ batch 3's adjacency)
+    * and a corpus that contains batch 3 — proving insert∘insert against
+    * the advancing staged base end to end. */
+  def annGraphApply(spark: SparkSession, sfDir: String, k: Int = 5,
+      blockSize: Int = 100, rounds: Int = 2, stride: Int = 137,
+      beam: Int = 64, hops: Int = 3, nBits: Int = 0,
+      nTables: Int = 8): DataFrame =
+    stagedGraphGen(spark, sfDir, 2, k, blockSize, rounds, stride, beam,
+        hops, nBits, nTables)
+      .filter(pmod(col("u"), lit(100L)).isin(3L, 4L))
+      .select(col("u").as("vec_id"), col("rank").cast("long").as("rank"),
+        col("w").as("neighbor_id"), col("cos"))
+      .orderBy("vec_id", "rank")
+
+  /** Oracle for [[annGraphApply]] — the gen-0 descent (both batch
+    * stripes excluded), batch 3's anchored walk, the gen-1 edge union,
+    * then batch 4's walk over the UPDATED graph and corpus, replayed
+    * start to finish from the embeddings table. */
+  def annGraphApplySql(k: Int = 5, blockSize: Int = 100, rounds: Int = 2,
+      stride: Int = 137, beam: Int = 64, hops: Int = 3, nBits: Int = 0,
+      nTables: Int = 8): String = {
+    val c = cosSqlFragment.replace("QV", "qq.v").replace("TV", "t.v")
+    // suffix-parameterized twins of oosAnchorCtes / oosWalkCtes' hop
+    // chain: the apply oracle needs TWO walks with different corpora,
+    // queries, and graphs in one WITH body
+    def anchor(sfx: String, eCte: String, qCte: String): String = {
+      def table(t: Int): String =
+        if (nBits > 0) Dedup.lshBucketSqlExpr(nBits, t * nBits)
+        else Dedup.lshBucketSqlExprDyn(AnchorMaxBits, t * AnchorMaxBits,
+          "auto_w")
+      val from = if (nBits > 0) "" else s", wdt$sfx"
+      val perTable = (0 until nTables).map { t =>
+        val b = table(t)
+        s"""    SELECT qb.query_id, cb.node FROM
+           |      (SELECT vec_id AS query_id, $b AS bucket FROM $qCte$from) qb
+           |      JOIN (SELECT vec_id AS node, $b AS bucket FROM $eCte$from) cb
+           |      USING (bucket)""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      val widthCte = if (nBits > 0) "" else
+        s"""wdt$sfx AS (
+           |  SELECT ${Dedup.autoBitsSqlExpr("count(*)", AnchorTargetBucket,
+                AnchorMinBits, AnchorMaxBits)} AS auto_w FROM $eCte),
+           |""".stripMargin
+      s"""${widthCte}c${sfx}_0 AS (
+         |  SELECT DISTINCT query_id, node FROM (
+         |$perTable
+         |    UNION ALL
+         |    SELECT vec_id AS query_id, (SELECT min(vec_id) FROM $eCte) AS node
+         |    FROM $qCte))""".stripMargin
+    }
+    def walk(sfx: String, eCte: String, qCte: String,
+        undCte: String): String = {
+      val hopCtes = (1 to hops).map { h =>
+        s"""c${sfx}_$h AS (
+           |  SELECT DISTINCT query_id, node FROM (
+           |    SELECT s.query_id, g.w AS node
+           |    FROM s${sfx}_${h - 1} s JOIN $undCte g ON s.node = g.u
+           |    UNION ALL SELECT query_id, node FROM s${sfx}_${h - 1})),
+           |r${sfx}_$h AS (
+           |  SELECT query_id, node, cos, ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY cos DESC, node ASC) AS rank
+           |  FROM (SELECT cd.query_id, cd.node, $c AS cos
+           |    FROM c${sfx}_$h cd JOIN $eCte t ON cd.node = t.vec_id
+           |    JOIN $qCte qq ON cd.query_id = qq.vec_id)),
+           |s${sfx}_$h AS (SELECT query_id, node FROM r${sfx}_$h
+           |  WHERE rank <= $beam)""".stripMargin
+      }.mkString(",\n")
+      s"""r${sfx}_0 AS (
+         |  SELECT query_id, node, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, node ASC) AS rank
+         |  FROM (SELECT cd.query_id, cd.node, $c AS cos
+         |    FROM c${sfx}_0 cd JOIN $eCte t ON cd.node = t.vec_id
+         |    JOIN $qCte qq ON cd.query_id = qq.vec_id)),
+         |s${sfx}_0 AS (SELECT query_id, node FROM r${sfx}_0
+         |  WHERE rank <= $beam),
+         |$hopCtes""".stripMargin
+    }
+    // the load-bearing CTEs are MATERIALIZED: DuckDB inlines CTEs by
+    // default, and walk 2's every reference to the gen-1 graph would
+    // otherwise re-expand the ENTIRE walk-1 chain (which re-expands the
+    // descent), multiplying parquet scans past the fd limit
+    s"""WITH ${nndescentCtes(k, blockSize, rounds, stride,
+        " WHERE vec_id % 100 NOT IN (3, 4)")},
+       |gbase AS MATERIALIZED (
+       |  SELECT u, w, cos, rank FROM g_$rounds WHERE rank <= $k),
+       |q1 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id % 100 = 3),
+       |und1 AS MATERIALIZED (
+       |  SELECT DISTINCT u, w FROM (
+       |    SELECT u, w FROM gbase
+       |    UNION ALL SELECT w AS u, u AS w FROM gbase)),
+       |${anchor("1", "e", "q1")},
+       |${walk("1", "e", "q1", "und1")},
+       |a1 AS MATERIALIZED (SELECT query_id AS u, node AS w, cos, rank
+       |       FROM r1_$hops WHERE rank <= $k),
+       |g1 AS MATERIALIZED (
+       |  SELECT u, w FROM gbase
+       |  UNION ALL SELECT u, w FROM a1),
+       |e2 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id % 100 <> 4),
+       |q2 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id % 100 = 4),
+       |und2 AS MATERIALIZED (
+       |  SELECT DISTINCT u, w FROM (
+       |    SELECT u, w FROM g1 UNION ALL SELECT w AS u, u AS w FROM g1)),
+       |${anchor("2", "e2", "q2")},
+       |${walk("2", "e2", "q2", "und2")},
+       |a2 AS (SELECT query_id AS u, node AS w, cos, rank
+       |       FROM r2_$hops WHERE rank <= $k)
+       |SELECT u AS vec_id, CAST(rank AS BIGINT) AS rank, w AS neighbor_id,
+       |  cos
+       |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+       |ORDER BY vec_id, rank""".stripMargin
+  }
+
   /** Anchor-cost dashboard for the serving walk — per held-out query, the
     * number of distinct hop-0 anchor candidates [[annGraphSearchOos]]
     * scores (Σ bucket sizes across the `nTables` OR'd tables, deduped,

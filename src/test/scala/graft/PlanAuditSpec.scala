@@ -611,6 +611,27 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("graph generation chain: batch 4's walk reads the staged gen-1 edges — the base never re-descends") {
+    // warm gen 1 so the gen-2 build can read it as a stage
+    Similarity.stagedGraphGen(spark, sfDir, 1, 5, 100, 2, 137, 64, 3, 0, 8)
+    val staged = Similarity.stagedGraphGen(spark, sfDir, 1,
+      5, 100, 2, 137, 64, 3, 0, 8)
+    val ps = plan(staged)
+    assert(ps.contains("graft_staged/ann_gen"),
+      s"gen-1 must arrive as the staged parquet:\n${ps.take(800)}")
+    Seq("Join", "Window", "Exchange").foreach(op =>
+      assert(!ps.contains(op),
+        s"staged gen read must be scan-only, found $op:\n${ps.take(800)}"))
+    // the gen-2 build walks batch 4 against that stage (the walk hides
+    // its hops behind localCheckpoint cuts; the graph input's provenance
+    // is the auditable part) and stays cartesian-free
+    val p = plan(Similarity.graphGenBuildFrame(spark, sfDir, 2,
+      5, 100, 2, 137, 64, 3, 0, 8))
+    assert(p.contains("graft_staged/ann_gen"),
+      s"gen-2 build must read the staged gen-1 edges:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("bm25 generation chain: each apply reads gen-1's parquet + its own batch only") {
     // warm the chain so gen 1 exists as a stage
     TextOps.stagedImpactGen(spark, sfDir, 2, 1.2, 0.75, 64)
