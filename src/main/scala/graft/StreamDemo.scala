@@ -349,6 +349,72 @@ object StreamDemo {
         streamedIt.exceptAll(batchIt).isEmpty,
       s"streamed=${streamedIt.count()} batch=${batchIt.count()}")
 
+    // --- streaming impact-index ingest with write-back generations: the
+    // retrieval family's stream leg. Documents flow over the log one
+    // segment per micro-batch; the query is KILLED mid-ingest and
+    // restarted, and the resulting generation chain must equal the batch
+    // fold of the same segments through the same apply code path.
+    {
+      import graft.operators.TextOps
+      val idxLog = s"$work/idxlog"; val idxDir = s"$work/idx"
+      val docRows = Tables.documents(spark, sfDir).orderBy("doc_id")
+        .select(col("doc_id").cast("string").as("k"),
+          translate(base64(col("text").cast("binary")), "\r\n", "").as("v"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val segs = docRows.grouped(docRows.length / 5 + 1).toSeq
+      segs.foreach(g => EmbeddedLog.append(idxLog, "docs", 0, g.toSeq))
+      // strictly increasing segment mtimes: the file source processes
+      // oldest-first, and appends landing in one clock tick would leave
+      // the batch order (= the fold order) up to a tie-break
+      val pdir = new java.io.File(s"$idxLog/docs/p0")
+      val segFiles = pdir.listFiles().sortBy(_.getName)
+      segFiles.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(f.lastModified() - (segFiles.length - i) * 2000L)
+      }
+      def ingest() = Streaming.indexIngestConsume(spark, idxLog, "docs",
+        "idx", idxDir, s"$work/idx_ck", Some(1))
+      def genDone(g: Int): Boolean =
+        new java.io.File(s"$idxDir/gen=$g/termstats/_SUCCESS").exists() &&
+          new java.io.File(s"$idxDir/gen=$g/prefix/_SUCCESS").exists()
+      // kill as soon as generation 1 lands — mid-ingest, often mid-batch
+      val q1 = ingest()
+      val deadline = System.currentTimeMillis() + 120000
+      while (!genDone(1) && System.currentTimeMillis() < deadline)
+        Thread.sleep(25)
+      q1.stop(); scala.util.Try(q1.awaitTermination())
+      ingest().awaitTermination()
+      val gensDone = segs.indices.count(genDone)
+      // the batch fold: gen-0 self-stats build, then one apply per segment
+      import spark.implicits._
+      def segDf(s: Seq[(String, String)]) = s
+        .map { case (k, v) => (k.toLong,
+          new String(java.util.Base64.getDecoder.decode(v), "UTF-8")) }
+        .toDF("doc_id", "text")
+      var acc = TextOps.impactGen0Frames(segDf(segs.head), 1.2, 0.75, 64)
+      segs.tail.foreach { s =>
+        acc = TextOps.impactApplyFrames(acc._1, acc._2, segDf(s),
+          1.2, 0.75, 64)
+      }
+      val last = segs.length - 1
+      val gotPfx = spark.read.parquet(s"$idxDir/gen=$last/prefix")
+        .orderBy("token", "imp_rank").collect().toSeq
+      val expPfx = acc._1.orderBy("token", "imp_rank").collect().toSeq
+      val gotStats = spark.read.parquet(s"$idxDir/gen=$last/termstats")
+        .orderBy("token").collect().toSeq
+      val expStats = acc._2.orderBy("token").collect().toSeq
+      val firstDiff = gotPfx.zip(expPfx).find { case (g, e) => g != e }
+        .orElse(gotStats.zip(expStats).find { case (g, e) => g != e })
+        .map { case (g, e) => s" first_diff=[$g vs $e]" }.getOrElse("")
+      check("streaming index ingest: killed+restarted chain equals the batch fold",
+        gensDone == segs.length && gotPfx == expPfx && gotStats == expStats,
+        s"gens=$gensDone/${segs.length} prefix=${gotPfx.size} " +
+          s"terms=${gotStats.size}$firstDiff")
+      val drainedIdx = EmbeddedLog.committed(idxLog, "idx", "docs", 0) ==
+        EmbeddedLog.end(idxLog, "docs", 0)
+      check("streaming index ingest: consumer group drained to the log end",
+        drainedIdx, s"committed=${EmbeddedLog.committed(idxLog, "idx", "docs", 0)}")
+    }
+
     // --- A5 live edge under the FULL envelope: A7 bearer auth from the
     // secret store + I9 token-bucket metering, driven as the demo's
     // enrichment pass — the reference's api_to_gcs call shape with every
