@@ -16,12 +16,23 @@ import org.apache.spark.sql.functions._
   * size N are the boilerplate-heavy shape a web corpus has at scale, so
   * the dedup family is soaked on its worst realistic input (documented
   * in SCALE.md where it bends an exponent). Dimension tables
-  * (region/nation) stay single-copy, as dimensions do. */
+  * (region/nation) stay single-copy, as dimensions do.
+  *
+  * A 4th arg `jitter` perturbs the EMBEDDING vectors of copies i > 0
+  * multiplicatively (±2.5%, md5-derived per (shifted vec_id, dim) — an
+  * RNG would break replayability) while copy 0 stays byte-identical.
+  * Identical clones saturate recall metrics (a query's clone sits at
+  * cosine 1.0 and every serving path trivially finds it — documented
+  * r13), so the clone fixture can time serving at sf1 but not MEASURE
+  * it; the jittered twin gives RecallGrid a non-degenerate sf1 ground
+  * truth while keeping corpus geometry (cluster structure, norms)
+  * essentially intact. */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "tmpdata/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val jitter = args.length > 3 && args(3) == "jitter"
     val K = 1163962800L
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -45,9 +56,18 @@ object ScaleUp {
       val scaled =
         if (keys.isEmpty) df
         else (0 until copies).map { i =>
-          keys.foldLeft(df) { (d, c) =>
+          val shifted = keys.foldLeft(df) { (d, c) =>
             d.withColumn(c, col(c) + lit(i * K))
           }
+          if (jitter && t == "embeddings" && i > 0)
+            shifted.withColumn("embedding",
+              transform(col("embedding"), (x, j) =>
+                (x * (lit(1d) + (Exprs.md5num(concat(lit("jit_"),
+                  col("vec_id").cast("string"), lit("_"),
+                  j.cast("string"))).cast("double")
+                  / lit(4294967296d) - lit(0.5d)) * lit(0.05d)))
+                  .cast("float")))
+          else shifted
         }.reduce(_ unionByName _)
       scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scaleup] $t -> $out/$t.parquet")
