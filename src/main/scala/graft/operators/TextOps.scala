@@ -245,16 +245,18 @@ object TextOps {
     * struct ordering and the oracle's `ORDER BY rn` agree because rank is
     * unique within a token. */
   def invertedIndex(spark: SparkSession, sfDir: String, maxPostings: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dt = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(words(col("text"))).as("token"))
       .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
     val stats = dt.groupBy("token")
       .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
-    val postings = dt
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("token").orderBy(col("tf").desc, col("doc_id"))))
-      .filter(col("rn") <= maxPostings)
+    // posting cut via the two-stage top-cap aggregator ((tf desc, doc_id)
+    // IS impactTopCap's (c desc, doc_id) order with c = tf): a stop-word
+    // term's posting list is never one window partition
+    val postings = impactTopCap(
+        dt.select(col("token"), col("doc_id"), col("tf").as("c")),
+        maxPostings)
+      .select(col("token"), col("doc_id"), col("imp_rank").as("rn"))
       .groupBy("token")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("rn"), col("doc_id")))),
@@ -606,12 +608,13 @@ object TextOps {
     * LENGTH both grow with the corpus. The prefix cuts the second factor
     * to a constant; the first is the workload, not the plan.
     *
-    * Scale shape: the impact ranking is ONE window over the query-term
-    * postings (posting-length work once per distinct term, NOT once per
-    * (query, term) — terms dedup before the rank, then re-attach to
-    * queries by broadcast); everything downstream is [[bm25Topk]]'s
-    * candidate-sized accumulation. Determinism: the same 1e-6 contribution
-    * grid, impact ties broken by doc_id. */
+    * Scale shape: the impact ranking is the two-stage [[impactTopCap]]
+    * aggregation over the query-term postings (posting-length work once
+    * per distinct term, NOT once per (query, term) — terms dedup before
+    * the rank, then re-attach to queries by broadcast; bounded buffers,
+    * never a per-term window partition); everything downstream is
+    * [[bm25Topk]]'s candidate-sized accumulation. Determinism: the same
+    * 1e-6 contribution grid, impact ties broken by doc_id. */
   def bm25TopkPruned(spark: SparkSession, sfDir: String, k: Int = 10,
       qTerms: Int = 4, k1: Double = 1.2, b: Double = 0.75,
       cap: Int = 64): DataFrame = {
@@ -635,19 +638,11 @@ object TextOps {
     val postings = dt
       .join(broadcast(qt), "token")
       .crossJoin(broadcast(stats))
-      .select(col("token"), col("doc_id"),
-        floor(
-          log(lit(1d) + (col("n_docs").cast("double") - col("df") + 0.5)
-            / (col("df") + 0.5))
-            * (col("tf").cast("double") * (k1 + 1))
-            / (col("tf").cast("double")
-              + lit(k1) * (lit(1d) - lit(b) + lit(b) * col("dl") / col("avgdl")))
-            * lit(1e6) + lit(0.5d)).cast("long").as("c"))
-      .withColumn("imp_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("token")
-          .orderBy(col("c").desc, col("doc_id"))))
-      .filter(col("imp_rank") <= cap)
-    val scored = postings.join(broadcast(q), "token")
+      .select(col("token"), col("doc_id"), bm25GridContrib(k1, b).as("c"))
+    // per-term prefix via the two-stage aggregator (impactTopCap): a
+    // stop-word QUERY term's posting list would otherwise be one
+    // corpus-sized window partition even in this presentation form
+    val scored = impactTopCap(postings, cap).join(broadcast(q), "token")
       .groupBy("query_id", "doc_id")
       .agg(sum("c").as("s"))
       .withColumn("rn", row_number().over(
