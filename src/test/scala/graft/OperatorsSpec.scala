@@ -3126,4 +3126,34 @@ class OperatorsSpec extends SparkSuite {
           r.getDouble(r.fieldIndex("ml_score")) > 0d))
     }
   }
+
+  test("ImpactTopKAggregator: any reduce/merge split equals global sort-take") {
+    // the two-stage build's correctness rests on this algebra: folding
+    // rows in any order across any partitioning, then merging the
+    // partial buffers, must equal the windowed rank it replaced —
+    // including heavy ties (c drawn from a tiny range so equal scores
+    // with doc_id tie-breaks dominate)
+    import graft.operators.{ImpactTopKAggregator, Posting}
+    val rnd = new scala.util.Random(4242)
+    (1 to 50).foreach { trial =>
+      val cap = 1 + rnd.nextInt(8)
+      val agg = new ImpactTopKAggregator(cap)
+      val rows = Seq.fill(rnd.nextInt(60))(
+        Posting("t", rnd.nextInt(1000).toLong, rnd.nextInt(5).toLong))
+      val nSplits = 1 + rnd.nextInt(4)
+      val buffers = rows.grouped(math.max(1, rows.size / nSplits + 1))
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+      val merged = buffers.foldLeft(agg.zero)(agg.merge)
+      val want = rows.map(p => (p.doc_id, p.c)).distinct
+        .sortBy { case (id, c) => (-c, id) }.take(cap)
+      // duplicate (doc_id, c) inputs: the window form ranks both copies;
+      // the aggregator's sorted-insert keeps both too — compare on the
+      // raw multiset instead when duplicates are present
+      val wantDup = rows.map(p => (p.doc_id, p.c))
+        .sortBy { case (id, c) => (-c, id) }.take(cap)
+      assert(agg.finish(merged) == wantDup,
+        s"trial $trial cap=$cap: ${agg.finish(merged)} vs $wantDup")
+      assert(want.forall(wantDup.contains), s"trial $trial sanity")
+    }
+  }
 }
