@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A media item: opaque binary payload + typed metadata. */
@@ -947,9 +947,15 @@ object Multimodal {
     * batch-vs-base form ([[imageDedupIncremental]]). */
   private def imageSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id")).as[Long]
-      .mapPartitions { it =>
+    imageSigsOf(Tables.documents(spark, sfDir).select(col("doc_id")).as[Long])
+  }
+
+  /** The image signature scan over an arbitrary id set — lets the
+    * incremental form decode ONLY its batch stripe while the base
+    * arrives as the staged signature table. */
+  private def imageSigsOf(ids: Dataset[Long]): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
         val writer = javax.imageio.ImageIO
           .getImageWritersByFormatName("png").next()
         val reader = javax.imageio.ImageIO
@@ -1069,9 +1075,13 @@ object Multimodal {
     * contract for the WAV envelope hash). */
   private def audioSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id")).as[Long]
-      .mapPartitions { it =>
+    audioSigsOf(Tables.documents(spark, sfDir).select(col("doc_id")).as[Long])
+  }
+
+  /** [[imageSigsOf]]' contract for the WAV envelope hash. */
+  private def audioSigsOf(ids: Dataset[Long]): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
         import scala.jdk.CollectionConverters._
         val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
         val writer = java.util.ServiceLoader
@@ -1194,9 +1204,13 @@ object Multimodal {
     * contract for the middle-frame GIF dHash). */
   private def videoSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id")).as[Long]
-      .mapPartitions { it =>
+    videoSigsOf(Tables.documents(spark, sfDir).select(col("doc_id")).as[Long])
+  }
+
+  /** [[imageSigsOf]]' contract for the middle-frame GIF dHash. */
+  private def videoSigsOf(ids: Dataset[Long]): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
         val writer = javax.imageio.ImageIO
           .getImageWritersByFormatName("gif").next()
         val reader = javax.imageio.ImageIO
@@ -1395,10 +1409,14 @@ object Multimodal {
     * base NEVER self-joins (plan-audited), so a daily ingest pays
     * batch×base band-bucket work instead of re-paying the full corpus's
     * Σ bucket² (the batch dedupers remain the exhaustive reconciliation,
-    * the reference's checker pattern). At 100 TB the base side is a
-    * precomputed signature table the (small) batch probes — here both
-    * sides hash in one scan because signatures are fixture-derived, but
-    * the join asymmetry is the production shape.
+    * the reference's checker pattern). Since r15 the base side IS the
+    * precomputed signature table ([[Staged]] — built once per corpus by
+    * decoding the base stripe, then a bare parquet scan on every
+    * ingest), and the batch side decodes ONLY its own stripe: an
+    * incremental run's decode cost is batch-sized, matching the
+    * retrieval family's persisted-base contract. Oracles still replay
+    * both sides from the payload formulas, so a stale staged signature
+    * table fails the gate loudly.
     *
     * Output matches the text form's presentation: one verdict per flagged
     * new doc — (new_id, kind, dup_of). `kind` = 'exact' when some base
@@ -1406,10 +1424,9 @@ object Multimodal {
     * historical tier stores), else 'near' (0 < hamming ≤ maxHamming);
     * dup_of = the smallest qualifying base id (first-match, SURVEY §2
     * G3), with exact matches winning the kind. */
-  private def mediaDedupIncrementalOf(sig: DataFrame,
-      maxHamming: Int): DataFrame = {
-    val isBatch = pmod(col("doc_id"), lit(10L)) === 9
-    val bands = sig.select(col("doc_id"),
+  private def mediaDedupIncrementalOf(batchSig: DataFrame,
+      baseSig: DataFrame, maxHamming: Int): DataFrame = {
+    def bands(sig: DataFrame) = sig.select(col("doc_id"),
       col("b0"), col("b1"), col("b2"), col("b3"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("band_idx", "band_val")))
@@ -1417,8 +1434,8 @@ object Multimodal {
         call_function("bit_count",
           col(s"a.b$i").bitwiseXOR(col(s"b.b$i"))).cast("long"))
       .reduce(_ + _)
-    val cand = bands.filter(isBatch).as("a")
-      .join(bands.filter(!isBatch).as("b"),
+    val cand = bands(batchSig).as("a")
+      .join(bands(baseSig).as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("base_id"),
@@ -1437,20 +1454,51 @@ object Multimodal {
       .orderBy("new_id")
   }
 
+  /** The ids of one stripe, filtered AT the parquet scan so the decode
+    * stage only ever sees its own side. */
+  private def stripeIds(spark: SparkSession, sfDir: String,
+      batch: Boolean): Dataset[Long] = {
+    import spark.implicits._
+    val m = pmod(col("doc_id"), lit(10L))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .filter(if (batch) m === 9 else m =!= 9).as[Long]
+  }
+
+  /** The base stripe's signature table, decoded ONCE per corpus and
+    * staged ([[Staged]]'s content-keyed atomic publish) — the
+    * "precomputed signature table the batch probes" every incremental
+    * ingest reads as a bare parquet scan. */
+  private def stagedBaseSigs(spark: SparkSession, sfDir: String,
+      modality: String)(build: => DataFrame): DataFrame =
+    Staged.parquet(spark,
+      s"media_sigs_v1/${Staged.dirKey(sfDir)}_$modality")(build)
+
   /** [[mediaDedupIncrementalOf]] over the image dHash signatures. */
   def imageDedupIncremental(spark: SparkSession, sfDir: String,
       maxHamming: Int = DefaultMaxHamming): DataFrame =
-    mediaDedupIncrementalOf(imageSigs(spark, sfDir), maxHamming)
+    mediaDedupIncrementalOf(
+      imageSigsOf(stripeIds(spark, sfDir, batch = true)),
+      stagedBaseSigs(spark, sfDir, "image")(
+        imageSigsOf(stripeIds(spark, sfDir, batch = false))),
+      maxHamming)
 
   /** [[mediaDedupIncrementalOf]] over the audio envelope signatures. */
   def audioDedupIncremental(spark: SparkSession, sfDir: String,
       maxHamming: Int = DefaultMaxHamming): DataFrame =
-    mediaDedupIncrementalOf(audioSigs(spark, sfDir), maxHamming)
+    mediaDedupIncrementalOf(
+      audioSigsOf(stripeIds(spark, sfDir, batch = true)),
+      stagedBaseSigs(spark, sfDir, "audio")(
+        audioSigsOf(stripeIds(spark, sfDir, batch = false))),
+      maxHamming)
 
   /** [[mediaDedupIncrementalOf]] over the video middle-frame signatures. */
   def videoDedupIncremental(spark: SparkSession, sfDir: String,
       maxHamming: Int = DefaultMaxHamming): DataFrame =
-    mediaDedupIncrementalOf(videoSigs(spark, sfDir), maxHamming)
+    mediaDedupIncrementalOf(
+      videoSigsOf(stripeIds(spark, sfDir, batch = true)),
+      stagedBaseSigs(spark, sfDir, "video")(
+        videoSigsOf(stripeIds(spark, sfDir, batch = false))),
+      maxHamming)
 
   /** The asymmetric (batch probes base) relational tail — the oracle twin
     * of [[mediaDedupIncrementalOf]]; expects the modality's `bit` CTE

@@ -1085,6 +1085,14 @@ object TextOps {
       impactGen0Frames(
         Tables.documents(spark, sfDir)
           .filter(pmod(col("doc_id"), lit(10L)) < 8), k1, b, cap)
+    else if (gen == CompactGen)
+      // the COMPACTION generation: the periodic reconciliation every
+      // incremental inverted index schedules — a full self-stats rebuild
+      // over everything the chain has ingested (all three stripes = the
+      // whole table), published through the same atomic generation
+      // machinery; admission-time score staleness and idf drift reset to
+      // zero. [[bm25IndexDrift]] is the dashboard that says WHEN.
+      impactGen0Frames(Tables.documents(spark, sfDir), k1, b, cap)
     else {
       val (prefix, termStats) =
         stagedImpactGen(spark, sfDir, gen - 1, k1, b, cap)
@@ -1093,6 +1101,10 @@ object TextOps {
           .filter(pmod(col("doc_id"), lit(10L)) === (7 + gen)),
         k1, b, cap)
     }
+
+  /** The generation index that means "compact": after the two batch
+    * applies (gens 1-2), gen 3 is the full reconciliation rebuild. */
+  private[graft] val CompactGen = 3
 
   /** Two sequential ingests against the PERSISTED chain — batch 8 into
     * the gen-0 base, write-back, then batch 9 into gen 1 — presented as
@@ -1115,7 +1127,104 @@ object TextOps {
     * the documents table (never from the staged chain: a stale or
     * corrupt generation must fail the gate). */
   def bm25IndexApplySql(k1: Double = 1.2, b: Double = 0.75,
-      cap: Int = 64): String = {
+      cap: Int = 64): String =
+    s"""WITH ${applyChainCtes(k1, b, cap)}
+      |SELECT token, doc_id, CAST(r AS BIGINT) AS imp_rank, c FROM pfx2
+      |ORDER BY token, imp_rank""".stripMargin
+
+  /** Staleness dashboard for the generation chain — the metric that
+    * tells a production deployment WHEN to run the compaction
+    * ([[bm25IndexCompact]]): per term, how much of the FRESH rebuild's
+    * top-`cap` prefix the incrementally-maintained gen-2 index still
+    * contains. The chain's prefixes carry admission-time scores (batch 8
+    * scored with gen-0 idf, batch 9 with gen-1's — the documented
+    * frozen-stats trade), so its per-term top-cap drifts away from the
+    * rebuild's as ingests accumulate; overlap = 1.0 means the staleness
+    * has not yet changed any ranking that matters. Output: (token,
+    * n_chain, n_rebuild, n_common, overlap), token order.
+    *
+    * Scale: both sides arrive as staged parquet (prefix-sized — the
+    * rebuild via [[stagedImpactIndex]], the chain via
+    * [[stagedImpactGen]]); the join is prefix-grain on (token, doc_id);
+    * output is vocabulary-sized. */
+  def bm25IndexDrift(spark: SparkSession, sfDir: String, k1: Double = 1.2,
+      b: Double = 0.75, cap: Int = 64): DataFrame = {
+    val chain = stagedImpactGen(spark, sfDir, 2, k1, b, cap)._1
+      .select("token", "doc_id")
+    val rebuild = stagedImpactIndex(spark, sfDir, k1, b, cap)
+      .select("token", "doc_id")
+    val nChain = chain.groupBy("token").agg(count(lit(1)).as("n_chain"))
+    val nRebuild = rebuild.groupBy("token")
+      .agg(count(lit(1)).as("n_rebuild"))
+    val nCommon = chain.join(rebuild, Seq("token", "doc_id"))
+      .groupBy("token").agg(count(lit(1)).as("n_common"))
+    nChain.join(nRebuild, Seq("token"))
+      .join(nCommon, Seq("token"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .select(col("token"), col("n_chain"), col("n_rebuild"),
+        col("n_common"),
+        Exprs.r4(col("n_common").cast("double") / col("n_rebuild"))
+          .as("overlap"))
+      .orderBy("token")
+  }
+
+  /** Oracle for [[bm25IndexDrift]] — the two-apply chain CTEs and the
+    * full-rebuild prefix, joined per (token, doc_id), both replayed from
+    * the documents table. */
+  def bm25IndexDriftSql(k1: Double = 1.2, b: Double = 0.75,
+      cap: Int = 64): String =
+    s"""WITH ${applyChainCtes(k1, b, cap)},
+      |fst AS (SELECT count(*) AS n_docs,
+      |          avg(CAST(len(w) AS BIGINT)) AS avgdl FROM t),
+      |fdfs AS (SELECT token, count(*) AS df FROM dt GROUP BY 1),
+      |fpc AS (
+      |  SELECT dt.token, dt.doc_id,
+      |    CAST(floor(
+      |      ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |        * (CAST(tf AS DOUBLE) * ($k1 + 1))
+      |        / (CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b * dl / avgdl))
+      |        * 1000000 + 0.5) AS BIGINT) AS c
+      |  FROM dt JOIN fdfs USING (token), fst),
+      |fpfx AS (
+      |  SELECT token, doc_id FROM (
+      |    SELECT token, doc_id, row_number() OVER (PARTITION BY token
+      |      ORDER BY c DESC, doc_id) AS r FROM fpc)
+      |  WHERE r <= $cap),
+      |nc AS (SELECT token, count(*) AS n_chain FROM pfx2 GROUP BY 1),
+      |nr AS (SELECT token, count(*) AS n_rebuild FROM fpfx GROUP BY 1),
+      |ncom AS (
+      |  SELECT p.token, count(*) AS n_common
+      |  FROM pfx2 p JOIN fpfx f ON p.token = f.token
+      |    AND p.doc_id = f.doc_id
+      |  GROUP BY 1)
+      |SELECT nc.token, nc.n_chain, nr.n_rebuild,
+      |  COALESCE(ncom.n_common, 0) AS n_common,
+      |  floor(CAST(COALESCE(ncom.n_common, 0) AS DOUBLE) / nr.n_rebuild
+      |    * 10000 + 0.5) / 10000 AS overlap
+      |FROM nc JOIN nr USING (token) LEFT JOIN ncom USING (token)
+      |ORDER BY token""".stripMargin
+
+  /** Compaction — the write-back RECONCILIATION that closes the
+    * generation chain's life cycle (ingest → ingest → … → compact): a
+    * full self-stats rebuild over everything the chain has ingested,
+    * published as the next immutable generation through the same atomic
+    * rename as the applies. Content-identical to [[bm25IndexBuild]] over
+    * the same corpus (one oracle text checks both plans — the
+    * `bm25_topk_indexed` precedent), which IS the point: after
+    * compaction the drift dashboard reads 1.0 everywhere and
+    * admission-time score staleness resets to zero. */
+  def bm25IndexCompact(spark: SparkSession, sfDir: String,
+      k1: Double = 1.2, b: Double = 0.75, cap: Int = 64): DataFrame = {
+    val (prefix, _) = stagedImpactGen(spark, sfDir, CompactGen, k1, b, cap)
+    prefix.select(col("token"), col("doc_id"),
+      col("imp_rank").cast("long").as("imp_rank"), col("c"))
+      .orderBy("token", "imp_rank")
+  }
+
+  /** The two-apply generation-chain CTE body (final CTE = `pfx2(token,
+    * doc_id, c, r)`) — shared by [[bm25IndexApplySql]] and the drift
+    * dashboard's oracle. */
+  private def applyChainCtes(k1: Double, b: Double, cap: Int): String = {
     def grid(df: String, nDocs: String, sumDl: String): String =
       s"""CAST(floor(
          |      ln(1.0 + (CAST($nDocs AS DOUBLE) - $df + 0.5) / ($df + 0.5))
@@ -1123,7 +1232,7 @@ object TextOps {
          |        / (CAST(tf AS DOUBLE) + $k1 * (1.0 - $b
          |            + $b * dl / (CAST($sumDl AS DOUBLE) / $nDocs)))
          |        * 1000000 + 0.5) AS BIGINT)""".stripMargin
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |dtx AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS token FROM t),
       |dt AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
       |       FROM dtx GROUP BY 1, 2),
@@ -1171,9 +1280,7 @@ object TextOps {
       |    SELECT token, doc_id, c, row_number() OVER (PARTITION BY token
       |      ORDER BY c DESC, doc_id) AS r
       |    FROM (SELECT * FROM pfx1 UNION ALL SELECT * FROM sc2))
-      |  WHERE r <= $cap)
-      |SELECT token, doc_id, CAST(r AS BIGINT) AS imp_rank, c FROM pfx2
-      |ORDER BY token, imp_rank""".stripMargin
+      |  WHERE r <= $cap)""".stripMargin
   }
 
   def bm25TopkSql(k: Int = 10, qTerms: Int = 4, k1: Double = 1.2,

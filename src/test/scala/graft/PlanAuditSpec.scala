@@ -676,18 +676,26 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
-  test("incremental media dedup: the band join is batch-probes-base — the base never self-joins") {
+  test("incremental media dedup: batch-only decode probes the staged base signatures") {
     Seq(plan(Multimodal.imageDedupIncremental(spark, sfDir)),
         plan(Multimodal.audioDedupIncremental(spark, sfDir)),
         plan(Multimodal.videoDedupIncremental(spark, sfDir))).foreach { p =>
       assert(!p.contains("CartesianProduct"), p.take(1200))
-      // both join inputs are doc_id-stripe filtered: one side keeps ONLY
-      // the batch (%10 = 9), the other ONLY the base (NOT %10 = 9) — a
-      // base×base self-join would show an unfiltered side
+      // every decode stage in the plan is the BATCH lambda (the one
+      // logical decode's subtree repeats across the ex/nr branches), and
+      // the id scan feeding it carries the batch stripe filter — an
+      // ingest's decode cost is batch-sized
+      assert(p.split("MapPartitions").length - 1 >= 1,
+        s"expected the batch decode stage:\n${p.take(1500)}")
       assert(p.contains("= 9)"),
         s"batch-side stripe filter missing:\n${p.take(1200)}")
-      assert(p.contains("NOT (pmod(") || p.contains("NOT (_2#"),
-        s"base-side stripe filter missing:\n${p.take(1200)}")
+      // the base arrives as the precomputed staged signature table — a
+      // bare parquet scan, never a second corpus decode
+      assert(p.contains("graft_staged/media_sigs"),
+        s"base side must read the staged signatures:\n${p.take(1500)}")
+      assert(!p.contains("NOT (pmod("),
+        "a base-stripe corpus decode leaked back into the incremental " +
+          s"path:\n${p.take(1500)}")
     }
   }
 
