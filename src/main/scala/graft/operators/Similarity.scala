@@ -1342,39 +1342,45 @@ object Similarity {
     * [[annNndescentSql]] and [[annGraphSearchSql]] oracles; the final
     * graph CTE is `g_<rounds>`. */
   private def nndescentCtes(k: Int, blockSize: Int, rounds: Int,
-      stride: Int, where: String = ""): String = {
+      stride: Int, where: String = "", prefix: String = ""): String = {
+    // `prefix` renames every CTE (e → e<p>, g_r → g<p>_r, …) so two
+    // descents over different corpora can share one WITH body (the
+    // graph drift oracle needs the chain AND a full rebuild); "" keeps
+    // the historical names every existing oracle uses
+    val (e, p, g, und) =
+      (s"e$prefix", s"p$prefix", s"g$prefix", s"und$prefix")
     val c = cosSqlFragment.replace("QV", "q.v").replace("TV", "t.v")
     def ranked(pairsCte: String): String =
       s"""SELECT u, w, cos, ROW_NUMBER() OVER (PARTITION BY u
          |    ORDER BY cos DESC, w ASC) AS rank
          |  FROM (SELECT p.u, p.w, $c AS cos
-         |    FROM $pairsCte p JOIN e q ON p.u = q.vec_id
-         |    JOIN e t ON p.w = t.vec_id)""".stripMargin
+         |    FROM $pairsCte p JOIN $e q ON p.u = q.vec_id
+         |    JOIN $e t ON p.w = t.vec_id)""".stripMargin
     val roundCtes = (1 to rounds).map { r =>
-      s"""und_$r AS (
-         |  SELECT u, w FROM g_${r - 1} WHERE rank <= $k
-         |  UNION ALL SELECT w AS u, u AS w FROM g_${r - 1} WHERE rank <= $k),
-         |p_$r AS (
+      s"""${und}_$r AS (
+         |  SELECT u, w FROM ${g}_${r - 1} WHERE rank <= $k
+         |  UNION ALL SELECT w AS u, u AS w FROM ${g}_${r - 1} WHERE rank <= $k),
+         |${p}_$r AS (
          |  SELECT DISTINCT u, w FROM (
-         |    SELECT x.u, y.w FROM und_$r x JOIN und_$r y ON x.w = y.u
+         |    SELECT x.u, y.w FROM ${und}_$r x JOIN ${und}_$r y ON x.w = y.u
          |    WHERE x.u <> y.w
-         |    UNION ALL SELECT u, w FROM g_${r - 1} WHERE rank <= $k)),
-         |g_$r AS (
-         |  ${ranked(s"p_$r")})""".stripMargin
+         |    UNION ALL SELECT u, w FROM ${g}_${r - 1} WHERE rank <= $k)),
+         |${g}_$r AS (
+         |  ${ranked(s"${p}_$r")})""".stripMargin
     }.mkString(",\n")
-    s"""e AS (
+    s"""$e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings$where),
-       |p_0 AS (
+       |${p}_0 AS (
        |  SELECT a.vec_id AS u, b.vec_id AS w
-       |  FROM e a JOIN e b ON a.vec_id // $blockSize = b.vec_id // $blockSize
+       |  FROM $e a JOIN $e b ON a.vec_id // $blockSize = b.vec_id // $blockSize
        |    AND a.vec_id <> b.vec_id
        |  UNION ALL
        |  SELECT a.vec_id AS u, b.vec_id AS w
-       |  FROM e a CROSS JOIN range(1, ${k + 1}) j
-       |  JOIN e b ON b.vec_id = a.vec_id + j.range * $stride),
-       |g_0 AS (
-       |  ${ranked("p_0")}),
+       |  FROM $e a CROSS JOIN range(1, ${k + 1}) j
+       |  JOIN $e b ON b.vec_id = a.vec_id + j.range * $stride),
+       |${g}_0 AS (
+       |  ${ranked(s"${p}_0")}),
        |$roundCtes""".stripMargin
   }
 
@@ -1673,6 +1679,15 @@ object Similarity {
           .filter(!pmod(col("vec_id"), lit(100L)).isin(3L, 4L)),
         k, blockSize, rounds, stride)
         .select("u", "w", "cos", "rank")
+    else if (gen == GraphCompactGen)
+      // the COMPACTION generation: a full re-descent over everything the
+      // chain has ingested (base ∪ both batches = the whole table),
+      // published through the same atomic generation machinery — the
+      // walk-inserted adjacencies' quality drift resets to descent
+      // quality. [[annGraphDrift]] is the dashboard that says WHEN.
+      nndescentEdges(normedEmbeddings(spark, sfDir),
+        k, blockSize, rounds, stride)
+        .select("u", "w", "cos", "rank")
     else {
       val prev = stagedGraphGen(spark, sfDir, gen - 1, k, blockSize,
         rounds, stride, beam, hops, nBits, nTables)
@@ -1717,7 +1732,101 @@ object Similarity {
     * start to finish from the embeddings table. */
   def annGraphApplySql(k: Int = 5, blockSize: Int = 100, rounds: Int = 2,
       stride: Int = 137, beam: Int = 64, hops: Int = 3, nBits: Int = 0,
-      nTables: Int = 8): String = {
+      nTables: Int = 8): String =
+    s"""WITH ${graphApplyChainCtes(k, blockSize, rounds, stride, beam,
+        hops, nBits, nTables)}
+       |SELECT u AS vec_id, CAST(rank AS BIGINT) AS rank, w AS neighbor_id,
+       |  cos
+       |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+       |ORDER BY vec_id, rank""".stripMargin
+
+  /** The graph chain's compact generation index: after the two batch
+    * inserts (gens 1-2), gen 3 is the full re-descent. */
+  private[graft] val GraphCompactGen = 3
+
+  /** Compaction for the GRAPH chain — the reconciliation that closes
+    * its life cycle (insert → insert → compact), mirroring
+    * [[graft.operators.TextOps.bm25IndexCompact]]: a full NN-descent
+    * over everything the chain has ingested, published as the next
+    * immutable generation via the atomic staged rename.
+    * Content-identical to [[annNndescent]] over the same corpus (one
+    * oracle text checks both plans): the batch nodes' walk-inserted
+    * adjacencies are replaced by descent-quality edges, and the
+    * accumulated insert drift ([[annGraphDrift]]) resets. */
+  def annGraphCompact(spark: SparkSession, sfDir: String, k: Int = 5,
+      blockSize: Int = 100, rounds: Int = 2, stride: Int = 137,
+      beam: Int = 64, hops: Int = 3, nBits: Int = 0,
+      nTables: Int = 8): DataFrame =
+    stagedGraphGen(spark, sfDir, GraphCompactGen, k, blockSize, rounds,
+        stride, beam, hops, nBits, nTables)
+      .select(col("u").as("vec_id"), col("rank").cast("long").as("rank"),
+        col("w").as("neighbor_id"), col("cos"))
+      .orderBy("vec_id", "rank")
+
+  /** Staleness dashboard for the graph chain — per inserted batch node,
+    * how many of its compacted (full re-descent) neighbors the
+    * walk-inserted adjacency already holds: the when-to-compact metric
+    * for the graph family, the structural twin of
+    * [[graft.operators.TextOps.bm25IndexDrift]]. Low overlap on a node
+    * means its walk entered a poor region (anchors missed) and the next
+    * compaction will materially improve its neighborhood. Both sides
+    * arrive as staged parquet; the join is adjacency-grain; output is
+    * batch-sized. */
+  def annGraphDrift(spark: SparkSession, sfDir: String, k: Int = 5,
+      blockSize: Int = 100, rounds: Int = 2, stride: Int = 137,
+      beam: Int = 64, hops: Int = 3, nBits: Int = 0,
+      nTables: Int = 8): DataFrame = {
+    val isBatch = pmod(col("u"), lit(100L)).isin(3L, 4L)
+    val chain = stagedGraphGen(spark, sfDir, 2, k, blockSize, rounds,
+      stride, beam, hops, nBits, nTables).filter(isBatch).select("u", "w")
+    val compacted = stagedGraphGen(spark, sfDir, GraphCompactGen, k,
+      blockSize, rounds, stride, beam, hops, nBits, nTables)
+      .filter(isBatch).select("u", "w")
+    val nChain = chain.groupBy("u").agg(count(lit(1)).as("n_chain"))
+    val nComp = compacted.groupBy("u").agg(count(lit(1)).as("n_compact"))
+    val nCommon = chain.join(compacted, Seq("u", "w"))
+      .groupBy("u").agg(count(lit(1)).as("n_common"))
+    nChain.join(nComp, Seq("u"))
+      .join(nCommon, Seq("u"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .select(col("u").as("vec_id"), col("n_chain"), col("n_compact"),
+        col("n_common"),
+        Exprs.r4(col("n_common").cast("double") / col("n_compact"))
+          .as("overlap"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle for [[annGraphDrift]] — the two-insert chain CTEs plus a
+    * prefix-renamed full descent (`gf_<rounds>`), joined per inserted
+    * node's (u, w), both replayed from the embeddings table. */
+  def annGraphDriftSql(k: Int = 5, blockSize: Int = 100, rounds: Int = 2,
+      stride: Int = 137, beam: Int = 64, hops: Int = 3, nBits: Int = 0,
+      nTables: Int = 8): String =
+    s"""WITH ${graphApplyChainCtes(k, blockSize, rounds, stride, beam,
+        hops, nBits, nTables)},
+       |${nndescentCtes(k, blockSize, rounds, stride, prefix = "f")},
+       |chain AS (SELECT u, w FROM a1 UNION ALL SELECT u, w FROM a2),
+       |comp AS MATERIALIZED (
+       |  SELECT u, w FROM gf_$rounds
+       |  WHERE rank <= $k AND u % 100 IN (3, 4)),
+       |ncm AS (
+       |  SELECT c.u, count(*) AS n_common
+       |  FROM chain c JOIN comp f ON c.u = f.u AND c.w = f.w GROUP BY 1),
+       |nch AS (SELECT u, count(*) AS n_chain FROM chain GROUP BY 1),
+       |nco AS (SELECT u, count(*) AS n_compact FROM comp GROUP BY 1)
+       |SELECT nch.u AS vec_id, nch.n_chain, nco.n_compact,
+       |  COALESCE(ncm.n_common, 0) AS n_common,
+       |  floor(CAST(COALESCE(ncm.n_common, 0) AS DOUBLE) / nco.n_compact
+       |    * 10000 + 0.5) / 10000 AS overlap
+       |FROM nch JOIN nco USING (u) LEFT JOIN ncm USING (u)
+       |ORDER BY vec_id""".stripMargin
+
+  /** The two-insert graph-chain CTE body (final CTEs = `a1`/`a2`, each
+    * `(u, w, cos, rank)`) — shared by [[annGraphApplySql]] and the graph
+    * drift oracle. */
+  private def graphApplyChainCtes(k: Int, blockSize: Int, rounds: Int,
+      stride: Int, beam: Int, hops: Int, nBits: Int,
+      nTables: Int): String = {
     val c = cosSqlFragment.replace("QV", "qq.v").replace("TV", "t.v")
     // suffix-parameterized twins of oosAnchorCtes / oosWalkCtes' hop
     // chain: the apply oracle needs TWO walks with different corpora,
@@ -1778,7 +1887,7 @@ object Similarity {
     // default, and walk 2's every reference to the gen-1 graph would
     // otherwise re-expand the ENTIRE walk-1 chain (which re-expands the
     // descent), multiplying parquet scans past the fd limit
-    s"""WITH ${nndescentCtes(k, blockSize, rounds, stride,
+    s"""${nndescentCtes(k, blockSize, rounds, stride,
         " WHERE vec_id % 100 NOT IN (3, 4)")},
        |gbase AS MATERIALIZED (
        |  SELECT u, w, cos, rank FROM g_$rounds WHERE rank <= $k),
@@ -1808,11 +1917,7 @@ object Similarity {
        |${anchor("2", "e2", "q2")},
        |${walk("2", "e2", "q2", "und2")},
        |a2 AS (SELECT query_id AS u, node AS w, cos, rank
-       |       FROM r2_$hops WHERE rank <= $k)
-       |SELECT u AS vec_id, CAST(rank AS BIGINT) AS rank, w AS neighbor_id,
-       |  cos
-       |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
-       |ORDER BY vec_id, rank""".stripMargin
+       |       FROM r2_$hops WHERE rank <= $k)""".stripMargin
   }
 
   /** Anchor-cost dashboard for the serving walk — per held-out query, the
