@@ -161,13 +161,25 @@ object Bench {
       }
       val dir = new java.io.File(repo, "bench_gates")
       dir.mkdirs()
+      // The gate file is CREATED (empty) at resolution time with
+      // CREATE_NEW semantics, not merely name-resolved: a find-then-write
+      // sequence is racy (two concurrent bench runs can resolve the same
+      // path and the second silently overwrites the supposedly immutable
+      // gate), and a later failed write would leave a committed headline
+      // pointing at a nonexistent file. createFile throws
+      // FileAlreadyExistsException atomically, so each concurrent run
+      // claims its own -rerunN suffix.
       Iterator.from(0)
         .map {
           case 0 => new java.io.File(dir, s"$tag.json")
           case 1 => new java.io.File(dir, s"$tag-rerun.json")
           case i => new java.io.File(dir, s"$tag-rerun$i.json")
         }
-        .find(!_.exists())
+        .flatMap { f =>
+          try { java.nio.file.Files.createFile(f.toPath); Some(f) }
+          catch { case _: java.nio.file.FileAlreadyExistsException => None }
+        }
+        .nextOption()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] gate path unresolved: ${e.getMessage}")
       None
@@ -178,11 +190,13 @@ object Bench {
     // "parsed": null. This line is < 200 bytes, complete JSON on its own,
     // and points at the gate file holding the full per-query maps.
     val gateRel = gate.map(g => s"bench_gates/${g.getName}").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":${fmt(medianTotal, 3)},"n":${results.size},"failed":${failed.size},"sf":"$sfDir","gate":"$gateRel"}""")
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","median_total":${fmt(medianTotal, 3)},"n":${results.size},"failed":${failed.size},"sf":"$sfDir","gate":"$gateRel"}"""
+    println(headline)
     println(line)
-    // Persist the COMPLETE line to bench_gates/<tag>.json so
-    // round-over-round per-query diffs never depend on driver truncation.
-    // Best-effort: a read-only cwd must not fail the bench.
+    // Persist the COMPLETE line to bench_gates/<tag>.json (the file was
+    // already claimed empty at resolution time) so round-over-round
+    // per-query diffs never depend on driver truncation. Best-effort: a
+    // read-only cwd must not fail the bench.
     try {
       gate.foreach { out =>
         java.nio.file.Files.write(out.toPath, (line + "\n").getBytes("UTF-8"))
@@ -192,6 +206,14 @@ object Bench {
       System.err.println(s"[bench] gate artifact write skipped: ${e.getMessage}")
     }
     spark.stop()
+    // LAST stdout line: the same headline again. The driver keeps only the
+    // last ~2 kB of stdout, and no 2 kB suffix of the ~50 kB full-maps line
+    // is valid JSON — BENCH_r{11..15}.json all carry "parsed": null even
+    // after r15 moved the headline FIRST (the tail clip discards the
+    // front). With the headline as the final application line, any tail
+    // clip ends with complete self-contained JSON (sbt's own trailing
+    // [success] line is the only thing after it).
+    println(headline)
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.sorted.mkString(", ")}")
       sys.exit(1)

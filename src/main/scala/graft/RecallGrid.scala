@@ -37,7 +37,11 @@ object RecallGrid {
     } {
       val t0 = System.nanoTime()
       val bits = if (nBits == "auto") 0 else nBits.toInt
-      val df = operators.Similarity.annGraphRecall(spark, sfDir,
+      // `k=auto`: NOTHING hand-tuned — degree, beam, and tables all derive
+      // from the measured cluster tightness (annGraphSearchOosAuto's path)
+      val df = if (k == "auto")
+        operators.Similarity.annGraphRecallAuto(spark, sfDir)
+      else operators.Similarity.annGraphRecall(spark, sfDir,
         k = k.toInt, rounds = rounds.toInt,
         beam = beam.toInt, hops = hops.toInt,
         nBits = bits, nTables = nTables.toInt)

@@ -33,13 +33,21 @@ object ScaleUp {
     val out = if (args.length > 1) args(1) else "tmpdata/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
     val jitter = args.length > 3 && args(3) == "jitter"
-    val K = 1163962800L
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    replicate(spark, src, out, copies, jitter)
+    spark.stop()
+  }
+
+  /** The replication body, callable from specs (the auto-degree spec
+    * builds its own sf0.001-jittered mini-fixture). */
+  def replicate(spark: SparkSession, src: String, out: String,
+      copies: Int, jitter: Boolean): Unit = {
+    val K = 1163962800L
     val shifts: Seq[(String, Seq[String])] = Seq(
       "region" -> Nil,
       "nation" -> Nil,
@@ -72,6 +80,5 @@ object ScaleUp {
       scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scaleup] $t -> $out/$t.parquet")
     }
-    spark.stop()
   }
 }

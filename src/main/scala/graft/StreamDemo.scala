@@ -406,9 +406,19 @@ object StreamDemo {
         .orElse(gotStats.zip(expStats).find { case (g, e) => g != e })
         .map { case (g, e) => s" first_diff=[$g vs $e]" }.getOrElse("")
       check("streaming index ingest: killed+restarted chain equals the batch fold",
-        gensDone == segs.length && gotPfx == expPfx && gotStats == expStats,
-        s"gens=$gensDone/${segs.length} prefix=${gotPfx.size} " +
+        genDone(last) && gotPfx == expPfx && gotStats == expStats,
+        s"last_gen_done=${genDone(last)} prefix=${gotPfx.size} " +
           s"terms=${gotStats.size}$firstDiff")
+      // retention: each batch retires all but the newest `retain`
+      // (default 3) generations — the surviving chain is exactly the last
+      // three ids, the older vocabulary-sized pairs are GONE, and the fold
+      // equality above proves pruning never broke a predecessor lookup
+      val chainIds = new graft.operators.GenerationChain(idxDir,
+        Seq("prefix", "termstats")).list()
+      check("streaming index ingest: retention keeps exactly the newest 3 generations",
+        chainIds == Seq(last - 2L, last - 1L, last.toLong) &&
+          gensDone == 3,
+        s"complete_gens=${chainIds.mkString(",")}")
       val drainedIdx = EmbeddedLog.committed(idxLog, "idx", "docs", 0) ==
         EmbeddedLog.end(idxLog, "docs", 0)
       check("streaming index ingest: consumer group drained to the log end",

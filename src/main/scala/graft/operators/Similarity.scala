@@ -1661,13 +1661,25 @@ object Similarity {
     * `2 + g`. */
   private[graft] def stagedGraphGen(spark: SparkSession, sfDir: String,
       gen: Int, k: Int, blockSize: Int, rounds: Int, stride: Int,
-      beam: Int, hops: Int, nBits: Int, nTables: Int): DataFrame =
-    Staged.parquet(spark, s"ann_gen_v1/${Staged.dirKey(sfDir)}" +
-        s"_g${gen}_k${k}_b${blockSize}_r${rounds}_s${stride}" +
-        s"_be${beam}_h${hops}_nb${nBits}_t$nTables") {
+      beam: Int, hops: Int, nBits: Int, nTables: Int): DataFrame = {
+    val chain = graphChain(sfDir, k, blockSize, rounds, stride, beam,
+      hops, nBits, nTables)
+    chain.getOrPublish(gen)(Seq(
       graphGenBuildFrame(spark, sfDir, gen, k, blockSize, rounds, stride,
-        beam, hops, nBits, nTables)
-    }
+        beam, hops, nBits, nTables)))
+    chain.read(spark, gen, "edges")
+  }
+
+  /** The graph chain's [[GenerationChain]] — same machinery as the
+    * impact chain (`TextOps.impactChain`): content-keyed root,
+    * whole-generation atomic publish. Shared with
+    * [[annGraphAutoCompact]]. */
+  private[graft] def graphChain(sfDir: String, k: Int, blockSize: Int,
+      rounds: Int, stride: Int, beam: Int, hops: Int, nBits: Int,
+      nTables: Int): GenerationChain =
+    GenerationChain.staged(s"ann_gen_v2/${Staged.dirKey(sfDir)}" +
+      s"_k${k}_b${blockSize}_r${rounds}_s${stride}" +
+      s"_be${beam}_h${hops}_nb${nBits}_t$nTables", Seq("edges"))
 
   /** The UNSTAGED build of graph generation `gen` (reads gen-1 through
     * the stage) — exposed for the plan audit. */
@@ -1762,6 +1774,38 @@ object Similarity {
       .select(col("u").as("vec_id"), col("rank").cast("long").as("rank"),
         col("w").as("neighbor_id"), col("cos"))
       .orderBy("vec_id", "rank")
+
+  /** The graph chain's staleness as one number: mean per-node overlap
+    * between the walk-inserted adjacencies and the full re-descent
+    * ([[annGraphDrift]] aggregated). 1-row driver value. */
+  def annGraphDriftMeanOverlap(spark: SparkSession, sfDir: String,
+      k: Int = 5, blockSize: Int = 100, rounds: Int = 2, stride: Int = 137,
+      beam: Int = 64, hops: Int = 3, nBits: Int = 0,
+      nTables: Int = 8): Double =
+    annGraphDrift(spark, sfDir, k, blockSize, rounds, stride, beam, hops,
+      nBits, nTables).agg(avg("overlap")).collect()(0).getDouble(0)
+
+  /** Thresholded drift→compaction for the GRAPH chain — the structural
+    * twin of [[graft.operators.TextOps.bm25AutoCompact]]: when the mean
+    * inserted-node overlap vs a fresh descent drops below `tau`, publish
+    * the compaction generation ([[GraphCompactGen]]) through the chain's
+    * whole-generation atomic rename and serve from it; otherwise the
+    * current head (gen 2) keeps serving and no rebuild is scheduled.
+    * Returns (fired, served adjacency in the [[annGraphCompact]]
+    * shape). */
+  def annGraphAutoCompact(spark: SparkSession, sfDir: String,
+      tau: Double = 0.9, k: Int = 5, blockSize: Int = 100, rounds: Int = 2,
+      stride: Int = 137, beam: Int = 64, hops: Int = 3, nBits: Int = 0,
+      nTables: Int = 8): (Boolean, DataFrame) = {
+    val fired = annGraphDriftMeanOverlap(spark, sfDir, k, blockSize,
+      rounds, stride, beam, hops, nBits, nTables) < tau
+    val gen = if (fired) GraphCompactGen else 2
+    (fired, stagedGraphGen(spark, sfDir, gen, k, blockSize, rounds,
+        stride, beam, hops, nBits, nTables)
+      .select(col("u").as("vec_id"), col("rank").cast("long").as("rank"),
+        col("w").as("neighbor_id"), col("cos"))
+      .orderBy("vec_id", "rank"))
+  }
 
   /** Staleness dashboard for the graph chain — per inserted batch node,
     * how many of its compacted (full re-descent) neighbors the
@@ -2078,6 +2122,88 @@ object Similarity {
         Exprs.r4(col("n_hits").cast("double") / lit(topk.toDouble))
           .as("recall"))
       .orderBy("query_id")
+  }
+
+  /** MEASURED cluster tightness: the expected near-dup family size seen
+    * from a random vector's seat — `Σ s² / Σ s` over the bucket sizes `s`
+    * of four independent 16-bit sign-LSH tables (the size-biased mean:
+    * what matters for serving is the family the QUERY lands in, and a
+    * member of a 50-clone family is 50× more likely to be drawn than a
+    * singleton). At the jittered fixtures' cos ≈ 0.9995 a pair agrees on
+    * a 16-bit signature w.p. ≈ 0.85, so a member's bucket holds ≈
+    * 1 + 0.85·(family−1) mates, while unrelated vectors spread over 2¹⁶
+    * buckets (Poisson λ = n/65536 ≈ 0.3 even at 20k vectors) — the
+    * statistic reads ≈ 1 on the real fixtures and ≈ the family size on
+    * clustered ones. One groupBy over the corpus with map-side combine,
+    * bucket-sized shuffle, 1-row driver value. */
+  private[graft] def clusterStat(e: DataFrame): Double = {
+    val tables = 4
+    e.select(posexplode(array((0 until tables).map(t =>
+        Dedup.lshBucketCol(16, t * 16)): _*)).as(Seq("tbl", "bucket")))
+      .groupBy("tbl", "bucket").agg(count(lit(1)).as("s"))
+      .agg((sum(col("s") * col("s")) / sum(col("s"))).as("f"))
+      .collect()(0).getDouble(0)
+  }
+
+  /** The measured recall law (SCALE.md r15 jittered grids, sf1j/sf5j)
+    * turned into a sizing rule — the degree analog of
+    * [[Dedup.autoBitsCol]]'s width rule, closing the r15 verdict's weak
+    * item (shipped k = 5 measures recall@5 0.43 on the jittered sf1
+    * corpus; nothing in the code scaled degree with cluster tightness):
+    *
+    *  - '''degree''' buys ENTRY into tight clone families (a degree-5
+    *    graph cannot hop into a 10-member cluster it has at most 5 edges
+    *    toward): k = ⌈4·F⌉ clamped to [5, 32] — F ≈ 8.6 on sf1j maps to
+    *    the measured-best k = 32, F ≈ 1 keeps the real-fixture default 5;
+    *    32 is where the sf5j grid stopped paying.
+    *  - '''beam''' buys recall linearly once entry is reliable: beam =
+    *    ⌈24·F⌉ clamped to [64, 1024] — F ≈ 8.6 → ≈ 207 (the 0.95 sf1j
+    *    cell measured 192), F ≈ 42 (sf5j) → 1008 (0.912 measured at 768).
+    *  - '''tables''' saturate once entry is reliable (16 at these
+    *    scales): 16 when the corpus is clustered (F ≥ 2), else 8.
+    *
+    * Per-query serving cost stays corpus-independent: ∝ tables·target at
+    * hop 0 and ∝ beam·(k+1)·hops after — the rule trades a bounded
+    * constant factor for the measured 0.43 → 0.95 recall restoration. */
+  private[graft] def degreeForFamily(f: Double): (Int, Int, Int) = (
+    math.min(32, math.max(5, math.ceil(4 * f).toInt)),
+    math.min(1024, math.max(64, math.ceil(24 * f).toInt)),
+    if (f >= 2.0) 16 else 8)
+
+  /** Auto-sized serving parameters (graph degree k, walk beam, anchor
+    * tables) for a corpus: [[clusterStat]] measured once per corpus (the
+    * statistic is cheap next to the descent it sizes), mapped through the
+    * measured law [[degreeForFamily]]. */
+  def autoGraphParams(spark: SparkSession, sfDir: String): (Int, Int, Int) = {
+    val f = clusterStat(normedEmbeddings(spark, sfDir))
+    val p = degreeForFamily(f)
+    System.err.println(
+      f"[graft] auto graph params for $sfDir: family=$f%.2f -> " +
+        s"k=${p._1} beam=${p._2} tables=${p._3}")
+    p
+  }
+
+  /** [[annGraphSearchOos]] with NOTHING hand-tuned: degree, beam, and
+    * anchor tables derived from the measured cluster tightness
+    * ([[autoGraphParams]]), width already auto (nBits = 0). On the real
+    * fixtures the derivation lands exactly on the shipped defaults
+    * (5/64/8); on a clustered corpus it restores the recall the fixed
+    * default silently loses (0.43 → ≥0.9 on the jittered sf1 fixture —
+    * ScaleSpec-floored at sf0.001-jittered scale). */
+  def annGraphSearchOosAuto(spark: SparkSession, sfDir: String,
+      topk: Int = 5): DataFrame = {
+    val (k, beam, tables) = autoGraphParams(spark, sfDir)
+    annGraphSearchOos(spark, sfDir, k = k, beam = beam, topk = topk,
+      nTables = tables)
+  }
+
+  /** [[annGraphRecall]] under the auto-sized serving parameters — the
+    * RecallGrid/ScaleSpec receipt generator for [[annGraphSearchOosAuto]]. */
+  def annGraphRecallAuto(spark: SparkSession, sfDir: String,
+      topk: Int = 5): DataFrame = {
+    val (k, beam, tables) = autoGraphParams(spark, sfDir)
+    annGraphRecall(spark, sfDir, k = k, beam = beam, topk = topk,
+      nTables = tables)
   }
 
   /** Oracle for [[annGraphRecall]] — the shared walk CTEs plus a

@@ -36,7 +36,7 @@ import java.nio.file.{Files, StandardCopyOption}
   * reads the parquet — here both live behind one call so every query
   * stays self-contained. */
 object Staged {
-  private def root: String =
+  private[operators] def root: String =
     sys.env.getOrElse("GRAFT_STAGED_ROOT", "tmpdata/graft_staged")
 
   private def complete(d: File) = new File(d, "_SUCCESS").exists()
@@ -109,10 +109,17 @@ object Staged {
       val (tmpA, tmpB) = (scratch(), scratch())
       a.write.mode("overwrite").parquet(tmpA.toString)
       b.write.mode("overwrite").parquet(tmpB.toString)
-      // clear any stale half BEFORE either rename: between the two moves a
-      // reader may see A-complete + B-absent (and rebuild), never A-new +
-      // B-old
+      // clear BOTH stale halves BEFORE either rename. B first is the
+      // reader-visibility argument (between the two moves a reader may see
+      // A-complete + B-absent, which rebuilds — never A-new + B-old). A
+      // must ALSO be cleared: entering this branch with A complete means a
+      // previous build crashed between its two renames, and publish()'s
+      // race-loser path would otherwise KEEP that old A (rename fails,
+      // tmp discarded) while publishing the rebuild's B — a mismatched
+      // pair unless the builder is bit-deterministic, which the Lloyd
+      // chain's double-accumulation order does not guarantee.
       if (complete(dirB)) rmTree(dirB)
+      if (complete(dirA)) rmTree(dirA)
       publish(tmpA, dirA)
       publish(tmpB, dirB)
     }
@@ -120,30 +127,57 @@ object Staged {
   }
 
   /** A source dir as a key segment: a human-readable flattened prefix
-    * plus a fingerprint hash of (canonical path, recursive file count,
-    * total bytes, max mtime). The hash makes two things impossible by
-    * construction: distinct paths colliding onto one key ('a/b' vs 'a_b'
-    * — the canonical path feeds the hash even though the readable prefix
-    * flattens separators), and a REGENERATED source dir silently serving
-    * the previous content's stage (the fingerprint moves, the old key
-    * misses, the stage rebuilds). */
+    * plus a fingerprint hash of (canonical path, max mtime, and every
+    * file's relative path + size, sorted). The hash makes three things
+    * impossible by construction: distinct paths colliding onto one key
+    * ('a/b' vs 'a_b' — the canonical path feeds the hash even though the
+    * readable prefix flattens separators); a REGENERATED source dir
+    * silently serving the previous content's stage (the fingerprint
+    * moves, the old key misses, the stage rebuilds); and — because every
+    * parquet writer stamps a fresh UUID into each part-file NAME — a
+    * same-millisecond equal-byte-count in-place parquet regeneration
+    * slipping through the old (count, bytes, mtime)-only fingerprint's
+    * mtime-granularity blind spot (the r15 ScaleSpec needed a
+    * setLastModified workaround for exactly that; the per-file names
+    * close it, and the spec now passes without touching the clock).
+    *
+    * Deliberately NOT cached per session: the walk is pure filesystem
+    * metadata, measured 1.5 ms on the largest fixture here (tmpdata/sf1,
+    * 186 files) and 0.2 ms on a driver sf dir — the generation chains'
+    * one-walk-per-generation adds single-digit milliseconds to a
+    * multi-second query, while a session-lifetime cache would reintroduce
+    * the stale-stage-after-in-place-regeneration hazard the fingerprint
+    * exists to kill (a tested contract: ScaleSpec "Staged rebuilds when
+    * the source dir is regenerated in place"). At object-store scale the
+    * equivalent is one LIST call — also the cost floor any consistent
+    * cache-validity probe would pay anyway. */
   def dirKey(sfDir: String): String = {
     val f = new File(sfDir)
     val canon = f.getCanonicalPath
-    var (n, bytes, mtime) = (0L, 0L, 0L)
-    if (f.exists()) {
-      val walk = Files.walk(f.toPath)
-      try walk.forEach { p =>
-        val file = p.toFile
-        if (file.isFile) {
-          n += 1; bytes += file.length()
-          mtime = math.max(mtime, file.lastModified())
-        }
-      } finally walk.close()
-    }
     val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$canon|$n|$bytes|$mtime".getBytes("UTF-8"))
-    val hash = md.take(5).map(b => f"$b%02x").mkString
+    md.update(canon.getBytes("UTF-8"))
+    var mtime = 0L
+    if (f.exists()) {
+      // walk the CANONICAL path so the per-file relative segment below is
+      // spelling-independent ('tmpdata/sf1' and its absolute form hash
+      // identically)
+      val walk = Files.walk(new File(canon).toPath)
+      val files = try {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[File]
+        walk.forEach { p =>
+          val file = p.toFile
+          if (file.isFile) buf += file
+        }
+        buf.sortBy(_.getPath)
+      } finally walk.close()
+      files.foreach { file =>
+        mtime = math.max(mtime, file.lastModified())
+        val rel = file.getPath.stripPrefix(canon)
+        md.update(s"|$rel:${file.length()}".getBytes("UTF-8"))
+      }
+    }
+    md.update(s"|$mtime".getBytes("UTF-8"))
+    val hash = md.digest().take(5).map(b => f"$b%02x").mkString
     sfDir.replaceAll("^/", "").replaceAll("[/\\\\]", "_") + "-" + hash
   }
 }

@@ -1068,12 +1068,23 @@ object TextOps {
     * (plan-audited). */
   private[graft] def stagedImpactGen(spark: SparkSession, sfDir: String,
       gen: Int, k1: Double, b: Double, cap: Int): (DataFrame, DataFrame) = {
-    val key = s"bm25_gen_v1/${Staged.dirKey(sfDir)}" +
-      s"_g${gen}_c${cap}_k1${k1}_b$b"
-    Staged.parquetPair(spark, s"$key/prefix", s"$key/termstats") {
-      impactGenBuildFrames(spark, sfDir, gen, k1, b, cap)
+    val chain = impactChain(sfDir, k1, b, cap)
+    chain.getOrPublish(gen) {
+      val (p, s) = impactGenBuildFrames(spark, sfDir, gen, k1, b, cap)
+      Seq(p, s)
     }
+    (chain.read(spark, gen, "prefix"), chain.read(spark, gen, "termstats"))
   }
+
+  /** The impact chain's [[GenerationChain]] — content-keyed root (params
+    * + source fingerprint), generations `gen=<g>/{prefix,termstats}`
+    * published by one whole-generation atomic rename. Shared with the
+    * drift→compaction policy ([[bm25AutoCompact]]). */
+  private[graft] def impactChain(sfDir: String, k1: Double, b: Double,
+      cap: Int): GenerationChain =
+    GenerationChain.staged(
+      s"bm25_gen_v2/${Staged.dirKey(sfDir)}_c${cap}_k1${k1}_b$b",
+      Seq("prefix", "termstats"))
 
   /** The UNSTAGED build of generation `gen` (reads gen-1 through the
     * stage) — exposed so the plan audit can pin "batch-sized reads
@@ -1219,6 +1230,37 @@ object TextOps {
     prefix.select(col("token"), col("doc_id"),
       col("imp_rank").cast("long").as("imp_rank"), col("c"))
       .orderBy("token", "imp_rank")
+  }
+
+  /** The chain's MEASURED staleness as one number: mean per-term overlap
+    * between the incrementally-maintained head and a fresh rebuild
+    * ([[bm25IndexDrift]] aggregated). 1-row driver value by
+    * construction. */
+  def bm25DriftMeanOverlap(spark: SparkSession, sfDir: String,
+      k1: Double = 1.2, b: Double = 0.75, cap: Int = 64): Double =
+    bm25IndexDrift(spark, sfDir, k1, b, cap)
+      .agg(avg("overlap")).collect()(0).getDouble(0)
+
+  /** Thresholded drift→compaction policy — the CONSUMER the staleness
+    * dashboard lacked (the r15 verdict's "dashboards have no consumer"):
+    * measure the chain's drift ([[bm25DriftMeanOverlap]]); when it drops
+    * below `tau`, publish the compaction generation ([[CompactGen]], a
+    * full self-stats rebuild) through the chain's whole-generation atomic
+    * rename and serve FROM it; at or above the threshold the chain's
+    * current head (gen 2) keeps serving untouched — no rebuild work is
+    * even scheduled. Returns (fired, served prefix in the
+    * [[bm25IndexApply]] shape). The switch is atomic by the
+    * [[GenerationChain]] contract: a concurrent reader sees the old head
+    * until `gen=3` is complete, never a partial index. */
+  def bm25AutoCompact(spark: SparkSession, sfDir: String,
+      tau: Double = 0.95, k1: Double = 1.2, b: Double = 0.75,
+      cap: Int = 64): (Boolean, DataFrame) = {
+    val fired = bm25DriftMeanOverlap(spark, sfDir, k1, b, cap) < tau
+    val gen = if (fired) CompactGen else 2
+    val (prefix, _) = stagedImpactGen(spark, sfDir, gen, k1, b, cap)
+    (fired, prefix.select(col("token"), col("doc_id"),
+      col("imp_rank").cast("long").as("imp_rank"), col("c"))
+      .orderBy("token", "imp_rank"))
   }
 
   /** The two-apply generation-chain CTE body (final CTE = `pfx2(token,

@@ -770,40 +770,46 @@ object Streaming {
     * ([[graft.operators.TextOps.impactApplyFrames]] — score against the
     * current generation's frozen stats, two-stage top-cap merge, exact
     * additive stat advance), landing generation `batchId` as
-    * `gen=<id>/{prefix,termstats}` in OVERWRITE mode. Exactly-once comes
-    * from the batch-manifest shape every sink here uses: an engine
-    * redelivery re-executes under the ORIGINAL batchId against the same
-    * predecessor generation (generations < id are immutable), so the
-    * re-run overwrites its own previous attempt byte-identically; the
-    * consumer group's offsets advance only after the generation is fully
-    * written (apply-then-ack). The first batch is the gen-0 self-stats
-    * build. A crash between the prefix and termstats writes leaves the
-    * generation incomplete (no `_SUCCESS`), which the redelivered batch
-    * overwrites whole — readers only ever select COMPLETE generations. */
+    * `gen=<id>/{prefix,termstats}` via the shared
+    * [[graft.operators.GenerationChain]]. Exactly-once: a generation is
+    * published by ONE whole-generation atomic rename (never the r15
+    * mode-overwrite pair a concurrent latest-complete reader could catch
+    * mid-rewrite), an engine redelivery of an already-complete `gen=id`
+    * SHORT-CIRCUITS to re-acking its offsets (generations are immutable
+    * once complete), and a crash mid-build leaves only scratch garbage —
+    * the generation is absent, so the redelivered batch rebuilds it
+    * against the same immutable predecessor ([[GenerationChain
+    * .latestBelow]]). The first batch is the gen-0 self-stats build.
+    * Offsets advance only after the generation is complete
+    * (apply-then-ack), and each batch then RETIRES all but the newest
+    * `retain` generations — without retention the chain kept a
+    * vocabulary-sized pair per micro-batch forever (~1,440/day at one
+    * batch a minute) and probed `batchId-1..0` per batch; the newest
+    * generation is never retired, so every future or redelivered batch
+    * still finds its predecessor. */
   def indexApplyBatch(batch: DataFrame, batchId: Long, indexDir: String,
       root: String, topic: String, group: String, k1: Double = 1.2,
-      b: Double = 0.75, cap: Int = 64): Unit = {
+      b: Double = 0.75, cap: Int = 64, retain: Int = 3): Unit = {
     val spark = batch.sparkSession
+    val chain = new graft.operators.GenerationChain(indexDir,
+      Seq("prefix", "termstats"))
+    if (chain.complete(batchId)) { // published, ack lost — re-ack only
+      ackOffsets(batch, root, topic, group)
+      return
+    }
     val rows = batch.persist()
     val docs = rows.select(col("key").cast("long").as("doc_id"),
       unbase64(col("data")).cast("string").as("text"))
-    def complete(gen: Long): Boolean =
-      new java.io.File(s"$indexDir/gen=$gen/prefix/_SUCCESS").exists() &&
-        new java.io.File(s"$indexDir/gen=$gen/termstats/_SUCCESS").exists()
-    // predecessor = the latest COMPLETE generation below this batch id —
-    // deterministic under redelivery (own-id and later dirs are excluded,
-    // earlier generations are never rewritten)
-    val prev = (batchId - 1 to 0L by -1).find(complete)
-    val (prefix, stats) = prev match {
+    val (prefix, stats) = chain.latestBelow(batchId) match {
       case Some(g) => graft.operators.TextOps.impactApplyFrames(
-        spark.read.parquet(s"$indexDir/gen=$g/prefix"),
-        spark.read.parquet(s"$indexDir/gen=$g/termstats"), docs, k1, b, cap)
+        chain.read(spark, g, "prefix"),
+        chain.read(spark, g, "termstats"), docs, k1, b, cap)
       case None =>
         graft.operators.TextOps.impactGen0Frames(docs, k1, b, cap)
     }
-    prefix.write.mode("overwrite").parquet(s"$indexDir/gen=$batchId/prefix")
-    stats.write.mode("overwrite").parquet(s"$indexDir/gen=$batchId/termstats")
+    chain.getOrPublish(batchId)(Seq(prefix, stats))
     ackOffsets(rows, root, topic, group)
+    chain.retire(retain)
     rows.unpersist()
     ()
   }
@@ -818,12 +824,13 @@ object Streaming {
   def indexIngestConsume(spark: SparkSession, root: String, topic: String,
       group: String, indexDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None, k1: Double = 1.2,
-      b: Double = 0.75, cap: Int = 64): StreamingQuery =
+      b: Double = 0.75, cap: Int = 64, retain: Int = 3): StreamingQuery =
     logStream(spark, root, topic, maxFilesPerTrigger).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        indexApplyBatch(batch, id, indexDir, root, topic, group, k1, b, cap)
+        indexApplyBatch(batch, id, indexDir, root, topic, group, k1, b,
+          cap, retain)
       }
       .start()
 

@@ -308,15 +308,13 @@ class ScaleSpec extends SparkSuite {
     // must miss (fingerprinted dirKey) and the stage must rebuild, never
     // silently serve the previous corpus's derived table
     val srcDir = Files.createTempDirectory("staged_src").toString
-    def regen(mark: Long): Unit = {
+    def regen(mark: Long): Unit =
       spark.range(10).select(col("id"), (col("id") * mark).as("v"))
         .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/t.parquet")
-      // mtime granularity guard: same-millisecond regeneration with equal
-      // byte count is the one blind spot of (count, bytes, mtime) — force
-      // the clock forward the way real regeneration (seconds apart) does
-      val f = new java.io.File(s"$srcDir/t.parquet")
-      f.listFiles().foreach(p => p.setLastModified(p.lastModified() + 2000))
-    }
+      // NO clock workaround (the r15 spec bumped mtimes by hand): the
+      // fingerprint now folds every file's NAME into the hash, and a
+      // parquet rewrite stamps a fresh UUID into each part-file name, so
+      // even a same-millisecond equal-byte regeneration moves the key
     def staged(): Long = operators.Staged.parquet(spark,
         s"spec_regen/${operators.Staged.dirKey(srcDir)}") {
         spark.read.parquet(s"$srcDir/t.parquet")
@@ -332,6 +330,114 @@ class ScaleSpec extends SparkSuite {
     val a = operators.Staged.dirKey(srcDir)
     val b = operators.Staged.dirKey(srcDir.replaceFirst("/", "_"))
     assert(a != b, s"dirKey collision: $a")
+  }
+
+  test("GenerationChain: short-circuit, latestBelow, retention never drops the head") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("chain").toString
+    val chain = new operators.GenerationChain(root, Seq("t"))
+    def pub(id: Long, v: Long): Boolean =
+      chain.getOrPublish(id)(Seq(spark.range(3).select((col("id") + v).as("x"))))
+    assert(pub(0, 0) && pub(1, 10) && pub(3, 30)) // gaps allowed (batch ids)
+    assert(!pub(1, 999), "re-publish of a complete generation must short-circuit")
+    assert(chain.read(spark, 1, "t").agg(org.apache.spark.sql.functions.sum("x"))
+      .collect()(0).getLong(0) == 33, "short-circuit must keep the original content")
+    assert(chain.list() == Seq(0L, 1L, 3L))
+    assert(chain.latest().contains(3L))
+    assert(chain.latestBelow(3).contains(1L)) // own id excluded
+    assert(chain.latestBelow(9).contains(3L))
+    assert(chain.retire(keepLast = 2) == Seq(0L))
+    assert(chain.list() == Seq(1L, 3L), "retention must keep the newest N")
+    assert(chain.latestBelow(4).contains(3L),
+      "a redelivered/future batch still finds its predecessor after retire")
+    // a failed build publishes nothing — the generation stays absent
+    import org.apache.spark.sql.functions.{lit, when, raise_error, concat}
+    intercept[Exception] {
+      chain.getOrPublish(7)(Seq(spark.range(10).select(
+        when(col("id") < 5, col("id"))
+          .otherwise(raise_error(concat(lit("boom "),
+            col("id").cast("string")))).as("x"))))
+    }
+    assert(!new java.io.File(s"$root/gen=7").exists(),
+      "failed build left a reader-visible generation dir")
+  }
+
+  test("auto-sized graph serving restores recall on a clustered corpus; the measured serving law holds") {
+    import org.apache.spark.sql.functions.avg
+    import graft.operators.Similarity
+    // the jittered mini-fixture: 10 copies of sf0.001 with copy>0
+    // embeddings perturbed ±2.5% (ScaleUp's jitter — md5-derived, so every
+    // measured value below is exact and repeatable) — 5,000 vectors in
+    // 10-member near-dup families, the clustered shape where the r15
+    // verdict measured the shipped k=5 default at recall@5 0.43 (sf1j)
+    val fx = Files.createTempDirectory("sf001j").toString
+    ScaleUp.replicate(spark, sfDir, fx, 10, jitter = true)
+    def rec(k: Int, beam: Int, tables: Int): Double =
+      Similarity.annGraphRecall(spark, fx, k = k, beam = beam,
+          nTables = tables)
+        .agg(avg("recall")).collect()(0).getDouble(0)
+    // 1. the derivation itself: cluster tightness ≈ the 10-member family
+    //    (measured 9.32 here) → the measured-law sizing, nothing hand-tuned
+    val (k, beam, tables) = Similarity.autoGraphParams(spark, fx)
+    assert((k, beam, tables) == (32, 224, 16),
+      s"auto derivation moved: ($k, $beam, $tables)")
+    // 2. restoration floor: auto params measure 1.0000 here (and 1.0000 on
+    //    tmpdata/sf1j, 0.9624 on sf5j — SCALE.md r16); the shipped default
+    //    measures 0.7960 — the foot-gun the auto rule closes
+    val rAuto = rec(k, beam, tables)
+    val rDefault = rec(5, 64, 8)
+    assert(rAuto >= 0.99, s"auto-sized recall regressed: $rAuto")
+    assert(rAuto >= rDefault + 0.15,
+      s"auto ($rAuto) no longer materially beats the fixed default ($rDefault)")
+    // 3. the tables half of the law: tables buy ENTRY (8 → 16 moves
+    //    0.7960 → 1.0000 at fixed k=12 × beam 96) and SATURATE at 16
+    //    (32 tables measured identical)
+    val (t8, t16, t32) = (rec(12, 96, 8), rec(12, 96, 16), rec(12, 96, 32))
+    assert(t16 >= t8 + 0.15, s"tables 8→16 no longer buys entry: $t8 -> $t16")
+    assert(math.abs(t32 - t16) <= 0.005,
+      s"tables stopped saturating at 16: $t16 vs $t32")
+    // 4. the beam half: past entry, recall is bought by beam — the
+    //    entry-constrained regime (8 tables, k=32) measures a monotone
+    //    unsaturated ladder 0.5960 / 0.8680 / 1.0000 at beam 8/32/96
+    //    (the sf5j receipt's shape: 16 tables × beam 768 = 0.912, beam
+    //    linear past table saturation)
+    val (b8, b32, b96) = (rec(32, 8, 8), rec(32, 32, 8), rec(32, 96, 8))
+    assert(b8 >= 0.55 && b32 >= b8 + 0.2 && b96 >= b32 + 0.1 && b96 >= 0.99,
+      s"beam law regressed: beam 8/32/96 -> $b8 / $b32 / $b96")
+  }
+
+  test("drift→compaction policy: fires on a constructed breach, serving switches to the compact generation") {
+    import graft.operators.{TextOps, Similarity}
+    // the fixtures are md5-deterministic, so the measured drift is exact —
+    // construct the breach (tau just above it) and the quiet case (just
+    // below) around the measured value instead of hard-coding either
+    val m = TextOps.bm25DriftMeanOverlap(spark, sfDir)
+    val (quietFired, head) = TextOps.bm25AutoCompact(spark, sfDir, tau = m - 1e-4)
+    assert(!quietFired, s"policy fired below the measured drift $m")
+    val headExp = TextOps.bm25IndexApply(spark, sfDir)
+    assert(head.exceptAll(headExp).isEmpty && head.count() == headExp.count(),
+      "quiet policy must serve the chain's current head (gen 2) untouched")
+    val (fired, served) = TextOps.bm25AutoCompact(spark, sfDir, tau = m + 1e-4)
+    assert(fired, s"policy did not fire above the measured drift $m")
+    val compactExp = TextOps.bm25IndexCompact(spark, sfDir)
+    assert(served.exceptAll(compactExp).isEmpty
+        && served.count() == compactExp.count(),
+      "breached policy must serve the compaction generation")
+    // the switch is ATOMIC by the chain contract: the compact generation
+    // is complete (every table has _SUCCESS — published by one rename),
+    // and no scratch leaked into the reader-visible namespace
+    val ic = TextOps.impactChain(sfDir, 1.2, 0.75, 64)
+    assert(ic.complete(TextOps.CompactGen))
+    assert(Option(new java.io.File(s"${ic.root}/_tmp").list())
+      .forall(_.isEmpty), "publish leaked scratch dirs")
+    // the graph twin: same policy, same machinery
+    val mg = Similarity.annGraphDriftMeanOverlap(spark, sfDir)
+    val (gFired, gServed) = Similarity.annGraphAutoCompact(spark, sfDir, tau = mg + 1e-4)
+    assert(gFired)
+    val gExp = Similarity.annGraphCompact(spark, sfDir)
+    assert(gServed.exceptAll(gExp).isEmpty && gServed.count() == gExp.count())
+    val (gQuiet, _) = Similarity.annGraphAutoCompact(spark, sfDir, tau = mg - 1e-4)
+    assert(!gQuiet)
   }
 
   test("Staged publish is atomic: no reader-visible dir without _SUCCESS") {

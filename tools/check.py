@@ -169,16 +169,27 @@ if json_out:
         gates = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "..", "bench_gates")
         os.makedirs(gates, exist_ok=True)
-        i = 0
+        i, newest = 0, None
         while True:
             suffix = "" if i == 0 else ("-rerun" if i == 1 else f"-rerun{i}")
             gate = os.path.join(gates, f"{base}{suffix}.json")
             if not os.path.exists(gate):
                 break
+            newest = gate
             i += 1
-        with open(gate, "w") as f:
-            f.write(payload)
-        print(f"immutable copy: {os.path.normpath(gate)}")
+        # A byte-identical payload records nothing new — routine local
+        # re-runs of a green gate would otherwise pile up duplicate
+        # -rerunN artifacts (and git-status noise) every invocation.
+        if newest is not None:
+            with open(newest) as f:
+                if f.read() == payload:
+                    print(f"immutable copy skipped: identical to "
+                          f"{os.path.normpath(newest)}")
+                    gate = None
+        if gate is not None:
+            with open(gate, "w") as f:
+                f.write(payload)
+            print(f"immutable copy: {os.path.normpath(gate)}")
     except OSError as e:
         print(f"immutable copy skipped: {e}")
 
