@@ -184,17 +184,33 @@ class PlanAuditSpec extends SparkSuite {
     assert(lp.toString.split("from_json").length - 1 == 3, lp.toString.take(800))
   }
 
-  test("message channel: one-pass — single decode, single producer materialization") {
-    // The composite message is self-contained per order; reconciliation must
-    // not fan the plan into sibling subscriber branches (each would redo the
-    // whole producer: scans, collect_list assembly, to_json/base64, decode).
+  test("message channel: one-pass — single decode over the STAGED wire, zero producer work") {
+    // The wire fixture is a staged artifact (r16): the consumer's plan must
+    // hold exactly one decode over ONE staged-parquet scan, and ZERO
+    // producer operators (no collect_list assembly, no to_json/base64, no
+    // orders/lineitem/part scans) — the producer runs once per corpus
+    // inside Staged, never in the subscriber's timed plan. Reconciliation
+    // must still not fan into sibling subscriber branches (each would
+    // re-read and re-decode the wire).
     val qe = Messages.messageRoundtrip(spark, sfDir).queryExecution
     val lp = qe.optimizedPlan.toString
     assert(lp.split("from_json").length - 1 == 1, lp.take(800))
-    assert(lp.split("collect_list").length - 1 == 1, // ONE slim assembly aggregate
-      "producer assembly must appear exactly once in the plan")
-    val scans = qe.executedPlan.toString.split("Scan parquet").length - 1
-    assert(scans == 3, s"expected one scan each of orders/lineitem/part, got $scans")
+    assert(!lp.contains("collect_list") && !lp.contains("to_json"),
+      "producer work leaked into the consumer plan")
+    val ep = qe.executedPlan.toString
+    val scans = ep.split("Scan parquet").length - 1
+    assert(scans == 1, s"expected ONE staged-wire scan, got $scans")
+    assert(!ep.contains("Join"), "the one-pass reconciliation grew a join")
+    // the fact-subscriber grains: same staged wire, zero joins, zero
+    // producer operators (their builds are pure per-message array algebra)
+    Seq(Messages.messagePedidosFact(spark, sfDir),
+      Messages.messageItensFact(spark, sfDir)).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Join") && !p.contains("collect_list"),
+        "fact build must be join-free over the staged wire:\n" + p.take(600))
+      assert(p.split("Scan parquet").length - 1 == 1,
+        "fact build must read only the staged wire")
+    }
   }
 
   test("item-grain aggregates hash, never sort: no string-buffered aggs") {
