@@ -931,6 +931,114 @@ object CorpusOps {
        |    chunk_id * $stride + $size), ' ')) AS chunk_md5
        |FROM s ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Content-defined chunking at token grain — the variable-length
+    * counterpart of [[docChunks]]'s fixed stride windows, the CDC family
+    * of LBFS (Muthitacharoen et al., SOSP '01) and FastCDC (Xia et al.,
+    * FAST '16) applied to token streams: a chunk boundary falls AFTER
+    * every token whose md5-derived hash ≡ 0 (mod `m`), so the expected
+    * chunk length is `m` tokens and — the property fixed windows lack —
+    * boundaries are SHIFT-ROBUST: inserting or deleting one token
+    * re-chunks only its own neighborhood, leaving every other chunk's
+    * content hash intact, which is what makes sub-document dedup
+    * ([[cdcDedup]]) stable across near-identical document revisions.
+    *
+    * Scale shape: the boundary scan, chunk slicing, and content hashing
+    * are ALL per-row array kernels (`transform`/`filter`/`slice` +
+    * `posexplode` — whole-stage codegen, no UDF); unlike the oracle's
+    * window formulation there is no per-document window and no shuffle —
+    * the ONLY exchange in the plan is the presentation sort, so at 100 TB
+    * chunking runs at scan speed (plan-audited). Output: one row per
+    * chunk, `(doc_id, chunk_id, tok_start, n_toks, chunk_md5)`,
+    * provenance-keyed like [[docChunks]]. */
+  def cdcChunks(spark: SparkSession, sfDir: String, m: Int = 8): DataFrame =
+    cdcChunkRows(spark, sfDir, m).orderBy("doc_id", "chunk_id")
+
+  /** [[cdcChunks]] before the presentation sort — shared with
+    * [[cdcDedup]] so the dedup plan pays no intermediate order. */
+  private def cdcChunkRows(spark: SparkSession, sfDir: String,
+      m: Int): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // 0-based positions whose token CLOSES a chunk; a boundary on the
+      // final token would open an empty phantom chunk — filtered with
+      // `s < size(toks)` on the start list
+      .withColumn("bpos", expr(s"""filter(transform(toks, (t, p) ->
+          CASE WHEN CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)
+            % $m = 0 THEN p END), x -> x IS NOT NULL)"""))
+      .withColumn("starts", expr(
+        "filter(concat(array(0), transform(bpos, p -> p + 1)), s -> s < size(toks))"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr("""transform(sequence(0, size(starts) - 1), j ->
+            named_struct('s', starts[j],
+              'n', (CASE WHEN j = size(starts) - 1 THEN size(toks)
+                    ELSE starts[j + 1] END) - starts[j]))"""))
+          .as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("c.s") + 1).cast("long").as("tok_start"),
+        col("c.n").cast("long").as("n_toks"),
+        md5(concat_ws(" ", expr("slice(toks, c.s + 1, c.n)")))
+          .as("chunk_md5"))
+
+  def cdcChunksSql(m: Int = 8): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |tok AS (SELECT doc_id, unnest(w) AS tk,
+       |          generate_subscripts(w, 1) AS i FROM t),
+       |flg AS (SELECT doc_id, tk, i,
+       |  CASE WHEN CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % $m = 0
+       |    THEN 1 ELSE 0 END AS b FROM tok),
+       |cid AS (SELECT doc_id, tk, i,
+       |  CAST(COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS chunk_id
+       |  FROM flg)
+       |SELECT doc_id, chunk_id, CAST(min(i) AS BIGINT) AS tok_start,
+       |  CAST(count(*) AS BIGINT) AS n_toks,
+       |  md5(string_agg(tk, ' ' ORDER BY i)) AS chunk_md5
+       |FROM cid GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Sub-document duplication via CDC chunks — boilerplate paragraphs,
+    * license headers, and templated passages surface as the SAME
+    * content-defined chunk hash across different documents, at whatever
+    * length the content dictates (vs [[boilerplateNgrams]]' fixed n).
+    * Output: every chunk hash seen in more than one document, with its
+    * occurrence count, document reach, length, and first carrier.
+    *
+    * Scale shape: chunking is map-side ([[cdcChunks]]); the dedup is ONE
+    * hash-grain map-side-combined aggregate (never all-pairs — the
+    * [[graft.operators.Dedup.dedupExact]] shape at chunk grain), and the
+    * output is bounded by the duplicated-chunk vocabulary, not the
+    * corpus. */
+  def cdcDedup(spark: SparkSession, sfDir: String, m: Int = 8): DataFrame =
+    cdcChunkRows(spark, sfDir, m)
+      .groupBy("chunk_md5")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        max("n_toks").as("n_toks"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(desc("n_occurrences"), col("chunk_md5"))
+
+  def cdcDedupSql(m: Int = 8): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |tok AS (SELECT doc_id, unnest(w) AS tk,
+       |          generate_subscripts(w, 1) AS i FROM t),
+       |flg AS (SELECT doc_id, tk, i,
+       |  CASE WHEN CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % $m = 0
+       |    THEN 1 ELSE 0 END AS b FROM tok),
+       |cid AS (SELECT doc_id, tk, i,
+       |  CAST(COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS chunk_id
+       |  FROM flg),
+       |ch AS (SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_toks,
+       |  md5(string_agg(tk, ' ' ORDER BY i)) AS chunk_md5
+       |  FROM cid GROUP BY 1, 2)
+       |SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS n_occurrences, max(n_toks) AS n_toks,
+       |  min(doc_id) AS first_doc
+       |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+       |ORDER BY n_occurrences DESC, chunk_md5""".stripMargin
+
   // ---- trained quality classifier (GPT-3-style LR over hashed features) --
 
   /** The squashing function for [[lrQuality]], built ONLY from IEEE

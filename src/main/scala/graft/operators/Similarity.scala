@@ -1807,6 +1807,64 @@ object Similarity {
       .orderBy("vec_id", "rank"))
   }
 
+  /** [[annGraphAutoCompact]] as an oracle-checked query — the served
+    * adjacency (gen-2 chain head when quiet, compact descent when the
+    * inserted nodes' mean overlap breaches `tau`) with the policy
+    * decision carried as a `fired` column. On the shipped fixtures the
+    * measured mean overlap is 0.16–0.26 — far below the default `tau` =
+    * 0.9, so the policy FIRES and the compact generation serves (the
+    * walk-inserted adjacencies genuinely drift from descent quality
+    * here; the structural opposite of the quiet BM25 twin
+    * [[graft.operators.TextOps.bm25AutoCompactQuery]], so the suite
+    * oracle-checks both branches of the policy across the two
+    * families). */
+  def annGraphAutoCompactQuery(spark: SparkSession, sfDir: String,
+      tau: Double = 0.9, k: Int = 5, blockSize: Int = 100,
+      rounds: Int = 2, stride: Int = 137, beam: Int = 64, hops: Int = 3,
+      nBits: Int = 0, nTables: Int = 8): DataFrame = {
+    val (fired, served) = annGraphAutoCompact(spark, sfDir, tau, k,
+      blockSize, rounds, stride, beam, hops, nBits, nTables)
+    served.withColumn("fired", lit(fired))
+  }
+
+  /** Oracle for [[annGraphAutoCompactQuery]] — the two-insert chain, a
+    * prefix-renamed full descent, the inserted-node overlap mean, the
+    * `tau` comparison, and both serve branches (gen-2 = base ∪ both
+    * walk adjacencies; compact = the full descent) in one WITH body,
+    * with the un-taken branch `WHERE`d out by the replayed decision. */
+  def annGraphAutoCompactSql(tau: Double = 0.9, k: Int = 5,
+      blockSize: Int = 100, rounds: Int = 2, stride: Int = 137,
+      beam: Int = 64, hops: Int = 3, nBits: Int = 0,
+      nTables: Int = 8): String =
+    s"""WITH ${graphApplyChainCtes(k, blockSize, rounds, stride, beam,
+        hops, nBits, nTables)},
+       |a2m AS MATERIALIZED (SELECT u, w, cos, rank FROM a2),
+       |${nndescentCtes(k, blockSize, rounds, stride, prefix = "f")},
+       |gcomp AS MATERIALIZED (
+       |  SELECT u, w, cos, rank FROM gf_$rounds WHERE rank <= $k),
+       |chain AS (SELECT u, w FROM a1 UNION ALL SELECT u, w FROM a2m),
+       |comp AS (SELECT u, w FROM gcomp WHERE u % 100 IN (3, 4)),
+       |ncm AS (
+       |  SELECT c.u, count(*) AS n_common
+       |  FROM chain c JOIN comp f ON c.u = f.u AND c.w = f.w GROUP BY 1),
+       |nch AS (SELECT u, count(*) AS n_chain FROM chain GROUP BY 1),
+       |nco AS (SELECT u, count(*) AS n_compact FROM comp GROUP BY 1),
+       |ov AS (
+       |  SELECT floor(CAST(COALESCE(ncm.n_common, 0) AS DOUBLE)
+       |      / nco.n_compact * 10000 + 0.5) / 10000 AS overlap
+       |  FROM nch JOIN nco USING (u) LEFT JOIN ncm USING (u)),
+       |pol AS (SELECT avg(overlap) < $tau AS f FROM ov),
+       |g2 AS (SELECT u, w, cos, rank FROM gbase
+       |  UNION ALL SELECT u, w, cos, rank FROM a1
+       |  UNION ALL SELECT u, w, cos, rank FROM a2m)
+       |SELECT * FROM (
+       |  SELECT pol.f AS fired, u AS vec_id, CAST(rank AS BIGINT) AS rank,
+       |    w AS neighbor_id, cos FROM g2, pol WHERE NOT pol.f
+       |  UNION ALL
+       |  SELECT pol.f AS fired, u AS vec_id, CAST(rank AS BIGINT) AS rank,
+       |    w AS neighbor_id, cos FROM gcomp, pol WHERE pol.f)
+       |ORDER BY vec_id, rank""".stripMargin
+
   /** Staleness dashboard for the graph chain — per inserted batch node,
     * how many of its compacted (full re-descent) neighbors the
     * walk-inserted adjacency already holds: the when-to-compact metric

@@ -1263,6 +1263,69 @@ object TextOps {
       .orderBy("token", "imp_rank"))
   }
 
+  /** [[bm25AutoCompact]] as an oracle-checked query — the served prefix
+    * (chain head when the drift is tolerable, compact generation when it
+    * breaches `tau`) with the policy DECISION carried as a `fired`
+    * column, so the oracle checks the threshold comparison itself, not
+    * just whichever content happened to be served. On the shipped
+    * fixtures the measured mean overlap is 0.960–0.975 (sf0.001 / 0.01 /
+    * 0.1), so the default `tau` = 0.95 stays quiet with ≥ 0.01 margin —
+    * the breach direction is spec-gated on a constructed drift
+    * (ScaleSpec). */
+  def bm25AutoCompactQuery(spark: SparkSession, sfDir: String,
+      tau: Double = 0.95, k1: Double = 1.2, b: Double = 0.75,
+      cap: Int = 64): DataFrame = {
+    val (fired, served) = bm25AutoCompact(spark, sfDir, tau, k1, b, cap)
+    served.withColumn("fired", lit(fired))
+  }
+
+  /** Oracle for [[bm25AutoCompactQuery]] — the two-apply chain, the
+    * fresh-rebuild prefix, the per-term overlap mean, the `tau`
+    * comparison, and BOTH serve branches replayed from the documents
+    * table in one WITH body (the un-taken branch is `WHERE`d out by the
+    * replayed decision, mirroring the Spark side exactly). */
+  def bm25AutoCompactSql(tau: Double = 0.95, k1: Double = 1.2,
+      b: Double = 0.75, cap: Int = 64): String =
+    s"""WITH ${applyChainCtes(k1, b, cap)},
+      |pfx2m AS MATERIALIZED (SELECT token, doc_id, c, r FROM pfx2),
+      |fst AS (SELECT count(*) AS n_docs,
+      |          avg(CAST(len(w) AS BIGINT)) AS avgdl FROM t),
+      |fdfs AS (SELECT token, count(*) AS df FROM dt GROUP BY 1),
+      |fpc AS (
+      |  SELECT dt.token, dt.doc_id,
+      |    CAST(floor(
+      |      ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |        * (CAST(tf AS DOUBLE) * ($k1 + 1))
+      |        / (CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b * dl / avgdl))
+      |        * 1000000 + 0.5) AS BIGINT) AS c
+      |  FROM dt JOIN fdfs USING (token), fst),
+      |fpfx AS MATERIALIZED (
+      |  SELECT token, doc_id, c, r FROM (
+      |    SELECT token, doc_id, c, row_number() OVER (PARTITION BY token
+      |      ORDER BY c DESC, doc_id) AS r FROM fpc)
+      |  WHERE r <= $cap),
+      |nc AS (SELECT token, count(*) AS n_chain FROM pfx2m GROUP BY 1),
+      |nr AS (SELECT token, count(*) AS n_rebuild FROM fpfx GROUP BY 1),
+      |ncom AS (
+      |  SELECT p.token, count(*) AS n_common
+      |  FROM pfx2m p JOIN fpfx f ON p.token = f.token
+      |    AND p.doc_id = f.doc_id
+      |  GROUP BY 1),
+      |ov AS (
+      |  SELECT floor(CAST(COALESCE(ncom.n_common, 0) AS DOUBLE)
+      |      / nr.n_rebuild * 10000 + 0.5) / 10000 AS overlap
+      |  FROM nc JOIN nr USING (token) LEFT JOIN ncom USING (token)),
+      |pol AS (SELECT avg(overlap) < $tau AS f FROM ov)
+      |SELECT * FROM (
+      |  SELECT pol.f AS fired, p.token, p.doc_id,
+      |    CAST(p.r AS BIGINT) AS imp_rank, p.c
+      |  FROM pfx2m p, pol WHERE NOT pol.f
+      |  UNION ALL
+      |  SELECT pol.f AS fired, q.token, q.doc_id,
+      |    CAST(q.r AS BIGINT) AS imp_rank, q.c
+      |  FROM fpfx q, pol WHERE pol.f)
+      |ORDER BY token, imp_rank""".stripMargin
+
   /** The two-apply generation-chain CTE body (final CTE = `pfx2(token,
     * doc_id, c, r)`) — shared by [[bm25IndexApplySql]] and the drift
     * dashboard's oracle. */

@@ -408,6 +408,24 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.split("Exchange").length - 1 == 1, "only the orderBy range exchange")
   }
 
+  test("cdc chunks: boundary scan is map-only — no window, no join, one sort exchange") {
+    val p = plan(CorpusOps.cdcChunks(spark, sfDir))
+    assert(!p.contains("Window"), "CDC boundaries must come from array kernels, not a per-doc window")
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+    assert(p.split("Exchange").length - 1 == 1, "only the orderBy range exchange")
+  }
+
+  test("cdc dedup: hash-grain aggregates only, never all-pairs") {
+    val p = plan(CorpusOps.cdcDedup(spark, sfDir))
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(800))
+    // count(DISTINCT doc_id) plans as the two-stage distinct aggregate:
+    // a (chunk_md5, doc_id)-grain partial dedup, then the chunk_md5-grain
+    // final — exactly 2 hash exchanges, both map-side-combined
+    assert(p.split("Exchange hashpartitioning").length - 1 == 2, p.take(1200))
+    assert(p.contains("partial_count"), "chunk counts must combine map-side")
+  }
+
   test("char coverage: (lang, char) aggregate partial-combines before the shuffle") {
     val p = plan(TextOps.charCoverage(spark, sfDir))
     assert(p.contains("partial_count"), "char counts must combine map-side")
