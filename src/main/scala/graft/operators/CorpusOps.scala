@@ -957,7 +957,12 @@ object CorpusOps {
     * [[cdcDedup]] so the dedup plan pays no intermediate order. */
   private def cdcChunkRows(spark: SparkSession, sfDir: String,
       m: Int): DataFrame =
-    Tables.documents(spark, sfDir)
+    cdcChunksOf(Tables.documents(spark, sfDir), m)
+
+  /** The CDC chunk kernel over ANY `(doc_id, text)` frame — exposed for
+    * the shift-robustness property spec. */
+  private[graft] def cdcChunksOf(docs: DataFrame, m: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       // 0-based positions whose token CLOSES a chunk; a boundary on the
       // final token would open an empty phantom chunk — filtered with

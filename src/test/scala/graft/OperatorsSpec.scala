@@ -3156,4 +3156,33 @@ class OperatorsSpec extends SparkSuite {
       assert(want.forall(wantDup.contains), s"trial $trial sanity")
     }
   }
+
+  test("cdc chunks: partition invariant + shift-robust boundaries (one insert, one chunk)") {
+    import spark.implicits._
+    // a deterministic 64-token document (md5-driven boundaries land every
+    // ~8 tokens) and a revision with ONE token inserted mid-document
+    val toks = (0 until 64).map(i => s"w${i * 7 % 97}")
+    val p = 31
+    val revised = (toks.take(p) :+ "INSERTED") ++ toks.drop(p)
+    val docs = Seq((0L, toks.mkString(" ")), (1L, revised.mkString(" ")))
+      .toDF("doc_id", "text")
+    val ch = CorpusOps.cdcChunksOf(docs, 8)
+      .select("doc_id", "chunk_md5", "n_toks").collect()
+    val a = ch.filter(_.getLong(0) == 0L).map(r => (r.getString(1), r.getLong(2))).toSeq
+    val b = ch.filter(_.getLong(0) == 1L).map(r => (r.getString(1), r.getLong(2))).toSeq
+    // chunks PARTITION the token stream — nothing dropped, nothing doubled
+    assert(a.map(_._2).sum == 64 && b.map(_._2).sum == 65)
+    assert(a.size >= 4, s"fixture must actually chunk (got ${a.size})")
+    // multiset symmetric difference: the insertion rewrites exactly the
+    // chunk it lands in (one hash out; one in — or two, if the inserted
+    // token itself closes a boundary and splits the chunk); every OTHER
+    // chunk's content hash survives the positional shift — the property
+    // docChunks' fixed stride lacks (there, every downstream window moves)
+    def bag(s: Seq[(String, Long)]) = s.groupBy(identity).view.mapValues(_.size).toMap
+    val ba = bag(a); val bb = bag(b)
+    val removed = ba.map { case (k, n) => n - bb.getOrElse(k, 0) }.filter(_ > 0).sum
+    val added = bb.map { case (k, n) => n - ba.getOrElse(k, 0) }.filter(_ > 0).sum
+    assert(removed <= 1, s"insertion must disturb at most one existing chunk, removed=$removed")
+    assert(added <= 2, s"insertion must create at most two chunks, added=$added")
+  }
 }
