@@ -423,6 +423,35 @@ object StreamDemo {
         EmbeddedLog.end(idxLog, "docs", 0)
       check("streaming index ingest: consumer group drained to the log end",
         drainedIdx, s"committed=${EmbeddedLog.committed(idxLog, "idx", "docs", 0)}")
+      // drift→compaction for the STREAM chain: measure the head's real
+      // staleness, then drive the policy once just below it (must stay
+      // quiet) and once just above it (must publish the compact
+      // generation and switch serving to it, atomically, with retention
+      // keeping it as the newest)
+      val m = Streaming.indexDriftMean(spark, idxLog, "docs", idxDir)
+      val chain = new graft.operators.GenerationChain(idxDir,
+        Seq("prefix", "termstats"))
+      val (quietFired, quietGen) =
+        Streaming.indexAutoCompact(spark, idxLog, "docs", idxDir,
+          tau = m - 1e-4)
+      check("streaming index auto-compact: quiet below the measured drift",
+        !quietFired && quietGen == last.toLong &&
+          chain.latest().contains(last.toLong),
+        f"mean_overlap=$m%.4f head=$quietGen")
+      val (fired, servedGen) =
+        Streaming.indexAutoCompact(spark, idxLog, "docs", idxDir,
+          tau = m + 1e-4)
+      // the compact generation must equal the full self-stats rebuild of
+      // every document the stream ingested (= the whole log)
+      val compPfx = chain.read(spark, servedGen, "prefix")
+        .orderBy("token", "imp_rank").collect().toSeq
+      val fullPfx = TextOps.impactGen0Frames(
+          segDf(segs.flatten), 1.2, 0.75, 64)._1
+        .orderBy("token", "imp_rank").collect().toSeq
+      check("streaming index auto-compact: fires above it, serving switches to the compact generation",
+        fired && servedGen == last + 1L &&
+          chain.latest().contains(last + 1L) && compPfx == fullPfx,
+        s"served_gen=$servedGen compact_rows=${compPfx.size}")
     }
 
     // --- A5 live edge under the FULL envelope: A7 bearer auth from the

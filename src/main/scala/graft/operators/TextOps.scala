@@ -1159,11 +1159,21 @@ object TextOps {
     * [[stagedImpactGen]]); the join is prefix-grain on (token, doc_id);
     * output is vocabulary-sized. */
   def bm25IndexDrift(spark: SparkSession, sfDir: String, k1: Double = 1.2,
-      b: Double = 0.75, cap: Int = 64): DataFrame = {
-    val chain = stagedImpactGen(spark, sfDir, 2, k1, b, cap)._1
-      .select("token", "doc_id")
-    val rebuild = stagedImpactIndex(spark, sfDir, k1, b, cap)
-      .select("token", "doc_id")
+      b: Double = 0.75, cap: Int = 64): DataFrame =
+    prefixOverlapFrame(
+      stagedImpactGen(spark, sfDir, 2, k1, b, cap)._1,
+      stagedImpactIndex(spark, sfDir, k1, b, cap))
+      .orderBy("token")
+
+  /** The drift comparison itself, over ANY two prefix tables — per term,
+    * how much of `rebuild`'s top-cap the maintained `chain` still holds.
+    * Shared by the batch dashboard ([[bm25IndexDrift]]) and the
+    * streaming chain's policy
+    * ([[graft.streaming.Streaming.indexAutoCompact]]). */
+  private[graft] def prefixOverlapFrame(chainPfx: DataFrame,
+      rebuildPfx: DataFrame): DataFrame = {
+    val chain = chainPfx.select("token", "doc_id")
+    val rebuild = rebuildPfx.select("token", "doc_id")
     val nChain = chain.groupBy("token").agg(count(lit(1)).as("n_chain"))
     val nRebuild = rebuild.groupBy("token")
       .agg(count(lit(1)).as("n_rebuild"))
@@ -1176,7 +1186,6 @@ object TextOps {
         col("n_common"),
         Exprs.r4(col("n_common").cast("double") / col("n_rebuild"))
           .as("overlap"))
-      .orderBy("token")
   }
 
   /** Oracle for [[bm25IndexDrift]] — the two-apply chain CTEs and the

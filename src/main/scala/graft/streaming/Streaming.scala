@@ -834,6 +834,85 @@ object Streaming {
       }
       .start()
 
+  /** The whole topic as ONE batch frame — the same parse as [[logStream]]
+    * over `spark.read` instead of `readStream` (segment files are
+    * append-only and atomically renamed, so a batch listing is always a
+    * consistent prefix of the log). The compaction rebuild reads this:
+    * everything the stream has ever ingested, straight from the log. */
+  def logBatch(spark: SparkSession, root: String, topic: String): DataFrame =
+    spark.read.text(s"$root/$topic/p*")
+      .select(
+        regexp_extract(col("_metadata.file_path"), "/p([0-9]+)/", 1)
+          .cast("int").as("partition"),
+        split(col("value"), "\t", 3).as("f"))
+      .select(col("partition"),
+        element_at(col("f"), 1).cast("long").as("offset"),
+        element_at(col("f"), 2).as("key"),
+        element_at(col("f"), 3).as("data"))
+
+  private def topicDocs(spark: SparkSession, root: String,
+      topic: String): DataFrame =
+    logBatch(spark, root, topic)
+      .select(col("key").cast("long").as("doc_id"),
+        unbase64(col("data")).cast("string").as("text"))
+
+  /** The streaming chain's measured staleness — mean per-term overlap
+    * between the chain head's prefix and a fresh self-stats rebuild over
+    * the WHOLE topic ([[graft.operators.TextOps.prefixOverlapFrame]],
+    * the same comparison the batch dashboard runs). 1-row driver
+    * value. */
+  def indexDriftMean(spark: SparkSession, root: String, topic: String,
+      indexDir: String, k1: Double = 1.2, b: Double = 0.75,
+      cap: Int = 64): Double = {
+    val chain = new graft.operators.GenerationChain(indexDir,
+      Seq("prefix", "termstats"))
+    val head = chain.latest().getOrElse(
+      throw new IllegalStateException(s"no complete generation in $indexDir"))
+    val (rp, _) = graft.operators.TextOps.impactGen0Frames(
+      topicDocs(spark, root, topic), k1, b, cap)
+    graft.operators.TextOps
+      .prefixOverlapFrame(chain.read(spark, head, "prefix"), rp)
+      .agg(avg("overlap")).collect()(0).getDouble(0)
+  }
+
+  /** Drift→compaction for the STREAMING index chain — the policy leg the
+    * batch chains got in [[graft.operators.TextOps.bm25AutoCompact]],
+    * closing the stream's life cycle: ingest (one generation per
+    * micro-batch, [[indexApplyBatch]]) → retention (newest `retain`
+    * kept) → drift watch ([[indexDriftMean]]) → compact. When the head's
+    * mean overlap against a fresh rebuild over the whole topic drops
+    * below `tau`, the rebuild is published as generation `head + 1`
+    * through the same whole-generation atomic rename every other
+    * generation takes — a latest-complete reader switches atomically,
+    * and because the compact generation is now the NEWEST, retention
+    * keeps it and the next micro-batch folds onto reset-to-zero
+    * staleness. At or above `tau` the head keeps serving and nothing is
+    * published. Returns (fired, the serving generation id after the
+    * decision).
+    *
+    * Scale note: the rebuild reads the full topic once — the same cost
+    * the batch compaction pays, scheduled only when the measured drift
+    * says it is worth it; the drift probe itself is prefix-grain
+    * (vocabulary × cap), not corpus-grain, after the one rebuild scan. */
+  def indexAutoCompact(spark: SparkSession, root: String, topic: String,
+      indexDir: String, tau: Double = 0.95, k1: Double = 1.2,
+      b: Double = 0.75, cap: Int = 64, retain: Int = 3): (Boolean, Long) = {
+    val chain = new graft.operators.GenerationChain(indexDir,
+      Seq("prefix", "termstats"))
+    val head = chain.latest().getOrElse(
+      throw new IllegalStateException(s"no complete generation in $indexDir"))
+    val fired = indexDriftMean(spark, root, topic, indexDir, k1, b,
+      cap) < tau
+    if (!fired) (false, head)
+    else {
+      val (rp, rs) = graft.operators.TextOps.impactGen0Frames(
+        topicDocs(spark, root, topic), k1, b, cap)
+      chain.getOrPublish(head + 1)(Seq(rp, rs))
+      chain.retire(retain)
+      (true, head + 1)
+    }
+  }
+
   /** splitmix64: the streaming side never needs cross-engine hash parity,
     * only self-consistency, so a Scala mixer beats hauling xxhash64 here. */
   private[graft] def splitmix(z0: Long): Long = {
