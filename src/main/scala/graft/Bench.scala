@@ -113,7 +113,21 @@ object Bench {
           .exists(w => s(0) > 3 * math.max(1.0, w * sfRatio))
         unstable || overExpectation
       }
-      while (runs.size < 4 && fails == 0 && suspicious) {
+      // (c) convergence — the r16 driver gate showed four monotonically
+      // decaying samples whose min never left a multi-minute interference
+      // window (message_itens_fact [98.0, 58.6, 41.3, 16.4]: min-of-4
+      // reported ~6× the quiet-box number). While the LATEST pass still
+      // improves the running min by >25% the measurement has not converged,
+      // so grant extra passes beyond the 4-run budget, bounded at 6 total.
+      // Same >0.5 s floor as rule (a): below it scheduler noise produces
+      // spurious 25% "improvements". Additions-only: the timed action and
+      // rules (a)/(b) are untouched.
+      def stillFalling: Boolean = runs.size >= 2 && {
+        val prevMin = runs.init.min
+        prevMin > 0.5 && runs.last < prevMin * 0.75
+      }
+      while (fails == 0 &&
+          ((runs.size < 4 && suspicious) || (runs.size < 6 && stillFalling))) {
         System.err.println(s"[bench] $name retry ${runs.size + 1}: runs so far ${runs.map(t => fmt(t, 2)).mkString(", ")} s")
         pass()
       }

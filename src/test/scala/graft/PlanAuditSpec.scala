@@ -1017,11 +1017,15 @@ class PlanAuditSpec extends SparkSuite {
     val p = plan(df)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
-    // the segmentation is ONE kernel call at word grain — it lands inside
-    // the word HashAggregate's result projection, which executedPlan's
-    // toString elides, so assert on the optimized logical plan
+    // r17: the trained segmentation arrives as the STAGED vocab table
+    // (the tokenizer is a persisted artifact for its consumers — training
+    // lives in unigram_lm's own timed plan and in the once-per-corpus
+    // stage build); the encode plan must read it, never re-train
+    assert(p.contains("graft_staged/unigram_seg"),
+      "encode must read the staged trained segmentation:\n" + p.take(800))
     val lp = df.queryExecution.optimizedPlan.toString
-    assert(lp.contains("viterbi_best"), "segmentation must run on the kernel")
+    assert(!lp.contains("viterbi_best"),
+      "training leaked into the consumer plan:\n" + lp.take(800))
   }
 
   test("unigram lm: the emitted plan is join-free — the model rides as a literal") {
@@ -1143,11 +1147,14 @@ class PlanAuditSpec extends SparkSuite {
     val p = plan(df)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
-    // 1 conversation scan + the tokenizer trainer's own 2: the wrn=1
+    // 1 conversation scan + the STAGED trained-segmentation scan (r17: the
+    // tokenizer trainer no longer runs inside the consumer plan): the wrn=1
     // turn-collapse replaces sftPackTokens' aggregate-and-join-back, whose
     // plan re-reads the conversation table (8 scans total, measured)
-    assert(p.split("Scan parquet").length - 1 == 3,
-      "one conversation scan must feed all four stages:\n" + p.take(1200))
+    assert(p.split("Scan parquet").length - 1 == 2,
+      "one conversation scan + one staged-seg scan must feed all four stages:\n" + p.take(1200))
+    assert(p.contains("graft_staged/unigram_seg"),
+      "the tokenizer must arrive as the staged artifact:\n" + p.take(1200))
     val root = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case other => other
